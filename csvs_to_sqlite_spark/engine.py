@@ -1,0 +1,198 @@
+"""End-to-end import pipeline (reference cli.py:150-298, re-architected).
+
+Flow: discover sources → per-file load/transform (lazy DataFrames) →
+dimension build (first-appearance ids) → dims written before facts
+(reference ordering, SURVEY §3.2) → fact writes with FK DDL → user
+indexes → FTS. All relational work is Spark; only DDL + row landing
+touch SQLite on the driver.
+
+Known divergence (SURVEY B9): the reference mutates the --shape string
+in-place when --filename-column/--fixed-column are used, breaking the
+load of every SUBSEQUENT file. Our shape is immutable per-file, so later
+files load fine; this is documented, deliberate, and covered by a test.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.operators.dates import apply_dates_and_datetimes
+from csvs_to_sqlite_spark.operators.dims import build_dims
+from csvs_to_sqlite_spark.operators.rowid import with_row_id
+from csvs_to_sqlite_spark.operators.shapes import apply_shape
+from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
+from csvs_to_sqlite_spark.sinks.sqlite_sink import SQLiteSink, best_fts_version
+from csvs_to_sqlite_spark.sources.csv_source import LoadCsvError, csvs_from_paths, load_csv
+
+
+class BadParameter(ValueError):
+    pass
+
+
+@dataclass
+class ImportResult:
+    dbname: str
+    db_existed: bool
+    n_csvs: int = 0
+    messages: list[str] = field(default_factory=list)
+
+    @property
+    def summary(self) -> str:
+        # reference cli.py:285-298 (strings are asserted by golden tests)
+        plural = "" if self.n_csvs == 1 else "s"
+        if self.db_existed:
+            return f"Added {self.n_csvs} CSV file{plural} to {self.dbname}"
+        return f"Created {self.dbname} from {self.n_csvs} CSV file{plural}"
+
+
+def parse_extract_columns(extract_columns) -> tuple[list[DimSpec], dict[str, tuple[str, str]]]:
+    """``col[:table[:label]]`` → DimSpecs + {column: (table, label)}
+    (reference cli.py:230-238)."""
+    specs: list[DimSpec] = []
+    fks: dict[str, tuple[str, str]] = {}
+    for item in extract_columns or ():
+        bits = item.split(":")
+        if len(bits) == 3:
+            spec = DimSpec(bits[0], bits[1], bits[2])
+        elif len(bits) == 2:
+            spec = DimSpec(bits[0], bits[1], "value")
+        else:
+            spec = DimSpec(bits[0], bits[0], "value")
+        specs.append(spec)
+        r = spec.resolved()
+        fks[r.column] = (r.table, r.value_column)
+    return specs, fks
+
+
+def _existing_dims(spark: SparkSession, db_path: str, specs: list[DimSpec]):
+    """E4: read already-present lookup tables from the output db so ids are
+    preserved and only misses get new numbers (reference utils.py:205-223)."""
+    out = {}
+    if not os.path.exists(db_path):
+        return out
+    conn = sqlite3.connect(db_path)
+    try:
+        for spec in (s.resolved() for s in specs):
+            try:
+                rows = conn.execute(
+                    f'select id, "{spec.value_column}" from [{spec.table}]'
+                ).fetchall()
+            except sqlite3.OperationalError:
+                continue
+            out[spec.table] = spark.createDataFrame(
+                [(int(r[0]), r[1]) for r in rows], f"id long, {spec.value_column} string"
+            )
+    finally:
+        conn.close()
+    return out
+
+
+def import_csvs(
+    spark: SparkSession,
+    paths,
+    dbname: str,
+    separator: str = ",",
+    quoting: int = 0,
+    skip_errors: bool = False,
+    replace_tables: bool = False,
+    table: str | None = None,
+    extract_column=(),
+    date=(),
+    datetime=(),
+    datetime_format=(),
+    primary_key=(),
+    fts=(),
+    index=(),
+    shape: str | None = None,
+    filename_column: str | None = None,
+    fixed_columns=(),
+    fixed_columns_int=(),
+    fixed_columns_float=(),
+    no_index_fks: bool = False,
+    no_fulltext_fks: bool = False,
+    just_strings: bool = False,
+) -> ImportResult:
+    # G7 db naming rules (reference cli.py:184-187)
+    if dbname.endswith(".csv"):
+        raise BadParameter("dbname must not end with .csv")
+    if "." not in dbname:
+        dbname += ".db"
+    result = ImportResult(dbname=dbname, db_existed=os.path.exists(dbname))
+
+    csvs = csvs_from_paths(paths)
+    result.n_csvs = len(csvs)
+    sql_type_overrides: dict[str, str] = {}
+    tables: list[Table] = []
+    for name, path in csvs.items():
+        try:
+            df = load_csv(
+                spark, path, separator, skip_errors, quoting, shape, just_strings
+            )
+            df, overrides = apply_shape(df, shape)
+            sql_type_overrides.update(overrides)
+            # B5-B8 constant columns (reference cli.py:202-220)
+            if filename_column:
+                df = df.withColumn(filename_column, F.lit(name))
+            for colname, value in fixed_columns or ():
+                df = df.withColumn(colname, F.lit(str(value)))
+            for colname, value in fixed_columns_int or ():
+                df = df.withColumn(colname, F.lit(int(value)).cast("long"))
+            for colname, value in fixed_columns_float or ():
+                df = df.withColumn(colname, F.lit(float(value)).cast("double"))
+            df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
+            df = with_row_id(df)
+            tables.append(Table(table or name, df))
+        except LoadCsvError as e:
+            # A13 per-file isolation (reference cli.py:224-225)
+            result.messages.append(f"Could not load {path}: {e}")
+
+    dim_specs, foreign_keys = parse_extract_columns(extract_column)
+
+    sink = SQLiteSink(dbname)
+    try:
+        dim_frames = {}
+        if dim_specs:
+            existing = _existing_dims(spark, dbname, dim_specs)
+            tables, dim_frames = build_dims(tables, dim_specs, existing)
+            # dims are written BEFORE facts (reference utils.py:238-254)
+            label_by_dim = {s.resolved().table: s.resolved().value_column for s in dim_specs}
+            for dim_name, dim_df in dim_frames.items():
+                sink.write_dim(
+                    dim_name, dim_df, label_by_dim[dim_name], fts=not no_fulltext_fks
+                )
+
+        created_tables: list[str] = []
+        seen_created: set[str] = set()
+        for t in tables:
+            created = sink.write_table(
+                t.name,
+                t.df,
+                sql_type_overrides=sql_type_overrides,
+                foreign_keys=foreign_keys,
+                primary_keys=tuple(primary_key),
+                replace=replace_tables and t.name not in seen_created,
+                index_fks=not no_index_fks,
+            )
+            if created:
+                created_tables.append(t.name)
+                seen_created.add(t.name)
+            for index_defn in index or ():
+                sink.add_index(t.name, index_defn)
+
+        if fts:
+            if not best_fts_version():
+                raise BadParameter("Your SQLite version does not support any variant of FTS")
+            by_name = {t.name: t for t in tables}
+            for name in created_tables:
+                for fts_column in fts:
+                    if fts_column not in by_name[name].df.columns:
+                        raise BadParameter(f'FTS column "{fts_column}" does not exist')
+            sink.create_fact_fts(created_tables, list(fts), foreign_keys)
+    finally:
+        sink.close()
+    return result

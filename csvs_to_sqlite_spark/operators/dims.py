@@ -1,0 +1,146 @@
+"""Dimension ("lookup table") extraction — SURVEY §2 E1-E4, D1, E2-E3.
+
+Reference semantics (utils.py:192-254) we reproduce, Spark-first:
+
+- E1 ids are assigned 1,2,3… in order of FIRST APPEARANCE. The reference
+  gets this for free from a sequential ``Series.apply`` + SQLite
+  autoincrement; we synthesize it with one distinct-aggregate + a
+  row_number window over ``min(order_key)``. The order key is the
+  composite (column_idx, table_idx, row_id): the reference's loop nests
+  column-outer (-c option order), file-inner (CLI file order), rows in
+  file order (SURVEY §7.5.2).
+- E2 value canonicalization before insert (utils.py:193-200): NULL → no
+  dim row + NULL fk; float → ``"{0:g}"`` (7.0→"7", 0.5→"0.5"); any other
+  non-string → str(value).
+- E3 one dim shared by many columns/tables: dim built from the UNION of
+  all referencing columns before numbering (utils.py:239-252).
+- E4 incremental growth across runs: existing ids are preserved; only
+  misses are appended, numbered from max(id)+1 (utils.py:205-223).
+- D1 the value→id rewrite is a broadcast hash LEFT join (the reference's
+  memoized point-lookup loop, utils.py:201-235, is an index-nested-loop
+  join in disguise). Dims are small by construction (distinct values of
+  low-cardinality columns), so broadcast is the right physical plan at
+  any fact-table scale; no shuffle of the fact side, fk rewrite is a
+  map-side operation.
+
+Scale: the only shuffle is the groupBy(value) distinct-aggregate, with
+map-side partial aggregation (tiny, cardinality = |dim|). The window that
+numbers the dim runs over |dim| rows — single partition, fine for lookup
+tables; facts never pass through a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType, StringType
+from pyspark.sql.window import Window
+
+from csvs_to_sqlite_spark.operators.rowid import ROW_ID
+from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
+
+
+def canonical_value(col: F.Column, dtype) -> F.Column:
+    """E2 (reference utils.py:193-200): the string form a value takes in a
+    lookup table. %g matches CPython ``"{0:g}"`` (verified by golden tests:
+    extracted float district renders "7", scores "0.5"/"0.8")."""
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return F.when(col.isNotNull() & ~F.isnan(col), F.format_string("%g", col))
+    if isinstance(dtype, StringType):
+        return col
+    return col.cast("string")
+
+
+def _dtype_of(df: DataFrame, column: str):
+    return df.schema[column].dataType
+
+
+def build_dims(
+    tables: list[Table],
+    specs: list[DimSpec],
+    existing: dict[str, DataFrame] | None = None,
+) -> tuple[list[Table], dict[str, DataFrame]]:
+    """Extract all dims, rewrite fact columns to integer fks.
+
+    ``tables`` DataFrames must carry ROW_ID. Returns rewritten tables and
+    {dim_table_name: DataFrame(id long, <value_column> string)} ordered by id.
+    """
+    existing = existing or {}
+    specs = [s.resolved() for s in specs]
+    by_dim: dict[str, list[tuple[int, DimSpec]]] = {}
+    for c_idx, spec in enumerate(specs):
+        by_dim.setdefault(spec.table, []).append((c_idx, spec))
+
+    dim_frames: dict[str, DataFrame] = {}
+    for dim_name, members in by_dim.items():
+        value_col = members[0][1].value_column
+        pieces = []
+        for c_idx, spec in members:
+            for t_idx, table in enumerate(tables):
+                if spec.column not in table.df.columns:
+                    continue
+                dtype = _dtype_of(table.df, spec.column)
+                pieces.append(
+                    table.df.select(
+                        canonical_value(F.col(spec.column), dtype).alias("value"),
+                        F.struct(
+                            F.lit(c_idx).alias("c"),
+                            F.lit(t_idx).alias("t"),
+                            F.col(ROW_ID).alias("r"),
+                        ).alias("ord"),
+                    ).where(F.col("value").isNotNull())
+                )
+        if not pieces:
+            continue
+        all_values = pieces[0]
+        for p in pieces[1:]:
+            all_values = all_values.unionByName(p)
+        firsts = all_values.groupBy("value").agg(F.min("ord").alias("first_seen"))
+
+        prior = existing.get(dim_name)
+        if prior is not None:
+            # E4: number only genuinely-new values, starting at max(id)+1.
+            start = (prior.agg(F.max("id")).collect()[0][0] or 0) + 1
+            firsts = firsts.join(
+                F.broadcast(prior.select(F.col(value_col).alias("value"))),
+                "value",
+                "left_anti",
+            )
+        else:
+            start = 1
+        w = Window.orderBy("first_seen")
+        new_rows = firsts.select(
+            (F.row_number().over(w) + F.lit(start - 1)).cast("long").alias("id"),
+            F.col("value").alias(value_col),
+        )
+        if prior is not None:
+            dim = prior.select(F.col("id").cast("long"), F.col(value_col)).unionByName(new_rows)
+        else:
+            dim = new_rows
+        dim_frames[dim_name] = dim
+
+    # D1: rewrite each referencing fact column via broadcast hash left join.
+    out_tables = []
+    for table in tables:
+        df = table.df
+        for spec in specs:
+            if spec.column not in df.columns:
+                continue
+            dim = dim_frames[spec.table]
+            df = rewrite_fk(df, spec.column, dim, spec.value_column)
+        out_tables.append(Table(table.name, df))
+    return out_tables, dim_frames
+
+
+def rewrite_fk(df: DataFrame, column: str, dim: DataFrame, value_column: str = "value") -> DataFrame:
+    """Replace ``column``'s values with dim ids (broadcast left join).
+    NULL values stay NULL (no dim row) — reference utils.py:193-194."""
+    dtype = _dtype_of(df, column)
+    probe = canonical_value(F.col(column), dtype)
+    joined = df.withColumn("__probe__", probe).join(
+        F.broadcast(dim.select(F.col("id").alias("__dim_id__"), F.col(value_column).alias("__probe__"))),
+        "__probe__",
+        "left",
+    )
+    cols = [F.col("__dim_id__").alias(column) if c == column else F.col(c) for c in df.columns]
+    return joined.select(*cols)

@@ -1,0 +1,284 @@
+"""Driver-side SQLite sink — SURVEY §2 C2-C3, F1-F5, G1-G9.
+
+SQLite is single-writer and in-process, so the sink runs on the driver:
+all distributed computation happens in Spark, then sorted partitions
+stream to the driver (``toLocalIterator``) into batched ``executemany``
+inserts inside one transaction (SURVEY §4.4). The engine's native
+large-scale sink is partitioned Parquet (parquet_sink.py); SQLite exists
+for reference parity — it is never the 100 TB path.
+
+DDL derivation replaces the reference's in-memory-SQLite type oracle
+(reference utils.py:271-318) with a deterministic StructType → affinity
+mapping. FTS and index DDL reproduce the reference's sink-side SQL
+semantics (utils.py:362-438, 490-502) without copying its generator.
+"""
+
+from __future__ import annotations
+
+import datetime
+import sqlite3
+from itertools import islice
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from csvs_to_sqlite_spark.operators.rowid import ROW_ID
+
+_AFFINITY = [
+    ((T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.BooleanType), "INTEGER"),
+    ((T.DoubleType, T.FloatType, T.DecimalType), "REAL"),
+    ((T.BinaryType,), "BLOB"),
+]
+
+
+def sqlite_type(dtype: T.DataType) -> str:
+    for klasses, affinity in _AFFINITY:
+        if isinstance(dtype, klasses):
+            return affinity
+    # strings, dates/timestamps (ISO text, SURVEY §1.2), everything else
+    return "TEXT"
+
+
+def create_table_sql(
+    table_name: str,
+    schema: T.StructType,
+    sql_type_overrides: dict[str, str] | None = None,
+    foreign_keys: dict[str, tuple[str, str]] | None = None,
+    primary_keys: tuple[str, ...] = (),
+    index: bool = False,
+) -> tuple[str, list[str]]:
+    """C2/C3/G1: CREATE TABLE with optional FK clauses and composite PK
+    (reference utils.py:271-343). Layout mirrors the pandas-generated DDL
+    the reference harvests (tests/test_utils.py:21-31)."""
+    overrides = {k.lower(): v for k, v in (sql_type_overrides or {}).items()}
+    lines = []
+    columns = []
+    if index:
+        lines.append('"index" INTEGER')
+        columns.append("index")
+    for field in schema.fields:
+        if field.name == ROW_ID:
+            continue
+        affinity = overrides.get(field.name.lower(), sqlite_type(field.dataType))
+        lines.append(f'  "{field.name}" {affinity}')
+        columns.append(field.name)
+    if lines and not index:
+        lines[0] = lines[0].lstrip()
+    body = ",\n".join(lines)
+    for col, (other_table, _label) in (foreign_keys or {}).items():
+        if col in columns:  # FK only for columns actually present (utils.py:339-341)
+            body += f',\n  FOREIGN KEY ("{col}") REFERENCES [{other_table}](id)'
+    if primary_keys:
+        pk_cols = ", ".join(f"[{c}]" for c in primary_keys)
+        body += f",\n  PRIMARY KEY ({pk_cols})"
+    return f'CREATE TABLE "{table_name}" (\n{body}\n)', columns
+
+
+def best_fts_version() -> str | None:
+    """F1: probe FTS support with trial CREATE VIRTUAL TABLE
+    (reference utils.py:362-371)."""
+    conn = sqlite3.connect(":memory:")
+    try:
+        for version in ("FTS5", "FTS4", "FTS3"):
+            try:
+                conn.execute(f"CREATE VIRTUAL TABLE probe USING {version} (c);")
+                return version
+            except sqlite3.OperationalError:
+                continue
+        return None
+    finally:
+        conn.close()
+
+
+def _to_py(value):
+    if isinstance(value, bool):
+        return int(value)
+    if isinstance(value, datetime.datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    if isinstance(value, (bytearray,)):
+        return bytes(value)
+    if isinstance(value, float) and value != value:  # NaN → NULL
+        return None
+    return value
+
+
+class SQLiteSink:
+    """One output database; multiple runs accumulate tables (G4-G6)."""
+
+    BATCH = 10_000
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        self.conn = sqlite3.connect(db_path)
+        self.conn.execute("PRAGMA synchronous=OFF")
+        self.conn.execute("PRAGMA journal_mode=MEMORY")
+
+    def close(self):
+        self.conn.commit()
+        self.conn.close()
+
+    # -- catalog ops (G4) --------------------------------------------------
+    def table_exists(self, name: str) -> bool:
+        row = self.conn.execute(
+            "select count(*) from sqlite_master where type='table' and name=?", [name]
+        ).fetchone()
+        return bool(row[0])
+
+    def drop_table(self, name: str) -> None:
+        self.conn.execute(f'DROP TABLE "{name}"')
+
+    # -- fact write (G1, G2, G5, G9) ----------------------------------------
+    def write_table(
+        self,
+        name: str,
+        df: DataFrame,
+        sql_type_overrides: dict[str, str] | None = None,
+        foreign_keys: dict[str, tuple[str, str]] | None = None,
+        primary_keys: tuple[str, ...] = (),
+        replace: bool = False,
+        index_fks: bool = True,
+    ) -> bool:
+        """Returns True if the table was created this call (vs appended)."""
+        if self.table_exists(name) and replace:
+            self.drop_table(name)
+        created = not self.table_exists(name)
+        out_cols = [c for c in df.columns if c != ROW_ID]
+        if created:
+            ddl, _cols = create_table_sql(
+                name, df.schema, sql_type_overrides, foreign_keys, primary_keys
+            )
+            self.conn.execute(ddl)
+            if index_fks:
+                # G2 (reference utils.py:344-350)
+                for col in foreign_keys or {}:
+                    if col in out_cols:
+                        self.conn.execute(
+                            f'CREATE INDEX ["{name}_{col}"] ON [{name}]("{col}")'
+                        )
+        self._insert_rows(name, df, out_cols)
+        return created
+
+    def _insert_rows(self, name: str, df: DataFrame, out_cols: list[str]) -> None:
+        if ROW_ID in df.columns:
+            df = df.orderBy(ROW_ID)  # rowid alignment (SURVEY §4.3)
+        df = df.select(*out_cols)
+        placeholders = ", ".join("?" for _ in out_cols)
+        collist = ", ".join(f'"{c}"' for c in out_cols)
+        sql = f"INSERT INTO [{name}] ({collist}) VALUES ({placeholders})"
+        it = (tuple(_to_py(v) for v in row) for row in df.toLocalIterator())
+        while True:
+            batch = list(islice(it, self.BATCH))
+            if not batch:
+                break
+            self.conn.executemany(sql, batch)
+        self.conn.commit()
+
+    # -- dimension write (E1/E4/F4) ------------------------------------------
+    def write_dim(
+        self, name: str, dim: DataFrame, value_column: str = "value", fts: bool = True
+    ) -> None:
+        """Write/extend a lookup table ``(id INTEGER PRIMARY KEY, value TEXT)``
+        (reference utils.py:151-182). Only ids not already present are
+        inserted (E4 incremental growth). ``fts`` adds/extends the per-dim
+        FTS index (F4, on by default, --no-fulltext-fks to disable)."""
+        fts_version = best_fts_version() if fts else None
+        if not self.table_exists(name):
+            self.conn.execute(
+                f'CREATE TABLE "{name}" (\n"id" INTEGER PRIMARY KEY,\n  "{value_column}" TEXT\n)'
+            )
+            if fts_version:
+                self.conn.execute(
+                    f'CREATE VIRTUAL TABLE "{name}_{value_column}_fts" '
+                    f'USING {fts_version} ("{value_column}", content="{name}")'
+                )
+        max_id = self.conn.execute(f"select max(id) from [{name}]").fetchone()[0] or 0
+        rows = [
+            (r[0], r[1])
+            for r in dim.orderBy("id").collect()
+            if r[0] > max_id
+        ]
+        self.conn.executemany(f'INSERT INTO [{name}] (id, "{value_column}") VALUES (?, ?)', rows)
+        if fts_version and self._fts_table_exists(f"{name}_{value_column}_fts"):
+            self.conn.executemany(
+                f'INSERT INTO "{name}_{value_column}_fts" (rowid, "{value_column}") VALUES (?, ?)',
+                rows,
+            )
+        self.conn.commit()
+
+    def _fts_table_exists(self, name: str) -> bool:
+        row = self.conn.execute(
+            "select count(*) from sqlite_master where name=?", [name]
+        ).fetchone()
+        return bool(row[0])
+
+    # -- user indexes (G3) ----------------------------------------------------
+    def add_index(self, table: str, spec: str) -> None:
+        """Compound index from 'col1,col2'; SILENTLY skipped when any column
+        is missing (reference utils.py:490-502, guard at :495)."""
+        cols = [c.strip() for c in spec.split(",")]
+        existing = {
+            r[1]
+            for r in self.conn.execute(f"PRAGMA table_info([{table}])").fetchall()
+        }
+        if not set(cols).issubset(existing):
+            return
+        index_name = "{}_{}".format(table, "_".join(cols))
+        collist = ", ".join(f'"{c}"' for c in cols)
+        self.conn.execute(f'CREATE INDEX ["{index_name}"] ON [{table}]({collist})')
+        self.conn.commit()
+
+    # -- fact FTS (F2/F3, D2/D3 executed sink-side for bit parity) -------------
+    def create_fact_fts(
+        self,
+        tables: list[str],
+        columns: list[str],
+        foreign_keys: dict[str, tuple[str, str]] | None = None,
+    ) -> None:
+        """FTS virtual table over fact columns; extracted (fk) columns index
+        the dimension LABEL, not the id (reference utils.py:374-438,
+        CHANGELOG.md:61-75). The denormalizing multi-way left join runs
+        inside SQLite — the reference's one pushdown — which we keep for
+        bit-parity; the Spark-side equivalent is operators/joins.denormalize.
+        """
+        fts_version = best_fts_version()
+        if fts_version is None:
+            raise RuntimeError("no FTS support in this SQLite build")
+        fks = foreign_keys or {}
+        quoted = ", ".join(f'"{c}"' for c in columns)
+        script: list[str] = []
+        for table in tables:
+            script.append(
+                f'CREATE VIRTUAL TABLE "{table}_fts" USING {fts_version} '
+                f'({quoted}, content="{table}")'
+            )
+            if not fks:
+                select = f"SELECT rowid, {quoted} FROM [{table}]"
+            else:
+                select_cols, joins = [], []
+                uses_per_dim: dict[str, int] = {}
+                for col in columns:
+                    if col in fks:
+                        dim_table, label_col = fks[col]
+                        n = uses_per_dim.get(dim_table, 0) + 1
+                        uses_per_dim[dim_table] = n
+                        # D3: a dim joined twice needs an alias
+                        ref = f"{dim_table}_join_{n}" if n > 1 else dim_table
+                        alias = f"{dim_table}_join_{n}" if n > 1 else ""
+                        select_cols.append(f'[{ref}]."{label_col}"')
+                        joins.append(
+                            f'left join [{dim_table}] {alias} on [{table}]."{col}" = [{ref}].id'
+                        )
+                    else:
+                        select_cols.append(f'"{col}"')
+                select = (
+                    f"SELECT [{table}].rowid, {', '.join(select_cols)} "
+                    f"FROM [{table}] " + " ".join(joins)
+                )
+            script.append(
+                f'INSERT INTO "{table}_fts" (rowid, {quoted}) {select}'
+            )
+        self.conn.executescript(";\n".join(script))
+        self.conn.commit()

