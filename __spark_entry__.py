@@ -1,38 +1,937 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator family from SURVEY.md §2
+plus the large-scale pipeline extensions (dedup, similarity, text,
+streaming). Each has a DuckDB ``oracle_sql()`` twin unless the operator is
+not SQL-expressible (streaming session_window, mapInPandas multimodal) —
+those are rows-only checks, flagged in the docstring.
+
+Determinism notes: every float aggregate is rounded identically on both
+sides; all hashing is MD5 (bit-identical in Spark/DuckDB/Python); ranks
+always carry a unique tie-break; timestamps are compared as formatted UTC
+strings (prep_session pins the session timezone).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from csvs_to_sqlite_spark.operators import dedup, similarity, text
+from csvs_to_sqlite_spark.operators.dims import build_dims, fmt_g
+from csvs_to_sqlite_spark.operators.joins import denormalize
+from csvs_to_sqlite_spark.operators.rowid import ROW_ID, row_id_from_order
+from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
+from csvs_to_sqlite_spark.session import prep_session
+from csvs_to_sqlite_spark.streaming.windows import (
+    load_events,
+    sessionize,
+    windowed_event_counts,
+)
+from csvs_to_sqlite_spark.functions.hashing import md5_long_sql, tokens_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A/B: scans, projection, filter pushdown
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    """A1/B2: projection + filter, pushed into the parquet scan."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+SQL_SCAN = """
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+# ---------------------------------------------------------------------------
+# E1/D1: dimension extraction with first-appearance ids + fk rewrite
+# ---------------------------------------------------------------------------
+# first-appearance order key: (l_orderkey, l_linenumber) is a total order;
+# l_linenumber ∈ 1..7 so ok*10+ln is an equivalent scalar key.
+
+def _dim_returnflag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        ROW_ID, F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    tables, dims = build_dims([Table("lineitem", li)], [DimSpec("l_returnflag", "returnflag_dim")])
+    return tables[0].df, dims["returnflag_dim"]
+
+
+def q_dim_extract_first_appearance(spark, sf_dir):
+    """E1: distinct + dense first-appearance numbering."""
+    prep_session(spark)
+    _, dim = _dim_returnflag(spark, sf_dir)
+    return dim.select(F.col("id"), F.col("value"))
+
+
+SQL_DIM = """
+SELECT CAST(row_number() OVER (ORDER BY fs) AS BIGINT) AS id, value
+FROM (SELECT l_returnflag AS value, min(l_orderkey*10 + l_linenumber) AS fs
+      FROM lineitem GROUP BY 1)
+"""
+
+
+def q_fk_rewrite_broadcast(spark, sf_dir):
+    """D1: value→id rewrite as a broadcast hash left join."""
+    prep_session(spark)
+    fact, _ = _dim_returnflag(spark, sf_dir)
+    return fact.select(
+        "l_orderkey", "l_linenumber", F.col("l_returnflag").alias("returnflag_id")
+    )
+
+
+SQL_FK = """
+WITH dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY fs) AS BIGINT) AS id, value
+  FROM (SELECT l_returnflag AS value, min(l_orderkey*10 + l_linenumber) AS fs
+        FROM lineitem GROUP BY 1))
+SELECT l_orderkey, l_linenumber, dim.id AS returnflag_id
+FROM lineitem LEFT JOIN dim ON lineitem.l_returnflag = dim.value
+"""
+
+
+def q_incremental_dim_growth(spark, sf_dir):
+    """E4: second batch extends the dim, preserving first-batch ids."""
+    prep_session(spark)
+    orders = _t(spark, sf_dir, "orders")
+    o1 = orders.where(F.col("o_orderdate") < "1998-01-01").withColumn(ROW_ID, F.col("o_orderkey"))
+    o2 = orders.where(F.col("o_orderdate") >= "1998-01-01").withColumn(ROW_ID, F.col("o_orderkey"))
+    spec = [DimSpec("o_orderpriority", "priority_dim")]
+    _, dims1 = build_dims([Table("orders", o1)], spec)
+    _, dims2 = build_dims([Table("orders", o2)], spec, existing=dims1)
+    return dims2["priority_dim"]
+
+
+SQL_DIM_INCR = """
+WITH d1 AS (
+  SELECT CAST(row_number() OVER (ORDER BY fs) AS BIGINT) AS id, value
+  FROM (SELECT o_orderpriority AS value, min(o_orderkey) AS fs FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1)),
+novel AS (
+  SELECT p.value, p.fs FROM
+    (SELECT o_orderpriority AS value, min(o_orderkey) AS fs FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1) p
+  LEFT JOIN d1 ON d1.value = p.value WHERE d1.id IS NULL)
+SELECT id, value FROM d1
+UNION ALL
+SELECT (SELECT max(id) FROM d1) + CAST(row_number() OVER (ORDER BY fs) AS BIGINT), value
+FROM novel
+"""
+
+# ---------------------------------------------------------------------------
+# D2/D3: star denormalization with a twice-joined dim
+# ---------------------------------------------------------------------------
+
+def q_denormalize_star(spark, sf_dir):
+    """D2/D3: fact → dims left joins, nation joined twice (alias demo);
+    all dim joins broadcast, the fact side never shuffles."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .join(
+            F.broadcast(nation.alias("cn")),
+            cust.c_nationkey == F.col("cn.n_nationkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(nation.alias("sn")),
+            supp.s_nationkey == F.col("sn.n_nationkey"),
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+
+
+SQL_STAR = """
+SELECT l_orderkey, l_linenumber, o_orderpriority AS priority,
+       c_mktsegment AS segment, cn.n_name AS cust_nation, sn.n_name AS supp_nation
+FROM lineitem
+LEFT JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+"""
+
+# ---------------------------------------------------------------------------
+# D4/D5: semi/anti joins
+# ---------------------------------------------------------------------------
+
+def q_semi_join_urgent(spark, sf_dir):
+    """D4: rowid-IN-subquery idiom as a left-semi join."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return li.join(urgent, "l_orderkey", "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+SQL_SEMI = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+              AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """Left-anti join: customers with no orders (E4's novelty detection)."""
+    prep_session(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+# ---------------------------------------------------------------------------
+# C1/E2: type narrowing and %g canonicalization
+# ---------------------------------------------------------------------------
+
+def q_int_downcast_detect(spark, sf_dir):
+    """C1: one aggregate deciding, per float column, integral-ness."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [
+        F.max(F.when(F.col(c) != F.floor(F.col(c)), 1).otherwise(0)).alias(c)
+        for c in cols
+    ]
+    row = li.agg(*aggs)
+    pieces = [
+        row.select(F.lit(c).alias("col_name"), (F.col(c) == 0).alias("all_integral"))
+        for c in cols
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_DOWNCAST = """
+SELECT 'l_quantity' AS col_name,
+       sum(CASE WHEN l_quantity <> floor(l_quantity) THEN 1 ELSE 0 END) = 0 AS all_integral FROM lineitem
+UNION ALL SELECT 'l_extendedprice',
+       sum(CASE WHEN l_extendedprice <> floor(l_extendedprice) THEN 1 ELSE 0 END) = 0 FROM lineitem
+UNION ALL SELECT 'l_discount',
+       sum(CASE WHEN l_discount <> floor(l_discount) THEN 1 ELSE 0 END) = 0 FROM lineitem
+UNION ALL SELECT 'l_tax',
+       sum(CASE WHEN l_tax <> floor(l_tax) THEN 1 ELSE 0 END) = 0 FROM lineitem
+"""
+
+
+def q_canonical_g_format(spark, sf_dir):
+    """E2: %g float canonicalization (the lookup-value string form)."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_quantity").alias("v")).distinct().select(
+        "v", fmt_g(F.col("v")).alias("canon")
+    )
+
+
+SQL_GFMT = """
+SELECT v, format('{:g}', v) AS canon
+FROM (SELECT DISTINCT l_quantity AS v FROM lineitem)
+"""
+
+# ---------------------------------------------------------------------------
+# B10: ISO date serialization
+# ---------------------------------------------------------------------------
+
+def q_date_iso_format(spark, sf_dir):
+    """B10/B11 output form: ISO dates/datetimes as TEXT."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("order_datetime"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+    )
+
+
+SQL_DATE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_datetime,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# E5/E6/H: aggregation, rollup, windows, set ops
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """E6: TPC-H Q1 shape — groupBy + multi-agg, map-side partials."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup_returnflag(spark, sf_dir):
+    """E6: rollup with subtotal rows."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """H: top-3 orders by totalprice per priority (window + row_number)."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_running_revenue(spark, sf_dir):
+    """H: running sum window per customer over order dates."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
+def q_union_segments(spark, sf_dir):
+    """G5/G6 union-append semantics + distinct."""
+    prep_session(spark)
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING")
+    b = c.where(F.col("c_acctbal") > 5000)
+    return a.unionByName(b).distinct().select("c_custkey", "c_mktsegment")
+
+
+SQL_UNION = """
+SELECT c_custkey, c_mktsegment FROM (
+  SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT * FROM customer WHERE c_acctbal > 5000)
+"""
+
+
+def q_distinct_counts(spark, sf_dir):
+    """E5: exact distinct counts per group."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# events: sessionization, JSON, streaming windows
+# ---------------------------------------------------------------------------
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: 30-min gap rule via lag + running sum."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    out = sessionize(e, gap_minutes=30)
+    return out.select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "session_start",
+    )
+
+
+SQL_SESSIONS = """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM m)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON extraction from the events props column."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+SQL_JSON = """
+SELECT event_type, CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       count(json_extract_string(props, '$.k')) AS n_with_k
+FROM events GROUP BY 1
+"""
+
+
+def q_windowed_event_counts(spark, sf_dir):
+    """Structured Streaming: tumbling 1h event-time windows + watermark,
+    driven to completion on the events parquet (batch-equivalent oracle)."""
+    prep_session(spark)
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet", streaming=True)
+
+
+SQL_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# CSV round-trip through our source (A1 + inference)
+# ---------------------------------------------------------------------------
+
+def q_csv_roundtrip_inference(spark, sf_dir):
+    """A1/C1: parquet → CSV → our loader with reference type inference."""
+    prep_session(spark)
+    import tempfile
+
+    from csvs_to_sqlite_spark.sources.csv_source import load_csv
+
+    nation = _t(spark, sf_dir, "nation").orderBy("n_nationkey")
+    with tempfile.NamedTemporaryFile(mode="w", suffix=".csv", delete=False) as f:
+        pdf = nation.toPandas()
+        pdf.to_csv(f.name, index=False)
+        path = f.name
+    return load_csv(spark, path)
+
+
+SQL_ROUNDTRIP = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+# ---------------------------------------------------------------------------
+# dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+
+
+SQL_JACCARD = (
+    """
+WITH tok AS (
+  SELECT doc_id, unnest("""
+    + tokens_sql("text")
+    + """) AS token FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
+"""
+)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "text", "doc_id")
+
+
+def _sql_minhash_sig() -> str:
+    mins = ",\n       ".join(
+        f"min({md5_long_sql('token', seed=f'mh{i}')}) AS s{i}"
+        for i in range(dedup.MINHASH_K)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest("
+        + tokens_sql("text")
+        + ") AS token FROM documents)\n"
+        + f"SELECT doc_id, {mins} FROM tok GROUP BY doc_id"
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id")
+
+
+def _sql_minhash_pairs() -> str:
+    rows = dedup.MINHASH_K // dedup.MINHASH_BANDS
+    band_selects = []
+    for bi in range(dedup.MINHASH_BANDS):
+        parts = ", ".join(f"s{bi * rows + j}::VARCHAR" for j in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws('-', {parts})) AS key FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return (
+        "WITH sig AS (\n"
+        + _sql_minhash_sig()
+        + "\n), bands AS (\n"
+        + bands
+        + """
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+    )
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "text", "doc_id")
+
+
+def _sql_simhash() -> str:
+    h = md5_long_sql("token", seed="simhash")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest("
+        + tokens_sql("text")
+        + ") AS token FROM documents),\n"
+        + f"votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)\n"
+        + f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=6)
+
+
+def _sql_simhash_pairs() -> str:
+    band_selects = []
+    for bi in range(dedup.SIMHASH_BANDS):
+        band_selects.append(
+            f"SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * 8}) & 255 AS key FROM sh"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return (
+        "WITH sh AS (\n"
+        + _sql_simhash()
+        + "\n), bands AS (\n"
+        + bands
+        + """
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+"""
+    )
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cos_sim
+  FROM q, c WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: deterministic md5-derived hyperplanes."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def _sql_knn_lsh() -> str:
+    planes = similarity.hyperplanes(64, 4)
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{x}::DOUBLE" for x in plane) + "]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(v, {arr}), p -> p[1]*p[2])) > 0 "
+            f"THEN {2 ** j} ELSE 0 END"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        text.stopword_ratio(t).alias("stop_ratio"),
+        text.avg_token_len(t).alias("avg_tok_len"),
+    )
+
+
+_TOKENS = tokens_sql("text", distinct=False)
+_STOPS = "', '".join(text.STOPWORDS)
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+  len({_TOKENS}) AS n_tokens,
+  round(len(list_filter({_TOKENS}, t -> t IN ('{_STOPS}')))
+        / greatest(len({_TOKENS}), 1), 6) AS stop_ratio,
+  round(list_sum(list_transform({_TOKENS}, t -> length(t)))
+        / greatest(len({_TOKENS}), 1), 6) AS avg_tok_len
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+  round((least(len({_TOKENS}) / 50.0, 1.0)
+       + least(round(len(list_filter({_TOKENS}, t -> t IN ('{_STOPS}')))
+               / greatest(len({_TOKENS}), 1), 6) * 5.0, 1.0)
+       + len(list_distinct({_TOKENS})) / greatest(len({_TOKENS}), 1)) / 3.0, 6) AS quality
+FROM documents
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        text.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+def _sql_langid() -> str:
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        m = "', '".join(markers)
+        score_cols.append(f"len(list_filter({_TOKENS}, t -> t IN ('{m}'))) AS sc_{lang}")
+    langs = list(text.LANG_MARKERS)
+    # strictly-greater argmax chain, earlier language wins ties
+    expr = "'und'"
+    best = "0"
+    for lang in langs:
+        expr = f"CASE WHEN sc_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, sc_{lang})"
+    return (
+        "WITH scored AS (SELECT doc_id, lang, "
+        + ", ".join(score_cols)
+        + " FROM documents)\n"
+        + f"SELECT doc_id, lang, {expr} AS predicted_lang FROM scored"
+    )
+
+
+def q_text_fingerprints(spark, sf_dir):
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.doc_fingerprint(t).alias("md5_fp"),
+        text.rolling_fingerprint(t).alias("rolling_fp"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+  md5(array_to_string({_TOKENS}, ' ')) AS md5_fp,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform({_TOKENS},
+      t -> {md5_long_sql('t', seed='fp')})),
+      (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# rows-only checks (not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_image_features(spark, sf_dir):
+    """mapInPandas binary-decode plumbing with a deterministic fake decoder
+    (rows-only: mapInPandas is not SQL-expressible)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import extract_image_features, synth_media
+
+    return extract_image_features(synth_media(spark, n=64), fake=True)
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Stateful streaming sessionization via session_window (rows-only:
+    streaming state semantics aren't SQL-expressible)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.streaming.windows import streaming_sessionize
+
+    out = streaming_sessionize(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: star denormalization at sf0.001."""
+    return q_denormalize_star(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "dim_extract_first_appearance": q_dim_extract_first_appearance,
+        "fk_rewrite_broadcast": q_fk_rewrite_broadcast,
+        "incremental_dim_growth": q_incremental_dim_growth,
+        "denormalize_star": q_denormalize_star,
+        "semi_join_urgent": q_semi_join_urgent,
+        "anti_join_customers": q_anti_join_customers,
+        "int_downcast_detect": q_int_downcast_detect,
+        "canonical_g_format": q_canonical_g_format,
+        "date_iso_format": q_date_iso_format,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "rollup_returnflag": q_rollup_returnflag,
+        "topk_per_group": q_topk_per_group,
+        "running_revenue": q_running_revenue,
+        "union_segments": q_union_segments,
+        "distinct_counts": q_distinct_counts,
+        "sessionize_events": q_sessionize_events,
+        "json_props": q_json_props,
+        "windowed_event_counts": q_windowed_event_counts,
+        "csv_roundtrip_inference": q_csv_roundtrip_inference,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprints": q_text_fingerprints,
+        "multimodal_image_features": q_multimodal_image_features,
+        "streaming_sessions": q_streaming_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_filter_project": SQL_SCAN,
+        "dim_extract_first_appearance": SQL_DIM,
+        "fk_rewrite_broadcast": SQL_FK,
+        "incremental_dim_growth": SQL_DIM_INCR,
+        "denormalize_star": SQL_STAR,
+        "semi_join_urgent": SQL_SEMI,
+        "anti_join_customers": SQL_ANTI,
+        "int_downcast_detect": SQL_DOWNCAST,
+        "canonical_g_format": SQL_GFMT,
+        "date_iso_format": SQL_DATE,
+        "agg_pricing_summary": SQL_Q1,
+        "rollup_returnflag": SQL_ROLLUP,
+        "topk_per_group": SQL_TOPK,
+        "running_revenue": SQL_RUNNING,
+        "union_segments": SQL_UNION,
+        "distinct_counts": SQL_DISTINCT,
+        "sessionize_events": SQL_SESSIONS,
+        "json_props": SQL_JSON,
+        "windowed_event_counts": SQL_WINDOWED,
+        "csv_roundtrip_inference": SQL_ROUNDTRIP,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_jaccard_pairs": SQL_JACCARD,
+        "minhash_signatures": _sql_minhash_sig(),
+        "minhash_lsh_pairs": _sql_minhash_pairs(),
+        "simhash_fingerprints": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "knn_bruteforce": SQL_KNN,
+        "knn_lsh": _sql_knn_lsh(),
+        "text_token_stats": SQL_TOKEN_STATS,
+        "text_quality": SQL_QUALITY,
+        "text_langid": _sql_langid(),
+        "text_fingerprints": SQL_FINGERPRINT,
+        # multimodal_image_features, streaming_sessions: rows-only by design
+    }

@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each chosen for a different scale/recall point:
+
+- exact_dedup: hash-groupBy on the full text. One shuffle keyed by
+  md5(text) — never by the raw text, so long documents don't inflate
+  shuffle volume. The canonical survivor is min(doc_id).
+- ngram Jaccard: exact set-similarity via an inverted-index join
+  (token → posting list) — no O(n²) cross join; pairs are generated only
+  for documents sharing a token, then filtered by true Jaccard. Right for
+  moderate corpora / high thresholds. At 100 TB the posting lists of
+  stop-tokens skew the join — mitigated by dropping hyper-frequent tokens
+  (document-frequency cap), standard practice.
+- MinHash + LSH: the scale path. k md5-based hash functions → per-doc
+  signature (one groupBy), banded into b bands; a single self-equi-join
+  on (band_idx, band_key) yields candidates in ~O(n·b). All hashing is
+  MD5 so the whole pipeline is byte-checkable against a SQL oracle.
+- SimHash: per-doc 32-bit fingerprint (weighted bit votes over token
+  hashes); near-dups have small Hamming distance. Fingerprint generation
+  is one groupBy; pairing uses band rotation (4 × 8-bit bands).
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.functions.hashing import md5_long, tokens_expr
+
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 bands × 4 rows
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 × 8-bit bands
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep min(id) per distinct text. Shuffle key is md5(text), not the
+    text itself (bounded-width shuffle rows at any document size)."""
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h__"))
+        .groupBy("__h__")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def token_posting(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) inverted-index rows, distinct tokens per doc."""
+    return df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index join.
+
+    ``max_df`` drops tokens appearing in more than that many documents
+    (stop-token skew guard for the self-join at scale).
+    """
+    tok = token_posting(df, text_col, id_col)
+    if max_df is not None:
+        keep = tok.groupBy("token").count().where(F.col("count") <= max_df).select("token")
+        tok = tok.join(F.broadcast(keep), "token")
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.token") == F.col("b.token")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K) -> DataFrame:
+    """(id, s0..s{k-1}) — one explode + one groupBy with k min() aggregates
+    (map-side partial aggregation keeps shuffle rows = |docs|)."""
+    tok = token_posting(df, text_col, id_col)
+    aggs = [F.min(md5_long(F.col("token"), seed=f"mh{i}")).alias(f"s{i}") for i in range(k)]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: band the signature, self-join per band.
+
+    One equi-join keyed by (band_idx, band_key) — the LSH trick that
+    replaces the O(n²) comparison at 100 TB.
+    """
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k)
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("-", *parts)).alias("key"))
+        )
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — 32-bit fingerprint. Bit j is the sign of the sum of
+    (2·bit_j(md5(token)) − 1) over the doc's distinct tokens; one groupBy
+    with ``bits`` conditional-sum aggregates."""
+    tok = token_posting(df, text_col, id_col).withColumn(
+        "h", md5_long(F.col("token"), seed="simhash")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; docs within
+    Hamming ≤ 3 share at least one identical byte (pigeonhole), so one
+    band-equi-join finds all candidates, then exact Hamming filters."""
+    sh = simhash(df, text_col, id_col)
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * 8).bitwiseAND(F.lit(255)).alias("key"),
+        )
+        for bi in range(SIMHASH_BANDS)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -40,12 +40,22 @@ from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 
 
+def fmt_g(col: F.Column) -> F.Column:
+    """CPython ``"{0:g}"`` / C printf %g. Java's %g keeps trailing zeros
+    (17.0 → "17.0000"), so strip them: in the mantissa of exponent form,
+    and at the end of plain form (including a bare trailing dot)."""
+    s = F.format_string("%g", col)
+    s = F.regexp_replace(s, r"\.?0+e", "e")  # 1.20000e+06 → 1.2e+06
+    s = F.regexp_replace(s, r"\.?0+$", "")  # 17.0000 → 17, 0.500000 → 0.5
+    return s
+
+
 def canonical_value(col: F.Column, dtype) -> F.Column:
     """E2 (reference utils.py:193-200): the string form a value takes in a
-    lookup table. %g matches CPython ``"{0:g}"`` (verified by golden tests:
-    extracted float district renders "7", scores "0.5"/"0.8")."""
+    lookup table (golden: extracted float district renders "7", scores
+    "0.5"/"0.8")."""
     if isinstance(dtype, (DoubleType, FloatType)):
-        return F.when(col.isNotNull() & ~F.isnan(col), F.format_string("%g", col))
+        return F.when(col.isNotNull() & ~F.isnan(col), fmt_g(col))
     if isinstance(dtype, StringType):
         return col
     return col.cast("string")

@@ -1,0 +1,132 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface (SURVEY §2.H); this is extension
+work for the pipeline posture: file-source streams, event-time tumbling
+windows with watermarks for late data, and a stateful sessionizer.
+
+``windowed_event_counts`` can run in two modes with identical semantics:
+- streaming=True: readStream → withWatermark → window agg → memory sink,
+  driven to completion with processAllAvailable (the local-test idiom);
+  on a cluster this same plan runs continuously against kafka/files.
+- streaming=False: the batch equivalent (window() works in batch too),
+  used for oracle comparison.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_counter = itertools.count()
+
+# the events parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; read it as long (spark.sql.legacy.parquet.nanosAsLong) and
+# truncate to microseconds — DuckDB does the same truncation when reading.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ts_from_nanos(df: DataFrame) -> DataFrame:
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_events(spark: SparkSession, events_path: str) -> DataFrame:
+    """Batch read of the events table with nanos→micros normalization."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _ts_from_nanos(spark.read.parquet(events_path))
+
+
+def _agg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession, events_path: str, streaming: bool = True
+) -> DataFrame:
+    if not streaming:
+        return _agg(load_events(spark, events_path))
+    stream = _read_stream(spark, events_path)
+    name = f"windowed_events_{next(_counter)}"
+    q = (
+        _agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap from the previous
+    event of the same user exceeds ``gap_minutes``. lag + running sum —
+    one shuffle on user_id, windows stay within partitions."""
+    from pyspark.sql.window import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    with_sess = (
+        F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        events.withColumn("session_id", with_sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+def _read_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over one parquet file: the file source wants a
+    directory, so stream the parent dir with a glob filter."""
+    import os
+
+    d = os.path.dirname(events_path)
+    fname = os.path.basename(events_path)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .parquet(d)
+    )
+    return _ts_from_nanos(raw)
+
+
+def streaming_sessionize(spark: SparkSession, events_path: str, gap_minutes: int = 30) -> DataFrame:
+    """Streaming counterpart using session_window (native stateful op)."""
+    stream = _read_stream(spark, events_path)
+    name = f"sessions_{next(_counter)}"
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -268,6 +268,18 @@ def test_custom_datetime_format(spark, tmp_path):
     conn.close()
 
 
+def test_float_dim_canonicalization(spark, tmp_path):
+    # reference tests/test_utils.py:34-54: float scores extract as %g strings
+    p = tmp_path / "scores.csv"
+    p.write_text("name,score\nTerry,0.5\nTerry,0.8\nOwen,0.7\nZed,7.0\nBig,1200000.0")
+    db = str(tmp_path / "scores.db")
+    import_csvs(spark, [str(p)], db, extract_column=["score"], just_strings=False)
+    conn = sqlite3.connect(db)
+    vals = [r[0] for r in conn.execute("select value from score order by id")]
+    assert vals == ["0.5", "0.8", "0.7", "7", "1.2e+06"]
+    conn.close()
+
+
 def test_incremental_dim_growth(spark, tmp_path):
     p1 = tmp_path / "r1.csv"
     p1.write_text("name,score\nTerry,0.5\nTerry,0.8\nOwen,0.7")
