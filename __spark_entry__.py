@@ -35,7 +35,17 @@ from csvs_to_sqlite_spark.streaming.windows import (
     sessionize,
     windowed_event_counts,
 )
-from csvs_to_sqlite_spark.functions.hashing import md5_long_sql, tokens_sql
+from csvs_to_sqlite_spark.functions.hashing import md5_long_sql, shingles_sql, tokens_sql
+
+# shared oracle CTE: per-doc shingle posting list (tokens bound once)
+_SHINGLE_TOK_CTE = (
+    "tokd AS (SELECT doc_id, "
+    + tokens_sql("text", distinct=False)
+    + " AS toks FROM documents),\n"
+    "tok AS (SELECT doc_id, unnest("
+    + shingles_sql("toks", 3)
+    + ") AS token FROM tokd)"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -539,11 +549,9 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 
 
 SQL_JACCARD = (
-    """
-WITH tok AS (
-  SELECT doc_id, unnest("""
-    + tokens_sql("text")
-    + """) AS token FROM documents),
+    "WITH "
+    + _SHINGLE_TOK_CTE
+    + """,
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -566,14 +574,15 @@ def q_minhash_signatures(spark, sf_dir):
 
 def _sql_minhash_sig() -> str:
     mins = ",\n       ".join(
-        f"min({md5_long_sql('token', seed=f'mh{i}')}) AS s{i}"
-        for i in range(dedup.MINHASH_K)
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params())
     )
     return (
-        "WITH tok AS (SELECT doc_id, unnest("
-        + tokens_sql("text")
-        + ") AS token FROM documents)\n"
-        + f"SELECT doc_id, {mins} FROM tok GROUP BY doc_id"
+        "WITH "
+        + _SHINGLE_TOK_CTE
+        + ",\nhashed AS (SELECT doc_id, "
+        + md5_long_sql("token")
+        + f" AS h FROM tok)\nSELECT doc_id, {mins} FROM hashed GROUP BY doc_id"
     )
 
 

@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect). An ingest benchmark exercises the reference-parity path:
+parquet → CSV → typed load → dimension extraction → SQLite sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "scan_filter_project",
+    "dim_extract_first_appearance",
+    "fk_rewrite_broadcast",
+    "denormalize_star",
+    "semi_join_urgent",
+    "agg_pricing_summary",
+    "rollup_returnflag",
+    "topk_per_group",
+    "running_revenue",
+    "sessionize_events",
+    "windowed_event_counts",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "knn_bruteforce",
+    "knn_lsh",
+    "text_token_stats",
+    "text_fingerprints",
+]
+
+
+def bench_ingest_sqlite(spark, sf_dir: str) -> float:
+    """Reference-parity ETL path at bench scale: lineitem → CSV → typed
+    load → extract two dims → SQLite with FKs + indexes."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    csv_path = os.path.join(tmp, "lineitem.csv")
+    pdf = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    pdf.to_csv(csv_path, index=False)
+    db_path = os.path.join(tmp, "out.db")
+    t0 = time.time()
+    import_csvs(
+        spark,
+        [csv_path],
+        db_path,
+        extract_column=["l_returnflag", "l_linestatus"],
+    )
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from csvs_to_sqlite_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # warm-up: JIT + parquet footer caches
+    qs["agg_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    timings["ingest_sqlite"] = round(bench_ingest_sqlite(spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,7 @@ def import_csvs(
     result.n_csvs = len(csvs)
     sql_type_overrides: dict[str, str] = {}
     tables: list[Table] = []
+    persisted = []
     for name, path in csvs.items():
         try:
             df = load_csv(
@@ -146,6 +147,10 @@ def import_csvs(
                 df = df.withColumn(colname, F.lit(float(value)).cast("double"))
             df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
             df = with_row_id(df)
+            # the pipeline fires several actions per table (dim builds, dim
+            # writes, the fact write); persist so the CSV parses once
+            df = df.persist()
+            persisted.append(df)
             tables.append(Table(table or name, df))
         except LoadCsvError as e:
             # A13 per-file isolation (reference cli.py:224-225)
@@ -195,4 +200,6 @@ def import_csvs(
             sink.create_fact_fts(created_tables, list(fts), foreign_keys)
     finally:
         sink.close()
+        for df in persisted:
+            df.unpersist()
     return result

@@ -50,3 +50,34 @@ def tokens_sql(expr: str, distinct: bool = True) -> str:
         f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'), t -> t <> '')"
     )
     return f"list_distinct({base})" if distinct else base
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    array column. Shingles (not unigrams) are the right dedup unit at
+    scale: their document frequency is low, so inverted-index and LSH-band
+    joins stay near-linear instead of exploding on stop-words.
+
+    ``toks`` must be a plain column reference (behind a projection
+    boundary), not a tokenizer expression: ``element_at`` inside the lambda
+    re-evaluates its array argument per element, which turns an inlined
+    tokenizer into O(tokens²) per document.
+    """
+    def mk(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+
+    windows = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), mk)
+    return F.when(F.size(toks) >= n, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(toks_col: str, n: int = 3) -> str:
+    """DuckDB shingle list over an already-computed token-list column
+    (callers bind ``toks_col`` in a CTE to avoid inlining the tokenizer n
+    times)."""
+    parts = ", ".join(f"{toks_col}[i+{j}]" if j else f"{toks_col}[i]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks_col})-{n - 1}, 0)),"
+        f" i -> concat_ws(' ', {parts})))"
+    )

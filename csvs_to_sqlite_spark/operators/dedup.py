@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csvs_to_sqlite_spark.functions.hashing import md5_long, tokens_expr
+from csvs_to_sqlite_spark.functions.hashing import (
+    md5_long,
+    py_md5_long,
+    shingles_from_tokens,
+    tokens_expr,
+)
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 bands × 4 rows
@@ -46,8 +51,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def token_posting(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, token) inverted-index rows, distinct tokens per doc."""
+def token_posting(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int | None = None
+) -> DataFrame:
+    """(id, token) inverted-index rows; distinct tokens per doc, or distinct
+    word n-gram shingles when ``shingle_n`` is set. Shingles are the scale
+    path: unigram posting lists explode on stop-words, shingle lists don't.
+    """
+    if shingle_n:
+        # materialize tokens behind a projection boundary first — see
+        # shingles_from_tokens for why inlining would be quadratic
+        with_toks = df.select(
+            F.col(id_col), tokens_expr(F.col(text_col), distinct=False).alias("__toks__")
+        )
+        unit = shingles_from_tokens(F.col("__toks__"), shingle_n)
+        return with_toks.select(F.col(id_col), F.explode(unit).alias("token"))
     return df.select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
     )
@@ -59,16 +77,20 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingle_n: int | None = 3,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via inverted-index join.
+    """Exact Jaccard-similar pairs via inverted-index join over shingles.
 
-    ``max_df`` drops tokens appearing in more than that many documents
-    (stop-token skew guard for the self-join at scale).
+    ``max_df`` additionally drops units appearing in more than that many
+    documents (skew guard for adversarial corpora).
     """
-    tok = token_posting(df, text_col, id_col)
+    tok = token_posting(df, text_col, id_col, shingle_n)
     if max_df is not None:
         keep = tok.groupBy("token").count().where(F.col("count") <= max_df).select("token")
         tok = tok.join(F.broadcast(keep), "token")
+    # tok feeds three consumers (sizes + both join sides): persist so the
+    # tokenize/shingle stage runs once, not three times
+    tok = tok.persist()
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -91,11 +113,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K) -> DataFrame:
+# universal-hash family for MinHash: h_i(x) = (a_i·md5(x) + b_i) mod P.
+# ONE md5 per shingle, k cheap integer mixes — vs k md5 calls. a_i < 2^20 and
+# md5_long < 2^32 keep the product under 2^52 (no long overflow, ANSI-safe).
+MINHASH_P = 4_294_967_311  # prime > 2^32
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    return [
+        (py_md5_long(f"mha{i}") % (1 << 20) | 1, py_md5_long(f"mhb{i}") % MINHASH_P)
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K, shingle_n: int | None = 3
+) -> DataFrame:
     """(id, s0..s{k-1}) — one explode + one groupBy with k min() aggregates
     (map-side partial aggregation keeps shuffle rows = |docs|)."""
-    tok = token_posting(df, text_col, id_col)
-    aggs = [F.min(md5_long(F.col("token"), seed=f"mh{i}")).alias(f"s{i}") for i in range(k)]
+    tok = token_posting(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), md5_long(F.col("token")).alias("__h__")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
     return tok.groupBy(id_col).agg(*aggs)
 
 
@@ -105,6 +147,7 @@ def minhash_lsh_pairs(
     id_col: str,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    shingle_n: int | None = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs: band the signature, self-join per band.
 
@@ -112,7 +155,7 @@ def minhash_lsh_pairs(
     replaces the O(n²) comparison at 100 TB.
     """
     rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k)
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
     band_cols = []
     for bi in range(bands):
         parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
@@ -122,6 +165,7 @@ def minhash_lsh_pairs(
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    banded = banded.persist()  # both self-join sides reuse the signature stage
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -6,32 +6,66 @@ the canonical query idiom is ``rowid IN (…)`` (reference tests:179-187).
 Spark DataFrames have no stable row order, so we materialize ``row_id``
 explicitly.
 
-Implementation: ``zipWithIndex`` over the scan RDD. The Spark CSV reader
-emits records in file order within a partition and partitions are ordered
-by file offset, so zipWithIndex reproduces CSV row order deterministically.
-This is the ONE place the engine drops to the RDD API (SURVEY §7.1).
+Implementation: ``monotonically_increasing_id`` + a per-partition offset
+correction. mid is ``(partition_id << 33) | seq`` with ``seq`` consecutive
+from 0 within each partition, and the CSV/parquet readers emit records in
+file order within a partition with partitions indexed in file-offset
+order — so ``offset[pid] + seq`` reproduces global scan order exactly.
+The per-partition counts are one tiny metadata aggregate (collected to the
+driver, broadcast back as a CASE expression); everything else stays in
+whole-stage codegen. No Python RDD round-trip (an earlier zipWithIndex
+version serialized every row through pickle — ~10× slower end-to-end).
 
-Scale note: zipWithIndex runs one extra job to count per-partition sizes —
-acceptable (metadata-only second pass). For parquet-derived pipelines we
-avoid it entirely by ranking over an explicit order key
-(``row_id_from_order``), which stays in Tungsten.
+For pipelines whose data carries its own total order (e.g. TPC-H
+(l_orderkey, l_linenumber)) use ``row_id_from_order`` instead: zero extra
+jobs, but a global window — fine for small/dim-sized inputs only.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 ROW_ID = "__row_id__"
+_MID_PARTITION_SHIFT = 33  # monotonically_increasing_id packs pid << 33 | seq
 
 
 def with_row_id(df: DataFrame, start: int = 1) -> DataFrame:
     """Append ROW_ID = start..start+N-1 in current (scan) order."""
-    schema = T.StructType(list(df.schema.fields) + [T.StructField(ROW_ID, T.LongType(), False)])
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + start))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    mid = F.monotonically_increasing_id()
+    tagged = df.withColumn("__mid__", mid)
+    counts = (
+        tagged.groupBy(F.shiftright("__mid__", _MID_PARTITION_SHIFT).alias("pid"))
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = start
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["count"]
+    pid = F.shiftright("__mid__", _MID_PARTITION_SHIFT)
+    seq = F.col("__mid__").bitwiseAND(F.lit((1 << _MID_PARTITION_SHIFT) - 1))
+    if len(offsets) <= 64:
+        offset_expr = F.lit(start)
+        for p, off in offsets.items():
+            offset_expr = F.when(pid == p, F.lit(off)).otherwise(offset_expr)
+        out = tagged.withColumn(ROW_ID, (offset_expr + seq).cast("long"))
+    else:
+        # thousands of partitions: broadcast-join the offset table instead of
+        # a deep CASE chain
+        spark = df.sparkSession
+        offs = spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid__ long, __off__ long"
+        )
+        out = (
+            tagged.withColumn("__pid__", pid.cast("long"))
+            .join(F.broadcast(offs), "__pid__")
+            .withColumn(ROW_ID, (F.col("__off__") + seq).cast("long"))
+            .drop("__pid__", "__off__")
+        )
+    return out.drop("__mid__")
 
 
 def row_id_from_order(df: DataFrame, order_cols: list[str]) -> DataFrame:

@@ -25,6 +25,13 @@ def get_spark(app_name: str = "csvs-to-sqlite-spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local[32] reads smallish files: split aggressively so a single
+        # 50-100MB CSV parses on many cores (cluster default 128m is tuned
+        # for HDFS-scale files; override via env for cluster runs)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import datetime
 import sqlite3
-from itertools import islice
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -162,18 +161,53 @@ class SQLiteSink:
         return created
 
     def _insert_rows(self, name: str, df: DataFrame, out_cols: list[str]) -> None:
+        """Land rows on the driver via a sorted temp-parquet spill + Arrow.
+
+        ``toLocalIterator`` pickles row-by-row (Python-side, slow);
+        spilling to parquet keeps the executor→driver hop vectorized, and
+        pyarrow batch iteration converts to Python tuples in C. Sorted
+        part files preserve ROW_ID order across files (range partitioner →
+        lexically ordered file names).
+        """
+        import glob
+        import shutil
+        import tempfile
+
         if ROW_ID in df.columns:
             df = df.orderBy(ROW_ID)  # rowid alignment (SURVEY §4.3)
         df = df.select(*out_cols)
         placeholders = ", ".join("?" for _ in out_cols)
         collist = ", ".join(f'"{c}"' for c in out_cols)
         sql = f"INSERT INTO [{name}] ({collist}) VALUES ({placeholders})"
-        it = (tuple(_to_py(v) for v in row) for row in df.toLocalIterator())
-        while True:
-            batch = list(islice(it, self.BATCH))
-            if not batch:
-                break
-            self.conn.executemany(sql, batch)
+
+        tmp = tempfile.mkdtemp(prefix="sqlite_sink_")
+        try:
+            import pyarrow.parquet as pq
+
+            import pyarrow.types as pat
+
+            df.write.mode("overwrite").parquet(tmp)
+            for path in sorted(glob.glob(f"{tmp}/part-*.parquet")):
+                pf = pq.ParquetFile(path)
+                # only temporal/bool/binary columns need per-value fixup;
+                # int/float/str pass through (skips ~millions of _to_py calls)
+                needs_fix = [
+                    pat.is_temporal(f.type)
+                    or pat.is_boolean(f.type)
+                    or pat.is_binary(f.type)
+                    or pat.is_floating(f.type)  # NaN → NULL
+                    for f in pf.schema_arrow
+                ]
+                for batch in pf.iter_batches(self.BATCH):
+                    cols = [
+                        [_to_py(v) for v in c.to_pylist()] if fix else c.to_pylist()
+                        for c, fix in zip(batch.columns, needs_fix)
+                    ]
+                    rows = list(zip(*cols))
+                    if rows:
+                        self.conn.executemany(sql, rows)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         self.conn.commit()
 
     # -- dimension write (E1/E4/F4) ------------------------------------------

