@@ -51,6 +51,11 @@ def prep_session(spark: SparkSession) -> SparkSession:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # permissive arithmetic to match the reference's pandas semantics
+        ("spark.sql.ansi.enabled", "false"),
+        # the host session may default to 200 shuffle partitions — wrong for
+        # the sf0.01/sf0.1 scales these queries run at
+        ("spark.sql.shuffle.partitions", "32"),
     ):
         try:
             spark.conf.set(k, v)

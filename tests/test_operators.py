@@ -1,0 +1,160 @@
+"""Unit tests for the pipeline-extension operators, on synthetic data with
+KNOWN near-duplicates (the driver's word-soup corpus has none, so recall
+is not exercised there)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.operators import dedup, similarity, text
+from csvs_to_sqlite_spark.operators.multimodal import (
+    extract_image_features,
+    frame_sample_plan,
+    synth_media,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, "completely different text about spark query engines and joins"),
+        (4, "another unrelated document mentioning parquet and arrow"),
+        (5, BASE + " extra tail words appended here"),  # near-dup, longer
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 2  # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # one-word substitution
+    assert (0, 5) in pairs  # appended tail
+    assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide on every band
+    # unrelated docs don't collide
+    assert not any({a, b} == {3, 4} for a, b in pairs)
+
+
+def test_simhash_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert fps[0] == fps[1]
+    ham = bin(fps[0] ^ fps[2]).count("1")
+    assert ham <= 8  # near-dup stays close
+    far = bin(fps[0] ^ fps[3]).count("1")
+    assert far > ham
+
+
+def test_knn_selfsim(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        base = [math.sin(i * 0.7 + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # vec 19 = clone of vec 0 (plus tiny noise-free copy)
+    rows.append((20, rows[0][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 20), k=1)
+    top = out.collect()[0]
+    assert top["neighbor_id"] == 0
+    assert top["cos_sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog is here"),
+        (1, "der hund und die katze ist hier"),
+        (2, "el perro y la casa es aqui"),
+        (3, "xyz qrs tuv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["p"] for r in df.select("doc_id", text.lang_id(F.col("text")).alias("p")).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "es" and out[3] == "und"
+
+
+def test_quality_and_stats(spark):
+    df = spark.createDataFrame([(0, "the a of and in to is " * 8)], "doc_id long, text string")
+    row = df.select(
+        text.token_count(F.col("text")).alias("n"),
+        text.stopword_ratio(F.col("text")).alias("sr"),
+        text.quality_score(F.col("text")).alias("q"),
+    ).collect()[0]
+    assert row["n"] == 56
+    assert row["sr"] == 1.0
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in df.select(text.rolling_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = synth_media(spark, n=12)
+    out = extract_image_features(media, fake=True).collect()
+    assert len(out) == 12
+    again = extract_image_features(synth_media(spark, n=12), fake=True).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    r = out[0]
+    assert 64 <= r["width"] < 256 and len(r["payload_sha"]) == 64
+
+
+def test_multimodal_real_decode_raises(spark):
+    media = synth_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_image_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=9)
+    plan = frame_sample_plan(media, every_n=30).collect()
+    by_id = {}
+    for r in plan:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # only videos (every 3rd synth row), frames stride 30
+    assert all(k % 3 == 2 for k in by_id)
+    assert all(v[:2] == [0, 30] for v in by_id.values() if len(v) >= 2)
+
+
+def test_incremental_dim_against_engine(spark, tmp_path):
+    """build_dims(existing=…) numbering equals what two engine runs produce."""
+    from csvs_to_sqlite_spark.operators.dims import build_dims
+    from csvs_to_sqlite_spark.operators.rowid import ROW_ID
+    from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
+
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "rid long, v string").withColumnRenamed("rid", ROW_ID)
+    d2 = spark.createDataFrame([(1, "b"), (2, "c")], "rid long, v string").withColumnRenamed("rid", ROW_ID)
+    _, dims1 = build_dims([Table("t", d1)], [DimSpec("v", "dim")])
+    _, dims2 = build_dims([Table("t", d2)], [DimSpec("v", "dim")], existing=dims1)
+    assert [(r["id"], r["value"]) for r in dims2["dim"].orderBy("id").collect()] == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the plans we designed are the plans Catalyst
+actually picks. These guard the 100 TB properties — broadcast joins stay
+broadcast, filters/projections reach the parquet scan, aggregates keep
+map-side partials — against regressions in how we build the DataFrames.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_star_denormalization_all_broadcast(spark):
+    plan = explain_str(E.q_denormalize_star(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must never shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_fk_rewrite_is_broadcast(spark):
+    plan = explain_str(E.q_fk_rewrite_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_filter_pushdown(spark):
+    plan = explain_str(E.q_scan_filter_project(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: unused wide columns must not be read
+    assert "l_comment" not in plan
+    assert "l_extendedprice" in plan
+
+
+def test_q1_has_partial_aggregation(spark):
+    plan = explain_str(E.q_agg_pricing_summary(spark, SF))
+    # partial_ prefix marks the map-side combine stage
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = explain_str(E.q_semi_join_urgent(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE finalizes the physical plan only at execution: run the query,
+    # then check the executed plan for codegen stage markers '*(n)'
+    df = E.q_agg_pricing_summary(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed, executed
+
+
+def test_minhash_single_shuffle(spark):
+    """The signature build is one explode + one aggregate: exactly one
+    exchange keyed on doc_id (plus AQE reads), no extra shuffles."""
+    plan = explain_str(E.q_minhash_signatures(spark, SF), "simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    plan = explain_str(E.q_knn_bruteforce(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
