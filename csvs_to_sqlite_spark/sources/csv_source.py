@@ -26,6 +26,7 @@ import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class LoadCsvError(Exception):
@@ -66,6 +67,7 @@ def _detect_encoding(filepath: str, encodings_to_try=("utf-8", "latin-1")) -> st
 
 # Mirrors pandas csv.QUOTE_* read-relevant behavior (reference cli.py:28-33).
 _QUOTE_NONE = 3
+_EXTRA = "__extra_fields__"
 
 
 def load_csv(
@@ -96,22 +98,37 @@ def load_csv(
 
     if not os.path.exists(local_path):
         raise LoadCsvError(f"no such file: {filepath}")
-    encoding = _detect_encoding(local_path)
+    # Spark charset naming differs from Python's aliases
+    encoding = {"latin-1": "ISO-8859-1", "utf-8": "UTF-8"}.get(
+        _detect_encoding(local_path), "UTF-8"
+    )
 
     reader = (
         spark.read.option("header", True)
         .option("sep", separator)
         .option("encoding", encoding)
         .option("inferSchema", False)
-        .option("mode", "DROPMALFORMED" if skip_errors else "FAILFAST")
-        .option("enforceSchema", False)
     )
     if quoting == _QUOTE_NONE:
         # csv.QUOTE_NONE: quotes are ordinary characters.
         reader = reader.option("quote", "\u0000")
     try:
-        df = reader.csv(local_path)
-        columns = df.columns
+        columns = reader.csv(local_path).columns
+        # A4: pandas treats a row with MORE fields than the header as a bad
+        # line — an error, or dropped under --skip-errors (reference
+        # utils.py:42, cli.py:34-38). Spark silently truncates extras, so
+        # read with one sentinel column beyond the header width: a non-null
+        # sentinel marks a bad line.
+        probe_schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in columns]
+            + [T.StructField(_EXTRA, T.StringType())]
+        )
+        df = reader.schema(probe_schema).option("enforceSchema", True).csv(local_path)
+        if skip_errors:
+            df = df.where(F.col(_EXTRA).isNull()).drop(_EXTRA)
+            bad_lines_pending = False
+        else:
+            bad_lines_pending = True  # verified during the inference pass
     except Exception as e:  # pragma: no cover - spark analysis errors
         raise LoadCsvError(str(e)) from e
 
@@ -125,14 +142,18 @@ def load_csv(
             raise LoadCsvError(
                 f"Usecols do not match columns, columns expected but not found: {missing}"
             )
-        df = df.select(*wanted)
+        df = df.select(*wanted, *([_EXTRA] if bad_lines_pending else []))
 
     if just_strings:
+        if bad_lines_pending:
+            if df.where(F.col(_EXTRA).isNotNull()).limit(1).count():
+                raise LoadCsvError("Error tokenizing data: too many fields")
+            df = df.drop(_EXTRA)
         return df  # A7: everything stays StringType (reference utils.py:31)
-    return infer_reference_types(df)
+    return infer_reference_types(df, check_bad_lines=bad_lines_pending)
 
 
-def infer_reference_types(df: DataFrame) -> DataFrame:
+def infer_reference_types(df: DataFrame, check_bad_lines: bool = False) -> DataFrame:
     """Reproduce pandas read_csv dtype inference over an all-string frame.
 
     pandas outcome per column: int64 if every non-null parses as int,
@@ -140,7 +161,8 @@ def infer_reference_types(df: DataFrame) -> DataFrame:
     True/False, else object. One aggregate job computes all columns'
     verdicts at once (scales: single scan, partial aggregation map-side).
     """
-    if not df.columns:
+    data_cols = [c for c in df.columns if c != _EXTRA]
+    if not data_cols:
         return df
     # integer-ness via regex, not try_cast("long"): Spark's string→long cast
     # rejects non-integers through an exception path (~5× slower on columns
@@ -148,18 +170,22 @@ def infer_reference_types(df: DataFrame) -> DataFrame:
     # int64 (optional sign/whitespace, digits only).
     int_re = r"^\s*[+-]?[0-9]+\s*$"
     aggs = []
-    for i, c in enumerate(df.columns):
+    for i, c in enumerate(data_cols):
         q = F.col(c)
         aggs.append(F.count(q).alias(f"c{i}_n"))
         aggs.append(F.count(F.when(q.rlike(int_re), 1)).alias(f"c{i}_long"))
         aggs.append(F.count(q.try_cast("double")).alias(f"c{i}_dbl"))
+    if check_bad_lines:
+        aggs.append(F.count(F.col(_EXTRA)).alias("__n_bad__"))
     row = df.agg(*aggs).collect()[0]
+    if check_bad_lines and row["__n_bad__"]:
+        raise LoadCsvError("Error tokenizing data: too many fields")
 
     # bool detection only for columns that are neither int nor float —
     # usually none, so the second pass is free or touches few columns
     undecided = [
         (i, c)
-        for i, c in enumerate(df.columns)
+        for i, c in enumerate(data_cols)
         if row[f"c{i}_n"] > 0
         and row[f"c{i}_long"] < row[f"c{i}_n"]
         and row[f"c{i}_dbl"] < row[f"c{i}_n"]
@@ -175,7 +201,7 @@ def infer_reference_types(df: DataFrame) -> DataFrame:
             bool_ok[c] = brow[f"b{i}"] == row[f"c{i}_n"]
 
     projections = []
-    for i, c in enumerate(df.columns):
+    for i, c in enumerate(data_cols):
         n = row[f"c{i}_n"]
         q = F.col(c)
         if n == 0:

@@ -1,0 +1,200 @@
+"""Golden tests for source-layer behaviors (SURVEY §2.A) and the CLI
+surface, ported from the reference suite. CLI invocations use Click's
+CliRunner exactly like the reference's tests."""
+
+import sqlite3
+
+import pytest
+from click.testing import CliRunner
+
+from csvs_to_sqlite_spark.engine import import_csvs
+from csvs_to_sqlite_spark.sources.csv_source import LoadCsvError, csvs_from_paths, load_csv
+
+CSV = """county,precinct,office,district,party,candidate,votes
+Yolo,100001,President,,LIB,Gary Johnson,41
+Yolo,100001,President,,PAF,Gloria Estela La Riva,8
+Yolo,100001,Proposition 51,,,Yes,2802
+Yolo,100001,Proposition 51,,,No,2051
+Yolo,100001,State Assembly,7,DEM,Kevin McCarty,3920
+Yolo,100001,State Assembly,7,REP,Ryan K Brown,1793"""
+
+FILMS = """film,actor_1,actor_2
+The Rock,Sean Connery,Nicolas Cage
+National Treasure,Nicolas Cage,Diane Kruger
+Troy,Diane Kruger,Orlando Bloom"""
+
+
+def test_directory_naming(tmp_path):
+    """A11: relpath/basename names, including the './' prefix
+    (reference utils.py:86-88, golden tests:328-339)."""
+    d = tmp_path / "d"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.csv").write_text(CSV)
+    (d / "sub" / "a.csv").write_text(CSV)
+    names = set(csvs_from_paths([str(d)]))
+    assert names == {"./a", "sub/a"}
+
+
+def test_file_dedup_naming(tmp_path):
+    (tmp_path / "x").mkdir()
+    (tmp_path / "y").mkdir()
+    f1 = tmp_path / "x" / "test.csv"
+    f2 = tmp_path / "y" / "test.csv"
+    f1.write_text(CSV)
+    f2.write_text(CSV)
+    assert list(csvs_from_paths([str(f1), str(f2)])) == ["test", "test-1"]
+
+
+def test_url_naming():
+    names = csvs_from_paths(["https://example.com/data/mytable.csv?x=1"])
+    assert list(names) == ["mytable"]
+
+
+def test_separator_tsv(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("a\tb\n1\tx\n2\ty\n")
+    df = load_csv(spark, str(p), separator="\t")
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2
+    assert dict(df.dtypes)["a"] == "bigint"
+
+
+def test_quote_none(spark, tmp_path):
+    """A3: csv.QUOTE_NONE treats quotes as data."""
+    p = tmp_path / "q.csv"
+    p.write_text('a,b\n"x,1\n')
+    df = load_csv(spark, str(p), quoting=3)
+    assert df.collect()[0][0] == '"x'
+
+
+def test_skip_errors(spark, tmp_path):
+    """A4: malformed rows dropped with --skip-errors, fatal without."""
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,x\n2,y,EXTRA,FIELDS\n3,z\n")
+    df = load_csv(spark, str(p), skip_errors=True)
+    assert df.count() == 2
+    with pytest.raises(Exception):
+        load_csv(spark, str(p), skip_errors=False).collect()
+
+
+def test_encoding_fallback_latin1(spark, tmp_path):
+    """A5: utf-8 fails → latin-1 retry (reference utils.py:36-49)."""
+    p = tmp_path / "enc.csv"
+    p.write_bytes(b"name,city\nJos\xe9,S\xe3o Paulo\n")  # latin-1 bytes
+    df = load_csv(spark, str(p))
+    row = df.collect()[0]
+    assert row["name"] == "José"
+    assert row["city"] == "São Paulo"
+
+
+def test_shape_missing_column_is_load_error(spark, tmp_path):
+    """A6: shape naming a column not in the file fails the whole file."""
+    p = tmp_path / "s.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(LoadCsvError, match="Usecols"):
+        load_csv(spark, str(p), shape="a:A,nope:N")
+
+
+def test_shape_mutation_divergence(spark, tmp_path):
+    """B9: the reference's shape-string mutation breaks loading of every
+    file after the first when --shape is combined with --filename-column
+    ([verified-run] in SURVEY). Our per-file immutable specs load BOTH
+    files — deliberate, documented divergence."""
+    f1 = tmp_path / "one.csv"
+    f2 = tmp_path / "two.csv"
+    f1.write_text(CSV)
+    f2.write_text(CSV)
+    db = str(tmp_path / "out.db")
+    result = import_csvs(
+        spark,
+        [str(f1), str(f2)],
+        db,
+        shape="county:Cty,votes:Vts",
+        filename_column="src",
+    )
+    assert result.messages == []  # no per-file failures
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from one").fetchone()[0] == 6
+    assert conn.execute("select count(*) from two").fetchone()[0] == 6
+    assert conn.execute("select distinct src from two").fetchall() == [("two",)]
+    conn.close()
+
+
+def test_no_index_fks_and_no_fulltext_fks(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text(CSV)
+    db = str(tmp_path / "t.db")
+    import_csvs(
+        spark,
+        [str(p)],
+        db,
+        extract_column=["office"],
+        no_index_fks=True,
+        no_fulltext_fks=True,
+    )
+    conn = sqlite3.connect(db)
+    master = [r[0] for r in conn.execute("select name from sqlite_master")]
+    assert not any("office_value_fts" in m for m in master)
+    assert not any('"t_office"' in m for m in master)
+    conn.close()
+
+
+def test_fts_shared_dim_self_join_aliases(spark, tmp_path):
+    """F3/D3 golden (reference tests:232-281): one actors dim through two
+    columns; FTS must index actor NAMES from both; match 'kruger' finds
+    both films via the rowid semi-join idiom."""
+    p = tmp_path / "films.csv"
+    p.write_text(FILMS)
+    db = str(tmp_path / "films.db")
+    import_csvs(
+        spark,
+        [str(p)],
+        db,
+        extract_column=["actor_1:actors:name", "actor_2:actors:name"],
+        fts=["film", "actor_1", "actor_2"],
+    )
+    conn = sqlite3.connect(db)
+    rows = conn.execute(
+        "select film from films where rowid in "
+        "(select rowid from films_fts where films_fts match 'kruger') order by rowid"
+    ).fetchall()
+    assert rows == [("National Treasure",), ("Troy",)]
+    rows = conn.execute(
+        "select film from films where rowid in "
+        "(select rowid from films_fts where films_fts match 'cage connery')"
+    ).fetchall()
+    assert rows == [("The Rock",)]
+    conn.close()
+
+
+def test_cli_end_to_end(tmp_path):
+    from csvs_to_sqlite_spark.cli import cli
+
+    runner = CliRunner()
+    p = tmp_path / "test.csv"
+    p.write_text(CSV)
+    db = str(tmp_path / "test.db")
+    result = runner.invoke(cli, [str(p), db])
+    assert result.exit_code == 0, result.output
+    assert f"Created {db} from 1 CSV file" in result.output
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from test").fetchone()[0] == 6
+    conn.close()
+
+
+def test_cli_dbname_csv_rejected(tmp_path):
+    from csvs_to_sqlite_spark.cli import cli
+
+    p = tmp_path / "test.csv"
+    p.write_text(CSV)
+    result = CliRunner().invoke(cli, [str(p), str(tmp_path / "out.csv")])
+    assert result.exit_code != 0
+    assert "must not end with .csv" in result.output
+
+
+def test_cli_missing_path_rejected(tmp_path):
+    from csvs_to_sqlite_spark.cli import cli
+
+    result = CliRunner().invoke(cli, [str(tmp_path / "nope.csv"), str(tmp_path / "o.db")])
+    assert result.exit_code != 0
+    assert "does not exist" in result.output
