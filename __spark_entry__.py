@@ -834,6 +834,241 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# extension joins / aggs: as-of, pivot, cube, percentiles, centroids,
+# FTS-style token match, inverted index, embedding near-dup
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark, sf_dir):
+    """D5 extension: for each purchase event, the user's most recent prior
+    click (union + carry-forward window; DuckDB ASOF JOIN oracle)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.joins import asof_join
+
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "ts", ["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round(F.col("asof_click_value"), 4).alias("prev_click_value"),
+    )
+
+
+SQL_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(c.value, 4) AS prev_click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    """H: pivot l_linestatus into columns."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_o"), F.col("F").alias("qty_f")
+    )
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_cube_agg(spark, sf_dir):
+    """E6: CUBE over two dimensions."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """H: exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont)."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_fts_token_match(spark, sf_dir):
+    """F5 approximation Spark-side: AND-of-terms token match (terms are
+    AND-ed, case-insensitive — the reference's FTS MATCH semantics)."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    )
+    return (
+        d.withColumn("__toks__", toks)
+        .where(
+            F.array_contains("__toks__", "query") & F.array_contains("__toks__", "join")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+SQL_FTS_MATCH = (
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, """
+    + tokens_sql("text")
+    + """ AS toks FROM documents)
+WHERE list_contains(toks, 'query') AND list_contains(toks, 'join')
+"""
+)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Spark-side inverted index (SURVEY F note): term → document frequency
+    + first posting, for the 20 most frequent terms."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    tok = dedup.token_posting(d, "text", "doc_id")
+    out = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 20)
+        .select("token", "df", "first_doc", "rnk")
+    )
+
+
+SQL_INVERTED = (
+    """
+WITH tok AS (SELECT doc_id, unnest("""
+    + tokens_sql("text")
+    + """) AS token FROM documents),
+agg AS (SELECT token, count(DISTINCT doc_id) AS df, min(doc_id) AS first_doc
+        FROM tok GROUP BY 1)
+SELECT token, df, first_doc, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY df DESC, token) AS rnk FROM agg)
+WHERE rnk <= 20
+"""
+)
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Element-wise centroid per label: posexplode → avg per position.
+    One shuffle keyed (label, pos); at scale this beats any UDAF."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v")
+    )
+
+
+SQL_CENTROIDS = """
+SELECT label, pos, round(avg(v), 6) AS centroid_v FROM (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+  FROM embeddings)
+GROUP BY 1, 2
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold form, no ranking):
+    bucketed by LSH, exact cosine filter >= 0.95."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, emb, k=10**9, n_planes=4, dim=64)
+    return (
+        out.where((F.col("cos_sim") >= 0.95) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
+def _sql_embedding_near_dup() -> str:
+    planes = similarity.hyperplanes(64, 4)
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{x}::DOUBLE" for x in plane) + "]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(v, {arr}), p -> p[1]*p[2])) > 0 "
+            f"THEN {2 ** j} ELSE 0 END"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+"""
+
+
+def q_bpe_ish_token_count(spark, sf_dir):
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation), the pre-tokenizer shape GPT-style BPEs use."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+SQL_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only checks (not SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -903,6 +1138,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
+        "asof_join": q_asof_join,
+        "pivot_status": q_pivot_status,
+        "cube_agg": q_cube_agg,
+        "percentiles": q_percentiles,
+        "fts_token_match": q_fts_token_match,
+        "inverted_index": q_inverted_index,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_near_dup": q_embedding_near_dup,
+        "bpe_ish_token_count": q_bpe_ish_token_count,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -942,5 +1186,14 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_QUALITY,
         "text_langid": _sql_langid(),
         "text_fingerprints": SQL_FINGERPRINT,
+        "asof_join": SQL_ASOF,
+        "pivot_status": SQL_PIVOT,
+        "cube_agg": SQL_CUBE,
+        "percentiles": SQL_PERCENTILES,
+        "fts_token_match": SQL_FTS_MATCH,
+        "inverted_index": SQL_INVERTED,
+        "embedding_centroids": SQL_CENTROIDS,
+        "embedding_near_dup": _sql_embedding_near_dup(),
+        "bpe_ish_token_count": SQL_BPE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

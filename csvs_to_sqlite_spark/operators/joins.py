@@ -42,6 +42,58 @@ def denormalize(
     return out.select(*[exprs.get(c, F.col(c)) for c in final_cols])
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join (D5 extension — Spark has no native one): for each left
+    row, the right row with the greatest ``right_ts`` <= ``left_ts`` within
+    the same ``key``.
+
+    Implementation is the union-and-carry-forward composition: tag both
+    sides, union on a common schema, and let ``last(..., ignorenulls)``
+    over a (key, ts)-ordered running window carry the latest right values
+    onto each left row. One shuffle on ``key``, sort within partitions —
+    the same cost profile as a sort-merge join, no per-group Python. Right
+    rows sort before left rows at equal timestamps (inclusive semantics,
+    matching DuckDB's ASOF JOIN).
+    """
+    from pyspark.sql.window import Window
+
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__src__"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in value_cols],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != key else F.col(key) for c in lcols],
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__src__"),
+        *[F.col(c).alias(f"__r_{c}__") for c in value_cols],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts__", "__src__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *lcols,
+        F.col("__src__"),
+        *[
+            F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__src__") == 1).drop("__src__")
+
+
 def semi_join_row_ids(fact: DataFrame, matches: DataFrame, row_id_col: str) -> DataFrame:
     """D4: ``rowid IN (subquery)`` — the canonical FTS query idiom
     (reference tests:179-187) as a left-semi join (no fact-side data
