@@ -1081,6 +1081,23 @@ def q_multimodal_image_features(spark, sf_dir):
     return extract_image_features(synth_media(spark, n=64), fake=True)
 
 
+def q_stateful_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user totals driven to completion; the final state matches the
+    batch aggregate, so it oracle-checks against plain SQL."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.streaming.stateful import running_user_totals
+
+    return running_user_totals(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_STATEFUL = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(coalesce(value, 0.0)), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Stateful streaming sessionization via session_window (rows-only:
     streaming state semantics aren't SQL-expressible)."""
@@ -1147,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "embedding_near_dup": q_embedding_near_dup,
         "bpe_ish_token_count": q_bpe_ish_token_count,
+        "stateful_user_totals": q_stateful_user_totals,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -1195,5 +1213,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": SQL_CENTROIDS,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "bpe_ish_token_count": SQL_BPE,
+        "stateful_user_totals": SQL_STATEFUL,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

