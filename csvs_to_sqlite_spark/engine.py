@@ -131,8 +131,15 @@ def import_csvs(
     persisted = []
     for name, path in csvs.items():
         try:
-            df = load_csv(
-                spark, path, separator, skip_errors, quoting, shape, just_strings
+            df, partition_counts = load_csv(
+                spark,
+                path,
+                separator,
+                skip_errors,
+                quoting,
+                shape,
+                just_strings,
+                _with_counts=True,
             )
             df, overrides = apply_shape(df, shape)
             sql_type_overrides.update(overrides)
@@ -146,7 +153,7 @@ def import_csvs(
             for colname, value in fixed_columns_float or ():
                 df = df.withColumn(colname, F.lit(float(value)).cast("double"))
             df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
-            df = with_row_id(df)
+            df = with_row_id(df, partition_counts=partition_counts)
             # the pipeline fires several actions per table (dim builds, dim
             # writes, the fact write); persist so the CSV parses once
             df = df.persist()

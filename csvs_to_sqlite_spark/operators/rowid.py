@@ -31,20 +31,28 @@ ROW_ID = "__row_id__"
 _MID_PARTITION_SHIFT = 33  # monotonically_increasing_id packs pid << 33 | seq
 
 
-def with_row_id(df: DataFrame, start: int = 1) -> DataFrame:
-    """Append ROW_ID = start..start+N-1 in current (scan) order."""
+def with_row_id(
+    df: DataFrame, start: int = 1, partition_counts: dict[int, int] | None = None
+) -> DataFrame:
+    """Append ROW_ID = start..start+N-1 in current (scan) order.
+
+    ``partition_counts`` ({scan_partition_id: rows}) skips the counting
+    job when the caller already has the numbers (e.g. from the type-
+    inference pass over the same scan)."""
     mid = F.monotonically_increasing_id()
     tagged = df.withColumn("__mid__", mid)
-    counts = (
-        tagged.groupBy(F.shiftright("__mid__", _MID_PARTITION_SHIFT).alias("pid"))
-        .count()
-        .collect()
-    )
+    if partition_counts is None:
+        rows = (
+            tagged.groupBy(F.shiftright("__mid__", _MID_PARTITION_SHIFT).alias("pid"))
+            .count()
+            .collect()
+        )
+        partition_counts = {r["pid"]: r["count"] for r in rows}
     offsets: dict[int, int] = {}
     acc = start
-    for row in sorted(counts, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
-        acc += row["count"]
+    for pid_key in sorted(partition_counts):
+        offsets[pid_key] = acc
+        acc += partition_counts[pid_key]
     pid = F.shiftright("__mid__", _MID_PARTITION_SHIFT)
     seq = F.col("__mid__").bitwiseAND(F.lit((1 << _MID_PARTITION_SHIFT) - 1))
     if len(offsets) <= 64:

@@ -78,8 +78,14 @@ def load_csv(
     quoting: int = 0,
     shape: str | None = None,
     just_strings: bool = False,
+    _with_counts: bool = False,
 ) -> DataFrame:
-    """A1-A8: one CSV file → typed DataFrame (reference utils.py:22-55)."""
+    """A1-A8: one CSV file → typed DataFrame (reference utils.py:22-55).
+
+    With ``_with_counts`` (engine fast path) returns
+    ``(df, {partition_id: rows})`` — the counts come from the SAME
+    aggregate pass as type inference, so row-id assignment needs no second
+    scan."""
     from csvs_to_sqlite_spark.operators.shapes import parse_shape
 
     local_path = filepath
@@ -149,27 +155,45 @@ def load_csv(
             if df.where(F.col(_EXTRA).isNotNull()).limit(1).count():
                 raise LoadCsvError("Error tokenizing data: too many fields")
             df = df.drop(_EXTRA)
+        if _with_counts:
+            counts = {
+                r["__pid__"]: r["__rows__"]
+                for r in df.groupBy(F.spark_partition_id().alias("__pid__"))
+                .agg(F.count(F.lit(1)).alias("__rows__"))
+                .collect()
+            }
+            return df, counts
         return df  # A7: everything stays StringType (reference utils.py:31)
-    return infer_reference_types(df, check_bad_lines=bad_lines_pending)
+    return infer_reference_types(
+        df, check_bad_lines=bad_lines_pending, return_partition_counts=_with_counts
+    )
 
 
-def infer_reference_types(df: DataFrame, check_bad_lines: bool = False) -> DataFrame:
+def infer_reference_types(
+    df: DataFrame,
+    check_bad_lines: bool = False,
+    return_partition_counts: bool = False,
+):
     """Reproduce pandas read_csv dtype inference over an all-string frame.
 
     pandas outcome per column: int64 if every non-null parses as int,
     float64 if every non-null parses as float, bool if every non-null is
     True/False, else object. One aggregate job computes all columns'
     verdicts at once (scales: single scan, partial aggregation map-side).
+
+    With ``return_partition_counts`` the same pass also yields per-scan-
+    partition row counts (grouped by spark_partition_id) for row-id
+    assignment, and the return value is ``(typed_df, {pid: rows})``.
     """
     data_cols = [c for c in df.columns if c != _EXTRA]
     if not data_cols:
-        return df
+        return (df, {}) if return_partition_counts else df
     # integer-ness via regex, not try_cast("long"): Spark's string→long cast
     # rejects non-integers through an exception path (~5× slower on columns
     # with decimal values). The regex matches exactly what pandas parses as
     # int64 (optional sign/whitespace, digits only).
     int_re = r"^\s*[+-]?[0-9]+\s*$"
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__rows__")]
     for i, c in enumerate(data_cols):
         q = F.col(c)
         aggs.append(F.count(q).alias(f"c{i}_n"))
@@ -177,9 +201,24 @@ def infer_reference_types(df: DataFrame, check_bad_lines: bool = False) -> DataF
         aggs.append(F.count(q.try_cast("double")).alias(f"c{i}_dbl"))
     if check_bad_lines:
         aggs.append(F.count(F.col(_EXTRA)).alias("__n_bad__"))
-    row = df.agg(*aggs).collect()[0]
-    if check_bad_lines and row["__n_bad__"]:
+    if return_partition_counts:
+        prows = (
+            df.groupBy(F.spark_partition_id().alias("__pid__")).agg(*aggs).collect()
+        )
+        counts = {r["__pid__"]: r["__rows__"] for r in prows}
+        row = {
+            name: sum(r[name] for r in prows)
+            for name in prows[0].asDict()
+            if name != "__pid__"
+        } if prows else {}
+    else:
+        counts = None
+        row = df.agg(*aggs).collect()[0]
+    if check_bad_lines and row and row["__n_bad__"]:
         raise LoadCsvError("Error tokenizing data: too many fields")
+    if not row:  # empty file: keep all-string schema
+        out = df.drop(_EXTRA) if _EXTRA in df.columns else df
+        return (out, counts or {}) if return_partition_counts else out
 
     # bool detection only for columns that are neither int nor float —
     # usually none, so the second pass is free or touches few columns
@@ -215,7 +254,8 @@ def infer_reference_types(df: DataFrame, check_bad_lines: bool = False) -> DataF
             projections.append((F.lower(q) == "true").cast("long").alias(c))
         else:
             projections.append(q)
-    return df.select(*projections)
+    typed = df.select(*projections)
+    return (typed, counts) if return_partition_counts else typed
 
 
 def _add_item(filename: str, lookup: dict[str, str], path: str) -> None:
