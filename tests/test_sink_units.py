@@ -1,0 +1,93 @@
+"""Unit tests for the SQLite sink DDL generator, mirroring the reference's
+tests/test_utils.py exact-string assertions."""
+
+import sqlite3
+
+from pyspark.sql import types as T
+
+from csvs_to_sqlite_spark.sinks.sqlite_sink import (
+    SQLiteSink,
+    best_fts_version,
+    create_table_sql,
+    sqlite_type,
+)
+
+
+def test_create_table_sql_exact_string():
+    # reference tests/test_utils.py:21-31 golden DDL layout
+    schema = T.StructType(
+        [
+            T.StructField("number", T.LongType()),
+            T.StructField("letter", T.StringType()),
+        ]
+    )
+    sql, columns = create_table_sql("hello", schema, index=True)
+    assert sql == (
+        'CREATE TABLE "hello" (\n'
+        '"index" INTEGER,\n'
+        '  "number" INTEGER,\n'
+        '  "letter" TEXT\n'
+        ")"
+    )
+    assert set(columns) == {"index", "letter", "number"}
+
+
+def test_type_mapping():
+    assert sqlite_type(T.LongType()) == "INTEGER"
+    assert sqlite_type(T.IntegerType()) == "INTEGER"
+    assert sqlite_type(T.BooleanType()) == "INTEGER"
+    assert sqlite_type(T.DoubleType()) == "REAL"
+    assert sqlite_type(T.FloatType()) == "REAL"
+    assert sqlite_type(T.StringType()) == "TEXT"
+    assert sqlite_type(T.BinaryType()) == "BLOB"
+    assert sqlite_type(T.TimestampType()) == "TEXT"  # ISO text (SURVEY §1.2)
+
+
+def test_fk_clause_and_override():
+    schema = T.StructType(
+        [
+            T.StructField("name", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    sql, _ = create_table_sql(
+        "t",
+        schema,
+        sql_type_overrides={"score": "NUMERIC"},
+        foreign_keys={"name": ("People", "first_name"), "absent": ("X", "y")},
+        primary_keys=("name",),
+    )
+    assert 'FOREIGN KEY ("name") REFERENCES [People](id)' in sql
+    assert "[X]" not in sql  # FK only for columns present (utils.py:339-341)
+    assert '"score" NUMERIC' in sql
+    assert "PRIMARY KEY ([name])" in sql
+
+
+def test_table_exists_and_drop(tmp_path):
+    db = str(tmp_path / "x.db")
+    sink = SQLiteSink(db)
+    sink.conn.execute("CREATE TABLE foo (id integer primary key, value text)")
+    assert sink.table_exists("foo") is True
+    assert sink.table_exists("bar") is False
+    sink.drop_table("foo")
+    assert sink.table_exists("foo") is False
+    sink.close()
+
+
+def test_best_fts_version():
+    assert best_fts_version() in ("FTS5", "FTS4", "FTS3")
+
+
+def test_add_index_silent_skip(tmp_path):
+    db = str(tmp_path / "i.db")
+    sink = SQLiteSink(db)
+    sink.conn.execute("CREATE TABLE t (a, b)")
+    sink.add_index("t", "a,b")
+    sink.add_index("t", "a,missing")  # silently skipped (utils.py:495)
+    names = [
+        r[0]
+        for r in sink.conn.execute("select name from sqlite_master where type='index'")
+    ]
+    assert any("t_a_b" in n for n in names)
+    assert not any("missing" in n for n in names)
+    sink.close()
