@@ -1068,6 +1068,91 @@ FROM documents
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over Jaccard near-dup pairs (bounded min-label
+    propagation, 5 rounds) → canonical survivor per cluster."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+    return dedup.dedup_clusters(d, pairs, "doc_id")
+
+
+def _sql_dedup_clusters(iterations: int = 5) -> str:
+    jaccard_pairs = SQL_JACCARD.strip().rstrip(";")
+    ctes = [
+        f"pairs AS ({jaccard_pairs})",
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        "l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"l{i} AS (SELECT n.doc_id, least(n.cluster_id, coalesce(m.nmin, n.cluster_id)) AS cluster_id "
+            f"FROM {prev} n LEFT JOIN (SELECT e.a AS doc_id, min(l.cluster_id) AS nmin "
+            f"FROM edges e JOIN {prev} l ON l.doc_id = e.b GROUP BY 1) m USING (doc_id))"
+        )
+        prev = f"l{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, cluster_id FROM {prev}"
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: GROUPING SETS over
+    (day) and (day, hour) buckets of event time."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    e.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "value",
+    ).createOrReplaceTempView("__events_buckets__")
+    return spark.sql(
+        """
+        SELECT day, hour, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM __events_buckets__
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        """
+    )
+
+
+SQL_TIME_ROLLUP = """
+SELECT day, hour, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             value FROM events)
+GROUP BY GROUPING SETS ((day), (day, hour))
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Range join via bucketization: events.value joined to value-band
+    ranges. The scalable plan is bucket-id equi-join + residual filter —
+    never a broadcast-nested-loop theta join over the fact table."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    bands = spark.createDataFrame(
+        [(i, float(i * 10), float((i + 1) * 10), f"band_{i}") for i in range(10)],
+        "bucket int, lo double, hi double, band string",
+    )
+    bucketed = e.withColumn("bucket", F.floor(F.col("value") / 10).cast("int"))
+    out = bucketed.join(F.broadcast(bands), "bucket").where(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return out.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands AS (
+  SELECT i AS bucket, i*10.0 AS lo, (i+1)*10.0 AS hi, 'band_' || i AS band
+  FROM generate_series(0, 9) AS t(i))
+SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only checks (not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1164,6 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "embedding_near_dup": q_embedding_near_dup,
         "bpe_ish_token_count": q_bpe_ish_token_count,
+        "dedup_clusters": q_dedup_clusters,
+        "time_rollup": q_time_rollup,
+        "range_join": q_range_join,
         "stateful_user_totals": q_stateful_user_totals,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
@@ -1213,6 +1301,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": SQL_CENTROIDS,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "bpe_ish_token_count": SQL_BPE,
+        "dedup_clusters": _sql_dedup_clusters(),
+        "time_rollup": SQL_TIME_ROLLUP,
+        "range_join": SQL_RANGE_JOIN,
         "stateful_user_totals": SQL_STATEFUL,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

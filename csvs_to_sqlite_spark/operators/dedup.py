@@ -180,6 +180,52 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    iterations: int = 5,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id), where
+    cluster_id is the minimum doc id in the component (the canonical
+    survivor). Bounded min-label propagation: ``iterations`` rounds of
+    "take the min label among yourself and your neighbors" — converges for
+    components of diameter < 2^iterations under doubling, and here each
+    round is a broadcast-sized join since near-dup graphs are sparse.
+    At Common-Crawl scale this is the standard alternating large/small
+    star approach; the bounded unrolling keeps it deterministic and
+    SQL-oracle-checkable.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    # materialize edges once and cut label lineage every round — otherwise
+    # the plan (and the pair-generation upstream of it) doubles per
+    # iteration and round 5 recomputes the LSH/Jaccard pipeline 2^5 times
+    edges = edges.localCheckpoint(eager=True)
+    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col(id_col).alias("b"), F.col("cluster_id").alias("nl")),
+                "b",
+            )
+            .groupBy(F.col("a").alias(id_col))
+            .agg(F.min("nl").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """(id, simhash) — 32-bit fingerprint. Bit j is the sign of the sum of
     (2·bit_j(md5(token)) − 1) over the doc's distinct tokens; one groupBy

@@ -59,6 +59,17 @@ def test_minhash_lsh_candidates(docs):
     assert not any({a, b} == {3, 4} for a, b in pairs)
 
 
+def test_dedup_clusters(docs, spark):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    # docs 0,1,2,5 form one near-dup component with canonical survivor 0
+    assert labels[0] == labels[1] == labels[2] == labels[5] == 0
+    assert labels[3] == 3 and labels[4] == 4
+
+
 def test_simhash_hamming(docs):
     fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
     assert fps[0] == fps[1]
