@@ -26,8 +26,7 @@ from pyspark.sql.window import Window
 
 from csvs_to_sqlite_spark.operators import dedup, similarity, text
 from csvs_to_sqlite_spark.operators.dims import build_dims, fmt_g
-from csvs_to_sqlite_spark.operators.joins import denormalize
-from csvs_to_sqlite_spark.operators.rowid import ROW_ID, row_id_from_order
+from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 from csvs_to_sqlite_spark.session import prep_session
 from csvs_to_sqlite_spark.streaming.windows import (
