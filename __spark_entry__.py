@@ -741,6 +741,55 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 # text analysis (documents table)
 # ---------------------------------------------------------------------------
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN: centroid cells (first-8 vectors as deterministic
+    centroids), single-probe candidate set, exact cosine re-rank."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+SQL_KNN_IVF = """
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < 8),
+corpus_sims AS (
+  SELECT b.vec_id AS neighbor_id, b.v AS cv2, c.centroid_id,
+         round(list_sum(list_transform(list_zip(b.v, c.cv), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(b.v, x -> x*x))) *
+                sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS csim
+  FROM base b CROSS JOIN cents c),
+corpus AS (
+  SELECT neighbor_id, cv2, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY csim DESC, centroid_id) AS rn FROM corpus_sims)
+  WHERE rn = 1),
+q_sims AS (
+  SELECT b.vec_id AS query_id, b.v AS qv, c.centroid_id,
+         round(list_sum(list_transform(list_zip(b.v, c.cv), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(b.v, x -> x*x))) *
+                sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS csim
+  FROM base b CROSS JOIN cents c WHERE b.vec_id < 10),
+q AS (
+  SELECT query_id, qv, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY csim DESC, centroid_id) AS rn FROM q_sims)
+  WHERE rn = 1),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(list_zip(qv, cv2), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                sqrt(list_sum(list_transform(cv2, x -> x*x)))), 6) AS cos_sim
+  FROM corpus JOIN q USING (cell) WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+WHERE rnk <= 5
+"""
+
+
 def q_text_token_stats(spark, sf_dir):
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
@@ -1235,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1287,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash_pairs(),
         "knn_bruteforce": SQL_KNN,
         "knn_lsh": _sql_knn_lsh(),
+        "knn_ivf": SQL_KNN_IVF,
         "text_token_stats": SQL_TOKEN_STATS,
         "text_quality": SQL_QUALITY,
         "text_langid": _sql_langid(),

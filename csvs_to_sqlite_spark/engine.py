@@ -189,6 +189,10 @@ def import_csvs(
                 primary_keys=tuple(primary_key),
                 replace=replace_tables and t.name not in seen_created,
                 index_fks=not no_index_fks,
+                # row ids were assigned in scan order and every transform
+                # since (shape/constants/dates/fk-rewrite broadcast joins)
+                # is narrow, so partition files land already ordered
+                presorted=True,
             )
             if created:
                 created_tables.append(t.name)

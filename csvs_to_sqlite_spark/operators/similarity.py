@@ -90,6 +90,80 @@ def bucket_expr(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def assign_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_alias: str,
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by (rounded) cosine, ties to
+    the lower centroid id. Centroids are broadcast; assignment is one
+    map-side |vecs|×|centroids| sweep + a per-vector argmax window."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col("cv").alias("centroid_v")
+    )
+    pairs = vecs.crossJoin(F.broadcast(c))
+    sim = F.round(
+        _dot(F.col(vec_alias), F.col("centroid_v"))
+        / (_norm(F.col(vec_alias)) * _norm(F.col("centroid_v"))),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return (
+        pairs.select(F.col(id_col), F.col(vec_alias), F.col("centroid_id"), sim.alias("csim"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select(id_col, vec_alias, F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF(-flat) ANN: corpus partitioned into centroid cells; each query
+    probes only its own cell. Centroids here are the first ``n_centroids``
+    vectors (deterministic; production would k-means them — the partition/
+    probe structure, which is what scales, is identical). Multi-probe is a
+    matter of taking the top-P cells in ``assign_cells``.
+    """
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    centroids = base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+    corpus = assign_cells(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2")),
+        centroids,
+        "neighbor_id",
+        "cv2",
+    )
+    q = assign_cells(
+        query.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")),
+        centroids,
+        "query_id",
+        "qv",
+    )
+    cand = corpus.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2"))), 6
+    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -139,8 +139,13 @@ class SQLiteSink:
         primary_keys: tuple[str, ...] = (),
         replace: bool = False,
         index_fks: bool = True,
+        presorted: bool = False,
     ) -> bool:
-        """Returns True if the table was created this call (vs appended)."""
+        """Returns True if the table was created this call (vs appended).
+
+        ``presorted``: the DataFrame is already in ROW_ID order across its
+        partitions (true straight off a scan with narrow transforms) — the
+        sink then skips the global sort before spilling."""
         if self.table_exists(name) and replace:
             self.drop_table(name)
         created = not self.table_exists(name)
@@ -157,10 +162,12 @@ class SQLiteSink:
                         self.conn.execute(
                             f'CREATE INDEX ["{name}_{col}"] ON [{name}]("{col}")'
                         )
-        self._insert_rows(name, df, out_cols)
+        self._insert_rows(name, df, out_cols, presorted)
         return created
 
-    def _insert_rows(self, name: str, df: DataFrame, out_cols: list[str]) -> None:
+    def _insert_rows(
+        self, name: str, df: DataFrame, out_cols: list[str], presorted: bool = False
+    ) -> None:
         """Land rows on the driver via a sorted temp-parquet spill + Arrow.
 
         ``toLocalIterator`` pickles row-by-row (Python-side, slow);
@@ -173,7 +180,7 @@ class SQLiteSink:
         import shutil
         import tempfile
 
-        if ROW_ID in df.columns:
+        if ROW_ID in df.columns and not presorted:
             df = df.orderBy(ROW_ID)  # rowid alignment (SURVEY §4.3)
         df = df.select(*out_cols)
         placeholders = ", ".join("?" for _ in out_cols)
