@@ -1,0 +1,89 @@
+"""Streaming behaviors: foreachBatch idempotent sink, watermark late-data
+dropping, streaming/batch agreement."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from csvs_to_sqlite_spark.streaming.sinks import stream_aggregate_to_parquet
+
+    out = str(tmp_path / "stream_out")
+    stream_aggregate_to_parquet(spark, f"{SF}/events.parquet", out)
+    batches = sorted(glob.glob(f"{out}/batch=*"))
+    assert batches, "no batch directories written"
+    final = spark.read.parquet(batches[-1])
+    # agreement with the batch equivalent
+    from csvs_to_sqlite_spark.streaming.windows import load_events
+
+    batch = (
+        load_events(spark, f"{SF}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Feed two files: current data, then an hours-late event. With a
+    10-minute watermark in append mode the late event's window is not
+    re-opened."""
+    import pandas as pd
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    df1 = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": [int((base + pd.Timedelta(minutes=m)).value) for m in (0, 5, 10, 65, 70, 75)],
+            "user_id": [1] * 6,
+            "event_type": ["click"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    df1.to_parquet(d / "a.parquet")
+
+    from csvs_to_sqlite_spark.streaming.windows import EVENTS_SCHEMA, _ts_from_nanos
+
+    stream = _ts_from_nanos(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "late_test_out"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # second file: an event 2 hours LATE (inside the first, closed window)
+        df2 = pd.DataFrame(
+            {
+                "event_id": [99],
+                "ts": [int((base + pd.Timedelta(minutes=1)).value)],
+                "user_id": [1],
+                "event_type": ["click"],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        )
+        df2.to_parquet(d / "b.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["ws"].isoformat(): r["n"] for r in spark.table(name).collect()}
+    # append mode emits a window only once its watermark passes; the
+    # 10:00 window closed with 3 events and the late one was dropped
+    assert rows.get("2024-01-01T10:00:00") == 3
