@@ -40,7 +40,11 @@ _ORDINAL_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b", re.I)
 _TIME_RE = re.compile(
     r"\b(\d{1,2})(?::(\d{2}))?(?::(\d{2}))?\s*(am|pm)?\b(?=\s|$)", re.I
 )
-_FILLER = {"on", "at", "of", "in", "the", "year", ""}
+_WEEKDAYS = {
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday",
+    "mon", "tue", "tues", "wed", "thu", "thur", "thurs", "fri", "sat", "sun",
+}
+_FILLER = {"on", "at", "of", "in", "the", "year", ""} | _WEEKDAYS
 
 
 class UnparseableDate(ValueError):
@@ -71,6 +75,13 @@ def _parse_fuzzy(value: str) -> datetime:
 
     hour = minute = second = 0
     has_time = False
+    lowered = s.lower()
+    if "noon" in lowered or "midday" in lowered:
+        hour, has_time = 12, True
+        s = re.sub(r"\b(noon|midday)\b", " ", s, flags=re.I)
+    elif "midnight" in lowered:
+        has_time = True
+        s = re.sub(r"\bmidnight\b", " ", s, flags=re.I)
 
     def grab_time(m: re.Match) -> str:
         nonlocal hour, minute, second, has_time
