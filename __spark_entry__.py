@@ -631,10 +631,9 @@ def _sql_simhash() -> str:
         for j in range(dedup.SIMHASH_BITS)
     )
     return (
-        "WITH tok AS (SELECT doc_id, unnest("
-        + tokens_sql("text")
-        + ") AS token FROM documents),\n"
-        + f"votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)\n"
+        "WITH "
+        + _SHINGLE_TOK_CTE
+        + f",\nvotes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)\n"
         + f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"
     )
 
@@ -642,7 +641,7 @@ def _sql_simhash() -> str:
 def q_simhash_pairs(spark, sf_dir):
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=6)
+    return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3)
 
 
 def _sql_simhash_pairs() -> str:
@@ -664,7 +663,7 @@ def _sql_simhash_pairs() -> str:
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
     )
 

@@ -226,11 +226,22 @@ def dedup_clusters(
     return labels
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = SIMHASH_BITS,
+    shingle_n: int | None = 3,
+) -> DataFrame:
     """(id, simhash) — 32-bit fingerprint. Bit j is the sign of the sum of
-    (2·bit_j(md5(token)) − 1) over the doc's distinct tokens; one groupBy
-    with ``bits`` conditional-sum aggregates."""
-    tok = token_posting(df, text_col, id_col).withColumn(
+    (2·bit_j(md5(unit)) − 1) over the doc's distinct shingles; one groupBy
+    with ``bits`` conditional-sum aggregates.
+
+    Shingles, not unigrams: on a shared-vocabulary corpus unigram bit
+    votes converge to the same fingerprint for every document, making the
+    pair stage O(n²). Shingle votes are document-specific.
+    """
+    tok = token_posting(df, text_col, id_col, shingle_n).withColumn(
         "h", md5_long(F.col("token"), seed="simhash")
     )
     votes = [
@@ -248,12 +259,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS)
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_n: int | None = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; docs within
-    Hamming ≤ 3 share at least one identical byte (pigeonhole), so one
-    band-equi-join finds all candidates, then exact Hamming filters."""
-    sh = simhash(df, text_col, id_col)
+    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; docs
+    within Hamming ≤ 3 MUST share an identical byte (pigeonhole over 4
+    bands), so one band-equi-join finds all such pairs, then exact Hamming
+    filters. max_hamming above bands−1 loses that recall guarantee."""
+    sh = simhash(df, text_col, id_col, shingle_n=shingle_n)
     bands = [
         F.struct(
             F.lit(bi).alias("band"),
