@@ -189,6 +189,20 @@ def test_just_strings(spark, tmp_path, election_csv):
     conn.close()
 
 
+def test_just_strings_with_shape_real_cast(spark, tmp_path):
+    # reference tests:714-732: --just-strings + shape REAL casts strings
+    p = tmp_path / "m.csv"
+    p.write_text("name,gross\nFilm A,22.5\nFilm B,10")
+    db = str(tmp_path / "m.db")
+    import_csvs(spark, [str(p)], db, just_strings=True, shape="name:name,gross:gross(REAL)")
+    conn = sqlite3.connect(db)
+    info = {c[1]: c[2] for c in conn.execute("PRAGMA table_info(m)")}
+    assert info == {"name": "TEXT", "gross": "REAL"}
+    rows = conn.execute("select gross from m order by rowid").fetchall()
+    assert rows == [(22.5,), (10.0,)]
+    conn.close()
+
+
 def test_composite_primary_key(spark, tmp_path):
     p = tmp_path / "pk.csv"
     p.write_text("pk1,pk2,name\none,one,11\none,two,12\ntwo,one,21")
