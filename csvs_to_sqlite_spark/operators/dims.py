@@ -23,10 +23,12 @@ Reference semantics (utils.py:192-254) we reproduce, Spark-first:
   any fact-table scale; no shuffle of the fact side, fk rewrite is a
   map-side operation.
 
-Scale: the only shuffle is the groupBy(value) distinct-aggregate, with
-map-side partial aggregation (tiny, cardinality = |dim|). The window that
-numbers the dim runs over |dim| rows — single partition, fine for lookup
-tables; facts never pass through a window.
+Scale: the fact side shuffles once for the groupBy(value) distinct-
+aggregate (map-side partial aggregation shrinks it to |dim| rows).
+Numbering is a two-phase distributed rank — range-partition the distinct
+set by first_seen, sort within partitions, per-partition offset ids — so
+even a high-cardinality extraction never funnels through one partition;
+facts never pass through a window at all.
 """
 
 from __future__ import annotations
@@ -34,9 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, FloatType, StringType
-from pyspark.sql.window import Window
-
-from csvs_to_sqlite_spark.operators.rowid import ROW_ID
+from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 
 
@@ -118,10 +118,16 @@ def build_dims(
             )
         else:
             start = 1
-        w = Window.orderBy("first_seen")
-        new_rows = firsts.select(
-            (F.row_number().over(w) + F.lit(start - 1)).cast("long").alias("id"),
-            F.col("value").alias(value_col),
+        # Global dense rank over first_seen WITHOUT a single-partition
+        # window: range-partition by the order key, sort within partitions,
+        # then scan-order row ids (per-partition offsets). Two cheap extra
+        # jobs, scales to dims of any cardinality.
+        ranked = with_row_id(
+            firsts.repartitionByRange("first_seen").sortWithinPartitions("first_seen"),
+            start=start,
+        )
+        new_rows = ranked.select(
+            F.col(ROW_ID).alias("id"), F.col("value").alias(value_col)
         )
         if prior is not None:
             dim = prior.select(F.col("id").cast("long"), F.col(value_col)).unionByName(new_rows)
