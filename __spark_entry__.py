@@ -403,6 +403,75 @@ FROM orders
 """
 
 
+def q_window_functions(spark, sf_dir):
+    """H: the window-function family — lag/lead/first/last/rank/dense_rank/
+    ntile over a deterministic per-customer order."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(wall).alias("first_order"),
+        F.last("o_orderkey").over(wall).alias("last_order"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+SQL_WINDOW_FNS = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       first_value(o_orderkey) OVER wall AS first_order,
+       last_value(o_orderkey) OVER wall AS last_order,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_string_functions(spark, sf_dir):
+    """Scalar string-function surface: case, trim/pad, substring, concat,
+    replace, length, levenshtein against a fixed probe."""
+    prep_session(spark)
+    c = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.concat_ws("-", F.lit("cust"), F.col("c_custkey").cast("string")).alias("slug"),
+        F.regexp_replace(name, "[0-9]", "#").alias("digits_masked"),
+        F.levenshtein(name, F.lit("Customer#000000001")).alias("lev_to_probe"),
+    )
+
+
+SQL_STRING_FNS = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_name) AS lower_name,
+       length(c_name) AS name_len,
+       substring(c_name, 1, 8) AS prefix8,
+       lpad(c_custkey::VARCHAR, 8, '0') AS padded_key,
+       concat_ws('-', 'cust', c_custkey::VARCHAR) AS slug,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS digits_masked,
+       levenshtein(c_name, 'Customer#000000001') AS lev_to_probe
+FROM customer
+"""
+
+
 def q_union_segments(spark, sf_dir):
     """G5/G6 union-append semantics + distinct."""
     prep_session(spark)
@@ -1269,6 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_returnflag": q_rollup_returnflag,
         "topk_per_group": q_topk_per_group,
         "running_revenue": q_running_revenue,
+        "window_functions": q_window_functions,
+        "string_functions": q_string_functions,
         "union_segments": q_union_segments,
         "distinct_counts": q_distinct_counts,
         "sessionize_events": q_sessionize_events,
@@ -1322,6 +1393,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_returnflag": SQL_ROLLUP,
         "topk_per_group": SQL_TOPK,
         "running_revenue": SQL_RUNNING,
+        "window_functions": SQL_WINDOW_FNS,
+        "string_functions": SQL_STRING_FNS,
         "union_segments": SQL_UNION,
         "distinct_counts": SQL_DISTINCT,
         "sessionize_events": SQL_SESSIONS,
