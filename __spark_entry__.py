@@ -472,6 +472,60 @@ FROM customer
 """
 
 
+def q_array_agg(spark, sf_dir):
+    """Nested-type surface: per-order sorted array of line quantities +
+    array ops (size, sum via aggregate)."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.sort_array(F.collect_list(F.col("l_quantity"))).alias("quantities")
+    return li.groupBy("l_orderkey").agg(qty).select(
+        "l_orderkey",
+        F.size("quantities").alias("n_lines"),
+        F.round(
+            F.aggregate("quantities", F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("total_qty"),
+        F.element_at("quantities", 1).alias("min_qty"),
+        F.element_at("quantities", -1).alias("max_qty"),
+    )
+
+
+SQL_ARRAY_AGG = """
+SELECT l_orderkey, len(qs) AS n_lines,
+       round(list_sum(qs), 2) AS total_qty,
+       qs[1] AS min_qty, qs[-1] AS max_qty
+FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      FROM lineitem GROUP BY 1)
+"""
+
+
+def q_full_outer_join(spark, sf_dir):
+    """Join-type breadth: full outer join of per-segment customer counts
+    vs per-priority order counts keyed by first letter (contrived key to
+    force both unmatched sides)."""
+    prep_session(spark)
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.substring("c_mktsegment", 1, 1).alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.substring("o_orderpriority", 1, 1).alias("k"))
+        .agg(F.count("*").alias("n_ord"))
+    )
+    return c.join(o, "k", "full_outer").select("k", "n_cust", "n_ord")
+
+
+SQL_FULL_OUTER = """
+WITH c AS (SELECT substring(c_mktsegment, 1, 1) AS k, count(*) AS n_cust
+           FROM customer GROUP BY 1),
+o AS (SELECT substring(o_orderpriority, 1, 1) AS k, count(*) AS n_ord
+      FROM orders GROUP BY 1)
+SELECT coalesce(c.k, o.k) AS k, n_cust, n_ord
+FROM c FULL OUTER JOIN o ON c.k = o.k
+"""
+
+
 def q_union_segments(spark, sf_dir):
     """G5/G6 union-append semantics + distinct."""
     prep_session(spark)
@@ -1340,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "window_functions": q_window_functions,
         "string_functions": q_string_functions,
+        "array_agg": q_array_agg,
+        "full_outer_join": q_full_outer_join,
         "union_segments": q_union_segments,
         "distinct_counts": q_distinct_counts,
         "sessionize_events": q_sessionize_events,
@@ -1395,6 +1451,8 @@ def oracle_sql() -> dict[str, str]:
         "running_revenue": SQL_RUNNING,
         "window_functions": SQL_WINDOW_FNS,
         "string_functions": SQL_STRING_FNS,
+        "array_agg": SQL_ARRAY_AGG,
+        "full_outer_join": SQL_FULL_OUTER,
         "union_segments": SQL_UNION,
         "distinct_counts": SQL_DISTINCT,
         "sessionize_events": SQL_SESSIONS,
