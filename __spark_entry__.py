@@ -449,12 +449,12 @@ def q_string_functions(spark, sf_dir):
         "c_custkey",
         F.upper(name).alias("upper_name"),
         F.lower(name).alias("lower_name"),
-        F.length(name).alias("name_len"),
+        F.length(name).cast("long").alias("name_len"),
         F.substring(name, 1, 8).alias("prefix8"),
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
         F.concat_ws("-", F.lit("cust"), F.col("c_custkey").cast("string")).alias("slug"),
         F.regexp_replace(name, "[0-9]", "#").alias("digits_masked"),
-        F.levenshtein(name, F.lit("Customer#000000001")).alias("lev_to_probe"),
+        F.levenshtein(name, F.lit("Customer#000000001")).cast("long").alias("lev_to_probe"),
     )
 
 
@@ -480,7 +480,7 @@ def q_array_agg(spark, sf_dir):
     qty = F.sort_array(F.collect_list(F.col("l_quantity"))).alias("quantities")
     return li.groupBy("l_orderkey").agg(qty).select(
         "l_orderkey",
-        F.size("quantities").alias("n_lines"),
+        F.size("quantities").cast("long").alias("n_lines"),
         F.round(
             F.aggregate("quantities", F.lit(0.0), lambda acc, x: acc + x), 2
         ).alias("total_qty"),
@@ -785,7 +785,7 @@ def _sql_simhash_pairs() -> str:
          a.simhash AS sh_a, b.simhash AS sh_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
     )
@@ -918,7 +918,7 @@ def q_text_token_stats(spark, sf_dir):
     t = F.col("text")
     return d.select(
         "doc_id",
-        text.token_count(t).alias("n_tokens"),
+        text.token_count(t).cast("long").alias("n_tokens"),
         text.stopword_ratio(t).alias("stop_ratio"),
         text.avg_token_len(t).alias("avg_tok_len"),
     )
@@ -1164,7 +1164,7 @@ def q_embedding_centroids(spark, sf_dir):
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "v")
     )
-    return exploded.groupBy("label", "pos").agg(
+    return exploded.withColumn("pos", F.col("pos").cast("long")).groupBy("label", "pos").agg(
         F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v")
     )
 
@@ -1225,9 +1225,9 @@ def q_bpe_ish_token_count(spark, sf_dir):
     pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), 0)).alias(
-            "n_bpe_tokens"
-        ),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 

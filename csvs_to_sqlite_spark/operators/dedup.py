@@ -296,7 +296,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
