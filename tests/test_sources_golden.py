@@ -50,6 +50,51 @@ def test_url_naming():
     assert list(names) == ["mytable"]
 
 
+def test_url_source_end_to_end(spark, tmp_path):
+    """A12: load a CSV over HTTP (local server) through the engine."""
+    import http.server
+    import threading
+
+    (tmp_path / "remote.csv").write_text(CSV)
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **kw
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        db = str(tmp_path / "url.db")
+        result = import_csvs(spark, [f"http://127.0.0.1:{port}/remote.csv"], db)
+        assert result.messages == []
+        conn = sqlite3.connect(db)
+        assert conn.execute("select count(*) from remote").fetchone()[0] == 6
+        info = {c[1]: c[2] for c in conn.execute("PRAGMA table_info(remote)")}
+        assert info["votes"] == "INTEGER"
+        conn.close()
+    finally:
+        server.shutdown()
+
+
+def test_shared_dim_across_files_ordering(spark, tmp_path):
+    """E3: with one dim referenced from two FILES, ids number file-inner
+    (CLI file order) — every file-1 value before any new file-2 value."""
+    f1 = tmp_path / "f1.csv"
+    f2 = tmp_path / "f2.csv"
+    f1.write_text("name,score\nZed,1\nAmy,2")
+    f2.write_text("name,score\nBob,3\nZed,4\nCal,5")
+    db = str(tmp_path / "shared.db")
+    import_csvs(spark, [str(f1), str(f2)], db, extract_column=["name:people:who"])
+    conn = sqlite3.connect(db)
+    assert conn.execute("select id, who from people order by id").fetchall() == [
+        (1, "Zed"),
+        (2, "Amy"),
+        (3, "Bob"),
+        (4, "Cal"),
+    ]
+    conn.close()
+
+
 def test_separator_tsv(spark, tmp_path):
     p = tmp_path / "t.tsv"
     p.write_text("a\tb\n1\tx\n2\ty\n")
