@@ -161,6 +161,24 @@ def test_replace_tables(spark, tmp_path, election_csv):
     conn.close()
 
 
+def test_replace_tables_with_single_table_option(spark, tmp_path):
+    """--replace-tables + -t: the drop applies once per run, not once per
+    file — both files of the run land in the fresh table."""
+    f1 = tmp_path / "a.csv"
+    f2 = tmp_path / "b.csv"
+    f1.write_text(CSV)
+    f2.write_text(CSV)
+    db = str(tmp_path / "c.db")
+    import_csvs(spark, [str(f1), str(f2)], db, table="combined")
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from combined").fetchone()[0] == 12
+    conn.close()
+    import_csvs(spark, [str(f1), str(f2)], db, table="combined", replace_tables=True)
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from combined").fetchone()[0] == 12
+    conn.close()
+
+
 def test_shape_and_compound_index(spark, tmp_path, election_csv):
     db = str(tmp_path / "test.db")
     import_csvs(
