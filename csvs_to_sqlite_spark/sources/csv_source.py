@@ -39,25 +39,43 @@ def _is_url(value: str) -> bool:
     return value.lower().startswith(("http://", "https://"))
 
 
-def _detect_encoding(filepath: str, encodings_to_try=("utf-8", "latin-1")) -> str:
+def _detect_encoding(
+    filepath: str,
+    encodings_to_try=("utf-8", "latin-1"),
+    probe_bytes: int | None = None,
+) -> str:
     """Reference utils.py:36-49 retries the whole pandas parse per encoding.
 
-    We instead validate the byte stream incrementally on the driver (chunked,
-    constant memory). NOTE(scale): for multi-GB files on a cluster this
-    whole-file driver probe is the faithful-but-slow path; sampling the first
-    N MB is the pragmatic choice and is exposed via ``probe_bytes``.
+    We instead validate the byte stream incrementally on the driver
+    (chunked, constant memory). ``probe_bytes`` caps how much of the file
+    is validated: the faithful default (None) checks everything, the scale
+    path samples a prefix — set SPARK_GRAFT_ENCODING_PROBE_BYTES for
+    multi-GB files where a full driver-side read is unacceptable.
     """
+    if probe_bytes is None:
+        env = os.environ.get("SPARK_GRAFT_ENCODING_PROBE_BYTES")
+        probe_bytes = int(env) if env else None
     last_err: Exception | None = None
     for enc in encodings_to_try:
         decoder = codecs.getincrementaldecoder(enc)()
         try:
+            remaining = probe_bytes
             with open(filepath, "rb") as f:
                 while True:
-                    chunk = f.read(1 << 20)
+                    take = 1 << 20 if remaining is None else min(1 << 20, remaining)
+                    chunk = f.read(take) if take else b""
                     if not chunk:
-                        decoder.decode(b"", final=True)
+                        # only finalize on true EOF; a sampled prefix may
+                        # end mid-codepoint, which is not evidence of a
+                        # bad encoding
+                        if remaining is None or remaining > 0:
+                            decoder.decode(b"", final=True)
                         break
                     decoder.decode(chunk)
+                    if remaining is not None:
+                        remaining -= len(chunk)
+                        if remaining <= 0:
+                            break
             return enc
         except (UnicodeDecodeError, ValueError) as e:
             last_err = e

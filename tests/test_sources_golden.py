@@ -132,6 +132,21 @@ def test_encoding_fallback_latin1(spark, tmp_path):
     assert row["city"] == "São Paulo"
 
 
+def test_encoding_probe_sampling(tmp_path):
+    """probe_bytes samples a prefix; a sample boundary mid-codepoint must
+    not misclassify a valid utf-8 file."""
+    from csvs_to_sqlite_spark.sources.csv_source import _detect_encoding
+
+    p = tmp_path / "u.csv"
+    p.write_bytes("a,b\n".encode() + ("é" * 100).encode("utf-8"))
+    # 5 bytes ends inside the 2-byte é sequence
+    assert _detect_encoding(str(p), probe_bytes=5) == "utf-8"
+    assert _detect_encoding(str(p)) == "utf-8"
+    latin = tmp_path / "l.csv"
+    latin.write_bytes(b"a\n" + b"\xe9" * 64)
+    assert _detect_encoding(str(latin), probe_bytes=16) == "latin-1"
+
+
 def test_shape_missing_column_is_load_error(spark, tmp_path):
     """A6: shape naming a column not in the file fails the whole file."""
     p = tmp_path / "s.csv"
