@@ -132,6 +132,9 @@ def load_csv(
         .option("sep", separator)
         .option("encoding", encoding)
         .option("inferSchema", False)
+        # RFC-4180 doubled-quote escaping, the csv-module/pandas convention
+        # (Spark's default escape is backslash, which pandas doesn't use)
+        .option("escape", '"')
     )
     if quoting == _QUOTE_NONE:
         # csv.QUOTE_NONE: quotes are ordinary characters.
