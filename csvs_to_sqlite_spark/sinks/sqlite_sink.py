@@ -268,7 +268,11 @@ class SQLiteSink:
             return
         index_name = "{}_{}".format(table, "_".join(cols))
         collist = ", ".join(f'"{c}"' for c in cols)
-        self.conn.execute(f'CREATE INDEX ["{index_name}"] ON [{table}]({collist})')
+        # IF NOT EXISTS: the reference re-issues CREATE INDEX on append runs
+        # and crashes (utils.py:502); idempotent re-runs are strictly better
+        self.conn.execute(
+            f'CREATE INDEX IF NOT EXISTS ["{index_name}"] ON [{table}]({collist})'
+        )
         self.conn.commit()
 
     # -- fact FTS (F2/F3, D2/D3 executed sink-side for bit parity) -------------

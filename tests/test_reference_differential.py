@@ -1,0 +1,145 @@
+"""Differential testing against the ACTUAL reference tool.
+
+Runs /root/reference's csvs-to-sqlite (with test-only dependency shims,
+see tests/ref_shims/) and our engine on the same inputs, then compares
+the produced SQLite databases in full: every table's schema and rowid-
+ordered contents, the index/FTS catalog, and FTS MATCH results. This is
+end-to-end behavior parity measured against the reference itself, not
+against transcribed expectations.
+"""
+
+import os
+import sqlite3
+import subprocess
+import sys
+
+import pytest
+
+REF = "/root/reference"
+SHIMS = os.path.join(os.path.dirname(__file__), "ref_shims")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+CSV = """county,precinct,office,district,party,candidate,votes
+Yolo,100001,President,,LIB,Gary Johnson,41
+Yolo,100001,President,,PAF,Gloria Estela La Riva,8
+Yolo,100001,Proposition 51,,,Yes,2802
+Yolo,100001,Proposition 51,,,No,2051
+Yolo,100001,State Assembly,7,DEM,Kevin McCarty,3920
+Yolo,100001,State Assembly,7,REP,Ryan K Brown,1793"""
+
+FILMS = """film,actor_1,actor_2
+The Rock,Sean Connery,Nicolas Cage
+National Treasure,Nicolas Cage,Diane Kruger
+Troy,Diane Kruger,Orlando Bloom"""
+
+DATES = """headline,date,datetime
+First,3rd May 2017,10pm on April 4 1938
+Second,04/30/2005,5:45 10 December 2009"""
+
+SCENARIOS = [
+    (
+        "election.csv",
+        CSV,
+        ["-c", "office", "-c", "district", "-c", "party", "-c", "candidate",
+         "-f", "office", "-f", "candidate", "-i", "party,candidate"],
+        dict(extract_column=["office", "district", "party", "candidate"],
+             fts=["office", "candidate"], index=["party,candidate"]),
+    ),
+    (
+        "films.csv",
+        FILMS,
+        ["-c", "actor_1:actors:name", "-c", "actor_2:actors:name",
+         "-f", "film", "-f", "actor_1", "-f", "actor_2"],
+        dict(extract_column=["actor_1:actors:name", "actor_2:actors:name"],
+             fts=["film", "actor_1", "actor_2"]),
+    ),
+    ("dates.csv", DATES, ["-d", "date", "-dt", "datetime"],
+     dict(date=["date"], datetime=["datetime"])),
+    ("election.csv", CSV, ["--shape", "county:Cty,votes:Vts(REAL)"],
+     dict(shape="county:Cty,votes:Vts(REAL)")),
+    ("election.csv", CSV, ["--just-strings"], dict(just_strings=True)),
+]
+
+_FTS_SHADOW = (
+    "_fts_data", "_fts_idx", "_fts_config", "_fts_docsize",
+    "_fts_content", "_fts_segments", "_fts_segdir", "_fts_stat",
+)
+
+
+def run_reference(workdir: str, csv_name: str, db_name: str, args: list[str]) -> None:
+    code = (
+        "import sys\n"
+        f"sys.argv = ['csvs-to-sqlite', {csv_name!r}, {db_name!r}] + {args!r}\n"
+        "from csvs_to_sqlite.cli import cli\n"
+        "try:\n    cli(standalone_mode=False)\nexcept SystemExit:\n    pass\n"
+    )
+    env = dict(os.environ, PYTHONPATH=f"{SHIMS}:{REF}")
+    subprocess.run(
+        [sys.executable, "-c", code], cwd=workdir, env=env, check=True,
+        capture_output=True, timeout=120,
+    )
+
+
+def snapshot(path: str):
+    conn = sqlite3.connect(path)
+    out = {}
+    data_tables = sorted(
+        r[0]
+        for r in conn.execute(
+            "select name from sqlite_master where type='table' and name not like '%_fts%'"
+        )
+    )
+    for t in data_tables:
+        schema = [(c[1], c[2]) for c in conn.execute(f"PRAGMA table_info([{t}])")]
+        rows = conn.execute(f"select * from [{t}] order by rowid").fetchall()
+        out[t] = (schema, rows)
+    out["__catalog__"] = sorted(
+        (r[0], r[1])
+        for r in conn.execute(
+            "select type, name from sqlite_master where type in ('index','table')"
+        )
+        if not r[1].endswith(_FTS_SHADOW) and "autoindex" not in r[1]
+    )
+    conn.close()
+    return out
+
+
+@pytest.mark.parametrize("csv_name,content,ref_args,engine_kwargs", SCENARIOS)
+def test_identical_output(spark, tmp_path, csv_name, content, ref_args, engine_kwargs):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / csv_name).write_text(content)
+    run_reference(str(tmp_path), csv_name, "ref.db", ref_args)
+    import_csvs(spark, [str(tmp_path / csv_name)], str(tmp_path / "ours.db"), **engine_kwargs)
+    ref = snapshot(str(tmp_path / "ref.db"))
+    ours = snapshot(str(tmp_path / "ours.db"))
+    assert set(ref) == set(ours)
+    for k in sorted(ref):
+        assert ref[k] == ours[k], f"table {k} differs"
+
+
+def test_fts_match_results_identical(spark, tmp_path):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "films.csv").write_text(FILMS)
+    run_reference(
+        str(tmp_path), "films.csv", "ref.db",
+        ["-c", "actor_1:actors:name", "-c", "actor_2:actors:name",
+         "-f", "film", "-f", "actor_1", "-f", "actor_2"],
+    )
+    import_csvs(
+        spark, [str(tmp_path / "films.csv")], str(tmp_path / "ours.db"),
+        extract_column=["actor_1:actors:name", "actor_2:actors:name"],
+        fts=["film", "actor_1", "actor_2"],
+    )
+    q = (
+        "select film from films where rowid in "
+        "(select rowid from films_fts where films_fts match ?) order by rowid"
+    )
+    for term in ("kruger", "cage connery", "rock", "nicolas"):
+        a = sqlite3.connect(str(tmp_path / "ref.db")).execute(q, [term]).fetchall()
+        b = sqlite3.connect(str(tmp_path / "ours.db")).execute(q, [term]).fetchall()
+        assert a == b, term
