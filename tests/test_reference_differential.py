@@ -61,6 +61,27 @@ SCENARIOS = [
     ("election.csv", CSV, ["--shape", "county:Cty,votes:Vts(REAL)"],
      dict(shape="county:Cty,votes:Vts(REAL)")),
     ("election.csv", CSV, ["--just-strings"], dict(just_strings=True)),
+    (
+        "election.csv",
+        CSV,
+        ["--filename-column", "src", "--fixed-column", "category", "elections",
+         "--fixed-column-int", "year", "2016", "--fixed-column-float", "weight", "1.5"],
+        dict(filename_column="src", fixed_columns=[("category", "elections")],
+             fixed_columns_int=[("year", 2016)], fixed_columns_float=[("weight", 1.5)]),
+    ),
+    (
+        "custom.csv",
+        "headline,date\nCustom format,03/02/01",
+        ["-d", "date", "-df", "%y/%d/%m"],
+        dict(date=["date"], datetime_format=["%y/%d/%m"]),
+    ),
+    ("films.csv", FILMS, ["-pk", "film"], dict(primary_key=["film"])),
+    (
+        "election.csv",
+        CSV,
+        ["-c", "office", "--no-index-fks", "--no-fulltext-fks"],
+        dict(extract_column=["office"], no_index_fks=True, no_fulltext_fks=True),
+    ),
 ]
 
 _FTS_SHADOW = (
@@ -119,6 +140,42 @@ def test_identical_output(spark, tmp_path, csv_name, content, ref_args, engine_k
     assert set(ref) == set(ours)
     for k in sorted(ref):
         assert ref[k] == ours[k], f"table {k} differs"
+
+
+def test_append_mode_identical(spark, tmp_path):
+    """Two runs into the same db: second run appends without new DDL."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "election.csv").write_text(CSV)
+    run_reference(str(tmp_path), "election.csv", "ref.db", [])
+    run_reference(str(tmp_path), "election.csv", "ref.db", [])
+    import_csvs(spark, [str(tmp_path / "election.csv")], str(tmp_path / "ours.db"))
+    import_csvs(spark, [str(tmp_path / "election.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_multi_file_single_table_identical(spark, tmp_path):
+    """Two CSVs + -t: one 12-row table, same in both tools."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "a.csv").write_text(CSV)
+    (tmp_path / "b.csv").write_text(CSV)
+    code = (
+        "import sys\n"
+        "sys.argv = ['csvs-to-sqlite', 'a.csv', 'b.csv', 'ref.db', '-t', 'combined']\n"
+        "from csvs_to_sqlite.cli import cli\n"
+        "try:\n    cli(standalone_mode=False)\nexcept SystemExit:\n    pass\n"
+    )
+    env = dict(os.environ, PYTHONPATH=f"{SHIMS}:{REF}")
+    subprocess.run([sys.executable, "-c", code], cwd=str(tmp_path), env=env,
+                   check=True, capture_output=True, timeout=120)
+    import_csvs(
+        spark,
+        [str(tmp_path / "a.csv"), str(tmp_path / "b.csv")],
+        str(tmp_path / "ours.db"),
+        table="combined",
+    )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
 
 
 def test_fts_match_results_identical(spark, tmp_path):
