@@ -178,6 +178,76 @@ def test_multi_file_single_table_identical(spark, tmp_path):
     assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
 
 
+def _run_ref_args(workdir, argv):
+    code = (
+        "import sys\n"
+        f"sys.argv = ['csvs-to-sqlite'] + {argv!r}\n"
+        "from csvs_to_sqlite.cli import cli\n"
+        "try:\n    cli(standalone_mode=False)\nexcept SystemExit:\n    pass\n"
+    )
+    env = dict(os.environ, PYTHONPATH=f"{SHIMS}:{REF}")
+    subprocess.run([sys.executable, "-c", code], cwd=workdir, env=env,
+                   check=True, capture_output=True, timeout=120)
+
+
+def test_incremental_dim_growth_identical(spark, tmp_path):
+    """E4: two runs with -c into one table — dim ids persist, new values
+    append from max(id)+1, identically in both tools."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "r1.csv").write_text("name,score\nTerry,0.5\nTerry,0.8\nOwen,0.7")
+    (tmp_path / "r2.csv").write_text("name,score\nOwen,0.9\nZoe,0.1")
+    for f in ("r1.csv", "r2.csv"):
+        _run_ref_args(
+            str(tmp_path),
+            [f, "ref.db", "-t", "scores", "-c", "name:People:first_name"],
+        )
+        import_csvs(
+            spark, [str(tmp_path / f)], str(tmp_path / "ours.db"),
+            table="scores", extract_column=["name:People:first_name"],
+        )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_skip_errors_identical(spark, tmp_path):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "bad.csv").write_text("a,b\n1,x\n2,y,EXTRA,FIELDS\n3,z\n")
+    _run_ref_args(str(tmp_path), ["bad.csv", "ref.db", "--skip-errors"])
+    import_csvs(spark, [str(tmp_path / "bad.csv")], str(tmp_path / "ours.db"), skip_errors=True)
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_tsv_separator_identical(spark, tmp_path):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.tsv").write_text("a\tb\n1\tx\n2\ty\n")
+    _run_ref_args(str(tmp_path), ["t.tsv", "ref.db", "-s", "\t"])
+    import_csvs(spark, [str(tmp_path / "t.tsv")], str(tmp_path / "ours.db"), separator="\t")
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_latin1_fallback_identical(spark, tmp_path):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "enc.csv").write_bytes(b"name,city\nJos\xe9,S\xe3o Paulo\n")
+    _run_ref_args(str(tmp_path), ["enc.csv", "ref.db"])
+    import_csvs(spark, [str(tmp_path / "enc.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_directory_input_identical(spark, tmp_path):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    d = tmp_path / "data"
+    (d / "sub").mkdir(parents=True)
+    (d / "one.csv").write_text(CSV)
+    (d / "sub" / "two.csv").write_text(FILMS)
+    _run_ref_args(str(tmp_path), ["data", "ref.db"])
+    import_csvs(spark, [str(d)], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
 def test_fts_match_results_identical(spark, tmp_path):
     from csvs_to_sqlite_spark.engine import import_csvs
 
