@@ -87,6 +87,15 @@ def _detect_encoding(
 _QUOTE_NONE = 3
 _EXTRA = "__extra_fields__"
 
+# pandas read_csv's default na_values (keep_default_na=True): all of these
+# become NaN → SQL NULL. Spark's reader only nulls the empty string, so we
+# map the rest explicitly after the all-string read.
+_PANDAS_NA_TOKENS = (
+    "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+)
+
 
 def load_csv(
     spark: SparkSession,
@@ -151,6 +160,17 @@ def load_csv(
             + [T.StructField(_EXTRA, T.StringType())]
         )
         df = reader.schema(probe_schema).option("enforceSchema", True).csv(local_path)
+        # pandas NA-token semantics (the sentinel column is exempt: a bad
+        # line is a bad line whatever its extra field contains)
+        df = df.select(
+            *[
+                F.when(F.col(c).isin(*_PANDAS_NA_TOKENS), None)
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in columns
+            ],
+            F.col(_EXTRA),
+        )
         if skip_errors:
             df = df.where(F.col(_EXTRA).isNull()).drop(_EXTRA)
             bad_lines_pending = False
@@ -217,9 +237,21 @@ def infer_reference_types(
     aggs = [F.count(F.lit(1)).alias("__rows__")]
     for i, c in enumerate(data_cols):
         q = F.col(c)
+        d = q.try_cast("double")
         aggs.append(F.count(q).alias(f"c{i}_n"))
         aggs.append(F.count(F.when(q.rlike(int_re), 1)).alias(f"c{i}_long"))
-        aggs.append(F.count(q.try_cast("double")).alias(f"c{i}_dbl"))
+        aggs.append(F.count(d).alias(f"c{i}_dbl"))
+        # C1 (reference utils.py:290-303): a float column whose every value
+        # is integral (and long-representable) lands as INTEGER
+        aggs.append(
+            F.count(
+                F.when(
+                    d.isNotNull()
+                    & ((d != F.floor(d)) | (F.abs(d) > 9.0e15) | F.isnan(d)),
+                    1,
+                )
+            ).alias(f"c{i}_nonint")
+        )
     if check_bad_lines:
         aggs.append(F.count(F.col(_EXTRA)).alias("__n_bad__"))
     if return_partition_counts:
@@ -268,6 +300,10 @@ def infer_reference_types(
             projections.append(q)  # all-null column stays string (pandas: object)
         elif row[f"c{i}_long"] == n:
             projections.append(q.try_cast("long").alias(c))
+        elif row[f"c{i}_dbl"] == n and row[f"c{i}_nonint"] == 0:
+            # C1 int-downcast: all-integral float column → INTEGER
+            # (cast via double: the strings may be in float notation)
+            projections.append(q.try_cast("double").cast("long").alias(c))
         elif row[f"c{i}_dbl"] == n:
             projections.append(q.try_cast("double").alias(c))
         elif bool_ok.get(c):

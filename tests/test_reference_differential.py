@@ -248,6 +248,38 @@ def test_directory_input_identical(spark, tmp_path):
     assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
 
 
+def test_differential_fuzz(spark, tmp_path):
+    """Seeded random tables with adversarial values (NA tokens, numeric
+    edge strings, quotes/commas/unicode, blanks) through BOTH tools —
+    databases must be identical every time."""
+    import csv as csvmod
+    import random
+
+    rng = random.Random(2024)
+    tricky = [
+        "NA", "NULL", "None", "nan", "NaN", "n/a", "<NA>",
+        "007", "+5", " 7", "1e5", "-0", "0x1f", "1_000", "Inf", "-inf",
+        'he said "hi"', "a,b", "tab\there", "é中ß", "", "  ", "True", "False",
+        "3.14", "-2.5e-3", "9" * 25,
+    ]
+    for trial in range(8):
+        d = tmp_path / f"fz{trial}"
+        d.mkdir()
+        n_cols = rng.randint(1, 3)
+        n_rows = rng.randint(1, 7)
+        with open(d / "t.csv", "w", newline="", encoding="utf-8") as f:
+            w = csvmod.writer(f)
+            w.writerow([f"c{i}" for i in range(n_cols)])
+            for _ in range(n_rows):
+                w.writerow([rng.choice(tricky) for _ in range(n_cols)])
+        _run_ref_args(str(d), ["t.csv", "ref.db"])
+        from csvs_to_sqlite_spark.engine import import_csvs
+
+        import_csvs(spark, [str(d / "t.csv")], str(d / "ours.db"))
+        ref, ours = snapshot(str(d / "ref.db")), snapshot(str(d / "ours.db"))
+        assert ref == ours, f"trial {trial}: {ref} != {ours}"
+
+
 def test_fts_match_results_identical(spark, tmp_path):
     from csvs_to_sqlite_spark.engine import import_csvs
 
