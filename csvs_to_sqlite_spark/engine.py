@@ -131,7 +131,7 @@ def import_csvs(
     persisted = []
     for name, path in csvs.items():
         try:
-            df, partition_counts = load_csv(
+            df, partition_counts, inferred_overrides = load_csv(
                 spark,
                 path,
                 separator,
@@ -141,6 +141,8 @@ def import_csvs(
                 just_strings,
                 _with_counts=True,
             )
+            # C1 affinity-only downcasts from inference; shape overrides win
+            sql_type_overrides.update(inferred_overrides)
             df, overrides = apply_shape(df, shape)
             sql_type_overrides.update(overrides)
             # B5-B8 constant columns (reference cli.py:202-220)

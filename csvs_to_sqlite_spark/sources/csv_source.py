@@ -160,8 +160,9 @@ def load_csv(
             + [T.StructField(_EXTRA, T.StringType())]
         )
         df = reader.schema(probe_schema).option("enforceSchema", True).csv(local_path)
-        # pandas NA-token semantics (the sentinel column is exempt: a bad
-        # line is a bad line whatever its extra field contains)
+        # pandas NA semantics: the default na_values tokens become NULL
+        # (whitespace-only FIELDS are NOT NA — they stay literal and force
+        # the column to object/TEXT; the sentinel column is exempt)
         df = df.select(
             *[
                 F.when(F.col(c).isin(*_PANDAS_NA_TOKENS), None)
@@ -171,6 +172,11 @@ def load_csv(
             ],
             F.col(_EXTRA),
         )
+        if len(columns) == 1:
+            # pandas blank-line quirk: in a single-column file a
+            # whitespace-only LINE is skipped entirely (not a NaN row)
+            c0 = F.col(columns[0])
+            df = df.where(c0.isNull() | ~c0.rlike(r"^\s+$"))
         if skip_errors:
             df = df.where(F.col(_EXTRA).isNull()).drop(_EXTRA)
             bad_lines_pending = False
@@ -203,7 +209,7 @@ def load_csv(
                 .agg(F.count(F.lit(1)).alias("__rows__"))
                 .collect()
             }
-            return df, counts
+            return df, counts, {}
         return df  # A7: everything stays StringType (reference utils.py:31)
     return infer_reference_types(
         df, check_bad_lines=bad_lines_pending, return_partition_counts=_with_counts
@@ -228,26 +234,42 @@ def infer_reference_types(
     """
     data_cols = [c for c in df.columns if c != _EXTRA]
     if not data_cols:
-        return (df, {}) if return_partition_counts else df
+        return (df, {}, {}) if return_partition_counts else df
     # integer-ness via regex, not try_cast("long"): Spark's string→long cast
     # rejects non-integers through an exception path (~5× slower on columns
     # with decimal values). The regex matches exactly what pandas parses as
     # int64 (optional sign/whitespace, digits only).
     int_re = r"^\s*[+-]?[0-9]+\s*$"
+    # scan-order position for order-sensitive rules (pandas' conversion
+    # state machine); mid = pid<<33|seq is globally ordered for file scans.
+    # Materialized as a column first: Spark rejects nondeterministic
+    # expressions inside aggregate functions.
+    df = df.withColumn("__pos__", F.monotonically_increasing_id())
+    mid = F.col("__pos__")
     aggs = [F.count(F.lit(1)).alias("__rows__")]
     for i, c in enumerate(data_cols):
         q = F.col(c)
         d = q.try_cast("double")
         aggs.append(F.count(q).alias(f"c{i}_n"))
-        aggs.append(F.count(F.when(q.rlike(int_re), 1)).alias(f"c{i}_long"))
+        # int-looking strings, and the subset that actually fit in int64
+        # (pandas keeps a column with overflowing ints as object → TEXT)
+        aggs.append(F.count(F.when(q.rlike(int_re), 1)).alias(f"c{i}_re"))
+        aggs.append(F.count(F.when(q.rlike(int_re), q.try_cast("long"))).alias(f"c{i}_long"))
+        # pandas' order-dependent overflow rule: an int-string beyond even
+        # uint64 makes the column object UNLESS a float-notation value
+        # occurred before it (then the parser is already in float mode)
+        is_big = q.rlike(int_re) & q.try_cast("decimal(20,0)").isNull()
+        is_floatish = d.isNotNull() & ~q.rlike(int_re)
+        aggs.append(F.min(F.when(is_big, mid)).alias(f"c{i}_firstbig"))
+        aggs.append(F.min(F.when(is_floatish, mid)).alias(f"c{i}_firstfloat"))
         aggs.append(F.count(d).alias(f"c{i}_dbl"))
-        # C1 (reference utils.py:290-303): a float column whose every value
-        # is integral (and long-representable) lands as INTEGER
+        # C1 (reference utils.py:290-303): v.is_integer() per non-null value
+        # (inf/NaN are not integral)
         aggs.append(
             F.count(
                 F.when(
                     d.isNotNull()
-                    & ((d != F.floor(d)) | (F.abs(d) > 9.0e15) | F.isnan(d)),
+                    & ((d != F.floor(d)) | F.isnan(d) | (F.abs(d) == float("inf"))),
                     1,
                 )
             ).alias(f"c{i}_nonint")
@@ -259,30 +281,40 @@ def infer_reference_types(
             df.groupBy(F.spark_partition_id().alias("__pid__")).agg(*aggs).collect()
         )
         counts = {r["__pid__"]: r["__rows__"] for r in prows}
-        row = {
-            name: sum(r[name] for r in prows)
-            for name in prows[0].asDict()
-            if name != "__pid__"
-        } if prows else {}
+
+        def _combine(name):
+            vals = [r[name] for r in prows]
+            if name.endswith(("_firstbig", "_firstfloat")):
+                nn = [v for v in vals if v is not None]
+                return min(nn) if nn else None
+            return sum(vals)
+
+        row = (
+            {name: _combine(name) for name in prows[0].asDict() if name != "__pid__"}
+            if prows
+            else {}
+        )
     else:
         counts = None
         row = df.agg(*aggs).collect()[0]
     if check_bad_lines and row and row["__n_bad__"]:
         raise LoadCsvError("Error tokenizing data: too many fields")
     if not row:  # empty file: keep all-string schema
-        out = df.drop(_EXTRA) if _EXTRA in df.columns else df
-        return (out, counts or {}) if return_partition_counts else out
+        out = df.drop(_EXTRA, "__pos__")
+        return (out, counts or {}, {}) if return_partition_counts else out
 
     # bool detection only for columns that are neither int nor float —
     # usually none, so the second pass is free or touches few columns
+    total_rows = row["__rows__"]
     undecided = [
         (i, c)
         for i, c in enumerate(data_cols)
         if row[f"c{i}_n"] > 0
-        and row[f"c{i}_long"] < row[f"c{i}_n"]
+        and row[f"c{i}_re"] < row[f"c{i}_n"]
         and row[f"c{i}_dbl"] < row[f"c{i}_n"]
     ]
     bool_ok: dict[str, bool] = {}
+    bool_first_null: dict[str, bool] = {}
     if undecided:
         baggs = [
             F.count(F.when(F.lower(F.col(c)).isin("true", "false"), 1)).alias(f"b{i}")
@@ -291,28 +323,67 @@ def infer_reference_types(
         brow = df.agg(*baggs).collect()[0]
         for i, c in undecided:
             bool_ok[c] = brow[f"b{i}"] == row[f"c{i}_n"]
+        # bool-with-NULL columns are object in pandas; the reference derives
+        # the DDL from the FIRST row only (df[:1].to_sql, utils.py:305), so
+        # affinity is INTEGER when row 1 holds a bool, TEXT when it is NULL
+        with_null_bools = [
+            c for i, c in undecided if bool_ok[c] and row[f"c{i}_n"] < total_rows
+        ]
+        if with_null_bools:
+            first = df.select(*with_null_bools).limit(1).collect()
+            for c in with_null_bools:
+                bool_first_null[c] = (not first) or first[0][c] is None
 
+    # decision table (pandas → SQLite affinity, differential-tested against
+    # the reference):
+    #  all-null           → float64 of NaN → C1 → INTEGER column, NULL values
+    #  all int-strings,
+    #    all fit int64    → int64 → INTEGER
+    #    some overflow    → object → TEXT
+    #  all float-castable → float64; C1 all-integral → keep DOUBLE values
+    #                       but emit INTEGER affinity (SQLite coerces each
+    #                       value losslessly-or-not, exactly like to_sql)
+    #  all True/False,
+    #    no NULLs         → bool → INTEGER 0/1
+    #  else               → object → TEXT
     projections = []
+    overrides: dict[str, str] = {}
     for i, c in enumerate(data_cols):
         n = row[f"c{i}_n"]
         q = F.col(c)
+        first_big = row[f"c{i}_firstbig"]
+        first_float = row[f"c{i}_firstfloat"]
+        big_blocks = first_big is not None and (
+            first_float is None or first_float > first_big
+        )
         if n == 0:
-            projections.append(q)  # all-null column stays string (pandas: object)
-        elif row[f"c{i}_long"] == n:
             projections.append(q.try_cast("long").alias(c))
-        elif row[f"c{i}_dbl"] == n and row[f"c{i}_nonint"] == 0:
-            # C1 int-downcast: all-integral float column → INTEGER
-            # (cast via double: the strings may be in float notation)
-            projections.append(q.try_cast("double").cast("long").alias(c))
+        elif big_blocks:
+            # beyond-uint64 int-string with no earlier float-notation value:
+            # pandas object → TEXT
+            projections.append(q)
+        elif row[f"c{i}_re"] == n:
+            if row[f"c{i}_long"] == n:
+                projections.append(q.try_cast("long").alias(c))
+            else:
+                # int64 < v <= uint64: pandas uint64 → INTEGER affinity,
+                # values travel as doubles and SQLite coerces per value
+                projections.append(q.try_cast("double").alias(c))
+                overrides[c] = "INTEGER"
         elif row[f"c{i}_dbl"] == n:
             projections.append(q.try_cast("double").alias(c))
+            if row[f"c{i}_nonint"] == 0:
+                overrides[c] = "INTEGER"  # C1 affinity-only downcast
         elif bool_ok.get(c):
-            # pandas bool dtype → SQLite INTEGER 0/1 via to_sql
+            # pandas bools → 0/1 via to_sql; affinity from the reference's
+            # first-row sample when NULLs are present
             projections.append((F.lower(q) == "true").cast("long").alias(c))
+            if bool_first_null.get(c):
+                overrides[c] = "TEXT"
         else:
             projections.append(q)
     typed = df.select(*projections)
-    return (typed, counts) if return_partition_counts else typed
+    return (typed, counts, overrides) if return_partition_counts else typed
 
 
 def _add_item(filename: str, lookup: dict[str, str], path: str) -> None:
