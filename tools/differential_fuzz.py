@@ -1,0 +1,76 @@
+"""Differential fuzz runner: random adversarial CSVs through BOTH the
+reference tool (via tests/ref_shims) and our engine; prints any snapshot
+mismatch. Usage: python tools/differential_fuzz.py [seed ...]
+
+Known accepted divergences (see NOTES.md): pandas' lossy xstrtod parse of
+>int64 ints, and float64 precision loss for ints >= 2^53 in nullable
+columns — we produce the exact/correctly-rounded values.
+"""
+
+import csv as csvmod
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+from csvs_to_sqlite_spark.session import get_spark
+from csvs_to_sqlite_spark.engine import import_csvs
+from test_reference_differential import snapshot, SHIMS, REF
+
+spark = get_spark("fuzz7")
+spark.sparkContext.setLogLevel("ERROR")
+tricky = [
+    "x9y", "zz",
+    "NA", "NULL", "None", "nan", "NaN", "n/a", "<NA>", "#N/A", "-NaN",
+    "007", "+5", " 7", "1e5", "-0", "0x1f", "1_000", "Inf", "-inf", "INF",
+    'quote"inside', "a,b", "line1", "e-z", "True", "FALSE", "true",
+    "3.14", "-2.5e-3", "9" * 25, "0.1", "-.5", "5.", "1E+3", "0", "-1",
+    "2147483648", "9223372036854775807", ".inf", " ",
+]
+
+
+def run_ref(workdir, argv):
+    code = (
+        "import sys\n"
+        "sys.argv = ['csvs-to-sqlite'] + " + repr(argv) + "\n"
+        "from csvs_to_sqlite.cli import cli\n"
+        "try:\n    cli(standalone_mode=False)\nexcept SystemExit:\n    pass\n"
+    )
+    env = dict(os.environ, PYTHONPATH=SHIMS + ":" + REF)
+    subprocess.run(
+        [sys.executable, "-c", code], cwd=workdir, env=env, check=True,
+        capture_output=True, timeout=120,
+    )
+
+
+fails = tried = 0
+seeds = [int(a) for a in sys.argv[1:]] or [991, 42424]
+for seed in seeds:
+    rng = random.Random(seed)
+    for trial in range(40):
+        d = tempfile.mkdtemp()
+        n_cols = rng.randint(1, 3)
+        n_rows = rng.randint(1, 8)
+        rows = [[rng.choice(tricky) for _ in range(n_cols)] for _ in range(n_rows)]
+        with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
+            w = csvmod.writer(f)
+            w.writerow(["c%d" % i for i in range(n_cols)])
+            w.writerows(rows)
+        try:
+            run_ref(d, ["t.csv", "ref.db"])
+        except subprocess.CalledProcessError:
+            continue
+        tried += 1
+        import_csvs(spark, [os.path.join(d, "t.csv")], os.path.join(d, "ours.db"))
+        a = snapshot(os.path.join(d, "ref.db"))
+        b = snapshot(os.path.join(d, "ours.db"))
+        if a != b:
+            fails += 1
+            for k in a:
+                if a.get(k) != b.get(k):
+                    print("seed", seed, "trial", trial, ": ref =", str(a[k])[:170])
+                    print("                 ours=", str(b[k])[:170])
+print(tried, "trials, fails=", fails)
