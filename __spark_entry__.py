@@ -270,17 +270,28 @@ UNION ALL SELECT 'l_tax',
 
 
 def q_canonical_g_format(spark, sf_dir):
-    """E2: %g float canonicalization (the lookup-value string form)."""
+    """E2: %g float canonicalization (the lookup-value string form).
+
+    Exercises every %g regime: small integral (1..50), integral in
+    [1e5, 1e6) where Java prints NO fraction (the trailing-zero-strip
+    hazard — ADVICE r1), scientific notation ≥ 1e6, and sub-unity
+    fractions."""
     prep_session(spark)
     li = _t(spark, sf_dir, "lineitem")
-    return li.select(F.col("l_quantity").alias("v")).distinct().select(
-        "v", fmt_g(F.col("v")).alias("canon")
-    )
+    base = li.select(F.col("l_quantity").alias("q")).distinct()
+    v = base.select(F.col("q").alias("v"))
+    for scale in (1e4, 1e5, 1e-2):
+        v = v.unionByName(base.select((F.col("q") * F.lit(scale)).alias("v")))
+    return v.distinct().select("v", fmt_g(F.col("v")).alias("canon"))
 
 
 SQL_GFMT = """
-SELECT v, format('{:g}', v) AS canon
-FROM (SELECT DISTINCT l_quantity AS v FROM lineitem)
+WITH q AS (SELECT DISTINCT l_quantity AS q FROM lineitem),
+     v AS (SELECT q AS v FROM q
+           UNION SELECT q * 1e4 FROM q
+           UNION SELECT q * 1e5 FROM q
+           UNION SELECT q * 1e-2 FROM q)
+SELECT DISTINCT v, format('{:g}', v) AS canon FROM v
 """
 
 # ---------------------------------------------------------------------------

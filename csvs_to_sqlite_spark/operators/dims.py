@@ -43,10 +43,15 @@ from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 def fmt_g(col: F.Column) -> F.Column:
     """CPython ``"{0:g}"`` / C printf %g. Java's %g keeps trailing zeros
     (17.0 → "17.0000"), so strip them: in the mantissa of exponent form,
-    and at the end of plain form (including a bare trailing dot)."""
+    and at the end of plain form. Zeros are only stripped AFTER a decimal
+    point — Java renders integral doubles in [1e5, 1e6) with no fraction
+    at all ("100000"), and an unanchored ``\\.?0+$`` would eat its real
+    trailing zeros ("100000" → "1")."""
     s = F.format_string("%g", col)
-    s = F.regexp_replace(s, r"\.?0+e", "e")  # 1.20000e+06 → 1.2e+06
-    s = F.regexp_replace(s, r"\.?0+$", "")  # 17.0000 → 17, 0.500000 → 0.5
+    s = F.regexp_replace(s, r"(\.\d*?)0+e", r"$1e")  # 1.20000e+06 → 1.2e+06
+    s = F.regexp_replace(s, r"\.e", "e")  # 1.e+06 → 1e+06
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")  # 17.0000 → 17., 0.500000 → 0.5
+    s = F.regexp_replace(s, r"\.$", "")  # 17. → 17
     return s
 
 
