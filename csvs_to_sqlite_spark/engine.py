@@ -20,11 +20,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from csvs_to_sqlite_spark.operators.dates import apply_dates_and_datetimes
 from csvs_to_sqlite_spark.operators.dims import build_dims
 from csvs_to_sqlite_spark.operators.rowid import with_row_id
-from csvs_to_sqlite_spark.operators.shapes import apply_shape
+from csvs_to_sqlite_spark.operators.shapes import apply_shape, parse_shape
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 from csvs_to_sqlite_spark.sinks.sqlite_sink import SQLiteSink, best_fts_version
 from csvs_to_sqlite_spark.sources.csv_source import LoadCsvError, csvs_from_paths, load_csv
@@ -126,7 +127,18 @@ def import_csvs(
 
     csvs = csvs_from_paths(paths)
     result.n_csvs = len(csvs)
-    sql_type_overrides: dict[str, str] = {}
+    # C2 overrides scoping (reference cli.py:221 + utils.py:285-305): with
+    # no --shape the reference passes None and every created table gets a
+    # FRESH dict of its own C1 downcasts — two files whose same-named
+    # column infers differently must NOT cross-contaminate DDL. With
+    # --shape, apply_shape's returned dict is shared across all writes and
+    # get_create_table_sql mutates it in place, so shape-derived entries
+    # are global and write-time downcasts accumulate (and overwrite shape
+    # entries, utils.py:303) across created tables in write order.
+    shape_overrides: dict[str, str] = {}
+    shape_renames = (
+        {c.csv_name: c.db_name for c in parse_shape(shape)} if shape else {}
+    )
     tables: list[Table] = []
     persisted = []
     for name, path in csvs.items():
@@ -141,10 +153,15 @@ def import_csvs(
                 just_strings,
                 _with_counts=True,
             )
-            # C1 affinity-only downcasts from inference; shape overrides win
-            sql_type_overrides.update(inferred_overrides)
+            if shape:
+                # C1 downcasts are keyed by the write-time (db) column name
+                inferred_overrides = {
+                    shape_renames[k]: v
+                    for k, v in inferred_overrides.items()
+                    if k in shape_renames
+                }
             df, overrides = apply_shape(df, shape)
-            sql_type_overrides.update(overrides)
+            shape_overrides.update(overrides)
             # B5-B8 constant columns (reference cli.py:202-220)
             if filename_column:
                 df = df.withColumn(filename_column, F.lit(name))
@@ -154,13 +171,17 @@ def import_csvs(
                 df = df.withColumn(colname, F.lit(int(value)).cast("long"))
             for colname, value in fixed_columns_float or ():
                 df = df.withColumn(colname, F.lit(float(value)).cast("double"))
+                # an integral fixed float is a float64 column of one
+                # integer value, so the reference's C1 check downcasts it
+                if float(value).is_integer():
+                    inferred_overrides[colname] = "INTEGER"
             df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
             df = with_row_id(df, partition_counts=partition_counts)
             # the pipeline fires several actions per table (dim builds, dim
             # writes, the fact write); persist so the CSV parses once
             df = df.persist()
             persisted.append(df)
-            tables.append(Table(table or name, df))
+            tables.append(Table(table or name, df, overrides=inferred_overrides))
         except LoadCsvError as e:
             # A13 per-file isolation (reference cli.py:224-225)
             result.messages.append(f"Could not load {path}: {e}")
@@ -182,11 +203,42 @@ def import_csvs(
 
         created_tables: list[str] = []
         seen_created: set[str] = set()
+        shared_overrides = dict(shape_overrides) if shape else None
         for t in tables:
+            if shared_overrides is not None:
+                will_create = (
+                    replace_tables and t.name not in seen_created
+                ) or not sink.table_exists(t.name)
+                if will_create:
+                    # only the write-time C1 downcasts (INTEGER on a column
+                    # still float in the final frame) mutate the shared
+                    # dict (utils.py:290-303); appends never reach
+                    # get_create_table_sql so they add nothing
+                    float_cols = {
+                        f.name
+                        for f in t.df.schema.fields
+                        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+                    }
+                    shared_overrides.update(
+                        {
+                            c: v
+                            for c, v in t.overrides.items()
+                            if v == "INTEGER" and c in float_cols
+                        }
+                    )
+                # per-table dtype-mapping entries (uint64 INTEGER, bool-null
+                # TEXT) yield to shape/C1 entries like pandas' dtype= arg
+                # beats its dtype-derived DDL
+                overrides = {**t.overrides, **shared_overrides}
+            else:
+                # no shape → the reference's dict is fresh per table
+                # (utils.py:285 ``None or {}``): same-named columns in other
+                # files never contaminate this table's DDL
+                overrides = t.overrides
             created = sink.write_table(
                 t.name,
                 t.df,
-                sql_type_overrides=sql_type_overrides,
+                sql_type_overrides=overrides,
                 foreign_keys=foreign_keys,
                 primary_keys=tuple(primary_key),
                 replace=replace_tables and t.name not in seen_created,

@@ -149,7 +149,7 @@ def build_dims(
                 continue
             dim = dim_frames[spec.table]
             df = rewrite_fk(df, spec.column, dim, spec.value_column)
-        out_tables.append(Table(table.name, df))
+        out_tables.append(Table(table.name, df, overrides=table.overrides))
     return out_tables, dim_frames
 
 

@@ -16,10 +16,16 @@ from pyspark.sql import DataFrame
 @dataclass
 class Table:
     """A named DataFrame. Never graft attributes onto DataFrames
-    (reference cli.py:201 does ``df.table_name = name``)."""
+    (reference cli.py:201 does ``df.table_name = name``).
+
+    ``overrides`` carries this table's OWN C1 integer-downcast DDL
+    overrides (column → "INTEGER"): the reference computes these at write
+    time per table (utils.py:285-303), so they must never leak across
+    tables that happen to share a column name."""
 
     name: str
     df: DataFrame
+    overrides: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)

@@ -209,6 +209,67 @@ def test_incremental_dim_growth_identical(spark, tmp_path):
     assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
 
 
+def test_conflicting_same_named_columns_identical(spark, tmp_path):
+    """C2 scoping: two files whose same-named column infers differently
+    must get independent per-table DDL (reference utils.py:285 builds a
+    fresh overrides dict per created table when no --shape is given) —
+    ``a.code`` is ints+NULL → INTEGER, ``b.code`` is 1.5 → REAL."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "a.csv").write_text("code,x\n1,foo\n,bar\n")
+    (tmp_path / "b.csv").write_text("code,y\n1.5,z\n2.25,w\n")
+    _run_ref_args(str(tmp_path), ["a.csv", "b.csv", "ref.db"])
+    import_csvs(
+        spark,
+        [str(tmp_path / "a.csv"), str(tmp_path / "b.csv")],
+        str(tmp_path / "ours.db"),
+    )
+    ref, ours = snapshot(str(tmp_path / "ref.db")), snapshot(str(tmp_path / "ours.db"))
+    assert ref == ours
+    # belt + braces: the two tables really do carry different affinities
+    types = {t: dict(ours[t][0]) for t in ("a", "b")}
+    assert types["a"]["code"] == "INTEGER" and types["b"]["code"] == "REAL"
+
+
+def test_shape_shared_overrides_accumulate_identical(spark, tmp_path):
+    """With --shape the reference shares ONE overrides dict across writes
+    and get_create_table_sql mutates it (utils.py:285-305): table ``a``'s
+    C1 downcast (code all-integral floats → INTEGER) overwrites the shape
+    REAL entry and then leaks into table ``b``'s DDL even though b.code
+    is non-integral. We reproduce that accumulation byte-for-byte."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "a.csv").write_text("code,x\n1.0,foo\n2.0,bar\n")
+    (tmp_path / "b.csv").write_text("code,x\n1.5,z\n")
+    shape = "code:code(REAL),x:x"
+    _run_ref_args(str(tmp_path), ["a.csv", "b.csv", "ref.db", "--shape", shape])
+    import_csvs(
+        spark,
+        [str(tmp_path / "a.csv"), str(tmp_path / "b.csv")],
+        str(tmp_path / "ours.db"),
+        shape=shape,
+    )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_integral_fixed_float_column_identical(spark, tmp_path):
+    """--fixed-column-float 2.0: a float64 column of one integral value,
+    so the reference's C1 write-time check downcasts it to INTEGER."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n")
+    _run_ref_args(
+        str(tmp_path), ["t.csv", "ref.db", "--fixed-column-float", "weight", "2.0"]
+    )
+    import_csvs(
+        spark,
+        [str(tmp_path / "t.csv")],
+        str(tmp_path / "ours.db"),
+        fixed_columns_float=[("weight", 2.0)],
+    )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
 def test_skip_errors_identical(spark, tmp_path):
     from csvs_to_sqlite_spark.engine import import_csvs
 
