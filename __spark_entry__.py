@@ -1250,31 +1250,31 @@ FROM documents
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Connected components over Jaccard near-dup pairs (bounded min-label
-    propagation, 5 rounds) → canonical survivor per cluster."""
+    """Connected components over Jaccard near-dup pairs (min-label
+    propagation with pointer doubling, run to the fixpoint) → canonical
+    survivor per cluster."""
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
     return dedup.dedup_clusters(d, pairs, "doc_id")
 
 
-def _sql_dedup_clusters(iterations: int = 5) -> str:
+def _sql_dedup_clusters() -> str:
+    # True converged connected components via a recursive reachability CTE
+    # (edges are symmetric, so min reachable id == component minimum) —
+    # derived from the fixpoint semantics, not an unrolled iteration count.
     jaccard_pairs = SQL_JACCARD.strip().rstrip(";")
-    ctes = [
-        f"pairs AS ({jaccard_pairs})",
+    return (
+        "WITH RECURSIVE "
+        f"pairs AS ({jaccard_pairs}),\n"
         "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
-        " UNION ALL SELECT id_b, id_a FROM pairs)",
-        "l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents)",
-    ]
-    prev = "l0"
-    for i in range(1, iterations + 1):
-        ctes.append(
-            f"l{i} AS (SELECT n.doc_id, least(n.cluster_id, coalesce(m.nmin, n.cluster_id)) AS cluster_id "
-            f"FROM {prev} n LEFT JOIN (SELECT e.a AS doc_id, min(l.cluster_id) AS nmin "
-            f"FROM edges e JOIN {prev} l ON l.doc_id = e.b GROUP BY 1) m USING (doc_id))"
-        )
-        prev = f"l{i}"
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, cluster_id FROM {prev}"
+        " UNION ALL SELECT id_b, id_a FROM pairs),\n"
+        "reach(doc_id, r) AS ("
+        " SELECT doc_id, doc_id FROM documents"
+        " UNION"
+        " SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)\n"
+        "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+    )
 
 
 def q_time_rollup(spark, sf_dir):

@@ -184,27 +184,32 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
-    iterations: int = 5,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id), where
     cluster_id is the minimum doc id in the component (the canonical
-    survivor). Bounded min-label propagation: ``iterations`` rounds of
-    "take the min label among yourself and your neighbors" — converges for
-    components of diameter < 2^iterations under doubling, and here each
-    round is a broadcast-sized join since near-dup graphs are sparse.
-    At Common-Crawl scale this is the standard alternating large/small
-    star approach; the bounded unrolling keeps it deterministic and
-    SQL-oracle-checkable.
+    survivor). Runs min-label propagation to the FIXPOINT: each round
+    takes the min label over {self, neighbors} (one hop) and then follows
+    the own label one step (pointer doubling, L(v) ← min(L(v), L(L(v)))),
+    so a component of diameter d converges in O(log d) rounds, and a
+    cheap limit(1) probe detects the round where nothing changed. At the
+    one-hop fixpoint every edge (u,v) has L(u) = L(v) (edges are
+    symmetric), so labels are constant per component and equal the
+    component minimum — exact for any diameter, unlike bounded unrolling.
+    Near-dup graphs are sparse, so each round's joins stay
+    shuffle-partition-sized at corpus scale.
     """
     edges = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
     # materialize edges once and cut label lineage every round — otherwise
     # the plan (and the pair-generation upstream of it) doubles per
-    # iteration and round 5 recomputes the LSH/Jaccard pipeline 2^5 times
+    # iteration and later rounds recompute the LSH/Jaccard pipeline 2^k times
     edges = edges.localCheckpoint(eager=True)
-    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    for _ in range(iterations):
+    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(
                 labels.select(F.col(id_col).alias("b"), F.col("cluster_id").alias("nl")),
@@ -213,16 +218,37 @@ def dedup_clusters(
             .groupBy(F.col("a").alias(id_col))
             .agg(F.min("nl").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, id_col, "left")
+        hop = labels.join(neighbor_min, id_col, "left").select(
+            F.col(id_col),
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: treat labels as parent pointers and jump one
+        # step through the just-computed mapping, halving path lengths
+        jump = hop.select(
+            F.col(id_col).alias("cluster_id"), F.col("cluster_id").alias("pl")
+        )
+        new_labels = (
+            hop.join(jump, "cluster_id", "left")
             .select(
                 F.col(id_col),
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("pl"), F.col("cluster_id"))
+                ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels
 
 

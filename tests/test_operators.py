@@ -70,6 +70,36 @@ def test_dedup_clusters(docs, spark):
     assert labels[3] == 3 and labels[4] == 4
 
 
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 10-node path graph (diameter 9) must fully collapse to cluster 0 —
+    bounded 5-round unrolling could not do this; the fixpoint loop with
+    pointer doubling must."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, chain, "doc_id").collect()
+    }
+    assert labels == {i: 0 for i in range(10)}
+
+
+def test_dedup_clusters_reversed_chain_and_isolates(spark):
+    """Worst-case label flow (edges pointing away from the minimum) plus
+    isolated nodes that must keep their own id."""
+    docs = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    # chain 11-10-...-1-0 expressed high→low, plus a separate 2-cycle
+    pairs = [(i + 1, i) for i in range(11)] + [(12, 13)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, edges, "doc_id").collect()
+    }
+    assert all(labels[i] == 0 for i in range(12))
+    assert labels[12] == 12 and labels[13] == 12
+
+
 def test_simhash_hamming(docs):
     fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
     assert fps[0] == fps[1]
