@@ -1189,42 +1189,70 @@ GROUP BY 1, 2
 """
 
 
+# Fixed band geometry + cap for the ORACLE-CHECKED near-dup query: explicit
+# planes_per_band so the DuckDB twin can be generated statically (the API
+# default planes_per_band=None derives band width from a corpus count, which
+# a static SQL string can't mirror). threshold=0.3 because the synthetic
+# embeddings top out at cos≈0.51 — a 0.95 threshold would make the oracle
+# vacuously compare empty sets.
+NEAR_DUP_BANDS = 2
+NEAR_DUP_PLANES = 8
+NEAR_DUP_CAP = 100
+NEAR_DUP_THRESHOLD = 0.3
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold form, no ranking):
-    bucketed by LSH, exact cosine filter >= 0.95."""
+    banded LSH self-equi-join (nothing broadcast, per-bucket cap), exact
+    cosine filter within candidates."""
     prep_session(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.lsh_topk(emb, emb, k=10**9, n_planes=4, dim=64)
-    return (
-        out.where((F.col("cos_sim") >= 0.95) & (F.col("query_id") < F.col("neighbor_id")))
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            "cos_sim",
-        )
+    return similarity.lsh_near_dup_pairs(
+        emb,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_bands=NEAR_DUP_BANDS,
+        planes_per_band=NEAR_DUP_PLANES,
+        dim=64,
+        bucket_cap=NEAR_DUP_CAP,
     )
 
 
 def _sql_embedding_near_dup() -> str:
-    planes = similarity.hyperplanes(64, 4)
-    bits = []
-    for j, plane in enumerate(planes):
-        arr = "[" + ", ".join(f"{x}::DOUBLE" for x in plane) + "]"
-        bits.append(
-            f"CASE WHEN list_sum(list_transform(list_zip(v, {arr}), p -> p[1]*p[2])) > 0 "
-            f"THEN {2 ** j} ELSE 0 END"
+    planes = similarity.hyperplanes(64, NEAR_DUP_BANDS * NEAR_DUP_PLANES)
+    band_sel = []
+    for b in range(NEAR_DUP_BANDS):
+        bits = []
+        for j in range(NEAR_DUP_PLANES):
+            plane = planes[b * NEAR_DUP_PLANES + j]
+            arr = "[" + ", ".join(f"{x}::DOUBLE" for x in plane) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(list_zip(v, {arr}), p -> p[1]*p[2])) > 0 "
+                f"THEN {2 ** j} ELSE 0 END"
+            )
+        code = " + ".join(bits)
+        band_sel.append(
+            f"SELECT vec_id, v, {b} AS band, CAST({code} AS BIGINT) AS code FROM base"
         )
-    bucket = " + ".join(bits)
+    coded = "\nUNION ALL\n".join(band_sel)
     return f"""
 WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) /
-               (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
-                sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_sim
-  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+coded AS ({coded}),
+capped AS (
+  SELECT vec_id, v, band, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, code ORDER BY vec_id) AS rn
+    FROM coded)
+  WHERE rn <= {NEAR_DUP_CAP}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_sum(list_transform(list_zip(va, vb), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(va, x -> x*x))) *
+                sqrt(list_sum(list_transform(vb, x -> x*x)))), 6) AS cos_sim
+  FROM cand)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
 """
 
 

@@ -5,10 +5,15 @@
   ``zip_with`` + ``aggregate`` (all JVM-side, no Python). Cost is
   O(|queries| · |corpus|) — correct at any corpus size as long as the
   query set is small, since the corpus side never shuffles.
-- lsh_topk: the scale path. Random-hyperplane LSH with DETERMINISTIC
-  hyperplanes derived from md5 (no RNG state, so results are reproducible
-  and oracle-checkable). Vectors hash to a bucket; top-k runs within the
-  query's bucket only. Recall/cost tunable via n_planes.
+- lsh_topk: bucketed ANN for a SMALL query set (broadcast). Random-
+  hyperplane LSH with DETERMINISTIC hyperplanes derived from md5 (no RNG
+  state, so results are reproducible and oracle-checkable).
+- lsh_near_dup_pairs: the corpus-vs-corpus scale path. Multi-band
+  hyperplane codes + a self-EQUI-join keyed by (band, code) — the same
+  shape as dedup.minhash_lsh_pairs. Nothing is broadcast; bucket count
+  is derived from corpus size so expected bucket occupancy stays O(1)
+  and candidate volume stays ~linear in the corpus; a per-bucket cap
+  bounds the worst bucket.
 
 All arithmetic is done in double (the raw column is float32; mixed-width
 sums would diverge from any external oracle).
@@ -16,11 +21,16 @@ sums would diverge from any external oracle).
 
 from __future__ import annotations
 
+import logging
+import math
+
 from csvs_to_sqlite_spark.functions.hashing import py_md5_long
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+logger = logging.getLogger("csvs_to_sqlite_spark.similarity")
 
 
 def _as_double(col: F.Column) -> F.Column:
@@ -178,6 +188,11 @@ def lsh_topk(
     The bucket join replaces the cross join — candidates shrink by
     ~2^n_planes. The corpus side is hash-partitioned by bucket (one
     shuffle), queries broadcast.
+
+    CONTRACT: ``query`` must be small (it is broadcast and every corpus
+    bucket is scanned against its bucket-mates). For corpus-vs-corpus
+    near-duplicate detection use ``lsh_near_dup_pairs`` — feeding the
+    full corpus in as ``query`` here would broadcast it.
     """
     planes = hyperplanes(dim, n_planes)
     c = emb.select(
@@ -201,4 +216,129 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def derive_planes_per_band(n_vectors: int) -> int:
+    """Planes per band sized so each band has ~n buckets (2^planes ≈ n):
+    expected bucket occupancy stays O(1) as the corpus grows, which keeps
+    within-bucket pair generation ~linear in corpus size instead of
+    quadratic at a fixed bucket count."""
+    return max(4, math.ceil(math.log2(max(n_vectors, 2))))
+
+
+def band_code_cols(vec: F.Column, n_bands: int, planes_per_band: int, dim: int) -> list[F.Column]:
+    """One struct(band, code) per band; code bit j = sign(v · plane_{b*r+j}).
+    Reuses the deterministic md5 hyperplane family so Spark, SQL oracles,
+    and driver Python agree bit-for-bit."""
+    planes = hyperplanes(dim, n_bands * planes_per_band)
+    out = []
+    for b in range(n_bands):
+        code = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            plane_lit = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(_dot(vec, plane_lit) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+            code = code + bit.cast("long")
+        out.append(F.struct(F.lit(b).alias("band"), code.alias("code")))
+    return out
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 2,
+    planes_per_band: int | None = None,
+    dim: int = 64,
+    bucket_cap: int = 10_000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, with both vectors attached)
+    via a banded hyperplane-LSH self-equi-join — NO broadcast, no cross
+    join; the only wide operation is one shuffle keyed by (band, code),
+    exactly like ``dedup.minhash_lsh_pairs``.
+
+    - ``planes_per_band=None`` derives the band width from a corpus
+      count so bucket count tracks corpus size (see
+      ``derive_planes_per_band``); pass an explicit value when the
+      result must match a statically-generated oracle.
+    - ``bucket_cap`` keeps only the ``bucket_cap`` lowest ids per
+      (band, code) bucket before pairing — a deterministic skew guard
+      bounding any one bucket at O(cap²) pairs. ``log_drops=True`` runs
+      one extra small aggregate over bucket sizes and logs how many
+      postings the cap discarded.
+    - Vectors ride through the band join (width ≈ ``dim`` doubles per
+      banded row) so exact re-scoring needs no second join against the
+      corpus; for very wide vectors prefer re-joining on id instead.
+    """
+    if planes_per_band is None:
+        planes_per_band = derive_planes_per_band(emb.count())
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    coded = base.select(
+        "vid",
+        "v",
+        F.explode(F.array(*band_code_cols(F.col("v"), n_bands, planes_per_band, dim))).alias("bc"),
+    ).select("vid", "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    if bucket_cap is not None:
+        if log_drops:
+            sizes = coded.groupBy("band", "code").count()
+            dropped = (
+                sizes.select(
+                    F.sum(F.greatest(F.col("count") - bucket_cap, F.lit(0))).alias("d")
+                ).collect()[0]["d"]
+                or 0
+            )
+            if dropped:
+                logger.warning(
+                    "lsh_candidate_pairs: bucket_cap=%d dropped %d postings",
+                    bucket_cap,
+                    dropped,
+                )
+        w = Window.partitionBy("band", "code").orderBy("vid")
+        coded = (
+            coded.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= bucket_cap)
+            .drop("__rn__")
+        )
+    coded = coded.persist()  # both self-join sides reuse the coding stage
+    a, b = coded.alias("a"), coded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .groupBy(
+            F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b")
+        )  # dedupe multi-band hits; map-side partial agg keeps it cheap
+        .agg(F.first("a.v").alias("va"), F.first("b.v").alias("vb"))
+    )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 2,
+    planes_per_band: int | None = None,
+    dim: int = 64,
+    bucket_cap: int = 10_000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale:
+    banded LSH candidates (see ``lsh_candidate_pairs``) + exact cosine
+    filter. Returns (id_a, id_b, cos_sim) with id_a < id_b."""
+    cand = lsh_candidate_pairs(
+        emb, id_col, vec_col, n_bands, planes_per_band, dim, bucket_cap, log_drops
+    )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return cand.select("id_a", "id_b", sim.alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
     )

@@ -201,3 +201,49 @@ def test_incremental_dim_against_engine(spark, tmp_path):
         (2, "b"),
         (3, "c"),
     ]
+
+
+def test_lsh_near_dup_finds_clone(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(math.sin(i * 0.7 + j)) for j in range(64)]))
+    rows.append((100, rows[0][1]))  # exact clone of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.lsh_near_dup_pairs(
+            emb, threshold=0.99, planes_per_band=6
+        ).collect()
+    }
+    assert (0, 100) in pairs
+    assert pairs[(0, 100)] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_candidates_grow_linearly_with_derived_planes(spark):
+    """Scale posture of the banded near-dup path: with planes_per_band
+    derived from corpus size (bucket count tracks n), the candidate set
+    under a 5x self-union grows ~linearly — true-duplicate pairs (which
+    ARE the output) plus noise that stays proportional — instead of the
+    25x a fixed bucket count would give."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n1 = emb.count()
+    c5 = None
+    for i in range(5):
+        part = emb.select((F.col("vec_id") + i * 100_000).alias("vec_id"), "embedding")
+        c5 = part if c5 is None else c5.unionByName(part)
+
+    cands_1x = similarity.lsh_candidate_pairs(emb, planes_per_band=None).count()
+    cands_5x = similarity.lsh_candidate_pairs(c5, planes_per_band=None).count()
+    # 5x self-union makes C(5,2)=10 exact-duplicate pairs per original
+    # vector — genuinely near-dup output, inherently part of the count
+    true_dup_pairs = 10 * n1
+    noise_1x = cands_1x
+    noise_5x = cands_5x - true_dup_pairs
+    assert noise_5x <= 5 * noise_1x * 1.5  # linear in corpus size, with slack
+    # and the derived bucket count must beat the fixed-bucket alternative
+    fixed = similarity.lsh_candidate_pairs(
+        c5, planes_per_band=similarity.derive_planes_per_band(n1)
+    ).count()
+    assert cands_5x < 0.6 * fixed
