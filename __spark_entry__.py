@@ -681,14 +681,22 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
 
 
+# mirrors ngram_jaccard_pairs' default max_df="auto" cap: drop shingles with
+# document frequency above max(1000, 1% of corpus). int() in the Spark path
+# truncates, floor() here — identical for non-negative counts.
 SQL_JACCARD = (
     "WITH "
     + _SHINGLE_TOK_CTE
     + """,
-sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+dfreq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+tokc AS (
+  SELECT tok.doc_id, tok.token FROM tok JOIN dfreq USING (token)
+  WHERE dfreq.c <= greatest(1000,
+        CAST(floor(0.01 * (SELECT count(*) FROM documents)) AS BIGINT))),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tokc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  FROM tokc a JOIN tokc b ON a.token = b.token AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter

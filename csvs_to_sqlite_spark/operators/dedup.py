@@ -24,8 +24,12 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger("csvs_to_sqlite_spark.dedup")
 
 from csvs_to_sqlite_spark.functions.hashing import (
     md5_long,
@@ -76,21 +80,42 @@ def ngram_jaccard_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
     shingle_n: int | None = 3,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index join over shingles.
 
-    ``max_df`` additionally drops units appearing in more than that many
-    documents (skew guard for adversarial corpora).
+    ``max_df`` drops units appearing in more than that many documents —
+    the skew guard that keeps the posting-list self-join from exploding
+    on one hyper-frequent shingle (its bucket alone contributes df²
+    pairs). ON BY DEFAULT: ``"auto"`` sizes the cap as
+    max(1000, 1% of the corpus), so it never bites small corpora but
+    bounds any bucket at ~(0.01·n)² as n grows. ``None`` disables it.
+    A unit above the cap is shared boilerplate, not signal — dropping it
+    barely moves true Jaccard for near-dup thresholds. The drop list is
+    small by construction, so it is applied as a broadcast ANTI-join
+    (broadcasting the keep-side vocabulary would not scale).
+    ``log_drops=True`` additionally counts and logs the dropped units.
     """
     tok = token_posting(df, text_col, id_col, shingle_n)
-    if max_df is not None:
-        keep = tok.groupBy("token").count().where(F.col("count") <= max_df).select("token")
-        tok = tok.join(F.broadcast(keep), "token")
-    # tok feeds three consumers (sizes + both join sides): persist so the
-    # tokenize/shingle stage runs once, not three times
+    # tok feeds several consumers (df-cap aggregate, sizes, both join
+    # sides): persist so the tokenize/shingle stage runs once
     tok = tok.persist()
+    if max_df == "auto":
+        max_df = max(1000, int(0.01 * df.count()))
+    if max_df is not None:
+        dfreq = tok.groupBy("token").count()
+        drop = dfreq.where(F.col("count") > max_df).select("token")
+        if log_drops:
+            n_dropped = drop.count()
+            if n_dropped:
+                logger.warning(
+                    "ngram_jaccard_pairs: max_df=%d dropped %d hyper-frequent units",
+                    max_df,
+                    n_dropped,
+                )
+        tok = tok.join(F.broadcast(drop), "token", "left_anti").persist()
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = tok.alias("a")
     b = tok.alias("b")

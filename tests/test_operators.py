@@ -247,3 +247,31 @@ def test_lsh_candidates_grow_linearly_with_derived_planes(spark):
         c5, planes_per_band=similarity.derive_planes_per_band(n1)
     ).count()
     assert cands_5x < 0.6 * fixed
+
+
+def test_jaccard_df_cap_drops_boilerplate(spark):
+    """The df-cap drops hyper-frequent (boilerplate) shingles: docs that
+    only share boilerplate stop pairing, true near-dups keep their pair."""
+    boiler = "standard corporate legal disclaimer header text "
+    rows = [
+        (0, boiler + "alpha beta gamma delta epsilon zeta"),
+        (1, boiler + "alpha beta gamma delta epsilon zeta"),  # dup of 0
+        (2, boiler + "totally different body one two three"),
+        (3, boiler + "unrelated content four five six seven"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", threshold=0.2, max_df=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", threshold=0.2, max_df=3, log_drops=True
+        ).collect()
+    }
+    assert (2, 3) in uncapped  # boilerplate alone pairs them without the cap
+    assert (2, 3) not in capped
+    assert (0, 1) in capped  # true duplicates survive the cap
