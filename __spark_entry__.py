@@ -1153,11 +1153,14 @@ def q_inverted_index(spark, sf_dir):
         F.countDistinct("doc_id").alias("df"),
         F.min("doc_id").alias("first_doc"),
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-20
+    # + driver merge) — a global row_number() window here would instead
+    # sort the whole vocabulary in one task. The window below only ranks
+    # the 20 surviving rows.
+    top = out.orderBy(F.col("df").desc(), F.col("token").asc()).limit(20)
     w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
-    return (
-        out.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 20)
-        .select("token", "df", "first_doc", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "token", "df", "first_doc", "rnk"
     )
 
 

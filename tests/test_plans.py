@@ -68,3 +68,19 @@ def test_minhash_single_shuffle(spark):
 def test_knn_bruteforce_broadcasts_queries(spark):
     plan = explain_str(E.q_knn_bruteforce(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_uses_take_ordered(spark):
+    """Top-20 must compile to TakeOrderedAndProject (distributed
+    per-partition top-k + driver merge), not a global single-task sort
+    window over the whole vocabulary."""
+    plan = explain_str(E.q_inverted_index(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+    window_lines = [l for l in plan.splitlines() if "+- Window" in l]
+    take_idx = next(
+        i for i, l in enumerate(plan.splitlines()) if "TakeOrderedAndProject" in l
+    )
+    # any window must sit ABOVE the take-ordered (ranking 20 rows, not all)
+    for i, l in enumerate(plan.splitlines()):
+        if "+- Window" in l:
+            assert i < take_idx
