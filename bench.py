@@ -88,12 +88,21 @@ def main() -> None:
         qs[wq](spark, warm_dir).write.format("noop").mode("overwrite").save()
     bench_ingest_sqlite(spark, warm_dir)
 
+    # Median-of-3: round 2 recorded a 3.5x one-off on the first two heavy
+    # queries (machine contention defeating the warm-up; did not reproduce
+    # on re-run). The median absorbs a single contended sample. Ingest
+    # stays single-run: it is ~40% of total wall and its observed variance
+    # is proportionally small (±10%), so tripling it isn't worth the time.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     timings["ingest_sqlite"] = round(bench_ingest_sqlite(spark, sf_dir), 3)
 
