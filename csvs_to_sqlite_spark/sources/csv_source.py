@@ -84,6 +84,7 @@ def _detect_encoding(
 
 
 # Mirrors pandas csv.QUOTE_* read-relevant behavior (reference cli.py:28-33).
+_QUOTE_NONNUMERIC = 2
 _QUOTE_NONE = 3
 _EXTRA = "__extra_fields__"
 
@@ -212,7 +213,10 @@ def load_csv(
             return df, counts, {}
         return df  # A7: everything stays StringType (reference utils.py:31)
     return infer_reference_types(
-        df, check_bad_lines=bad_lines_pending, return_partition_counts=_with_counts
+        df,
+        check_bad_lines=bad_lines_pending,
+        return_partition_counts=_with_counts,
+        quoting=quoting,
     )
 
 
@@ -220,6 +224,7 @@ def infer_reference_types(
     df: DataFrame,
     check_bad_lines: bool = False,
     return_partition_counts: bool = False,
+    quoting: int = 0,
 ):
     """Reproduce pandas read_csv dtype inference over an all-string frame.
 
@@ -227,6 +232,16 @@ def infer_reference_types(
     float64 if every non-null parses as float, bool if every non-null is
     True/False, else object. One aggregate job computes all columns'
     verdicts at once (scales: single scan, partial aggregation map-side).
+
+    ``quoting=2`` (csv.QUOTE_NONNUMERIC, reference utils.py:41 passing it
+    to pandas): the C parser converts numeric fields to float at parse
+    time, so every column that would infer int64 — including all-quoted
+    digit strings and ints beyond int64/uint64, probed on pandas 2.2 —
+    lands as float64 instead; bool and object inference are unchanged,
+    and the order-dependent big-int overflow rule never applies.
+    ``quoting=1`` (QUOTE_ALL) changes nothing on the read side — the csv
+    module only distinguishes it when WRITING — so it takes the default
+    path (differential-tested).
 
     With ``return_partition_counts`` the same pass also yields per-scan-
     partition row counts (grouped by spark_partition_id) for row-id
@@ -358,6 +373,16 @@ def infer_reference_types(
         )
         if n == 0:
             projections.append(q.try_cast("long").alias(c))
+        elif quoting == _QUOTE_NONNUMERIC and (
+            row[f"c{i}_re"] == n or row[f"c{i}_dbl"] == n
+        ):
+            # QUOTE_NONNUMERIC: any numeric column is float64 — int64,
+            # uint64 and beyond-uint64 tiers all collapse into this branch
+            # (each field went through float()); C1 write-time downcast
+            # then applies exactly as for any other float column
+            projections.append(q.try_cast("double").alias(c))
+            if row[f"c{i}_nonint"] == 0:
+                overrides[c] = "INTEGER"
         elif big_blocks:
             # beyond-uint64 int-string with no earlier float-notation value:
             # pandas object → TEXT

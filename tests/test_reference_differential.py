@@ -82,6 +82,29 @@ SCENARIOS = [
         ["-c", "office", "--no-index-fks", "--no-fulltext-fks"],
         dict(extract_column=["office"], no_index_fks=True, no_fulltext_fks=True),
     ),
+    # --quoting 1 (QUOTE_ALL): read side must behave exactly like
+    # QUOTE_MINIMAL (the csv module only distinguishes them when writing)
+    (
+        "quoteall.csv",
+        'a,b,c\n1,"x,y",2.5\n2,z,3.25\n',
+        ["--quoting", "1"],
+        dict(quoting=1),
+    ),
+    # --quoting 2 (QUOTE_NONNUMERIC): pandas' C parser floats every
+    # numeric field, quoted or not — int columns (id, quoted qnum,
+    # NA-holed hole) must land as float64 → C1 INTEGER affinity with
+    # per-value SQLite coercion, not int64; bools and text unchanged
+    (
+        "quotenn.csv",
+        (
+            "id,qnum,price,name,flag,hole\n"
+            '1,"10",1.5,"alpha, beta",True,5\n'
+            '2,"20",2.25,gamma,False,\n'
+            '3,"30",4.0,delta,True,7\n'
+        ),
+        ["--quoting", "2"],
+        dict(quoting=2),
+    ),
 ]
 
 _FTS_SHADOW = (
