@@ -269,6 +269,11 @@ UNION ALL SELECT 'l_tax',
 """
 
 
+# one tuple drives BOTH the Spark query and the SQL oracle — editing the
+# scale set in one place cannot silently desynchronize the other (ADVICE r2)
+GFMT_SCALES = (1e4, 1e5, 1e-2)
+
+
 def q_canonical_g_format(spark, sf_dir):
     """E2: %g float canonicalization (the lookup-value string form).
 
@@ -280,18 +285,20 @@ def q_canonical_g_format(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     base = li.select(F.col("l_quantity").alias("q")).distinct()
     v = base.select(F.col("q").alias("v"))
-    for scale in (1e4, 1e5, 1e-2):
+    for scale in GFMT_SCALES:
         v = v.unionByName(base.select((F.col("q") * F.lit(scale)).alias("v")))
     return v.distinct().select("v", fmt_g(F.col("v")).alias("canon"))
 
 
-SQL_GFMT = """
+def _sql_gfmt() -> str:
+    branches = "\n           ".join(
+        f"UNION SELECT q * {scale!r} FROM q" for scale in GFMT_SCALES
+    )
+    return f"""
 WITH q AS (SELECT DISTINCT l_quantity AS q FROM lineitem),
      v AS (SELECT q AS v FROM q
-           UNION SELECT q * 1e4 FROM q
-           UNION SELECT q * 1e5 FROM q
-           UNION SELECT q * 1e-2 FROM q)
-SELECT DISTINCT v, format('{:g}', v) AS canon FROM v
+           {branches})
+SELECT DISTINCT v, format('{{:g}}', v) AS canon FROM v
 """
 
 # ---------------------------------------------------------------------------
@@ -1493,7 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_urgent": SQL_SEMI,
         "anti_join_customers": SQL_ANTI,
         "int_downcast_detect": SQL_DOWNCAST,
-        "canonical_g_format": SQL_GFMT,
+        "canonical_g_format": _sql_gfmt(),
         "date_iso_format": SQL_DATE,
         "agg_pricing_summary": SQL_Q1,
         "rollup_returnflag": SQL_ROLLUP,

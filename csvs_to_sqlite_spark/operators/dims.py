@@ -46,13 +46,18 @@ def fmt_g(col: F.Column) -> F.Column:
     and at the end of plain form. Zeros are only stripped AFTER a decimal
     point — Java renders integral doubles in [1e5, 1e6) with no fraction
     at all ("100000"), and an unanchored ``\\.?0+$`` would eat its real
-    trailing zeros ("100000" → "1")."""
+    trailing zeros ("100000" → "1"). Java also renders infinities as
+    "Infinity"/"-Infinity" where CPython %g gives "inf"/"-inf"."""
     s = F.format_string("%g", col)
     s = F.regexp_replace(s, r"(\.\d*?)0+e", r"$1e")  # 1.20000e+06 → 1.2e+06
     s = F.regexp_replace(s, r"\.e", "e")  # 1.e+06 → 1e+06
     s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")  # 17.0000 → 17., 0.500000 → 0.5
     s = F.regexp_replace(s, r"\.$", "")  # 17. → 17
-    return s
+    return (
+        F.when(col == F.lit(float("inf")), F.lit("inf"))
+        .when(col == F.lit(float("-inf")), F.lit("-inf"))
+        .otherwise(s)
+    )
 
 
 def canonical_value(col: F.Column, dtype) -> F.Column:

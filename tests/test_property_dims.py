@@ -100,3 +100,21 @@ def test_first_appearance_matches_python_oracle(spark, data):
     ]
     want = py_first_appearance(nested)
     assert got == want
+
+
+def test_fmt_g_infinities_and_python_parity(spark):
+    """fmt_g must render ±inf the CPython way ("inf"/"-inf", not Java's
+    "Infinity"), and agree with CPython %g on representative finite
+    values from every regime."""
+    from csvs_to_sqlite_spark.operators.dims import fmt_g
+    from pyspark.sql import functions as F
+
+    vals = [
+        float("inf"),
+        float("-inf"),
+        1.0, 17.0, 0.5, 100000.0, 123456.0, 1200000.0, 0.004, 2.5e-7, -42.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["v"]: r["g"] for r in df.select("v", fmt_g(F.col("v")).alias("g")).collect()}
+    for v in vals:
+        assert got[v] == "{0:g}".format(v), (v, got[v])
