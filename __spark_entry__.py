@@ -889,53 +889,99 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 # text analysis (documents table)
 # ---------------------------------------------------------------------------
 
+IVF_CENTROIDS = 8
+IVF_PROBE = 2
+IVF_KMEANS_ITERS = 2
+
+
 def q_knn_ivf(spark, sf_dir):
-    """IVF ANN: centroid cells (first-8 vectors as deterministic
-    centroids), single-probe candidate set, exact cosine re-rank."""
+    """IVF ANN: k-means centroid cells (2 deterministic seeded Lloyd
+    rounds), multi-probe (P=2) candidate set, exact cosine re-rank."""
     prep_session(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    out = similarity.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        kmeans_iters=IVF_KMEANS_ITERS,
+    )
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rnk")
     )
 
 
-SQL_KNN_IVF = """
-WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < 8),
-corpus_sims AS (
-  SELECT b.vec_id AS neighbor_id, b.v AS cv2, c.centroid_id,
-         round(list_sum(list_transform(list_zip(b.v, c.cv), p -> p[1]*p[2])) /
-               (sqrt(list_sum(list_transform(b.v, x -> x*x))) *
-                sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS csim
-  FROM base b CROSS JOIN cents c),
-corpus AS (
-  SELECT neighbor_id, cv2, centroid_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY neighbor_id
-              ORDER BY csim DESC, centroid_id) AS rn FROM corpus_sims)
-  WHERE rn = 1),
-q_sims AS (
-  SELECT b.vec_id AS query_id, b.v AS qv, c.centroid_id,
-         round(list_sum(list_transform(list_zip(b.v, c.cv), p -> p[1]*p[2])) /
-               (sqrt(list_sum(list_transform(b.v, x -> x*x))) *
-                sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS csim
-  FROM base b CROSS JOIN cents c WHERE b.vec_id < 10),
-q AS (
-  SELECT query_id, qv, centroid_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY csim DESC, centroid_id) AS rn FROM q_sims)
-  WHERE rn = 1),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(list_sum(list_transform(list_zip(qv, cv2), p -> p[1]*p[2])) /
-               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
-                sqrt(list_sum(list_transform(cv2, x -> x*x)))), 6) AS cos_sim
-  FROM corpus JOIN q USING (cell) WHERE query_id <> neighbor_id)
+def _dd_cos(a: str, b: str) -> str:
+    """DuckDB rounded-cosine expression between two DOUBLE list columns."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2])) /"
+        f" (sqrt(list_sum(list_transform({a}, x -> x*x))) *"
+        f" sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
+    )
+
+
+def _sql_knn_ivf() -> str:
+    """Mirror of ivf_topk: the Lloyd rounds are unrolled into one CTE
+    pair (assign, recompute-means) per iteration, generated from the
+    same IVF_* constants the Spark query uses. Centroid components are
+    rounded to 6 dp on both sides, which erases cross-engine float
+    summation-order differences."""
+    parts = [
+        "WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < {IVF_CENTROIDS})",
+    ]
+    for it in range(IVF_KMEANS_ITERS):
+        parts.append(
+            f"""asg{it} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN cents{it} c)
+  WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cents{it + 1} AS (
+  SELECT cell AS centroid_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, round(avg(x), 6) AS m FROM (
+      SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM asg{it})
+    GROUP BY cell, pos)
+  GROUP BY cell)"""
+        )
+    final = f"cents{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""corpus AS (
+  SELECT vec_id AS neighbor_id, v AS cv2, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c)
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c WHERE b.vec_id < 10)
+  WHERE rn <= {IVF_PROBE})"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT query_id, neighbor_id, {_dd_cos('qv', 'cv2')} AS cos_sim
+  FROM corpus JOIN q USING (cell) WHERE query_id <> neighbor_id)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
 SELECT query_id, neighbor_id, cos_sim, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
 WHERE rnk <= 5
 """
+    )
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -1524,7 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash_pairs(),
         "knn_bruteforce": SQL_KNN,
         "knn_lsh": _sql_knn_lsh(),
-        "knn_ivf": SQL_KNN_IVF,
+        "knn_ivf": _sql_knn_ivf(),
         "text_token_stats": SQL_TOKEN_STATS,
         "text_quality": SQL_QUALITY,
         "text_langid": _sql_langid(),

@@ -105,10 +105,13 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str,
     vec_alias: str,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by (rounded) cosine, ties to
-    the lower centroid id. Centroids are broadcast; assignment is one
-    map-side |vecs|×|centroids| sweep + a per-vector argmax window."""
+    """IVF cell assignment: nearest centroid(s) by (rounded) cosine, ties
+    to the lower centroid id. Centroids are broadcast; assignment is one
+    map-side |vecs|×|centroids| sweep + a per-vector top-``n_probe``
+    window. ``n_probe > 1`` (multi-probe) is for the QUERY side — the
+    corpus keeps exactly one home cell."""
     c = centroids.select(
         F.col("centroid_id"), F.col("cv").alias("centroid_v")
     )
@@ -122,9 +125,51 @@ def assign_cells(
     return (
         pairs.select(F.col(id_col), F.col(vec_alias), F.col("centroid_id"), sim.alias("csim"))
         .withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") == 1)
+        .where(F.col("__rn__") <= n_probe)
         .select(id_col, vec_alias, F.col("centroid_id").alias("cell"))
     )
+
+
+def kmeans_centroids(
+    base: DataFrame,
+    id_col: str,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic k-means(-ish) centroids: seed with the first
+    ``n_centroids`` vectors by id, run a FIXED number of Lloyd rounds
+    (assign to nearest by rounded cosine, recompute element-wise means).
+
+    Fixed iteration count + rounding every centroid component to
+    ``round_dp`` decimals keeps the result bit-reproducible across Spark
+    and a SQL oracle (float summation order differs between engines;
+    at 6 dp those last-bit differences vanish). Each round is one
+    broadcast sweep + one shuffle keyed (cell, pos) — the corpus is
+    never collected, so the loop scales to any corpus size; n_iters is
+    a small constant, not data-dependent (no convergence probe needed
+    for an ANN coarse quantizer — cell QUALITY, not optimality, is what
+    multi-probe recall rests on)."""
+    cents = base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iters):
+        assigned = assign_cells(
+            base.select(F.col(id_col), F.col("v").alias("av")), cents, id_col, "av"
+        )
+        exploded = assigned.select("cell", F.posexplode("av").alias("pos", "x"))
+        means = exploded.groupBy("cell", "pos").agg(
+            F.round(F.avg("x"), round_dp).alias("m")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform("pm", lambda s: s["m"]).alias("cv"),
+            )
+        )
+    return cents
 
 
 def ivf_topk(
@@ -134,17 +179,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF(-flat) ANN: corpus partitioned into centroid cells; each query
-    probes only its own cell. Centroids here are the first ``n_centroids``
-    vectors (deterministic; production would k-means them — the partition/
-    probe structure, which is what scales, is identical). Multi-probe is a
-    matter of taking the top-P cells in ``assign_cells``.
+    """IVF(-flat) ANN: corpus partitioned into k-means centroid cells
+    (deterministic seeded Lloyd rounds, see ``kmeans_centroids``); each
+    query probes its ``n_probe`` nearest cells and candidates are exact-
+    cosine re-ranked. A corpus vector lives in exactly one cell and a
+    query's probed cells are distinct, so no candidate dedupe is needed.
     """
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    centroids = base.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
-    )
+    centroids = kmeans_centroids(base, id_col, n_centroids, kmeans_iters)
     corpus = assign_cells(
         base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2")),
         centroids,
@@ -156,6 +201,7 @@ def ivf_topk(
         centroids,
         "query_id",
         "qv",
+        n_probe=n_probe,
     )
     cand = corpus.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
