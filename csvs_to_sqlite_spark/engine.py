@@ -15,7 +15,9 @@ files load fine; this is documented, deliberate, and covered by a test.
 from __future__ import annotations
 
 import os
+import shutil
 import sqlite3
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -23,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from csvs_to_sqlite_spark.operators.dates import apply_dates_and_datetimes
-from csvs_to_sqlite_spark.operators.dims import build_dims
+from csvs_to_sqlite_spark.operators.dims import build_dims, canonical_value
 from csvs_to_sqlite_spark.operators.rowid import with_row_id
 from csvs_to_sqlite_spark.operators.shapes import apply_shape, parse_shape
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
@@ -139,8 +141,10 @@ def import_csvs(
     shape_renames = (
         {c.csv_name: c.db_name for c in parse_shape(shape)} if shape else {}
     )
+    dim_specs, foreign_keys = parse_extract_columns(extract_column)
+    extract_cols = {s.resolved().column for s in dim_specs}
     tables: list[Table] = []
-    persisted = []
+    spill_dirs: list[str] = []
     for name, path in csvs.items():
         try:
             df, partition_counts, inferred_overrides = load_csv(
@@ -177,34 +181,49 @@ def import_csvs(
                     inferred_overrides[colname] = "INTEGER"
             df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
             df = with_row_id(df, partition_counts=partition_counts)
-            # the pipeline fires several actions per table (dim builds, dim
-            # writes, the fact write); persist so the CSV parses once
-            df = df.persist()
-            persisted.append(df)
-            tables.append(Table(table or name, df, overrides=inferred_overrides))
+            # Spill the typed frame to parquet ONCE and treat that as the
+            # pipeline cache: every later action (dim extraction with
+            # column pruning, the driver-side row landing) reads the
+            # columnar spill instead of re-parsing the CSV or filling a
+            # separate memory cache, and the fact write needs no second
+            # Spark job. Columns being dimension-extracted are spilled as
+            # their CANONICAL string form (fmt_g for floats) so the
+            # driver-side {canonical: id} substitution hits exactly the
+            # keys the Spark-built dims carry — value canonicalization
+            # happens in one engine only, never twice.
+            proj = [
+                canonical_value(F.col(c), df.schema[c].dataType).alias(c)
+                if c in extract_cols
+                else F.col(c)
+                for c in df.columns
+            ]
+            spill = tempfile.mkdtemp(prefix="engine_spill_")
+            df.select(*proj).write.mode("overwrite").parquet(spill)
+            cached = spark.read.parquet(spill)
+            spill_dirs.append(spill)
+            tables.append(Table(table or name, cached, overrides=inferred_overrides))
         except LoadCsvError as e:
             # A13 per-file isolation (reference cli.py:224-225)
             result.messages.append(f"Could not load {path}: {e}")
 
-    dim_specs, foreign_keys = parse_extract_columns(extract_column)
-
     sink = SQLiteSink(dbname)
     try:
         dim_frames = {}
+        dim_maps: dict[str, dict] = {}
         if dim_specs:
             existing = _existing_dims(spark, dbname, dim_specs)
             tables, dim_frames = build_dims(tables, dim_specs, existing)
             # dims are written BEFORE facts (reference utils.py:238-254)
             label_by_dim = {s.resolved().table: s.resolved().value_column for s in dim_specs}
             for dim_name, dim_df in dim_frames.items():
-                sink.write_dim(
+                dim_maps[dim_name] = sink.write_dim(
                     dim_name, dim_df, label_by_dim[dim_name], fts=not no_fulltext_fks
                 )
 
         created_tables: list[str] = []
         seen_created: set[str] = set()
         shared_overrides = dict(shape_overrides) if shape else None
-        for t in tables:
+        for t, spill in zip(tables, spill_dirs):
             if shared_overrides is not None:
                 will_create = (
                     replace_tables and t.name not in seen_created
@@ -243,10 +262,17 @@ def import_csvs(
                 primary_keys=tuple(primary_key),
                 replace=replace_tables and t.name not in seen_created,
                 index_fks=not no_index_fks,
-                # row ids were assigned in scan order and every transform
-                # since (shape/constants/dates/fk-rewrite broadcast joins)
-                # is narrow, so partition files land already ordered
-                presorted=True,
+                # rows land straight from the typed spill (already in
+                # ROW_ID order — scan-order part files, narrow transforms
+                # only); extracted columns substitute their dim id through
+                # the driver-side canonical→id map, so the broadcast-join
+                # rewrite plan (t.df, used for DDL schema) never executes
+                data_parquet_dir=spill,
+                fk_maps={
+                    col: dim_maps[dim_table]
+                    for col, (dim_table, _label) in foreign_keys.items()
+                    if col in t.df.columns and dim_table in dim_maps
+                },
             )
             if created:
                 created_tables.append(t.name)
@@ -265,6 +291,6 @@ def import_csvs(
             sink.create_fact_fts(created_tables, list(fts), foreign_keys)
     finally:
         sink.close()
-        for df in persisted:
-            df.unpersist()
+        for d in spill_dirs:
+            shutil.rmtree(d, ignore_errors=True)
     return result

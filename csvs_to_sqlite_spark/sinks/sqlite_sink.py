@@ -160,12 +160,19 @@ class SQLiteSink:
         replace: bool = False,
         index_fks: bool = True,
         presorted: bool = False,
+        data_parquet_dir: str | None = None,
+        fk_maps: dict[str, dict] | None = None,
     ) -> bool:
         """Returns True if the table was created this call (vs appended).
 
         ``presorted``: the DataFrame is already in ROW_ID order across its
         partitions (true straight off a scan with narrow transforms) — the
-        sink then skips the global sort before spilling."""
+        sink then skips the global sort before spilling.
+
+        ``data_parquet_dir``: land rows from an ALREADY-MATERIALIZED
+        sorted parquet spill instead of executing ``df`` (which then only
+        supplies the DDL schema); ``fk_maps`` substitutes dim ids for the
+        spilled canonical values (see ``insert_parquet_dir``)."""
         if self.table_exists(name) and replace:
             self.drop_table(name)
         created = not self.table_exists(name)
@@ -182,7 +189,10 @@ class SQLiteSink:
                         self.conn.execute(
                             f'CREATE INDEX ["{name}_{col}"] ON [{name}]("{col}")'
                         )
-        self._insert_rows(name, df, out_cols, presorted)
+        if data_parquet_dir is not None:
+            self.insert_parquet_dir(name, data_parquet_dir, out_cols, fk_maps)
+        else:
+            self._insert_rows(name, df, out_cols, presorted)
         return created
 
     def _insert_rows(
@@ -259,10 +269,12 @@ class SQLiteSink:
                 for f in pf.schema_arrow
                 if pat.is_temporal(f.type) or pat.is_boolean(f.type) or pat.is_binary(f.type)
             }
-            for batch in pf.iter_batches(self.BATCH):
+            for batch in pf.iter_batches(self.BATCH, columns=out_cols):
                 pdf = batch.to_pandas(types_mapper=types_mapper)
                 if len(pdf) == 0:
                     continue
+                if list(pdf.columns) != out_cols:
+                    pdf = pdf[out_cols]  # iter_batches follows file order
                 for c in pdf.columns:
                     s = pdf[c]
                     if fk_maps and c in fk_maps:
@@ -286,11 +298,15 @@ class SQLiteSink:
     # -- dimension write (E1/E4/F4) ------------------------------------------
     def write_dim(
         self, name: str, dim: DataFrame, value_column: str = "value", fts: bool = True
-    ) -> None:
+    ) -> dict:
         """Write/extend a lookup table ``(id INTEGER PRIMARY KEY, value TEXT)``
         (reference utils.py:151-182). Only ids not already present are
         inserted (E4 incremental growth). ``fts`` adds/extends the per-dim
-        FTS index (F4, on by default, --no-fulltext-fks to disable)."""
+        FTS index (F4, on by default, --no-fulltext-fks to disable).
+
+        Returns the FULL ``{value: id}`` map (existing + new rows) — the
+        dim is dim-sized and collected here anyway, and the engine reuses
+        the map for driver-side fk substitution in the fact write."""
         fts_version = best_fts_version() if fts else None
         if not self.table_exists(name):
             self.conn.execute(
@@ -302,11 +318,8 @@ class SQLiteSink:
                     f'USING {fts_version} ("{value_column}", content="{name}")'
                 )
         max_id = self.conn.execute(f"select max(id) from [{name}]").fetchone()[0] or 0
-        rows = [
-            (r[0], r[1])
-            for r in dim.orderBy("id").collect()
-            if r[0] > max_id
-        ]
+        all_rows = dim.orderBy("id").collect()
+        rows = [(r[0], r[1]) for r in all_rows if r[0] > max_id]
         self.conn.executemany(f'INSERT INTO [{name}] (id, "{value_column}") VALUES (?, ?)', rows)
         if fts_version and self._fts_table_exists(f"{name}_{value_column}_fts"):
             self.conn.executemany(
@@ -314,6 +327,7 @@ class SQLiteSink:
                 rows,
             )
         self.conn.commit()
+        return {r[1]: r[0] for r in all_rows}
 
     def _fts_table_exists(self, name: str) -> bool:
         row = self.conn.execute(
