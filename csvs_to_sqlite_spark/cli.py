@@ -31,8 +31,17 @@ from csvs_to_sqlite_spark.sources.csv_source import _is_url
     "--extract-column",
     "-c",
     multiple=True,
-    help="One or more columns to 'extract' into a separate lookup table. "
-    "Use col or col:TableName or col:TableName:label_column.",
+    help=(
+        "One or more columns to 'extract' into a separate lookup table. "
+        "If you pass a simple column name that column will be replaced "
+        "with integer foreign key references to a new table of that "
+        "name. You can customize the name of the table like so:\n"
+        "    state:States:state_name\n\n"
+        "This will pull unique values from the 'state' column and use "
+        "them to populate a new 'States' table, with an id column "
+        "primary key and a state_name column containing the strings "
+        "from the original column."
+    ),
 )
 @click.option("--date", "-d", multiple=True, help="One or more columns to parse into ISO formatted dates")
 @click.option("--datetime", "-dt", multiple=True, help="One or more columns to parse into ISO formatted datetimes")

@@ -335,3 +335,17 @@ def test_incremental_dim_growth(spark, tmp_path):
         (3,),
     ]
     conn.close()
+
+
+def test_readme_help_in_sync():
+    """Docs-sync guarantee, porting the reference's cog check
+    (reference tests/test_csvs_to_sqlite.py:769-778): the --help text
+    embedded in README.md must match the live CLI's output."""
+    import pathlib
+
+    from tools.sync_readme_help import sync
+
+    readme = pathlib.Path(__file__).resolve().parent.parent / "README.md"
+    assert sync(readme, write=False), (
+        "Run 'python tools/sync_readme_help.py' to update --help in README.md"
+    )
