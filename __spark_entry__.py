@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from csvs_to_sqlite_spark.operators import dedup, similarity, text
+from csvs_to_sqlite_spark.operators import dedup, similarity, splits, text
 from csvs_to_sqlite_spark.operators.dims import build_dims, fmt_g
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
@@ -1471,6 +1471,185 @@ def q_streaming_sessions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-pipeline curation: decontamination, splits, scrubbing, repetition
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): docs with
+    doc_id % 50 == 0 stand in for an eval/benchmark corpus; every other
+    doc sharing a word 4-gram with them is dropped. n=4 (not the
+    production 13) because the synthetic docs are 30-60 tokens from a
+    small vocabulary — at sf0.01 this removes 19 of 490 train docs, so
+    the oracle exercises real overlap, not a no-op."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(train, eval_docs, n=4).select("doc_id", "lang", "source")
+
+
+def _sql_decontaminate() -> str:
+    h = md5_long_sql("s", hex_chars=15)
+    return (
+        "WITH tokd AS (SELECT doc_id, "
+        + tokens_sql("text", distinct=False)
+        + " AS toks FROM documents),\n"
+        "sh AS (SELECT doc_id, " + h + " AS h FROM (SELECT doc_id, unnest("
+        + shingles_sql("toks", 4)
+        + ") AS s FROM tokd)),\n"
+        "eval_h AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),\n"
+        "bad AS (SELECT DISTINCT doc_id FROM sh JOIN eval_h USING (h)\n"
+        "        WHERE doc_id % 50 <> 0)\n"
+        "SELECT doc_id, lang, source FROM documents\n"
+        "WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"
+    )
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based split (splits.hash_split): stable,
+    engine-independent placement; checked per-row via the (split, lang)
+    counts AND a per-split md5 id-set digest, so a single moved document
+    changes the result."""
+    prep_session(spark)
+    d = splits.hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
+    )
+
+
+def _sql_train_val_split() -> str:
+    assign = splits.split_assignment_sql("doc_id")
+    return (
+        f"WITH assigned AS (SELECT doc_id, lang, {assign} AS split FROM documents)\n"
+        "SELECT split, lang, count(*) AS n_docs,\n"
+        "  md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) AS id_digest\n"
+        "FROM assigned GROUP BY split, lang"
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (text.redact_pii). The corpus is synthetic word-soup
+    with no real PII, so the query plants a deterministic contact line
+    per doc (email + phone + IPv4, derived from doc_id) identically on
+    both sides, then redacts — the hash check verifies the Java and RE2
+    regex engines agree on every replacement."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat_ws(
+        " ",
+        F.substring("text", 1, 40),
+        F.lit("contact"),
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com")),
+        F.lit("or"),
+        F.concat(
+            F.lit("555-"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+        ),
+        F.lit("from"),
+        F.concat(
+            F.lit("10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+    return d.select("doc_id", text.redact_pii(planted).alias("redacted"))
+
+
+def _sql_pii_redact() -> str:
+    planted = (
+        "concat_ws(' ', substr(text, 1, 40), 'contact', "
+        "concat('user', cast(doc_id AS varchar), '@mail.example.com'), 'or', "
+        "concat('555-', cast(doc_id % 900 + 100 AS varchar), '-', "
+        "cast(doc_id % 9000 + 1000 AS varchar)), 'from', "
+        "concat('10.', cast(doc_id % 256 AS varchar), '.0.', "
+        "cast(doc_id % 100 AS varchar)))"
+    )
+    return (
+        f"SELECT doc_id, {text.redact_pii_sql(planted)} AS redacted FROM documents"
+    )
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition/boilerplate metrics: duplicate 2-/3-gram
+    fractions and the most-common-token share, plus the resulting keep
+    flag. Tokens materialize once behind a projection boundary (the
+    element_at-in-lambda contract); everything else is linear per-doc
+    column expressions — zero shuffle, zero UDFs."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+    toked = d.select(
+        "doc_id", tokens_expr(F.col("text"), distinct=False).alias("toks")
+    )
+    t = F.col("toks")
+    scored = toked.select(
+        "doc_id",
+        text.dup_ngram_fraction(t, 2).alias("dup_2gram_frac"),
+        text.dup_ngram_fraction(t, 3).alias("dup_3gram_frac"),
+        text.top_token_fraction(t).alias("top_token_frac"),
+    )
+    return scored.select(
+        "*",
+        (
+            (F.col("dup_2gram_frac") < 0.5)
+            & (F.col("dup_3gram_frac") < 0.3)
+            & (F.col("top_token_frac") < 0.2)
+        ).alias("keep"),
+    )
+
+
+def _sql_repetition_filter() -> str:
+    def dup_frac_sql(n: int) -> str:
+        parts = ", ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+        win = (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"[concat_ws(' ', {parts}) for i in range(1, len(toks) - {n - 1} + 1)] "
+            "ELSE [] END"
+        )
+        return (
+            f"round(CASE WHEN len({win}) > 0 THEN "
+            f"(len({win}) - len(list_distinct({win}))) / len({win}) "
+            "ELSE 0.0 END, 6)"
+        )
+
+    # max token frequency as a pure list expression (O(distinct·n) per
+    # row, fine at oracle scale) — mirrors the sorted-run-length result
+    top = (
+        "round(CASE WHEN len(toks) > 0 THEN "
+        "list_max(list_transform(list_distinct(toks), "
+        "t -> len(list_filter(toks, x -> x = t)))) "
+        "/ len(toks) ELSE 0.0 END, 6)"
+    )
+    return (
+        "WITH tokd AS (SELECT doc_id, "
+        + tokens_sql("text", distinct=False)
+        + " AS toks FROM documents),\n"
+        "scored AS (SELECT doc_id, "
+        f"{dup_frac_sql(2)} AS dup_2gram_frac, "
+        f"{dup_frac_sql(3)} AS dup_3gram_frac, "
+        f"{top} AS top_token_frac FROM tokd)\n"
+        "SELECT *, (dup_2gram_frac < 0.5 AND dup_3gram_frac < 0.3 "
+        "AND top_token_frac < 0.2) AS keep FROM scored"
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1531,6 +1710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "range_join": q_range_join,
         "stateful_user_totals": q_stateful_user_totals,
+        "decontaminate": q_decontaminate,
+        "train_val_split": q_train_val_split,
+        "pii_redact": q_pii_redact,
+        "repetition_filter": q_repetition_filter,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -1588,5 +1771,9 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": SQL_TIME_ROLLUP,
         "range_join": SQL_RANGE_JOIN,
         "stateful_user_totals": SQL_STATEFUL,
+        "decontaminate": _sql_decontaminate(),
+        "train_val_split": _sql_train_val_split(),
+        "pii_redact": _sql_pii_redact(),
+        "repetition_filter": _sql_repetition_filter(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

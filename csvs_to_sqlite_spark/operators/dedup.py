@@ -351,3 +351,39 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that shares
+    at least one word ``n``-gram with an evaluation/benchmark corpus
+    (the standard 13-gram-overlap rule used by large-LM training
+    pipelines; ``n`` is tunable for short-document corpora).
+
+    Plan shape at 100 TB: both sides shingle in their scan stage; the
+    match is ONE equi-join keyed md5(shingle) (a long, so shuffle width
+    is constant regardless of n), semi-joined down to contaminated doc
+    ids, then ONE broadcast-able anti-join back onto the corpus — the
+    fact table itself never shuffles. Eval corpora are benchmark-sized
+    (≪ corpus), so their distinct-shingle side stays small; no O(n²)
+    pair generation anywhere. The join key is 60 bits of md5 (15 hex
+    chars — the widest that safely fits a signed BIGINT in both
+    engines): unlike the LSH paths there is no downstream verification
+    step, so a 32-bit key would start falsely dropping docs at
+    billion-shingle scale.
+    """
+    doc_sh = token_posting(docs, text_col, id_col, shingle_n=n).select(
+        F.col(id_col), md5_long(F.col("token"), hex_chars=15).alias("h")
+    )
+    eval_sh = (
+        token_posting(eval_docs, text_col, id_col, shingle_n=n)
+        .select(md5_long(F.col("token"), hex_chars=15).alias("h"))
+        .distinct()
+    )
+    contaminated = doc_sh.join(eval_sh, "h", "left_semi").select(id_col).distinct()
+    return docs.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,68 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``hash_split`` assigns every row to a named split (train/val/test/…) by
+hashing a stable id — the standard way to partition a training corpus so
+that the assignment is (a) reproducible across runs and engines, (b)
+stable under corpus growth (adding documents never moves an existing one
+between splits), and (c) computable in the scan stage with zero shuffle
+and zero coordination. Salting the hash with ``seed`` yields independent
+re-splits.
+
+All hashing is MD5 (see functions/hashing.py) so the assignment is
+bit-identical in Spark, DuckDB, and Python — the oracle checks the
+actual per-row placement, not just split sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.functions.hashing import md5_long, md5_long_sql
+
+# (name, weight) pairs; weights are percents summing to ≤ 100 — any
+# remainder falls into the last bucket, so exhaustiveness is structural.
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5))
+
+
+def split_assignment(
+    id_col: Column, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS, seed: str = "split"
+) -> Column:
+    """Pure column expression: the split name for ``id_col``.
+
+    Bucket = md5(seed:id) mod 100, carved into cumulative weight ranges.
+    """
+    bucket = md5_long(id_col.cast("string"), seed=seed) % 100
+    expr = F.lit(splits[-1][0])
+    cum = 0
+    branches: list[tuple[int, str]] = []
+    for name, weight in splits[:-1]:
+        cum += weight
+        branches.append((cum, name))
+    for cum, name in reversed(branches):
+        expr = F.when(bucket < cum, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_assignment_sql(
+    id_expr: str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS, seed: str = "split"
+) -> str:
+    """The DuckDB rendering of ``split_assignment`` (same bucket math)."""
+    bucket = f"({md5_long_sql(f'cast({id_expr} as varchar)', seed=seed)} % 100)"
+    cases = []
+    cum = 0
+    for name, weight in splits[:-1]:
+        cum += weight
+        cases.append(f"WHEN {bucket} < {cum} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    seed: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column. Zero shuffle — evaluates in the scan stage
+    and survives whole-stage codegen, so at 100 TB the split is free."""
+    return df.withColumn("split", split_assignment(F.col(id_col), splits, seed))

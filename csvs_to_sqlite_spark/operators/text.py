@@ -90,3 +90,88 @@ def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + md5_long(t, seed="fp")) % mod,
     )
+
+
+# --- PII redaction (training-data scrubbing) -------------------------------
+# Patterns are deliberately restricted to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB oracle): character classes,
+# bounded repetition, \b ASCII word boundaries — no lookaround, no
+# backreferences. Replacement order matters and is part of the contract:
+# emails first (their local part may contain digits/dots), then IPv4
+# (four dotted octets — must precede phones so "10.1.2.3" is never
+# half-eaten), then phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails, IPv4 addresses, and phone numbers. Pure JVM
+    regexp_replace chain — scan-stage cost, zero shuffle at any scale."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB rendering of redact_pii ('g' flag: RE2 replaces only the
+    first match by default, Java replaces all). Patterns embed verbatim:
+    DuckDB string literals are standard SQL (no backslash escape
+    processing), so ``\\d``/``\\b`` must stay single-backslashed."""
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return out
+
+
+# --- repetition / boilerplate metrics (Gopher-style filters) ---------------
+def dup_ngram_fraction(toks: Column, n: int) -> Column:
+    """Fraction of word n-gram windows that are repeats of an earlier
+    window in the same document — the Gopher duplicate-n-gram filter
+    family. (windows - distinct windows) / windows, 0 for short docs.
+
+    ``toks`` must be an ALREADY-MATERIALIZED token-array column (behind a
+    projection boundary), same contract as ``shingles_from_tokens``:
+    ``element_at`` inside the transform lambda re-evaluates its array
+    argument per element, so an inlined tokenizer would be O(tokens²).
+    Linear per document, pure column expressions, zero shuffle."""
+
+    def window_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), window_at),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(windows)
+    distinct = F.size(F.array_distinct(windows))
+    return F.round(
+        F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0)), 6
+    )
+
+
+def top_token_fraction(toks: Column) -> Column:
+    """Share of the document taken by its single most frequent token
+    (Gopher's most-common-word filter). Computed as the longest run in
+    the SORTED token array via one linear F.aggregate state machine —
+    no explode, no shuffle, O(tokens log tokens) per document, entirely
+    inside whole-stage codegen. ``toks``: materialized token-array
+    column (same contract as dup_ngram_fraction)."""
+    sorted_toks = F.array_sort(toks)
+    state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(sorted_toks, state, step, lambda acc: acc["best"])
+    return F.round(
+        F.when(F.size(toks) > 0, best / F.size(toks)).otherwise(F.lit(0.0)), 6
+    )

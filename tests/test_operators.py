@@ -275,3 +275,91 @@ def test_jaccard_df_cap_drops_boilerplate(spark):
     assert (2, 3) in uncapped  # boilerplate alone pairs them without the cap
     assert (2, 3) not in capped
     assert (0, 1) in capped  # true duplicates survive the cap
+
+
+# --- training-pipeline curation ops (decontaminate / splits / scrub) -------
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    eval_docs = spark.createDataFrame(
+        [(100, "held out benchmark question about spark engines")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "this doc leaks the benchmark question about spark engines verbatim"),
+            (1, "a clean document with no overlap at all"),
+            (2, "another clean one mentioning spark only once"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.decontaminate(train, eval_docs, n=4).collect()
+    }
+    assert kept == {1, 2}  # doc 0 shares a 4-gram with the eval set
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+    from csvs_to_sqlite_spark.operators.splits import DEFAULT_SPLITS, hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id").groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 < counts["train"] / 2000 < 0.95  # 90% nominal
+    # per-row placement matches the Python rendering of the same hash
+    sample = hash_split(df, "doc_id").where(F.col("doc_id") < 20).collect()
+    for r in sample:
+        bucket = py_md5_long(str(r["doc_id"]), seed="split") % 100
+        expected = (
+            "train" if bucket < 90 else "val" if bucket < 95 else "test"
+        )
+        assert r["split"] == expected, (r["doc_id"], bucket)
+    assert DEFAULT_SPLITS[0][0] == "train"
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "call 555-867-5309 or 555.867.5309 today"),
+            (2, "host 192.168.0.17 responded"),
+            (3, "no pii in this row at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select("doc_id", text.redact_pii(F.col("text")).alias("clean")).collect()
+    }
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> or <PHONE> today"
+    assert got[2] == "host <IP> responded"
+    assert got[3] == "no pii in this row at all"
+
+
+def test_repetition_metrics(spark):
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "w x y z"), (2, "")],
+        "doc_id long, text string",
+    )
+    toked = df.select(
+        "doc_id", tokens_expr(F.col("text"), distinct=False).alias("toks")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in toked.select(
+            "doc_id",
+            text.dup_ngram_fraction(F.col("toks"), 2).alias("d2"),
+            text.top_token_fraction(F.col("toks")).alias("top"),
+        ).collect()
+    }
+    # "a a a b": 2-grams [a a, a a, a b] -> 1 dup of 3; top token a = 3/4
+    assert rows[0]["d2"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[0]["top"] == pytest.approx(0.75)
+    assert rows[1]["d2"] == 0.0
+    assert rows[1]["top"] == pytest.approx(0.25)
+    assert rows[2]["d2"] == 0.0 and rows[2]["top"] == 0.0
