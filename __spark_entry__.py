@@ -1649,6 +1649,57 @@ def _sql_repetition_filter() -> str:
     )
 
 
+def q_weighted_mixture(spark, sf_dir):
+    """Deterministic data mixing (splits.weighted_sample): down-sample
+    three sources to fixed rates, keep the rest at 100%. The oracle
+    compares a per-source id digest, so the check is per-row placement,
+    not just surviving counts."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    mixed = splits.weighted_sample(d, "doc_id", _MIX_WEIGHTS)
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("id_digest"),
+    )
+
+
+_MIX_WEIGHTS = {"src0": 0.25, "src1": 0.5, "src7": 0.0}
+
+
+def _sql_weighted_mixture() -> str:
+    keep = splits.weighted_sample_sql("doc_id", _MIX_WEIGHTS)
+    return (
+        f"SELECT source, count(*) AS n_docs,\n"
+        "  md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) AS id_digest\n"
+        f"FROM documents WHERE {keep} GROUP BY source"
+    )
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Offset sequence packing (packing.pack_sequences): documents laid
+    end-to-end within hash-derived worker groups, pack = floor(start /
+    budget). Window partitioned by group — parallel across the cluster,
+    never a global sort."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_groups=8)
+
+
+def _sql_sequence_pack() -> str:
+    from csvs_to_sqlite_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql(budget=512, n_groups=8)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1714,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "pii_redact": q_pii_redact,
         "repetition_filter": q_repetition_filter,
+        "weighted_mixture": q_weighted_mixture,
+        "sequence_pack": q_sequence_pack,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -1775,5 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": _sql_train_val_split(),
         "pii_redact": _sql_pii_redact(),
         "repetition_filter": _sql_repetition_filter(),
+        "weighted_mixture": _sql_weighted_mixture(),
+        "sequence_pack": _sql_sequence_pack(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -66,3 +66,43 @@ def hash_split(
     """Adds a ``split`` column. Zero shuffle — evaluates in the scan stage
     and survives whole-stage codegen, so at 100 TB the split is free."""
     return df.withColumn("split", split_assignment(F.col(id_col), splits, seed))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    group_col: str = "source",
+    default_weight: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic data mixing: keep each row with its group's sampling
+    rate (0..1), decided by a salted hash of the row id — the standard way
+    to up/down-weight sources when composing a training mixture.
+
+    Zero shuffle and zero randomness: the same (id, seed) always lands on
+    the same side, so mixtures are reproducible across runs, engines, and
+    partitionings, and re-salting ``seed`` draws an independent sample.
+    Scan-stage filter → at 100 TB this costs nothing and pushes the
+    surviving-row reduction below every downstream shuffle.
+    """
+    bucket = md5_long(F.col(id_col).cast("string"), seed=seed) % 10000
+    rate = F.lit(default_weight)
+    for name, w in weights.items():
+        rate = F.when(F.col(group_col) == name, F.lit(w)).otherwise(rate)
+    return df.where(bucket < (rate * 10000).cast("long"))
+
+
+def weighted_sample_sql(
+    id_expr: str,
+    weights: dict[str, float],
+    group_expr: str = "source",
+    default_weight: float = 1.0,
+    seed: str = "mix",
+) -> str:
+    """DuckDB rendering of the weighted_sample keep-predicate."""
+    bucket = f"({md5_long_sql(f'cast({id_expr} as varchar)', seed=seed)} % 10000)"
+    rate = str(default_weight)
+    for name, w in reversed(weights.items()):
+        rate = f"CASE WHEN {group_expr} = '{name}' THEN {w} ELSE {rate} END"
+    return f"{bucket} < cast(({rate}) * 10000 AS BIGINT)"

@@ -363,3 +363,43 @@ def test_repetition_metrics(spark):
     assert rows[1]["d2"] == 0.0
     assert rows[1]["top"] == pytest.approx(0.25)
     assert rows[2]["d2"] == 0.0 and rows[2]["top"] == 0.0
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from csvs_to_sqlite_spark.operators.splits import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    out = weighted_sample(df, "doc_id", {"a": 0.0, "b": 1.0})
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert srcs == {"b"}  # rate 0 drops everything, rate 1 keeps everything
+    half = weighted_sample(df, "doc_id", {"a": 0.5}, default_weight=1.0)
+    n_a = half.where(F.col("source") == "a").count()
+    assert 200 < n_a < 300  # ~250 of 500
+    # deterministic: same call → same rows; different seed → different draw
+    ids1 = {r["doc_id"] for r in half.collect()}
+    ids2 = {r["doc_id"] for r in weighted_sample(df, "doc_id", {"a": 0.5}).collect()}
+    ids3 = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", {"a": 0.5}, seed="other").collect()
+    }
+    assert ids1 == ids2
+    assert ids1 != ids3
+
+
+def test_pack_sequences_offsets(spark):
+    from csvs_to_sqlite_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 300)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget=512, n_groups=1).collect()
+    }
+    assert [rows[i]["start_offset"] for i in range(3)] == [0, 300, 600]
+    assert [rows[i]["pack_id"] for i in range(3)] == [0, 0, 1]
+    assert all(rows[i]["n_tokens"] == 300 for i in range(3))
