@@ -1682,6 +1682,26 @@ def _sql_weighted_mixture() -> str:
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/windows.py::streaming_dedup_counts):
+    watermark-bounded dropDuplicates on (user, type, minute), counts per
+    type. Oracle = batch COUNT(DISTINCT key) — exact because only key
+    survival is observable downstream."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.streaming.windows import streaming_dedup_counts
+
+    return streaming_dedup_counts(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n_unique FROM (
+  SELECT DISTINCT user_id, event_type,
+         date_trunc('minute', ts) AS minute
+  FROM events
+) GROUP BY event_type
+"""
+
+
 def q_sequence_pack(spark, sf_dir):
     """Offset sequence packing (packing.pack_sequences): documents laid
     end-to-end within hash-derived worker groups, pack = floor(start /
@@ -1767,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "weighted_mixture": q_weighted_mixture,
         "sequence_pack": q_sequence_pack,
+        "streaming_dedup": q_streaming_dedup,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -1830,5 +1851,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": _sql_repetition_filter(),
         "weighted_mixture": _sql_weighted_mixture(),
         "sequence_pack": _sql_sequence_pack(),
+        "streaming_dedup": SQL_STREAM_DEDUP,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

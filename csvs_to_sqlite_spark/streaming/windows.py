@@ -130,3 +130,31 @@ def streaming_sessionize(spark: SparkSession, events_path: str, gap_minutes: int
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_dedup_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming exact dedup: collapse repeated (user, event_type) actions
+    inside the same minute — the training-pipeline "emit each fact once"
+    shape — then count surviving events per type.
+
+    ``dropDuplicates`` after ``withWatermark`` bounds the dedup state to
+    the watermark horizon (keys older than 1 hour of event time are
+    evicted), so state stays O(active keys) per executor at any corpus
+    size. Keep-first vs keep-any doesn't matter downstream because only
+    key survival is counted — which is also what makes the batch/DuckDB
+    twin (count of DISTINCT keys) an exact oracle.
+    """
+    stream = _read_stream(spark, events_path)
+    name = f"dedup_{next(_counter)}"
+    deduped = (
+        stream.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "minute"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -87,3 +87,34 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # append mode emits a window only once its watermark passes; the
     # 10:00 window closed with 3 events and the late one was dropped
     assert rows.get("2024-01-01T10:00:00") == 3
+
+
+def test_streaming_dedup_collapses_same_minute_repeats(spark, tmp_path):
+    """Three clicks by the same user inside one minute collapse to one;
+    a click in another minute and another type survive separately."""
+    import pandas as pd
+
+    from csvs_to_sqlite_spark.streaming.windows import streaming_dedup_counts
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "ts": [
+                int((base + pd.Timedelta(seconds=s)).value)
+                for s in (0, 10, 50, 90, 15)
+            ],
+            "user_id": [1, 1, 1, 1, 1],
+            "event_type": ["click", "click", "click", "click", "view"],
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    p = tmp_path / "events.parquet"
+    df.to_parquet(p)
+    out = {
+        r["event_type"]: r["n_unique"]
+        for r in streaming_dedup_counts(spark, str(p)).collect()
+    }
+    # clicks: minute 10:00 (3 repeats -> 1) + minute 10:01 -> 2; views: 1
+    assert out == {"click": 2, "view": 1}
