@@ -1702,6 +1702,48 @@ SELECT event_type, count(*) AS n_unique FROM (
 """
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment (streaming/windows.py::streaming_enrich_counts):
+    event stream joined map-side to a broadcast customer dim, aggregated
+    per market segment. Oracle = the batch join+agg."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.streaming.windows import streaming_enrich_counts
+
+    return streaming_enrich_counts(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source (sources/jsonl_source.py): documents → JSONL →
+    load_jsonl with sampled schema inference + projection; oracle = the
+    original documents view (lossless roundtrip)."""
+    prep_session(spark)
+    import tempfile
+
+    from csvs_to_sqlite_spark.sources.jsonl_source import load_jsonl
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")
+    with tempfile.NamedTemporaryFile(mode="w", suffix=".jsonl", delete=False) as f:
+        docs.toPandas().to_json(f.name, orient="records", lines=True)
+        path = f.name
+    return load_jsonl(
+        spark, path, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_sequence_pack(spark, sf_dir):
     """Offset sequence packing (packing.pack_sequences): documents laid
     end-to-end within hash-derived worker groups, pack = floor(start /
@@ -1788,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mixture": q_weighted_mixture,
         "sequence_pack": q_sequence_pack,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -1852,5 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mixture": _sql_weighted_mixture(),
         "sequence_pack": _sql_sequence_pack(),
         "streaming_dedup": SQL_STREAM_DEDUP,
+        "streaming_enrich": SQL_STREAM_ENRICH,
+        "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

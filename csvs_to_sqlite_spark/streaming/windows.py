@@ -132,6 +132,40 @@ def streaming_sessionize(spark: SparkSession, events_path: str, gap_minutes: int
     return spark.table(name)
 
 
+def streaming_enrich_counts(
+    spark: SparkSession, events_path: str, customer_path: str
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    customer dimension and aggregate per market segment.
+
+    The static side is read once per micro-batch and explicitly
+    ``F.broadcast()``-ed, so the join is stateless and map-side — no
+    streaming state, no shuffle of the stream beyond the final
+    aggregation's (segment) keys. This is the canonical "enrich events
+    with a dim table" pipeline shape; at cluster scale the same plan
+    serves a kafka source with the dim refreshing per batch.
+    """
+    stream = _read_stream(spark, events_path)
+    cust = spark.read.parquet(customer_path).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    name = f"enrich_{next(_counter)}"
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def streaming_dedup_counts(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming exact dedup: collapse repeated (user, event_type) actions
     inside the same minute — the training-pipeline "emit each fact once"

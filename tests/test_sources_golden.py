@@ -258,3 +258,54 @@ def test_cli_missing_path_rejected(tmp_path):
     result = CliRunner().invoke(cli, [str(tmp_path / "nope.csv"), str(tmp_path / "o.db")])
     assert result.exit_code != 0
     assert "does not exist" in result.output
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (extension; sources/jsonl_source.py)
+# ---------------------------------------------------------------------------
+
+JSONL = '{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\nnot json at all\n{"a": 3, "b": "z"}\n'
+
+
+def test_jsonl_dropmalformed_skips_bad_lines(spark, tmp_path):
+    from csvs_to_sqlite_spark.sources.jsonl_source import load_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(JSONL)
+    df = load_jsonl(spark, str(p), mode="DROPMALFORMED", schema="a long, b string")
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_jsonl_failfast_raises(spark, tmp_path):
+    from csvs_to_sqlite_spark.sources.jsonl_source import load_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(JSONL)
+    df = load_jsonl(spark, str(p), mode="FAILFAST", schema="a long, b string")
+    with pytest.raises(Exception, match="[Mm]alformed"):
+        df.collect()
+
+
+def test_jsonl_permissive_captures_corrupt_line(spark, tmp_path):
+    from csvs_to_sqlite_spark.sources.jsonl_source import load_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(JSONL)
+    df = load_jsonl(
+        spark,
+        str(p),
+        schema="a long, b string, _bad string",
+        corrupt_column="_bad",
+    )
+    bad = [r["_bad"] for r in df.collect() if r["_bad"] is not None]
+    assert bad == ["not json at all"]
+
+
+def test_jsonl_missing_projection_column_errors(spark, tmp_path):
+    from csvs_to_sqlite_spark.sources.jsonl_source import load_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"a": 1}\n')
+    with pytest.raises(ValueError, match="no column nope"):
+        load_jsonl(spark, str(p), columns=["a", "nope"])

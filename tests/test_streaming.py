@@ -118,3 +118,41 @@ def test_streaming_dedup_collapses_same_minute_repeats(spark, tmp_path):
     }
     # clicks: minute 10:00 (3 repeats -> 1) + minute 10:01 -> 2; views: 1
     assert out == {"click": 2, "view": 1}
+
+
+def test_streaming_enrich_matches_batch_join(spark, tmp_path):
+    """Stream-static broadcast join: per-segment counts equal the batch
+    join's on a fixture where one event has no matching customer."""
+    import pandas as pd
+
+    from csvs_to_sqlite_spark.streaming.windows import streaming_enrich_counts
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    events = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": [int((base + pd.Timedelta(seconds=s)).value) for s in range(4)],
+            "user_id": [1, 2, 1, 99],  # 99 has no customer row
+            "event_type": ["click"] * 4,
+            "value": [1.5, 2.0, 0.5, 9.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    customers = pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING", "MACHINERY"],
+        }
+    )
+    ep = tmp_path / "events.parquet"
+    cp = tmp_path / "customer.parquet"
+    events.to_parquet(ep)
+    customers.to_parquet(cp)
+    out = {
+        r["c_mktsegment"]: (r["n_events"], r["total_value"])
+        for r in streaming_enrich_counts(spark, str(ep), str(cp)).collect()
+    }
+    assert out == {"BUILDING": (2, 2.0), "MACHINERY": (1, 2.0)}
