@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from csvs_to_sqlite_spark.operators import dedup, similarity, splits, text
+from csvs_to_sqlite_spark.operators import dedup, similarity, splits, terms, text
 from csvs_to_sqlite_spark.operators.dims import build_dims, fmt_g
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
@@ -1762,6 +1762,130 @@ def _sql_sequence_pack() -> str:
     return pack_sequences_sql(budget=512, n_groups=8)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/terms.py): two
+    aggregates + a broadcast of the per-token DF table + one
+    doc-partitioned ranking window. Ranking uses the 6-dp-rounded score
+    (identical in both engines) with token as tiebreak, so a last-ulp
+    ln() divergence cannot reorder the oracle comparison."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return terms.tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
+SQL_TFIDF = f"""
+WITH tokd AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM tokd),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         round((tf / (sum(tf) OVER (PARTITION BY doc_id)))
+               * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored)
+SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_bigram_topk(spark, sf_dir):
+    """Corpus-wide top-20 adjacent-token bigrams (operators/terms.py):
+    one explode → one count aggregate with map-side partials → top-k via
+    orderBy().limit() = TakeOrderedAndProject (per-partition heaps, no
+    global sort). Unique tie-break (n desc, bigram asc)."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return terms.bigram_counts(d, "text", top_k=20)
+
+
+SQL_BIGRAMS = f"""
+WITH tokd AS (SELECT {_TOKENS} AS toks FROM documents),
+big AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tokd)
+SELECT bigram, count(*) AS n FROM big
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end corpus dedup: Jaccard near-dup pairs → connected
+    components → keep only each component's canonical (minimum-id)
+    member, then report surviving docs per source with an md5 id-set
+    digest (per-row placement check, not just counts). This is the
+    operation a training pipeline actually runs — `dedup_clusters` is its
+    diagnostic view."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+    clusters = dedup.dedup_clusters(d, pairs, "doc_id")
+    survivors = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(survivors, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
+    )
+
+
+def _sql_dedup_survivors() -> str:
+    return (
+        "WITH clusters AS (" + _sql_dedup_clusters() + ")\n"
+        "SELECT source, count(*) AS n_docs,\n"
+        "  md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) AS id_digest\n"
+        "FROM documents JOIN clusters USING (doc_id)\n"
+        "WHERE doc_id = cluster_id GROUP BY source"
+    )
+
+
+def q_quality_topk_per_source(spark, sf_dir):
+    """Curation selection: top-5 documents per source by the quality
+    heuristic — the 'keep the best K per domain' primitive. One
+    source-partitioned row_number window over the 6-dp-rounded score;
+    doc_id breaks ties deterministically."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", text.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+def _sql_quality_topk() -> str:
+    quality = SQL_QUALITY.strip().rstrip(";")
+    return (
+        f"WITH q AS ({quality}),\n"
+        "scored AS (SELECT q.doc_id, d.source, q.quality\n"
+        "           FROM q JOIN documents d USING (doc_id)),\n"
+        "ranked AS (SELECT doc_id, source, quality,\n"
+        "                  row_number() OVER (PARTITION BY source\n"
+        "                                     ORDER BY quality DESC, doc_id ASC) AS rank\n"
+        "           FROM scored)\n"
+        "SELECT doc_id, source, quality, rank FROM ranked WHERE rank <= 5"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1832,6 +1956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_enrich": q_streaming_enrich,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_topk": q_bigram_topk,
+        "dedup_survivors": q_dedup_survivors,
+        "quality_topk_per_source": q_quality_topk_per_source,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -1898,5 +2026,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": SQL_STREAM_DEDUP,
         "streaming_enrich": SQL_STREAM_ENRICH,
         "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+        "tfidf_top_terms": SQL_TFIDF,
+        "bigram_topk": SQL_BIGRAMS,
+        "dedup_survivors": _sql_dedup_survivors(),
+        "quality_topk_per_source": _sql_quality_topk(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

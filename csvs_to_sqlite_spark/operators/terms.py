@@ -1,0 +1,110 @@
+"""Corpus-level term statistics: TF-IDF and n-gram frequency.
+
+These are the corpus-wide complements to the per-row operators in
+``text.py`` — term weighting needs global document frequencies, n-gram
+ranking needs a global count, so both inherently shuffle. The job here is
+to shuffle the *minimum*:
+
+- ``tfidf_top_terms``: one explode → groupBy (doc, token) for term
+  frequencies; document frequencies are then derived from the TF table
+  itself (a second, much smaller aggregate over (token) — never a second
+  pass over the raw text); the per-token DF table is broadcast back onto
+  TF (vocab is tiny relative to the corpus — even web-scale text is
+  ~10⁷ terms ≈ a few hundred MB, the classic broadcast-dimension shape;
+  flip `broadcast_df=False` to a shuffle join if a tokenizer ever makes
+  vocab ~corpus-sized), and one doc-partitioned window ranks the top-k.
+  Total: two aggregates, one broadcast, one window — three exchanges.
+- ``bigram_counts``: explode adjacent token pairs → one groupBy(bigram)
+  with map-side partial aggregation; the top-k is taken with
+  orderBy().limit() which Spark executes as TakeOrderedAndProject
+  (per-partition heaps + driver merge of k rows), never a global sort.
+
+Cross-engine determinism: ranking uses the score *rounded to 6 dp* (both
+engines round identically) with the token as tiebreak, so a last-ulp
+divergence in ln()/division between JVM and DuckDB cannot reorder the
+result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token, tf) — one explode + one aggregate."""
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    return (
+        df.select(id_col, F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    score = (tf / doc_len) * ln(n_docs / df), rounded to 6 dp; ties break
+    on token ascending. Returns (id, token, tfidf, rank).
+    """
+    n_docs = df.count()  # scalar only — never a collected dataset
+    tf = term_frequencies(df, text_col, id_col)
+    doc_freq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if broadcast_df:
+        doc_freq = F.broadcast(doc_freq)
+    w_doc = Window.partitionBy(id_col)
+    scored = (
+        tf.join(doc_freq, "token")
+        .withColumn("doc_len", F.sum("tf").over(w_doc))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str, top_k: int | None = None) -> DataFrame:
+    """Corpus-wide adjacent-token bigram counts, optionally top-k.
+
+    Ordering: count desc, bigram asc (fully deterministic). With top_k the
+    plan is TakeOrderedAndProject — no global sort materializes.
+    """
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    # sequence(1, n-1) over 1-based element_at; guard n<2 (sequence would
+    # count downward and fabricate indices)
+    bigrams = F.when(
+        F.size(F.col("__toks__")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks__) - 1),"
+            " i -> concat(element_at(__toks__, i), ' ', element_at(__toks__, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        df.select(toks.alias("__toks__"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    out = counted.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return out.limit(top_k) if top_k is not None else out

@@ -21,18 +21,30 @@ from pyspark.sql import functions as F
 
 _counter = itertools.count()
 
-# the events parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects; read it as long (spark.sql.legacy.parquet.nanosAsLong) and
-# truncate to microseconds — DuckDB does the same truncation when reading.
+# The events parquet has shipped with ts as TIMESTAMP(NANOS) in some
+# generations and TIMESTAMP(MICROS) in others. Batch reads without a schema
+# surface a proper timestamp either way; the streaming source needs an
+# explicit schema, and requesting `ts long` yields the raw epoch count in
+# the file's native unit (nanos or micros depending on generation).
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
+# Epoch longs ≥ 1e17 can only be nanoseconds (1e17 µs ≈ year 5138, while
+# 1e17 ns ≈ 1973) — so a magnitude test cleanly separates the two
+# generations for any plausible event time.
+_NANOS_CUTOFF = 10**17
+
 
 def _ts_from_nanos(df: DataFrame) -> DataFrame:
+    """Normalize a raw epoch-long ts column to a microsecond timestamp,
+    whichever unit the parquet generation stored."""
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        micros = F.when(
+            F.abs(F.col("ts")) >= F.lit(_NANOS_CUTOFF), F.expr("ts div 1000")
+        ).otherwise(F.col("ts"))
+        df = df.withColumn("ts", F.timestamp_micros(micros))
     return df
 
 
@@ -84,7 +96,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql.window import Window
 
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    # unix_timestamp, not cast("long"): the parquet generation may surface
+    # ts as TIMESTAMP_NTZ, which Spark refuses to cast to a numeric
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w_user)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     with_sess = (
         F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, 0))

@@ -1,0 +1,69 @@
+"""Unit tests for corpus-level term statistics (operators/terms.py):
+hand-computed TF-IDF on a tiny corpus, bigram edge cases, and plan
+assertions (broadcast DF join; top-k via TakeOrderedAndProject)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.operators.terms import bigram_counts, tfidf_top_terms
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_hand_computed(spark):
+    out = tfidf_top_terms(_docs(spark), "text", "doc_id", k=2)
+    rows = {(r.doc_id, r.token): (r.tfidf, r.rank) for r in out.collect()}
+    # doc 1: apple tf=2/3 df=1 → (2/3)ln(3); banana tf=1/3 df=2 → (1/3)ln(1.5)
+    assert rows[(1, "apple")] == (round(2 / 3 * math.log(3), 6), 1)
+    assert rows[(1, "banana")] == (round(1 / 3 * math.log(3 / 2), 6), 2)
+    # doc 3: date 1/3 ln(3) beats cherry 2/3 ln(1.5)
+    assert rows[(3, "date")][1] == 1
+    assert rows[(3, "cherry")][1] == 2
+    # k=2 respected
+    assert all(rank <= 2 for _, rank in rows.values())
+
+
+def test_tfidf_ties_break_on_token(spark):
+    docs = spark.createDataFrame([(1, "b a"), (2, "x y")], "doc_id long, text string")
+    out = tfidf_top_terms(docs, "text", "doc_id", k=2).collect()
+    doc1 = sorted((r.rank, r.token) for r in out if r.doc_id == 1)
+    assert doc1 == [(1, "a"), (2, "b")]  # equal scores → token asc
+
+
+def test_tfidf_plan_broadcasts_df_table(spark):
+    plan = tfidf_top_terms(_docs(spark), "text", "doc_id")._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bigram_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "solo"),  # <2 tokens → no bigrams, must not error
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r.bigram, r.n) for r in bigram_counts(docs, "text", top_k=10).collect()]
+    assert rows == [("a b", 3), ("b a", 1)]
+
+
+def test_bigram_topk_plan_is_take_ordered(spark):
+    plan = (
+        bigram_counts(_docs(spark), "text", top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
