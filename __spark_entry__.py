@@ -1886,6 +1886,75 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Substring-level exact dedup (dedup.chunk_dedup): fixed-width token
+    chunks, keep each repeated chunk's globally-first occurrence, digest
+    the reconstructed per-doc text. One chunk-keyed window shuffle + one
+    per-doc reassembly groupBy."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(d, "text", "doc_id", width=10)
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH tokd AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+chunked AS (
+  SELECT doc_id, cast(ceil(len(toks) / 10.0) AS bigint) AS n_chunks,
+         unnest(list_transform(range(0, cast(ceil(len(toks) / 10.0) AS int)),
+                i -> {{'idx': i, 'txt': array_to_string(toks[i*10+1 : i*10+10], ' ')}})) AS u
+  FROM tokd),
+chunks AS (SELECT doc_id, n_chunks, u.idx AS chunk_idx, u.txt AS chunk FROM chunked),
+kept AS (
+  SELECT * FROM (
+    SELECT chunks.*, row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks) t WHERE rn = 1)
+SELECT doc_id, n_chunks, count(*) AS n_kept,
+       md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS clean_digest
+FROM kept GROUP BY doc_id, n_chunks
+"""
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic sharded-export manifest (splits.shard_manifest):
+    md5-stable shard assignment verified per-row via ordered id digests.
+    The actual partitioned-parquet writer (sinks.parquet_sink.write_shards)
+    shares this assignment and is unit-tested."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return splits.shard_manifest(d, "doc_id", n_shards=8)
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH s AS (SELECT {splits.shard_assignment_sql('doc_id', 8)} AS shard, doc_id
+           FROM documents)
+SELECT shard, count(*) AS n_rows,
+       md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) AS id_digest
+FROM s GROUP BY shard
+"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-source unigram diversity (terms.corpus_stats): token/type
+    counts, type-token ratio, unigram entropy. Two map-side-combined
+    aggregates, no windows or joins."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return terms.corpus_stats(d, "text", "source")
+
+
+SQL_CORPUS_STATS = f"""
+WITH tokd AS (SELECT source, {_TOKENS} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS token FROM tokd),
+cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token)
+SELECT source, cast(sum(c) AS bigint) AS n_tokens, count(*) AS n_types,
+       round(count(*) / cast(sum(c) AS double), 6) AS type_token_ratio,
+       round(ln(cast(sum(c) AS double))
+             - sum(c * ln(c)) / cast(sum(c) AS double), 6) AS entropy
+FROM cnt GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1960,6 +2029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_topk": q_bigram_topk,
         "dedup_survivors": q_dedup_survivors,
         "quality_topk_per_source": q_quality_topk_per_source,
+        "chunk_dedup": q_chunk_dedup,
+        "shard_manifest": q_shard_manifest,
+        "corpus_stats": q_corpus_stats,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2030,5 +2102,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": SQL_BIGRAMS,
         "dedup_survivors": _sql_dedup_survivors(),
         "quality_topk_per_source": _sql_quality_topk(),
+        "chunk_dedup": SQL_CHUNK_DEDUP,
+        "shard_manifest": SQL_SHARD_MANIFEST,
+        "corpus_stats": SQL_CORPUS_STATS,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -387,3 +387,76 @@ def decontaminate(
     )
     contaminated = doc_sh.join(eval_sh, "h", "left_semi").select(id_col).distinct()
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    width: int = 10,
+) -> DataFrame:
+    """Substring-level exact dedup: remove repeated PASSAGES, not whole
+    documents (the within/cross-document boilerplate remover of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    2022 — adapted from suffix-array substrings to fixed-width token
+    chunks, which Spark can dedup with plain relational ops).
+
+    Each document is split into consecutive ``width``-token chunks; for
+    every distinct chunk text only the globally-first occurrence (min
+    (doc_id, chunk_idx)) survives, and each document is reassembled from
+    its surviving chunks. Returns one row per document that kept at
+    least one chunk: (id, n_chunks, n_kept, clean_digest) where
+    clean_digest is md5 of the reconstructed text — a per-row content
+    check, not just a count.
+
+    Plan shape at 100 TB: chunking is scan-stage (one explode, no
+    shuffle); first-occurrence is ONE shuffle — a min(struct) window
+    partitioned by the chunk text (bounded skew: a chunk repeated k
+    times costs a k-row partition, and pathological boilerplate is
+    exactly what this operator exists to delete); reassembly is one
+    groupBy(id). No joins, no O(n^2) pair generation.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    base = df.select(F.col(id_col), toks.alias("__toks__")).select(
+        F.col(id_col),
+        F.ceil(F.size("__toks__") / F.lit(float(width))).alias("n_chunks"),
+        # guard size<1: sequence(0, -1) would count DOWNWARD and fabricate chunks
+        F.when(
+            F.size("__toks__") >= 1,
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(__toks__) / {width}.0) as int) - 1),"
+                f" i -> concat_ws(' ', slice(__toks__, i * {width} + 1, {width})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__chunks__"),
+    )
+    chunks = base.select(
+        F.col(id_col),
+        F.col("n_chunks"),
+        F.posexplode("__chunks__").alias("chunk_idx", "chunk"),
+    )
+    w_chunk = Window.partitionBy("chunk")
+    first = F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w_chunk)
+    kept = chunks.withColumn("__first__", first).where(
+        (F.col(id_col) == F.col(f"__first__.{id_col}"))
+        & (F.col("chunk_idx") == F.col("__first__.chunk_idx"))
+    )
+    return (
+        kept.groupBy(id_col, "n_chunks")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                        lambda s: s.chunk,
+                    ),
+                )
+            ).alias("clean_digest"),
+        )
+        .select(id_col, "n_chunks", "n_kept", "clean_digest")
+    )

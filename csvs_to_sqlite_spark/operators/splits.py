@@ -106,3 +106,46 @@ def weighted_sample_sql(
     for name, w in reversed(weights.items()):
         rate = f"CASE WHEN {group_expr} = '{name}' THEN {w} ELSE {rate} END"
     return f"{bucket} < cast(({rate}) * 10000 AS BIGINT)"
+
+
+def shard_assignment(id_col: Column, n_shards: int, seed: str = "shard") -> Column:
+    """Pure column expression: deterministic shard id (0..n_shards-1) for a
+    row — md5-based so the same document always lands in the same shard
+    across runs, engines, and cluster sizes (unlike hash-partitioning,
+    which follows Spark's partitioner). Zero shuffle to compute."""
+    return (md5_long(id_col.cast("string"), seed=seed) % n_shards).cast("long")
+
+
+def shard_assignment_sql(id_expr: str, n_shards: int, seed: str = "shard") -> str:
+    """DuckDB rendering of shard_assignment (same hash, same modulus)."""
+    return f"({md5_long_sql(f'cast({id_expr} as varchar)', seed=seed)} % {n_shards})"
+
+
+def shard_manifest(
+    df: DataFrame, id_col: str, n_shards: int, seed: str = "shard"
+) -> DataFrame:
+    """Per-shard manifest of a deterministic sharded export:
+    (shard, n_rows, id_digest). The digest is md5 over the ordered id
+    list, so the oracle verifies every row's PLACEMENT, not just shard
+    sizes. One groupBy(shard) — n_shards is the output cardinality, so
+    the aggregate state is tiny; collect_list is bounded by shard size,
+    which the caller chooses (rows/n_shards)."""
+    return (
+        df.select(
+            shard_assignment(F.col(id_col), n_shards, seed).alias("shard"),
+            F.col(id_col),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(id_col)),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
+    )

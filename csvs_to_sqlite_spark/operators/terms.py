@@ -108,3 +108,36 @@ def bigram_counts(df: DataFrame, text_col: str, top_k: int | None = None) -> Dat
     )
     out = counted.orderBy(F.col("n").desc(), F.col("bigram").asc())
     return out.limit(top_k) if top_k is not None else out
+
+
+def corpus_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group unigram diversity stats: (group, n_tokens, n_types,
+    type_token_ratio, entropy) — the standard corpus-health signals a
+    curation pipeline tracks per source/domain (low entropy or TTR flags
+    templated/boilerplate-heavy sources).
+
+    entropy = -sum(p ln p) over the group's unigram distribution,
+    computed as ln(N) - sum(c ln c)/N so it needs only the per-token
+    counts. Two aggregates total — explode -> groupBy(group, token),
+    then groupBy(group); both shuffle-keyed and map-side combined; no
+    windows, no joins, nothing driver-side. Rounded to 6 dp for
+    cross-engine float-sum determinism.
+    """
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    counts = (
+        df.select(F.col(group_col), F.explode(toks).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return (
+        counts.groupBy(group_col)
+        .agg(
+            n.alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.count("*") / n, 6).alias("type_token_ratio"),
+            F.round(
+                F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+            ).alias("entropy"),
+        )
+    )

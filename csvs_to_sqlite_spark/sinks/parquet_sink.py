@@ -8,6 +8,7 @@ small single files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 
@@ -22,3 +23,31 @@ def write_fact(df: DataFrame, path: str, partition_by: list[str] | None = None, 
 
 def write_dim(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    sort_within: list[str] | None = None,
+) -> None:
+    """Deterministic sharded training-data export: assign each row its
+    md5-based shard (operators/splits.shard_assignment), land one
+    directory per shard (parquet partitioned by ``shard``), optionally
+    sorted within shards for locality-sensitive consumers.
+
+    ONE shuffle (repartition on the shard column) so each shard is a
+    single contiguous write; at 100 TB pick n_shards so a shard fits a
+    writer task (corpus_bytes / ~512 MB). Re-running over a grown corpus
+    moves no existing row between shards (stable hash), so downstream
+    consumers can cache per-shard state.
+    """
+    from csvs_to_sqlite_spark.operators.splits import shard_assignment
+
+    out = df.withColumn("shard", shard_assignment(F.col(id_col), n_shards, seed))
+    out = out.repartition(n_shards, "shard")
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

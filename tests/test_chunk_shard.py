@@ -1,0 +1,92 @@
+"""Units for substring-level chunk dedup (dedup.chunk_dedup), the
+deterministic sharded export (splits.shard_assignment +
+parquet_sink.write_shards), and per-source corpus stats
+(terms.corpus_stats)."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+from csvs_to_sqlite_spark.operators.dedup import chunk_dedup
+from csvs_to_sqlite_spark.operators.splits import shard_assignment
+from csvs_to_sqlite_spark.operators.terms import corpus_stats
+from csvs_to_sqlite_spark.sinks.parquet_sink import write_shards
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # width=2 chunks: doc1 -> ["a b","c d"], doc2 -> ["a b","x y"],
+    # doc3 -> ["c d"]; repeated chunks survive only at their first site
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in chunk_dedup(docs, "text", "doc_id", width=2).collect()
+    }
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[1].clean_digest == _md5("a b c d")
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].clean_digest == _md5("x y")  # "a b" deduped away
+    assert 3 not in out  # doc3's only chunk first appeared in doc1
+
+
+def test_chunk_dedup_partial_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "q")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_dedup(docs, "text", "doc_id", width=2).collect()}
+    # trailing partial chunk kept as-is; whitespace-only doc vanishes
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[1].clean_digest == _md5("a b c")
+    assert 2 not in out
+    assert (out[3].n_chunks, out[3].n_kept) == (1, 1)
+
+
+def test_shard_assignment_matches_python_md5(spark):
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.shard
+        for r in df.select(
+            "doc_id", shard_assignment(F.col("doc_id"), 8).alias("shard")
+        ).collect()
+    }
+    for i in range(50):
+        assert got[i] == py_md5_long(str(i), seed="shard") % 8
+
+
+def test_write_shards_layout_and_stability(spark, tmp_path):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_shards(df, path, "doc_id", n_shards=4, sort_within=["doc_id"])
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    shards = {r.shard for r in back.select("shard").distinct().collect()}
+    assert shards <= set(range(4))
+    # stability: the same row has the same shard in a grown corpus
+    placement = {r.doc_id: r.shard for r in back.collect()}
+    grown = spark.range(200).select(F.col("id").alias("doc_id"))
+    path2 = str(tmp_path / "shards2")
+    write_shards(grown, path2, "doc_id", n_shards=4)
+    placement2 = {r.doc_id: r.shard for r in spark.read.parquet(path2).collect()}
+    assert all(placement2[k] == v for k, v in placement.items())
+
+
+def test_corpus_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "c", "s1"), (3, "x y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in corpus_stats(docs, "text", "source").collect()}
+    s1 = out["s1"]  # counts: a=2, b=1, c=1; N=4
+    assert (s1.n_tokens, s1.n_types) == (4, 3)
+    assert s1.type_token_ratio == 0.75
+    expected_h = math.log(4) - (2 * math.log(2)) / 4
+    assert s1.entropy == round(expected_h, 6)
+    s2 = out["s2"]  # uniform over 2 -> ln 2
+    assert s2.entropy == round(math.log(2), 6)
