@@ -1886,6 +1886,28 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join
+    (streaming/windows.py::streaming_interval_join): purchases attributed
+    to the same user's views within 24h, per-user pair counts + exact
+    integer gap sums. Oracle = the batch interval self-join."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.streaming.windows import streaming_interval_join
+
+    return streaming_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT l.user_id, count(*) AS n_pairs,
+       cast(sum(date_diff('second', l.ts, r.ts)) AS bigint) AS sum_gap_s
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 24 HOUR
+GROUP BY l.user_id
+"""
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Substring-level exact dedup (dedup.chunk_dedup): fixed-width token
     chunks, keep each repeated chunk's globally-first occurrence, digest
@@ -2032,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "shard_manifest": q_shard_manifest,
         "corpus_stats": q_corpus_stats,
+        "streaming_interval_join": q_streaming_interval_join,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2105,5 +2128,6 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": SQL_CHUNK_DEDUP,
         "shard_manifest": SQL_SHARD_MANIFEST,
         "corpus_stats": SQL_CORPUS_STATS,
+        "streaming_interval_join": SQL_STREAM_INTERVAL_JOIN,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

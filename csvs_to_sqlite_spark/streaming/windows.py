@@ -207,3 +207,70 @@ def streaming_dedup_counts(spark: SparkSession, events_path: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Stream-stream event-time interval join: attribute each purchase to
+    the same user's preceding views within ``horizon_hours`` — the
+    classic attribution shape, and the one streaming-join family the
+    tumbling/session/stream-static operators don't cover.
+
+    Both sides are the SAME file-source stream (self-join), watermarked
+    so Spark can bound join state: the range condition
+    ``r_ts in (l_ts, l_ts + horizon]`` plus the watermark lets the
+    engine evict a buffered left row once event time passes
+    l_ts + horizon + delay, so state is O(events inside the horizon)
+    per user — independent of stream length. Inner joins emit matches
+    eagerly (no watermark wait), so a bounded file stream drains fully
+    under processAllAvailable.
+
+    Matched pairs land in the sink append-mode; the per-user rollup
+    (n_pairs, sum_gap_s — exact integers, no order-dependent float
+    accumulation) happens batch-side on the materialized result, which
+    keeps the streaming graph single-stateful-operator and
+    version-portable.
+    """
+    stream = _read_stream(spark, events_path)
+    left = (
+        stream.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", f"{horizon_hours + 1} hours")
+    )
+    right = (
+        stream.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", f"{horizon_hours + 1} hours")
+    )
+    pairs = left.join(
+        right,
+        F.expr(
+            "l_user = r_user AND r_ts > l_ts "
+            f"AND r_ts <= l_ts + interval {horizon_hours} hours"
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("gap_s"),
+    )
+    name = f"interval_join_{next(_counter)}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"), F.sum("gap_s").alias("sum_gap_s"))
+    )

@@ -156,3 +156,39 @@ def test_streaming_enrich_matches_batch_join(spark, tmp_path):
         for r in streaming_enrich_counts(spark, str(ep), str(cp)).collect()
     }
     assert out == {"BUILDING": (2, 2.0), "MACHINERY": (1, 2.0)}
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream self-join (view→purchase within 24h) agrees with the
+    batch interval join over the same events."""
+    from csvs_to_sqlite_spark.streaming.windows import (
+        load_events,
+        streaming_interval_join,
+    )
+
+    got = streaming_interval_join(spark, f"{SF}/events.parquet")
+    ev = load_events(spark, f"{SF}/events.parquet")
+    left = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    want = (
+        left.join(
+            right,
+            F.expr(
+                "l_user = r_user AND r_ts > l_ts"
+                " AND r_ts <= l_ts + interval 24 hours"
+            ),
+        )
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias(
+                "sum_gap_s"
+            ),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
