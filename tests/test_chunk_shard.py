@@ -90,3 +90,60 @@ def test_corpus_stats_hand_computed(spark):
     assert s1.entropy == round(expected_h, 6)
     s2 = out["s2"]  # uniform over 2 -> ln 2
     assert s2.entropy == round(math.log(2), 6)
+
+
+# ---------------------------------------------------------------------------
+# property: chunk_dedup vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["a", "b", "c", "dd", "ee"]
+TEXTS = st.lists(st.sampled_from(WORDS), min_size=0, max_size=9).map(" ".join)
+
+
+def py_chunk_dedup(docs, width):
+    """Pure-Python model: (doc_id, text) -> {doc_id: (n_chunks, n_kept,
+    clean_text)}; first occurrence = lexicographic min (doc_id, idx)."""
+    first = {}
+    chunked = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().strip().split() if t]
+        chunks = [
+            " ".join(toks[i : i + width]) for i in range(0, len(toks), width)
+        ]
+        chunked[doc_id] = chunks
+        for idx, ch in enumerate(chunks):
+            if ch not in first or (doc_id, idx) < first[ch]:
+                first[ch] = (doc_id, idx)
+    out = {}
+    for doc_id, chunks in chunked.items():
+        kept = [
+            ch for idx, ch in enumerate(chunks) if first[ch] == (doc_id, idx)
+        ]
+        if kept:
+            out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(TEXTS, min_size=1, max_size=8),
+    width=st.integers(min_value=1, max_value=4),
+)
+def test_chunk_dedup_matches_python_model(spark, texts, width):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.clean_digest)
+        for r in chunk_dedup(df, "text", "doc_id", width=width).collect()
+    }
+    want = {
+        k: (n, m, _md5(txt)) for k, (n, m, txt) in py_chunk_dedup(docs, width).items()
+    }
+    assert got == want
