@@ -1886,6 +1886,34 @@ def _sql_quality_topk() -> str:
     )
 
 
+# shared between q_table_profile and its oracle (ADVICE_r02 pattern: one
+# source of truth so neither side can silently drift)
+_PROFILE_NUM = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus", "l_ship_s"]
+
+
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style per-column stats (operators/profile.py): unpivot to
+    long format + one groupBy(col_name) with exact NDV; timestamps are
+    profiled through their rendered string. ``approx=True`` is the
+    100 TB path (HLL NDV, unit-tested)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.profile import profile
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_ship_s", F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    return profile(li, _PROFILE_NUM, _PROFILE_STR)
+
+
+def _sql_table_profile() -> str:
+    from csvs_to_sqlite_spark.operators.profile import profile_sql
+
+    table = ("(SELECT *, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_ship_s"
+             " FROM lineitem)")
+    return profile_sql(table, _PROFILE_NUM, _PROFILE_STR)
+
+
 def q_streaming_interval_join(spark, sf_dir):
     """Stream-stream event-time interval join
     (streaming/windows.py::streaming_interval_join): purchases attributed
@@ -2055,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "corpus_stats": q_corpus_stats,
         "streaming_interval_join": q_streaming_interval_join,
+        "table_profile": q_table_profile,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2129,5 +2158,6 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": SQL_SHARD_MANIFEST,
         "corpus_stats": SQL_CORPUS_STATS,
         "streaming_interval_join": SQL_STREAM_INTERVAL_JOIN,
+        "table_profile": _sql_table_profile(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
