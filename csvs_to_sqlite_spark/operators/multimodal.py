@@ -99,3 +99,94 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         kind = ["image", "audio", "video"][i % 3]
         rows.append((i, kind, payload, f"application/x-{kind}", {"n_frames": str(90 + i)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_s double, sample_rate int, rms double, payload_sha string"
+)
+
+RESIZE_SCHEMA = "media_id long, width int, height int, payload binary, payload_sha string"
+
+
+def decode_audio(payload: bytes) -> tuple[float, int, float]:
+    """Real audio decode is unavailable in this container (no soundfile/
+    ffmpeg); plug a real decoder in here when codecs exist."""
+    raise NotImplementedError("audio codecs not available in this container")
+
+
+def fake_decode_audio(payload: bytes) -> tuple[float, int, float]:
+    """Deterministic stand-in: md5-derived (duration_s, sample_rate, rms)."""
+    h = hashlib.md5(payload or b"").digest()
+    duration_s = round(1.0 + h[3] / 16.0, 6)
+    sample_rate = (8, 16, 22, 44)[h[4] % 4] * 1000
+    rms = round(h[5] / 255.0, 6)
+    return duration_s, sample_rate, rms
+
+
+def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio twin of extract_image_features: mapInPandas over binary
+    payloads → narrow (duration, sample_rate, rms) columns. Same Arrow
+    batch-residency bound; payloads never leave the stage."""
+    decoder = fake_decode_audio if fake else decode_audio
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_s": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "rms": [f[2] for f in feats],
+                    "payload_sha": [
+                        hashlib.sha256(p if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: output bytes
+    are a stable function of (payload, target size), sized ~w*h/64 so
+    batch memory scales with the TARGET resolution like a real encoder."""
+    seed = hashlib.md5((payload or b"") + f":{width}x{height}".encode()).digest()
+    out_len = max(16, (width * height) // 64)
+    return (seed * (out_len // len(seed) + 1))[:out_len]
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize plumbing: mapInPandas stage that rewrites the payload column
+    at a target resolution. With real codecs, swap fake_resize_image for a
+    PIL/opencv decode→resize→encode; the Spark-side contract (schema,
+    Arrow batching, per-batch payload residency) is identical."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this container")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                fake_resize_image(p if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "payload_sha": [hashlib.sha256(b).hexdigest() for b in resized],
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, RESIZE_SCHEMA)
+    )

@@ -403,3 +403,45 @@ def test_pack_sequences_offsets(spark):
     assert [rows[i]["start_offset"] for i in range(3)] == [0, 300, 600]
     assert [rows[i]["pack_id"] for i in range(3)] == [0, 0, 1]
     assert all(rows[i]["n_tokens"] == 300 for i in range(3))
+
+
+def test_audio_features_deterministic(spark):
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_decode_audio,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    out = extract_audio_features(media).collect()
+    assert len(out) == 4  # every 3rd synthetic row is audio
+    payloads = {
+        r.media_id: r.payload for r in media.where("kind = 'audio'").collect()
+    }
+    for r in out:
+        d, sr, rms = fake_decode_audio(payloads[r.media_id])
+        assert (r.duration_s, r.sample_rate, r.rms) == (d, sr, rms)
+        assert sr in (8000, 16000, 22000, 44000)
+
+
+def test_resize_images_plumbing(spark):
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        fake_resize_image,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    out = {r.media_id: r for r in resize_images(media, 128, 96).collect()}
+    assert len(out) == 4
+    payloads = {
+        r.media_id: r.payload for r in media.where("kind = 'image'").collect()
+    }
+    for mid, r in out.items():
+        want = fake_resize_image(payloads[mid], 128, 96)
+        assert bytes(r.payload) == want
+        assert (r.width, r.height) == (128, 96)
+        assert len(want) == (128 * 96) // 64
+    # resizing twice to the same target is idempotent in length and digest
+    again = {r.media_id: r.payload_sha for r in resize_images(media, 128, 96).collect()}
+    assert again == {k: v.payload_sha for k, v in out.items()}
