@@ -1886,6 +1886,22 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_chunk_windows(spark, sf_dir):
+    """Context-window chunking (packing.chunk_windows): overlapping
+    max_len=32/stride=24 token windows per document — scan-stage only,
+    zero shuffles."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.packing import chunk_windows
+
+    return chunk_windows(_t(spark, sf_dir, "documents"), max_len=32, stride=24)
+
+
+def _sql_chunk_windows() -> str:
+    from csvs_to_sqlite_spark.operators.packing import chunk_windows_sql
+
+    return chunk_windows_sql(max_len=32, stride=24)
+
+
 # shared between q_table_profile and its oracle (ADVICE_r02 pattern: one
 # source of truth so neither side can silently drift)
 _PROFILE_NUM = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
@@ -2084,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "streaming_interval_join": q_streaming_interval_join,
         "table_profile": q_table_profile,
+        "chunk_windows": q_chunk_windows,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2159,5 +2176,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": SQL_CORPUS_STATS,
         "streaming_interval_join": SQL_STREAM_INTERVAL_JOIN,
         "table_profile": _sql_table_profile(),
+        "chunk_windows": _sql_chunk_windows(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -78,3 +78,65 @@ def pack_sequences_sql(
         f"SELECT doc_id, group_id, n_tokens, start_offset, "
         f"cast(floor(start_offset / {budget}) AS BIGINT) AS pack_id FROM laid"
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Context-window chunking: split each document into token windows of
+    ``max_len`` starting every ``stride`` tokens (stride < max_len ⇒
+    overlapping windows, the standard way long documents become training
+    sequences without losing cross-boundary context).
+
+    Window starts run 0, stride, 2·stride, … while start < n_tokens, so
+    every token appears in ≥1 window and the final window may be short.
+    Returns (id, chunk_idx, n_tokens, chunk). Entirely scan-stage: one
+    explode, zero shuffles, zero Python — at 100 TB this adds no stage
+    boundary to the pipeline it feeds.
+    """
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+    windows = F.when(
+        F.size("__toks__") >= 1,
+        F.expr(
+            f"transform(sequence(0, size(__toks__) - 1, {stride}),"
+            f" s -> concat_ws(' ', slice(__toks__, s + 1, {max_len})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = base.select(
+        F.col(id_col),
+        F.size("__toks__").alias("__n__"),
+        F.posexplode(windows).alias("chunk_idx", "chunk"),
+    )
+    n_tokens = F.least(
+        F.lit(max_len), F.col("__n__") - F.col("chunk_idx") * stride
+    ).cast("long")
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        n_tokens.alias("n_tokens"),
+        "chunk",
+    )
+
+
+def chunk_windows_sql(
+    max_len: int = 32, stride: int = 24, table: str = "documents"
+) -> str:
+    """DuckDB twin of chunk_windows (same starts, same slices)."""
+    return (
+        "WITH tokd AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "t -> t <> '') AS toks "
+        f"FROM {table}),\n"
+        "win AS (SELECT doc_id, len(toks) AS n, "
+        f"unnest(list_transform(range(0, greatest(len(toks), 0), {stride}), "
+        f"s -> {{'idx': s // {stride}, 'txt': array_to_string("
+        f"toks[s + 1 : s + {max_len}], ' '), 'nt': least({max_len}, len(toks) - s)}})) AS u "
+        "FROM tokd)\n"
+        "SELECT doc_id, cast(u.idx AS bigint) AS chunk_idx, "
+        "cast(u.nt AS bigint) AS n_tokens, u.txt AS chunk FROM win"
+    )

@@ -445,3 +445,23 @@ def test_resize_images_plumbing(spark):
     # resizing twice to the same target is idempotent in length and digest
     again = {r.media_id: r.payload_sha for r in resize_images(media, 128, 96).collect()}
     assert again == {k: v.payload_sha for k, v in out.items()}
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    from csvs_to_sqlite_spark.operators.packing import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    rows = sorted(
+        map(tuple, chunk_windows(docs, max_len=4, stride=3).collect())
+    )
+    assert rows == [
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "d e f g"),  # overlap: shares 'd' with window 0
+        (1, 2, 1, "g"),  # short tail window
+        (3, 0, 1, "x"),
+    ]
+    # every token of doc 1 appears in at least one window
+    covered = set(" ".join(r[3] for r in rows if r[0] == 1).split())
+    assert covered == set("abcdefg")
