@@ -1886,6 +1886,39 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join (terms.tfidf_cosine_pairs):
+    exact lexical near-dup pairs via a token-keyed self-join of unit
+    vectors — the no-embeddings complement of the ANN path. df cap ON by
+    default (auto = max(1000, 1% of docs); a no-op at oracle scale, so
+    the SQL twin matches with and without the arm)."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return terms.tfidf_cosine_pairs(d, "text", "doc_id", threshold=0.9)
+
+
+SQL_TFIDF_COSINE = f"""
+WITH tokd AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM tokd),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+cap AS (SELECT greatest(1000, count(*) // 100) AS max_df FROM documents),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+          HAVING count(*) <= (SELECT max_df FROM cap)),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (SELECT doc_id, token,
+        (tf / (sum(tf) OVER (PARTITION BY doc_id)))
+          * ln(n.n_docs / dfreq.df) AS w
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+u AS (SELECT doc_id, token,
+        w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS u
+      FROM w)
+SELECT a.doc_id AS a, b.doc_id AS b, round(sum(a.u * b.u), 6) AS cosine
+FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING round(sum(a.u * b.u), 6) >= 0.9
+"""
+
+
 def q_chunk_windows(spark, sf_dir):
     """Context-window chunking (packing.chunk_windows): overlapping
     max_len=32/stride=24 token windows per document — scan-stage only,
@@ -2101,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "table_profile": q_table_profile,
         "chunk_windows": q_chunk_windows,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2177,5 +2211,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_interval_join": SQL_STREAM_INTERVAL_JOIN,
         "table_profile": _sql_table_profile(),
         "chunk_windows": _sql_chunk_windows(),
+        "tfidf_cosine_pairs": SQL_TFIDF_COSINE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -141,3 +141,70 @@ def corpus_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def tfidf_unit_vectors(
+    df: DataFrame, text_col: str, id_col: str, max_df: int | str | None = "auto"
+) -> DataFrame:
+    """(id, token, u) sparse L2-normalized TF-IDF vectors. ``max_df``
+    drops hyper-frequent tokens before any join fan-out (same skew guard
+    as the Jaccard posting lists — boilerplate tokens both blow up the
+    self-join AND carry ~zero idf weight). Default "auto" =
+    max(1000, 1% of docs), ON by default (round-1 lesson: an off-by-
+    default cap is no cap); None disables."""
+    n_docs = df.count()
+    if max_df == "auto":
+        max_df = max(1000, n_docs // 100)
+    tf = term_frequencies(df, text_col, id_col)
+    doc_freq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        doc_freq = doc_freq.where(F.col("df") <= max_df)
+    w_doc = Window.partitionBy(id_col)
+    weighted = (
+        tf.join(F.broadcast(doc_freq), "token")
+        .withColumn("doc_len", F.sum("tf").over(w_doc))
+        .withColumn(
+            "w",
+            (F.col("tf") / F.col("doc_len"))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+    )
+    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(w_doc))
+    return weighted.select(
+        id_col, "token", (F.col("w") / norm).alias("u")
+    ).where(F.col("u").isNotNull())
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Sparse-vector similarity join: document pairs with TF-IDF cosine ≥
+    ``threshold`` — the lexical complement of the embedding-ANN path
+    (no embeddings needed; exact, not approximate).
+
+    DAAT shape: unit vectors self-equi-join on token (pairs exist only
+    for documents SHARING a token — no O(n²) cross join), dot products
+    accumulate in one (a, b)-keyed aggregate. With L2-normalized inputs
+    the dot product IS the cosine. ``max_df`` bounds posting-list fan-out
+    exactly like the Jaccard join. Threshold compares the 6-dp-rounded
+    value so a last-ulp float-sum divergence can't flip membership
+    across engines.
+    """
+    unit = tfidf_unit_vectors(df, text_col, id_col, max_df=max_df)
+    a = unit.select(
+        F.col(id_col).alias("a"), F.col("token"), F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col(id_col).alias("b"), F.col("token"), F.col("u").alias("ub")
+    )
+    return (
+        a.join(b, "token")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

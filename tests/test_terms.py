@@ -67,3 +67,36 @@ def test_bigram_topk_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_cosine_pairs_identical_and_disjoint(spark):
+    from csvs_to_sqlite_spark.operators.terms import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),  # identical -> cosine 1.0
+            (3, "dog emu fox"),  # disjoint -> no pair
+            (4, "apple banana zebra"),  # partial overlap with 1/2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.a, r.b): r.cosine for r in
+            tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.0, max_df=None).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert not any(3 in p for p in rows)
+    assert 0 < rows[(1, 4)] < 1
+    # high threshold keeps only the exact pair
+    strict = tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.99, max_df=None)
+    assert [(r.a, r.b) for r in strict.collect()] == [(1, 2)]
+
+
+def test_tfidf_cosine_max_df_prunes_stop_tokens(spark):
+    from csvs_to_sqlite_spark.operators.terms import tfidf_unit_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i}") for i in range(10)], "doc_id long, text string"
+    )
+    # 'the' appears in all 10 docs; cap at 5 removes it from every vector
+    toks = {r.token for r in tfidf_unit_vectors(docs, "text", "doc_id", max_df=5).collect()}
+    assert "the" not in toks and "w3" in toks
