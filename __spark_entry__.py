@@ -1886,6 +1886,56 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_quality_above_median(spark, sf_dir):
+    """Quantile-threshold curation: keep documents strictly above their
+    source's median quality (the 'drop the worse half of every domain'
+    primitive). Per-source medians are a source-cardinality aggregate
+    broadcast back onto the corpus — the corpus itself never shuffles;
+    the rounded score (6 dp, both engines) keeps the > comparison
+    cross-engine stable. Exact interpolated percentile for the oracle;
+    approx_percentile is the drop-in at 100 TB."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", text.quality_score(F.col("text")).alias("quality")
+    )
+    med = scored.groupBy("source").agg(
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("med")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .where(F.col("quality") > F.col("med"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
+    )
+
+
+def _sql_quality_above_median() -> str:
+    quality = SQL_QUALITY.strip().rstrip(";")
+    return (
+        f"WITH q AS ({quality}),\n"
+        "scored AS (SELECT q.doc_id, d.source, q.quality\n"
+        "           FROM q JOIN documents d USING (doc_id)),\n"
+        "med AS (SELECT source, round(quantile_cont(quality, 0.5), 6) AS med\n"
+        "        FROM scored GROUP BY source)\n"
+        "SELECT source, count(*) AS n_kept,\n"
+        "  md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) AS id_digest\n"
+        "FROM scored JOIN med USING (source)\n"
+        "WHERE quality > med GROUP BY source"
+    )
+
+
 def q_tfidf_cosine_pairs(spark, sf_dir):
     """Sparse TF-IDF cosine similarity join (terms.tfidf_cosine_pairs):
     exact lexical near-dup pairs via a token-keyed self-join of unit
@@ -2135,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "chunk_windows": q_chunk_windows,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "quality_above_median": q_quality_above_median,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2212,5 +2263,6 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _sql_table_profile(),
         "chunk_windows": _sql_chunk_windows(),
         "tfidf_cosine_pairs": SQL_TFIDF_COSINE,
+        "quality_above_median": _sql_quality_above_median(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
