@@ -1886,6 +1886,27 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Affine int8 embedding quantization (similarity.quantize_embeddings):
+    scan-stage array expressions only; floor-based levels so the full
+    quantized arrays hash-match the DuckDB twin."""
+    prep_session(spark)
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_QUANTIZE = """
+WITH base AS (SELECT vec_id,
+                     list_transform(embedding, x -> cast(x AS double)) AS v
+              FROM embeddings),
+mm AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM base)
+SELECT vec_id, vmin, vmax,
+       list_transform(v, x -> CASE WHEN vmax = vmin THEN 0
+         ELSE least(255, cast(floor((x - vmin) / (vmax - vmin) * 256) AS bigint))
+         END) AS q
+FROM mm
+"""
+
+
 def q_quality_above_median(spark, sf_dir):
     """Quantile-threshold curation: keep documents strictly above their
     source's median quality (the 'drop the worse half of every domain'
@@ -2186,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "quality_above_median": q_quality_above_median,
+        "quantize_embeddings": q_quantize_embeddings,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2264,5 +2286,6 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": _sql_chunk_windows(),
         "tfidf_cosine_pairs": SQL_TFIDF_COSINE,
         "quality_above_median": _sql_quality_above_median(),
+        "quantize_embeddings": SQL_QUANTIZE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -388,3 +388,34 @@ def lsh_near_dup_pairs(
     return cand.select("id_a", "id_b", sim.alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Affine int8 scalar quantization of an embedding column — the
+    standard 4× compression applied before embeddings are stored or
+    shipped at corpus scale (float32[d] → int64-coded 0..255 levels +
+    per-vector (min, max) for dequantization).
+
+    q = floor((x - min) / (max - min) * 256), clamped to 255; floor (not
+    round) so no half-way tie can diverge between engines — every
+    arithmetic step is plain IEEE double math, identical in Spark and
+    DuckDB, which makes the full quantized array oracle-checkable.
+    Entirely scan-stage: per-row array expressions, zero shuffles, zero
+    Python. Dequantization midpoint x̂ = min + (q + 0.5)·(max − min)/256
+    bounds |x̂ − x| ≤ (max − min)/512.
+    """
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    base = df.select(F.col(id_col), v.alias("__v__")).select(
+        id_col,
+        F.array_min("__v__").alias("vmin"),
+        F.array_max("__v__").alias("vmax"),
+        F.col("__v__"),
+    )
+    q = F.expr(
+        "transform(__v__, x -> CASE WHEN vmax = vmin THEN 0L"
+        " ELSE least(255L, cast(floor((x - vmin) / (vmax - vmin) * 256) AS bigint))"
+        " END)"
+    )
+    return base.select(id_col, "vmin", "vmax", q.alias("q"))

@@ -51,3 +51,50 @@ def test_ivf_multiprobe_recall_vs_bruteforce(spark):
     assert recalls[1] <= recalls[2] <= recalls[3]
     assert recalls[2] >= 0.8
     assert recalls[3] >= 0.9
+
+
+def test_quantize_embeddings_error_bound_and_recall(spark):
+    """Dequantized vectors stay within the affine bound and preserve
+    nearest-neighbor structure."""
+    from csvs_to_sqlite_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    orig = {r.vec_id: list(r.embedding) for r in emb.limit(50).collect()}
+    qrows = {r.vec_id: r for r in quantize_embeddings(emb.limit(50)).collect()}
+    import math
+
+    for vid, xs in orig.items():
+        r = qrows[vid]
+        span = r.vmax - r.vmin
+        assert len(r.q) == len(xs) and all(0 <= q <= 255 for q in r.q)
+        for x, q in zip(xs, r.q):
+            xhat = r.vmin + (q + 0.5) * span / 256
+            assert abs(xhat - x) <= span / 512 + 1e-12
+
+    def cos(a, b):
+        num = sum(p * q for p, q in zip(a, b))
+        return num / math.sqrt(sum(p * p for p in a) * sum(q * q for q in b))
+
+    # top-1 neighbor (excluding self) unchanged under dequantization for
+    # a handful of probes
+    deq = {
+        vid: [r.vmin + (q + 0.5) * (r.vmax - r.vmin) / 256 for q in r.q]
+        for vid, r in qrows.items()
+    }
+    ids = sorted(orig)
+    for probe in ids[:5]:
+        exact = max((c for c in ids if c != probe), key=lambda c: cos(orig[probe], orig[c]))
+        approx = max((c for c in ids if c != probe), key=lambda c: cos(deq[probe], deq[c]))
+        assert exact == approx
+
+
+def test_quantize_constant_vector_guard(spark):
+    from csvs_to_sqlite_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.5]), (2, [0.0, 1.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert list(out[1].q) == [0, 0, 0]  # degenerate span -> level 0
+    assert list(out[2].q) == [0, 255, 128]
