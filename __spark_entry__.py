@@ -1886,6 +1886,22 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global training order (splits.global_shuffle):
+    corpus ranked by salted md5(id) via the two-phase distributed rank —
+    no single-partition window anywhere."""
+    prep_session(spark)
+    return splits.global_shuffle(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+def _sql_global_shuffle() -> str:
+    h = md5_long_sql("cast(doc_id as varchar)", seed="shuffle")
+    return (
+        f"SELECT doc_id, cast(row_number() OVER (ORDER BY {h}, doc_id) AS bigint)"
+        " AS shuffle_rank FROM documents"
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Affine int8 embedding quantization (similarity.quantize_embeddings):
     scan-stage array expressions only; floor-based levels so the full
@@ -2208,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "quality_above_median": q_quality_above_median,
         "quantize_embeddings": q_quantize_embeddings,
+        "global_shuffle": q_global_shuffle,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2287,5 +2304,6 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_cosine_pairs": SQL_TFIDF_COSINE,
         "quality_above_median": _sql_quality_above_median(),
         "quantize_embeddings": SQL_QUANTIZE,
+        "global_shuffle": _sql_global_shuffle(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

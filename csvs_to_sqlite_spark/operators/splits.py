@@ -149,3 +149,27 @@ def shard_manifest(
             ).alias("id_digest"),
         )
     )
+
+
+def global_shuffle(df: DataFrame, id_col: str, seed: str = "shuffle") -> DataFrame:
+    """Deterministic global training order: (id, shuffle_rank) where rank
+    is the row's 1-based position when the corpus is ordered by a salted
+    md5 of its id (ties broken by id — total order, reproducible across
+    runs, engines, and partitionings; re-salt ``seed`` for an independent
+    epoch order).
+
+    The rank is a GLOBAL dense numbering but there is no single-partition
+    window: range-partition by the hash, sort within partitions, then
+    per-partition offset row ids (the same two-phase machinery as dim
+    numbering — two tiny metadata jobs, scales to any corpus size).
+    """
+    from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
+
+    h = md5_long(F.col(id_col).cast("string"), seed=seed)
+    base = df.select(F.col(id_col), h.alias("__h__"))
+    ranked = with_row_id(
+        base.repartitionByRange("__h__", id_col).sortWithinPartitions(
+            "__h__", id_col
+        )
+    )
+    return ranked.select(id_col, F.col(ROW_ID).alias("shuffle_rank"))

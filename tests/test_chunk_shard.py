@@ -147,3 +147,19 @@ def test_chunk_dedup_matches_python_model(spark, texts, width):
         k: (n, m, _md5(txt)) for k, (n, m, txt) in py_chunk_dedup(docs, width).items()
     }
     assert got == want
+
+
+def test_global_shuffle_total_order_and_reseed(spark):
+    from csvs_to_sqlite_spark.operators.splits import global_shuffle
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = global_shuffle(df, "doc_id")
+    ranks = [r.shuffle_rank for r in out.collect()]
+    assert sorted(ranks) == list(range(1, 201))  # dense 1..N, no gaps/dupes
+    # deterministic across invocations
+    again = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id").collect()}
+    first = {r.doc_id: r.shuffle_rank for r in out.collect()}
+    assert again == first
+    # a different seed draws a genuinely different order
+    other = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id", seed="epoch2").collect()}
+    assert other != first and sorted(other.values()) == list(range(1, 201))
