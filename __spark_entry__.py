@@ -1886,6 +1886,45 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation flagship: exact dedup → quality gate (> 0.55)
+    → deterministic train-split filter → sequence packing, every stage an
+    existing operator. The corpus is filtered by three scan-stage or
+    dim-sized predicates before the only real shuffle (packing's
+    group-keyed cumsum), which is the shape a 100 TB curation run wants:
+    shrink first, shuffle last."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    surv = dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
+    scored = d.withColumn("quality", text.quality_score(F.col("text")))
+    kept = (
+        scored.join(surv, "doc_id")
+        .where(F.col("quality") > 0.55)
+        .where(splits.split_assignment(F.col("doc_id")) == "train")
+        .select("doc_id", "text")
+    )
+    return pack_sequences(kept, budget=512, n_groups=8)
+
+
+def _sql_curation_pipeline() -> str:
+    from csvs_to_sqlite_spark.operators.packing import pack_sequences_sql
+    from csvs_to_sqlite_spark.operators.splits import split_assignment_sql
+
+    quality = SQL_QUALITY.strip().rstrip(";")
+    split = split_assignment_sql("d.doc_id")
+    pack = pack_sequences_sql(budget=512, n_groups=8, table="kept")
+    return (
+        f"WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),\n"
+        f"q AS ({quality}),\n"
+        "kept AS (SELECT d.doc_id, d.text FROM documents d\n"
+        "         JOIN surv USING (doc_id) JOIN q USING (doc_id)\n"
+        f"         WHERE q.quality > 0.55 AND {split} = 'train')\n"
+        f"SELECT * FROM ({pack}) packed"
+    )
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic global training order (splits.global_shuffle):
     corpus ranked by salted md5(id) via the two-phase distributed rank —
@@ -2225,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_above_median": q_quality_above_median,
         "quantize_embeddings": q_quantize_embeddings,
         "global_shuffle": q_global_shuffle,
+        "curation_pipeline": q_curation_pipeline,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2305,5 +2345,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_above_median": _sql_quality_above_median(),
         "quantize_embeddings": SQL_QUANTIZE,
         "global_shuffle": _sql_global_shuffle(),
+        "curation_pipeline": _sql_curation_pipeline(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
