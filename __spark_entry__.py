@@ -740,7 +740,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, "text", "doc_id")
 
 
-def _sql_minhash_pairs() -> str:
+def _sql_minhash_band_rows() -> str:
+    """UNION ALL of per-band (doc_id, band, key) selects over a ``sig``
+    CTE — shared by the pairs and incremental-dedup oracles."""
     rows = dedup.MINHASH_K // dedup.MINHASH_BANDS
     band_selects = []
     for bi in range(dedup.MINHASH_BANDS):
@@ -748,12 +750,15 @@ def _sql_minhash_pairs() -> str:
         band_selects.append(
             f"SELECT doc_id, {bi} AS band, md5(concat_ws('-', {parts})) AS key FROM sig"
         )
-    bands = "\nUNION ALL\n".join(band_selects)
+    return "\nUNION ALL\n".join(band_selects)
+
+
+def _sql_minhash_pairs() -> str:
     return (
         "WITH sig AS (\n"
         + _sql_minhash_sig()
         + "\n), bands AS (\n"
-        + bands
+        + _sql_minhash_band_rows()
         + """
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1886,6 +1891,45 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup (dedup.incremental_near_dup_filter):
+    treat doc_id % 5 == 0 as today's batch and the rest as the existing
+    corpus; keep batch docs that near-dup-collide with neither the corpus
+    nor a smaller-id batch member. Two (band,key)-keyed joins, both
+    batch-sized."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 5 == 0)
+    old = d.where(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_near_dup_filter(new, old, "text", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    # band rows over the WHOLE table once (signatures depend only on the
+    # doc), then split by the same doc_id % 5 predicate
+    return (
+        "WITH sig AS (\n"
+        + _sql_minhash_sig()
+        + "\n), bands AS (\n"
+        + _sql_minhash_band_rows()
+        + """
+),
+new_b AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+old_b AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+hit_old AS (SELECT DISTINCT n.doc_id FROM new_b n
+            JOIN old_b o ON n.band = o.band AND n.key = o.key),
+hit_new AS (SELECT DISTINCT b.doc_id FROM new_b a
+            JOIN new_b b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id),
+dropped AS (SELECT doc_id FROM hit_old UNION SELECT doc_id FROM hit_new)
+SELECT doc_id, source FROM documents
+WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation flagship: exact dedup → quality gate (> 0.55)
     → deterministic train-split filter → sequence packing, every stage an
@@ -2265,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "global_shuffle": q_global_shuffle,
         "curation_pipeline": q_curation_pipeline,
+        "incremental_dedup": q_incremental_dedup,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2346,5 +2391,6 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": SQL_QUANTIZE,
         "global_shuffle": _sql_global_shuffle(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "incremental_dedup": _sql_incremental_dedup(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

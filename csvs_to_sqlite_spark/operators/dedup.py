@@ -166,6 +166,30 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*aggs)
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """(id, band, key) LSH band rows of the MinHash signature — the unit
+    every banded join (self-join pairs, incremental new-vs-old filter)
+    builds on."""
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("-", *parts)).alias("key"))
+        )
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -179,17 +203,7 @@ def minhash_lsh_pairs(
     One equi-join keyed by (band_idx, band_key) — the LSH trick that
     replaces the O(n²) comparison at 100 TB.
     """
-    rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
-    band_cols = []
-    for bi in range(bands):
-        parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("-", *parts)).alias("key"))
-        )
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
-    )
+    banded = minhash_bands(df, text_col, id_col, k, bands, shingle_n)
     banded = banded.persist()  # both self-join sides reuse the signature stage
     a = banded.alias("a")
     b = banded.alias("b")
@@ -460,3 +474,41 @@ def chunk_dedup(
         )
         .select(id_col, "n_chunks", "n_kept", "clean_digest")
     )
+
+
+def incremental_near_dup_filter(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: from a NEW batch, keep only documents
+    that are near-dup of neither the EXISTING corpus nor a smaller-id
+    member of the batch itself — the operation a daily-crawl pipeline
+    runs, where re-signaturing the whole corpus per batch would be
+    absurd (in production the old band rows are a materialized table
+    keyed (band, key); here they're derived for the oracle).
+
+    Two banded equi-joins, both keyed (band, key): a semi-join new×old
+    and a smaller-id self-collision probe — batch-sized, never
+    corpus²-sized. Stable under growth: a surviving document can never
+    be retroactively dropped by later batches (mirrors the E4
+    incremental-dim guarantee).
+    """
+    nb = minhash_bands(new_docs, text_col, id_col).persist()
+    ob = minhash_bands(old_docs, text_col, id_col)
+    hit_old = nb.join(ob, ["band", "key"], "left_semi").select(id_col).distinct()
+    a = nb.alias("a")
+    b = nb.alias("b")
+    hit_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    dropped = hit_old.unionByName(hit_new).distinct()
+    return new_docs.join(dropped, id_col, "left_anti")

@@ -465,3 +465,37 @@ def test_chunk_windows_overlap_and_tail(spark):
     # every token of doc 1 appears in at least one window
     covered = set(" ".join(r[3] for r in rows if r[0] == 1).split())
     assert covered == set("abcdefg")
+
+
+def test_incremental_near_dup_filter(spark):
+    from csvs_to_sqlite_spark.operators.dedup import incremental_near_dup_filter
+
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of corpus
+            (11, "completely different text about spark shuffles and joins"),
+            (12, "completely different text about spark shuffles and joins"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_near_dup_filter(new, old, "text").collect()
+    )
+    assert kept == [11]  # 10 collides with corpus, 12 with smaller-id 11
+    # stability: growing the corpus with the survivors and re-running a
+    # disjoint batch cannot resurrect or drop prior survivors
+    from pyspark.sql import functions as F
+
+    grown = old.unionByName(new.where(F.col("doc_id") == 11))
+    batch2 = spark.createDataFrame(
+        [(20, "yet another unrelated document entirely about benchmarks")],
+        "doc_id long, text string",
+    )
+    kept2 = sorted(
+        r.doc_id for r in incremental_near_dup_filter(batch2, grown, "text").collect()
+    )
+    assert kept2 == [20]
