@@ -2071,7 +2071,7 @@ SQL_TFIDF_COSINE = f"""
 WITH tokd AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS token FROM tokd),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
-cap AS (SELECT greatest(1000, count(*) // 100) AS max_df FROM documents),
+cap AS (SELECT greatest(1000, count(*) // 5) AS max_df FROM documents),
 dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token
           HAVING count(*) <= (SELECT max_df FROM cap)),
 n AS (SELECT count(*) AS n_docs FROM documents),

@@ -150,11 +150,17 @@ def tfidf_unit_vectors(
     drops hyper-frequent tokens before any join fan-out (same skew guard
     as the Jaccard posting lists — boilerplate tokens both blow up the
     self-join AND carry ~zero idf weight). Default "auto" =
-    max(1000, 1% of docs), ON by default (round-1 lesson: an off-by-
-    default cap is no cap); None disables."""
+    max(1000, 20% of docs), ON by default (round-1 lesson: an off-by-
+    default cap is no cap); None disables. The cap must be a corpus
+    FRACTION, not a near-constant: a fixed cap shrinks relative to a
+    growing corpus until every token exceeds it and the vector set
+    collapses to empty (observed at a 5× scale-stress before this was
+    fraction-based). 20% is scale-free — the same stop-word-like band is
+    dropped at every corpus size — and tokens under it keep meaningful
+    idf anyway."""
     n_docs = df.count()
     if max_df == "auto":
-        max_df = max(1000, n_docs // 100)
+        max_df = max(1000, n_docs // 5)
     tf = term_frequencies(df, text_col, id_col)
     doc_freq = tf.groupBy("token").agg(F.count("*").alias("df"))
     if max_df is not None:
