@@ -1891,6 +1891,35 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality filter signal (terms.lm_score): per-doc mean
+    log-probability under an add-0.5-smoothed bigram model trained on the
+    corpus itself. One model aggregate + one bigram-keyed join + one
+    per-doc average."""
+    prep_session(spark)
+    return terms.lm_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_LM_SCORE = f"""
+WITH tokd AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tokd),
+v AS (SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(toks) AS t FROM tokd)),
+c12 AS (SELECT bigram, count(*) AS c12 FROM big GROUP BY bigram),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+       FROM c12 GROUP BY 1),
+model AS (SELECT bigram, ln((c12 + 0.5) / (c1 + 0.5 * v.v)) AS logp
+          FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+          CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(logp) / count(*), 6) AS lm_score
+FROM big JOIN model USING (bigram) GROUP BY doc_id
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental ingestion dedup (dedup.incremental_near_dup_filter):
     treat doc_id % 5 == 0 as today's batch and the rest as the existing
@@ -2310,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "curation_pipeline": q_curation_pipeline,
         "incremental_dedup": q_incremental_dedup,
+        "lm_score": q_lm_score,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2392,5 +2422,6 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": _sql_global_shuffle(),
         "curation_pipeline": _sql_curation_pipeline(),
         "incremental_dedup": _sql_incremental_dedup(),
+        "lm_score": SQL_LM_SCORE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

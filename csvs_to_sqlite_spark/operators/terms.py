@@ -214,3 +214,63 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def lm_score(
+    df: DataFrame, text_col: str, id_col: str, k_smooth: float = 0.5
+) -> DataFrame:
+    """CCNet-style LM quality signal: each document's mean log-probability
+    under an add-k-smoothed bigram model trained on the corpus itself
+    (the relational stand-in for KenLM perplexity filtering — low scores
+    flag machine-generated/boilerplate text whose bigrams are rare).
+
+    model: P(w2|w1) = (c(w1w2) + k) / (c(w1·) + k·V), with c(w1·) the
+    count of bigrams starting with w1 and V the unigram vocabulary size.
+
+    Plan shape: bigram explode is scan-stage; the model is ONE aggregate
+    over the bigram stream (c(w1·) derives from the model table itself,
+    never a second corpus pass; V is a scalar); scoring is ONE join of
+    doc-bigrams against the model keyed by bigram + ONE per-doc average.
+    Docs with < 2 tokens have no bigrams and drop out. Scores rounded to
+    6 dp for cross-engine float-sum determinism.
+    """
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+    bigrams = F.when(
+        F.size("__toks__") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks__) - 1),"
+            " i -> concat(element_at(__toks__, i), ' ', element_at(__toks__, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bigrams = base.select(
+        F.col(id_col), F.explode(bigrams).alias("bigram")
+    )
+    v = (
+        df.select(F.explode(toks).alias("t")).agg(F.count_distinct("t")).collect()[0][0]
+    )
+    c12 = doc_bigrams.groupBy("bigram").agg(F.count("*").alias("c12"))
+    c1 = (
+        c12.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    model = (
+        c12.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .select(
+            "bigram",
+            F.log(
+                (F.col("c12") + F.lit(k_smooth))
+                / (F.col("c1") + F.lit(k_smooth) * F.lit(float(v)))
+            ).alias("logp"),
+        )
+    )
+    return (
+        doc_bigrams.join(model, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count("*"), 6).alias("lm_score"),
+        )
+    )

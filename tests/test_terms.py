@@ -100,3 +100,23 @@ def test_tfidf_cosine_max_df_prunes_stop_tokens(spark):
     # 'the' appears in all 10 docs; cap at 5 removes it from every vector
     toks = {r.token for r in tfidf_unit_vectors(docs, "text", "doc_id", max_df=5).collect()}
     assert "the" not in toks and "w3" in toks
+
+
+def test_lm_score_hand_computed(spark):
+    """Corpus 'a b', 'a b', 'a c', 'solo' — V=4 (a,b,c,solo), c(a b)=2,
+    c(a c)=1, c1(a)=3. P(b|a) = 2.5/(3+2) = 0.5, P(c|a) = 1.5/5
+    (add-0.5 smoothing)."""
+    import math
+
+    from csvs_to_sqlite_spark.operators.terms import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(docs, "text", "doc_id").collect()}
+    assert out[1].n_bigrams == 1
+    assert out[1].lm_score == round(math.log(2.5 / 5.0), 6)
+    assert out[3].lm_score == round(math.log(1.5 / 5.0), 6)
+    assert out[1].lm_score > out[3].lm_score  # common bigram scores higher
+    assert 4 not in out  # single-token doc has no bigrams
