@@ -163,3 +163,33 @@ def test_global_shuffle_total_order_and_reseed(spark):
     # a different seed draws a genuinely different order
     other = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, "doc_id", seed="epoch2").collect()}
     assert other != first and sorted(other.values()) == list(range(1, 201))
+
+
+def py_chunk_windows(docs, max_len, stride):
+    out = []
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().strip().split() if t]
+        starts = list(range(0, len(toks), stride))
+        for idx, s in enumerate(starts):
+            win = toks[s : s + max_len]
+            out.append((doc_id, idx, len(win), " ".join(win)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(TEXTS, min_size=1, max_size=6),
+    max_len=st.integers(min_value=1, max_value=5),
+    stride=st.integers(min_value=1, max_value=5),
+)
+def test_chunk_windows_matches_python_model(spark, texts, max_len, stride):
+    from csvs_to_sqlite_spark.operators.packing import chunk_windows
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, chunk_windows(df, max_len=max_len, stride=stride).collect()))
+    assert got == py_chunk_windows(docs, max_len, stride)
