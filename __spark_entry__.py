@@ -1891,6 +1891,50 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-source contamination audit: how much of each source overlaps
+    the eval corpus (same 4-gram join as `decontaminate` — the report
+    and the filter cannot disagree). Left join + conditional count."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    bad = dedup.contaminated_ids(train, eval_docs, n=4).withColumn(
+        "is_bad", F.lit(1)
+    )
+    return (
+        train.join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_bad"), F.lit(0))).alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_bad"), F.lit(0))) / F.count("*"), 6
+            ).alias("rate"),
+        )
+    )
+
+
+def _sql_contamination_report() -> str:
+    h = md5_long_sql("s", hex_chars=15)
+    return (
+        "WITH tokd AS (SELECT doc_id, "
+        + tokens_sql("text", distinct=False)
+        + " AS toks FROM documents),\n"
+        "sh AS (SELECT doc_id, " + h + " AS h FROM (SELECT doc_id, unnest("
+        + shingles_sql("toks", 4)
+        + ") AS s FROM tokd)),\n"
+        "eval_h AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),\n"
+        "bad AS (SELECT DISTINCT doc_id FROM sh JOIN eval_h USING (h)\n"
+        "        WHERE doc_id % 50 <> 0)\n"
+        "SELECT source, count(*) AS n_docs,\n"
+        "  cast(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END) AS bigint) AS n_contaminated,\n"
+        "  round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END)\n"
+        "        / cast(count(*) AS double), 6) AS rate\n"
+        "FROM documents WHERE doc_id % 50 <> 0 GROUP BY source"
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style LM quality filter signal (terms.lm_score): per-doc mean
     log-probability under an add-0.5-smoothed bigram model trained on the
@@ -2340,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "incremental_dedup": q_incremental_dedup,
         "lm_score": q_lm_score,
+        "contamination_report": q_contamination_report,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2423,5 +2468,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _sql_curation_pipeline(),
         "incremental_dedup": _sql_incremental_dedup(),
         "lm_score": SQL_LM_SCORE,
+        "contamination_report": _sql_contamination_report(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

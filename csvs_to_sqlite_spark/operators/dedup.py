@@ -391,6 +391,21 @@ def decontaminate(
     step, so a 32-bit key would start falsely dropping docs at
     billion-shingle scale.
     """
+    contaminated = contaminated_ids(docs, eval_docs, text_col, id_col, n)
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Ids of corpus documents sharing at least one word ``n``-gram with
+    the eval corpus — the overlap set behind ``decontaminate``, exposed
+    so reporting (contamination rates per source) shares the exact same
+    join the filter uses."""
     doc_sh = token_posting(docs, text_col, id_col, shingle_n=n).select(
         F.col(id_col), md5_long(F.col("token"), hex_chars=15).alias("h")
     )
@@ -399,8 +414,7 @@ def decontaminate(
         .select(md5_long(F.col("token"), hex_chars=15).alias("h"))
         .distinct()
     )
-    contaminated = doc_sh.join(eval_sh, "h", "left_semi").select(id_col).distinct()
-    return docs.join(contaminated, id_col, "left_anti")
+    return doc_sh.join(eval_sh, "h", "left_semi").select(id_col).distinct()
 
 
 def chunk_dedup(
