@@ -1891,6 +1891,47 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-k deterministic stratified sample (splits.
+    stratified_sample_exact_k): 5 docs per source by salted-hash rank."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return splits.stratified_sample_exact_k(d, "doc_id", "source", k=5).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_stratified_sample() -> str:
+    h = md5_long_sql("cast(doc_id as varchar)", seed="strat")
+    return (
+        "SELECT doc_id, source FROM (\n"
+        "  SELECT doc_id, source,\n"
+        f"         row_number() OVER (PARTITION BY source ORDER BY {h} ASC,"
+        " doc_id ASC) AS rk\n"
+        "  FROM documents) t WHERE rk <= 5"
+    )
+
+
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic (operators/profile.py::skew_report):
+    top-10 heaviest l_partkey values with row shares — the pre-join
+    check that decides salting/AQE-skew handling."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+def _sql_skew_report() -> str:
+    return (
+        "WITH c AS (SELECT cast(l_partkey AS varchar) AS key, count(*) AS n\n"
+        "           FROM lineitem GROUP BY 1),\n"
+        "t AS (SELECT count(*) AS total FROM lineitem)\n"
+        "SELECT key, n, round(n / cast(t.total AS double), 6) AS share\n"
+        "FROM c CROSS JOIN t ORDER BY n DESC, key ASC LIMIT 10"
+    )
+
+
 def q_contamination_report(spark, sf_dir):
     """Per-source contamination audit: how much of each source overlaps
     the eval corpus (same 4-gram join as `decontaminate` — the report
@@ -2385,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "lm_score": q_lm_score,
         "contamination_report": q_contamination_report,
+        "stratified_sample": q_stratified_sample,
+        "skew_report": q_skew_report,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2469,5 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _sql_incremental_dedup(),
         "lm_score": SQL_LM_SCORE,
         "contamination_report": _sql_contamination_report(),
+        "stratified_sample": _sql_stratified_sample(),
+        "skew_report": _sql_skew_report(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -96,3 +96,26 @@ def profile_sql(
             f" FROM {table_expr}"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the ``top_k`` heaviest key values
+    with each one's share of all rows — the number that predicts whether
+    a shuffle on this key will straggle (one key at 5% of a 100 TB table
+    is a 5 TB partition). Top-k via orderBy().limit() =
+    TakeOrderedAndProject; the total is a scalar aggregate, broadcast as
+    a literal-free cross join of one row. Deterministic tie-break on the
+    key value."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    total = df.count()
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_k)
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        )
+    )

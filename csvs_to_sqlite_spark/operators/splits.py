@@ -173,3 +173,25 @@ def global_shuffle(df: DataFrame, id_col: str, seed: str = "shuffle") -> DataFra
         )
     )
     return ranked.select(id_col, F.col(ROW_ID).alias("shuffle_rank"))
+
+
+def stratified_sample_exact_k(
+    df: DataFrame, id_col: str, group_col: str, k: int, seed: str = "strat"
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by salted-hash rank
+    — the deterministic version of per-group reservoir sampling ("100
+    eval docs per domain"). Unlike rate-based sampling the count is
+    exact; unlike a random sample it is reproducible across runs,
+    engines, and partitionings, and re-salting draws an independent
+    sample. One group-partitioned window; partition width = group size
+    (groups are domains/sources — bounded, unlike a global window).
+    """
+    from pyspark.sql.window import Window
+
+    h = md5_long(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

@@ -193,3 +193,20 @@ def test_chunk_windows_matches_python_model(spark, texts, max_len, stride):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = sorted(map(tuple, chunk_windows(df, max_len=max_len, stride=stride).collect()))
     assert got == py_chunk_windows(docs, max_len, stride)
+
+
+def test_stratified_sample_exact_k(spark):
+    from csvs_to_sqlite_spark.operators.splits import stratified_sample_exact_k
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample_exact_k(df, "doc_id", "source", k=7)
+    sizes = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 7, "small": 7}
+    # deterministic; small group (10 rows) keeps exactly 7, k>size keeps all
+    again = stratified_sample_exact_k(df, "doc_id", "source", k=7)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    all_small = stratified_sample_exact_k(df, "doc_id", "source", k=50)
+    assert all_small.where("source = 'small'").count() == 10
