@@ -1891,6 +1891,68 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_rolling_revenue_7d(spark, sf_dir):
+    """RANGE-frame rolling window: each order's trailing-7-day revenue
+    for its customer (event-time range frame, not row frame — the frame
+    Spark expresses as rangeBetween over epoch seconds and DuckDB as
+    RANGE BETWEEN INTERVAL). One shuffle on the customer key."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("rev_7d"),
+    )
+
+
+SQL_ROLLING_7D = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 4) AS rev_7d
+FROM orders
+"""
+
+
+def q_customer_deciles(spark, sf_dir):
+    """ntile bucketing: customers ranked into revenue deciles (per-decile
+    totals + id digests). ntile over a global ORDER BY is fine here
+    because the input is the already-aggregated per-customer rollup —
+    dim-sized, not fact-sized; the fact table never sees the window."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue"), 4).alias("decile_revenue"),
+        )
+    )
+
+
+SQL_DECILES = """
+WITH per_cust AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+                  FROM orders GROUP BY o_custkey),
+ranked AS (SELECT o_custkey, revenue,
+                  ntile(10) OVER (ORDER BY revenue DESC, o_custkey ASC) AS decile
+           FROM per_cust)
+SELECT decile, count(*) AS n_customers,
+       round(sum(revenue), 4) AS decile_revenue
+FROM ranked GROUP BY decile
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact-k deterministic stratified sample (splits.
     stratified_sample_exact_k): 5 docs per source by salted-hash rank."""
@@ -2428,6 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
         "skew_report": q_skew_report,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
+        "customer_deciles": q_customer_deciles,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2514,5 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": _sql_contamination_report(),
         "stratified_sample": _sql_stratified_sample(),
         "skew_report": _sql_skew_report(),
+        "rolling_revenue_7d": SQL_ROLLING_7D,
+        "customer_deciles": SQL_DECILES,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
