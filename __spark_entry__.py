@@ -1891,6 +1891,108 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel: signup → first view AFTER the signup → first
+    purchase AFTER that view, per user; one row per funnel step with the
+    surviving-user count. Three dim-sized conditional aggregates chained
+    by broadcast joins — the events fact is scanned per step but never
+    shuffled beyond the user-keyed aggs."""
+    prep_session(spark)
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    t1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(F.broadcast(t1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = [
+        ("1_signup", t1),
+        ("2_view_after_signup", t2),
+        ("3_purchase_after_view", t3),
+    ]
+    out = None
+    for name, d in steps:
+        row = d.agg(
+            F.lit(name).alias("step"), F.count("*").cast("long").alias("n_users")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_FUNNEL = """
+WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+SELECT '1_signup' AS step, count(*) AS n_users FROM t1
+UNION ALL SELECT '2_view_after_signup', count(*) FROM t2
+UNION ALL SELECT '3_purchase_after_view', count(*) FROM t3
+"""
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff via set operators: EXCEPT/INTERSECT between an 'old'
+    corpus slice (doc_id % 7 != 0) and a 'new' one (doc_id % 3 != 0) —
+    added/removed/kept doc-id sets, each summarized by count + digest.
+    Set ops compile to the same keyed aggregates as joins, so the
+    100 TB posture is a distinct-keyed shuffle per side."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0).select("doc_id")
+    new = d.where(F.col("doc_id") % 3 != 0).select("doc_id")
+    sets = [
+        ("added", new.exceptAll(old)),
+        ("removed", old.exceptAll(new)),
+        ("kept", new.intersect(old)),
+    ]
+    out = None
+    for name, s in sets:
+        row = s.agg(
+            F.lit(name).alias("change"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+new AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+added AS (SELECT doc_id FROM new EXCEPT SELECT doc_id FROM old),
+removed AS (SELECT doc_id FROM old EXCEPT SELECT doc_id FROM new),
+kept AS (SELECT doc_id FROM new INTERSECT SELECT doc_id FROM old)
+SELECT 'added' AS change, count(*) AS n_docs,
+       md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) AS id_digest
+FROM added
+UNION ALL SELECT 'removed', count(*),
+       md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) FROM removed
+UNION ALL SELECT 'kept', count(*),
+       md5(string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)) FROM kept
+"""
+
+
 def q_rolling_revenue_7d(spark, sf_dir):
     """RANGE-frame rolling window: each order's trailing-7-day revenue
     for its customer (event-time range frame, not row frame — the frame
@@ -2492,6 +2594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "customer_deciles": q_customer_deciles,
+        "event_funnel": q_event_funnel,
+        "corpus_diff": q_corpus_diff,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2580,5 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _sql_skew_report(),
         "rolling_revenue_7d": SQL_ROLLING_7D,
         "customer_deciles": SQL_DECILES,
+        "event_funnel": SQL_FUNNEL,
+        "corpus_diff": SQL_CORPUS_DIFF,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
