@@ -1,0 +1,104 @@
+"""Scale-stress harness: run the heavy operators on an N× self-union of
+sf0.1 and print per-operator wall time + invariant checks. This codifies
+the ad-hoc stress runs recorded in NOTES.md so they are reproducible:
+
+    python tools/scale_stress.py [N]      # default N=5
+
+Invariants asserted (not just timed):
+- chunk_dedup: surviving docs AND total kept chunks identical at 1× and
+  N× (every synthetic copy's chunks dedup to the originals);
+- dedup_clusters via minhash pairs: distinct cluster count identical at
+  1× and N× (copies collapse into their original's component);
+- tfidf_cosine_pairs: every 1× pair reappears N² times at N×, so
+  N× count ≥ N²·(1× count) and in particular stays nonzero (a
+  near-constant df cap collapses the vector set to 0 pairs at scale —
+  the round-3 regression this harness caught). On this corpus the 1×
+  pairs form one clique over a 250-doc duplicate family (C(250,2) =
+  31,125), so N× is exactly C(250N, 2) — asserted when the clique
+  shape is detected.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.session import get_spark, prep_session
+
+
+def multiply(df, id_col, n):
+    out = df
+    for i in range(1, n):
+        out = out.unionAll(df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000)))
+    return out.localCheckpoint()
+
+
+def timed(name, fn):
+    t0 = time.time()
+    result = fn()
+    print(f"{name}: {result} rows, {time.time() - t0:.1f}s", flush=True)
+    return result
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    prep_session(spark)
+
+    d1 = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint()
+    dn = multiply(d1, "doc_id", n)
+    e1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
+    en = multiply(e1, "vec_id", n)
+
+    from csvs_to_sqlite_spark.operators import dedup, similarity, splits, terms
+    from csvs_to_sqlite_spark.operators.packing import chunk_windows
+
+    print(f"== {n}x self-union of {sf_dir} ({dn.count()} docs) ==", flush=True)
+
+    k1 = dedup.chunk_dedup(d1, "text", "doc_id").agg(
+        F.count("*"), F.sum("n_kept")
+    ).collect()[0]
+    t0 = time.time()
+    kn = dedup.chunk_dedup(dn, "text", "doc_id").agg(
+        F.count("*"), F.sum("n_kept")
+    ).collect()[0]
+    print(f"chunk_dedup {n}x: {kn[0]} docs / {kn[1]} chunks, {time.time()-t0:.1f}s")
+    assert tuple(k1) == tuple(kn), f"chunk_dedup not scale-invariant: {k1} vs {kn}"
+
+    c1 = timed("cosine_pairs 1x", lambda: terms.tfidf_cosine_pairs(d1, "text", "doc_id").count())
+    cn = timed(f"cosine_pairs {n}x", lambda: terms.tfidf_cosine_pairs(dn, "text", "doc_id").count())
+    assert c1 > 0 and cn >= n * n * c1, f"cosine pairs collapsed: 1x={c1}, {n}x={cn}"
+    # if the 1x pairs are one clique C(m,2), the Nx count must be C(Nm,2)
+    m = int((1 + (1 + 8 * c1) ** 0.5) / 2)
+    if m * (m - 1) // 2 == c1:
+        want = (n * m) * (n * m - 1) // 2
+        assert cn == want, f"clique growth {cn} != C({n * m},2) = {want}"
+
+    pairs1 = dedup.minhash_lsh_pairs(d1, "text", "doc_id")
+    cl1 = dedup.dedup_clusters(d1, pairs1, "doc_id").select("cluster_id").distinct().count()
+    t0 = time.time()
+    pairsn = dedup.minhash_lsh_pairs(dn, "text", "doc_id")
+    cln = dedup.dedup_clusters(dn, pairsn, "doc_id").select("cluster_id").distinct().count()
+    print(f"dedup_clusters {n}x: {cln} clusters, {time.time()-t0:.1f}s")
+    assert cl1 == cln, f"cluster count not scale-invariant: {cl1} vs {cln}"
+
+    new = dn.where(F.col("doc_id") % 5 == 0)
+    old = dn.where(F.col("doc_id") % 5 != 0)
+    timed(f"incremental_dedup {n}x", lambda: dedup.incremental_near_dup_filter(new, old, "text").count())
+    timed(f"lm_score {n}x", lambda: terms.lm_score(dn, "text", "doc_id").count())
+    timed(f"global_shuffle {n}x", lambda: splits.global_shuffle(dn, "doc_id").count())
+    timed(f"chunk_windows {n}x", lambda: chunk_windows(dn).count())
+    timed(f"quantize {n}x", lambda: similarity.quantize_embeddings(en).count())
+    timed(f"shard_manifest {n}x", lambda: splits.shard_manifest(dn, "doc_id", 64).count())
+    print("ALL INVARIANTS HELD")
+
+
+if __name__ == "__main__":
+    main()
