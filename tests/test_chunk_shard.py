@@ -210,3 +210,34 @@ def test_stratified_sample_exact_k(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     all_small = stratified_sample_exact_k(df, "doc_id", "source", k=50)
     assert all_small.where("source = 'small'").count() == 10
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Every corpus-level operator must return an empty result — not
+    throw — on an empty corpus (the natural state of a new partition)."""
+    from csvs_to_sqlite_spark.operators.dedup import chunk_dedup
+    from csvs_to_sqlite_spark.operators.packing import chunk_windows
+    from csvs_to_sqlite_spark.operators.splits import (
+        global_shuffle,
+        shard_manifest,
+        stratified_sample_exact_k,
+    )
+    from csvs_to_sqlite_spark.operators.terms import (
+        bigram_counts,
+        corpus_stats,
+        lm_score,
+        tfidf_cosine_pairs,
+        tfidf_top_terms,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert chunk_dedup(empty, "text", "doc_id").count() == 0
+    assert chunk_windows(empty).count() == 0
+    assert global_shuffle(empty, "doc_id").count() == 0
+    assert shard_manifest(empty, "doc_id", 4).count() == 0
+    assert stratified_sample_exact_k(empty, "doc_id", "source", 3).count() == 0
+    assert bigram_counts(empty, "text", top_k=5).count() == 0
+    assert corpus_stats(empty, "text", "source").count() == 0
+    assert lm_score(empty, "text", "doc_id").count() == 0
+    assert tfidf_cosine_pairs(empty, "text", "doc_id").count() == 0
+    assert tfidf_top_terms(empty, "text", "doc_id").count() == 0
