@@ -1891,6 +1891,56 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_daily_dense_rollup(spark, sf_dir):
+    """Calendar-spine gap filling: per-(day, event_type) totals with
+    MISSING DAYS ZERO-FILLED — the sparse→dense densification every
+    time-series consumer needs. The spine is generated (sequence ×
+    distinct types, both tiny) and broadcast onto the aggregated facts;
+    the fact table itself is only touched by one groupBy."""
+    prep_session(spark)
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).collect()[0]
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(lo), F.lit(hi), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    return (
+        F.broadcast(spine)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+SQL_DAILY_DENSE = """
+WITH bounds AS (SELECT min(cast(ts AS date)) AS lo, max(cast(ts AS date)) AS hi
+                FROM events),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::date AS day
+         FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (SELECT cast(ts AS date) AS day, event_type,
+                 count(*) AS n, round(sum(value), 4) AS v
+          FROM events GROUP BY 1, 2)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, t.event_type,
+       coalesce(daily.n, 0) AS n_events,
+       coalesce(daily.v, 0.0) AS sum_value
+FROM days d CROSS JOIN types t
+LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+"""
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel: signup → first view AFTER the signup → first
     purchase AFTER that view, per user; one row per funnel step with the
@@ -2596,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_deciles": q_customer_deciles,
         "event_funnel": q_event_funnel,
         "corpus_diff": q_corpus_diff,
+        "daily_dense_rollup": q_daily_dense_rollup,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2686,5 +2737,6 @@ def oracle_sql() -> dict[str, str]:
         "customer_deciles": SQL_DECILES,
         "event_funnel": SQL_FUNNEL,
         "corpus_diff": SQL_CORPUS_DIFF,
+        "daily_dense_rollup": SQL_DAILY_DENSE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
