@@ -1891,6 +1891,49 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star: for each fact→dim
+    edge, how many fact rows have no matching dim key (broadcast
+    anti-join per edge — the dim side is always the broadcast side, the
+    fact is scanned once per edge and never shuffled)."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    edges = [
+        ("lineitem.l_orderkey->orders", li.select(F.col("l_orderkey").alias("k")),
+         o.select(F.col("o_orderkey").alias("k"))),
+        ("orders.o_custkey->customer", o.select(F.col("o_custkey").alias("k")),
+         c.select(F.col("c_custkey").alias("k"))),
+        ("events.user_id->customer", ev.select(F.col("user_id").alias("k")),
+         c.select(F.col("c_custkey").alias("k"))),
+    ]
+    out = None
+    for name, fact, dim in edges:
+        row = (
+            fact.join(F.broadcast(dim.distinct()), "k", "left_anti")
+            .agg(
+                F.lit(name).alias("edge"),
+                F.count("*").cast("long").alias("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_FK_AUDIT = """
+SELECT 'lineitem.l_orderkey->orders' AS edge, count(*) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'events.user_id->customer', count(*)
+FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 def q_daily_dense_rollup(spark, sf_dir):
     """Calendar-spine gap filling: per-(day, event_type) totals with
     MISSING DAYS ZERO-FILLED — the sparse→dense densification every
@@ -2647,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "corpus_diff": q_corpus_diff,
         "daily_dense_rollup": q_daily_dense_rollup,
+        "fk_integrity_audit": q_fk_integrity_audit,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2738,5 +2782,6 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": SQL_FUNNEL,
         "corpus_diff": SQL_CORPUS_DIFF,
         "daily_dense_rollup": SQL_DAILY_DENSE,
+        "fk_integrity_audit": SQL_FK_AUDIT,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
