@@ -1891,6 +1891,56 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """SCD-1 merge/upsert: base orders + an updates batch (every 10th
+    order re-priced, version 2) → latest version wins per key. One
+    row_number window over the UNION, partitioned by the key — the
+    relational MERGE that parquet-based pipelines run instead of
+    in-place updates. Verified per-row via revenue sums and digests."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    merged = (
+        base.unionByName(updates)
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).cast("long").alias(
+            "n_updated"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH base AS (SELECT o_orderkey, o_totalprice, 1 AS version FROM orders),
+updates AS (SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice,
+                   2 AS version
+            FROM orders WHERE o_orderkey % 10 = 0),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+merged AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY version DESC) AS rn
+           FROM unioned)
+SELECT count(*) AS n_rows,
+       cast(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS bigint) AS n_updated,
+       round(sum(o_totalprice), 2) AS total_revenue
+FROM merged WHERE rn = 1
+"""
+
+
 def q_fk_integrity_audit(spark, sf_dir):
     """Referential-integrity audit across the star: for each fact→dim
     edge, how many fact rows have no matching dim key (broadcast
@@ -2691,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "daily_dense_rollup": q_daily_dense_rollup,
         "fk_integrity_audit": q_fk_integrity_audit,
+        "merge_upsert": q_merge_upsert,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2783,5 +2834,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": SQL_CORPUS_DIFF,
         "daily_dense_rollup": SQL_DAILY_DENSE,
         "fk_integrity_audit": SQL_FK_AUDIT,
+        "merge_upsert": SQL_MERGE_UPSERT,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
