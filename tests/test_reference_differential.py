@@ -105,6 +105,27 @@ SCENARIOS = [
         ["--quoting", "2"],
         dict(quoting=2),
     ),
+    # kitchen sink: extract + shape rename/cast + fuzzy dates + FTS +
+    # compound index + filename/fixed columns in ONE run — feature
+    # interplay, not just isolated flags
+    (
+        "sink.csv",
+        (
+            "county,office,votes,date\n"
+            "Yolo,President,100,3rd May 2017\n"
+            "Napa,President,250,04/30/2005\n"
+            "Yolo,Senate,75,1st June 2017\n"
+        ),
+        ["-c", "office", "-f", "county", "-i", "county,office",
+         "--shape", "county:county,office:office,votes:n_votes(REAL),date:date",
+         "-d", "date", "--filename-column", "src",
+         "--fixed-column", "kind", "returns"],
+        dict(extract_column=["office"], fts=["county"],
+             index=["county,office"],
+             shape="county:county,office:office,votes:n_votes(REAL),date:date",
+             date=["date"], filename_column="src",
+             fixed_columns=[("kind", "returns")]),
+    ),
 ]
 
 _FTS_SHADOW = (
