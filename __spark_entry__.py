@@ -2038,10 +2038,11 @@ def q_event_funnel(spark, sf_dir):
     """Ordered funnel: signup → first view AFTER the signup → first
     purchase AFTER that view, per user; one row per funnel step with the
     surviving-user count. Three dim-sized conditional aggregates chained
-    by broadcast joins — the events fact is scanned per step but never
-    shuffled beyond the user-keyed aggs."""
+    by broadcast joins — the events fact is scanned per step (persisted,
+    so the parquet decode happens once) but never shuffled beyond the
+    user-keyed aggs."""
     prep_session(spark)
-    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    ev = load_events(spark, f"{sf_dir}/events.parquet").persist()
     t1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
         F.min("ts").alias("t1")
     )
