@@ -51,3 +51,28 @@ def write_shards(
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    n_shards: int | None = None,
+    seed: str = "shard",
+) -> None:
+    """JSONL export — the interchange format training pipelines emit
+    (completes the round-trip with sources/jsonl_source.load_jsonl).
+    Plain write: one line-delimited JSON file per input partition, no
+    shuffle. With ``id_col`` + ``n_shards``: md5-stable shard column +
+    one repartition so each shard lands contiguously, same layout
+    contract as write_shards."""
+    if (id_col is None) != (n_shards is None):
+        raise ValueError("id_col and n_shards must be given together")
+    if id_col is not None:
+        from csvs_to_sqlite_spark.operators.splits import shard_assignment
+
+        df = df.withColumn("shard", shard_assignment(F.col(id_col), n_shards, seed))
+        df = df.repartition(n_shards, "shard")
+        df.write.mode("overwrite").partitionBy("shard").json(path)
+    else:
+        df.write.mode("overwrite").json(path)

@@ -241,3 +241,26 @@ def test_new_operators_handle_empty_input(spark):
     assert lm_score(empty, "text", "doc_id").count() == 0
     assert tfidf_cosine_pairs(empty, "text", "doc_id").count() == 0
     assert tfidf_top_terms(empty, "text", "doc_id").count() == 0
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    """documents -> write_jsonl -> load_jsonl is lossless, and the
+    sharded variant keeps the write_shards layout contract."""
+    from csvs_to_sqlite_spark.sinks.parquet_sink import write_jsonl
+    from csvs_to_sqlite_spark.sources.jsonl_source import load_jsonl
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = str(tmp_path / "plain")
+    write_jsonl(d, plain)
+    back = load_jsonl(
+        spark, plain, schema="doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    )
+    assert sorted(map(tuple, back.select(*d.columns).collect())) == sorted(
+        map(tuple, d.collect())
+    )
+    sharded = str(tmp_path / "sharded")
+    write_jsonl(d, sharded, id_col="doc_id", n_shards=4)
+    back2 = spark.read.json(sharded)
+    assert back2.count() == d.count()
+    assert {r.shard for r in back2.select("shard").distinct().collect()} <= set(range(4))
