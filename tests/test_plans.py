@@ -84,3 +84,46 @@ def test_inverted_index_uses_take_ordered(spark):
     for i, l in enumerate(plan.splitlines()):
         if "+- Window" in l:
             assert i < take_idx
+
+
+def test_chunk_windows_is_scan_stage_only(spark):
+    plan = (
+        E.q_chunk_windows(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure explode in the scan stage
+
+
+def test_fk_integrity_audit_broadcasts_every_dim(spark):
+    plan = explain_str(E.q_fk_integrity_audit(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # facts never shuffle
+
+
+def test_quality_above_median_broadcasts_medians(spark):
+    plan = explain_str(E.q_quality_above_median(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_report_is_take_ordered(spark):
+    plan = (
+        E.q_skew_report(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shard_manifest_single_aggregation_shuffle(spark):
+    plan = (
+        E.q_shard_manifest(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
