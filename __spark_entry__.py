@@ -1891,6 +1891,20 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_char_health(spark, sf_dir):
+    """C4-style character-class ratios (text.char_health): uppercase /
+    digit / symbol fractions per doc — pure scan-stage regexp length
+    diffs, zero shuffle."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    ratios = text.char_health(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in ratios.items()])
+
+
+def _sql_char_health() -> str:
+    return f"SELECT doc_id, {text.char_health_sql('text')} FROM documents"
+
+
 def q_merge_upsert(spark, sf_dir):
     """SCD-1 merge/upsert: base orders + an updates batch (every 10th
     order re-priced, version 2) → latest version wins per key. One
@@ -2743,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_dense_rollup": q_daily_dense_rollup,
         "fk_integrity_audit": q_fk_integrity_audit,
         "merge_upsert": q_merge_upsert,
+        "char_health": q_char_health,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2836,5 +2851,6 @@ def oracle_sql() -> dict[str, str]:
         "daily_dense_rollup": SQL_DAILY_DENSE,
         "fk_integrity_audit": SQL_FK_AUDIT,
         "merge_upsert": SQL_MERGE_UPSERT,
+        "char_health": _sql_char_health(),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

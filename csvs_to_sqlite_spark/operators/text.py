@@ -175,3 +175,41 @@ def top_token_fraction(toks: Column) -> Column:
     return F.round(
         F.when(F.size(toks) > 0, best / F.size(toks)).otherwise(F.lit(0.0)), 6
     )
+
+
+# --- character-class health ratios (C4-style filters) ----------------------
+
+def _class_ratio(text: Column, pattern: str) -> Column:
+    """Fraction of characters matching a regex class — computed by
+    length-difference after regexp_replace (pure JVM, no explode)."""
+    n = F.length(text)
+    kept = F.length(F.regexp_replace(text, pattern, ""))
+    return F.when(n > 0, (n - kept) / n).otherwise(F.lit(0.0))
+
+
+def char_health(text: Column) -> dict[str, Column]:
+    """C4-style per-doc character-class ratios: uppercase, digit, and
+    non-alphanumeric-non-space ("symbol") fractions — the cheap scan
+    signals that flag shouting/boilerplate/code-ish text before any
+    heavier scoring runs. Patterns stay within RE2 ∩ Java-regex so the
+    DuckDB twin is byte-equivalent."""
+    return {
+        "upper_ratio": F.round(_class_ratio(text, "[A-Z]"), 6),
+        "digit_ratio": F.round(_class_ratio(text, "[0-9]"), 6),
+        "symbol_ratio": F.round(_class_ratio(text, "[^A-Za-z0-9 ]"), 6),
+    }
+
+
+def char_health_sql(expr: str) -> str:
+    """DuckDB SELECT-list fragment of char_health (same length-diff
+    trick, 'g' flag for replace-all)."""
+    def ratio(pattern: str) -> str:
+        n = f"length({expr})"
+        kept = f"length(regexp_replace({expr}, '{pattern}', '', 'g'))"
+        return f"CASE WHEN {n} > 0 THEN round(({n} - {kept}) / cast({n} AS double), 6) ELSE 0.0 END"
+
+    return (
+        f"{ratio('[A-Z]')} AS upper_ratio, "
+        f"{ratio('[0-9]')} AS digit_ratio, "
+        f"{ratio('[^A-Za-z0-9 ]')} AS symbol_ratio"
+    )

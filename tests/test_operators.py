@@ -499,3 +499,23 @@ def test_incremental_near_dup_filter(spark):
         r.doc_id for r in incremental_near_dup_filter(batch2, grown, "text").collect()
     )
     assert kept2 == [20]
+
+
+def test_char_health_hand_computed(spark):
+    from csvs_to_sqlite_spark.operators.text import char_health
+
+    df = spark.createDataFrame(
+        [(1, "AB cd 12!"), (2, "")], "doc_id long, text string"
+    )
+    ratios = char_health(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in ratios.items()]
+        ).collect()
+    }
+    # "AB cd 12!": 9 chars, 2 upper, 2 digits, 1 symbol ('!')
+    assert out[1].upper_ratio == round(2 / 9, 6)
+    assert out[1].digit_ratio == round(2 / 9, 6)
+    assert out[1].symbol_ratio == round(1 / 9, 6)
+    assert (out[2].upper_ratio, out[2].digit_ratio, out[2].symbol_ratio) == (0.0, 0.0, 0.0)
