@@ -1891,6 +1891,33 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_collocations(spark, sf_dir):
+    """Top-20 PMI collocations with min_count=5 (terms.collocations):
+    two token-keyed aggregates + broadcast unigram joins + TakeOrdered."""
+    prep_session(spark)
+    return terms.collocations(_t(spark, sf_dir, "documents"), "text")
+
+
+SQL_COLLOCATIONS = f"""
+WITH tokd AS (SELECT {_TOKENS} AS toks FROM documents),
+pairs AS (SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS b FROM tokd),
+c12 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+uni AS (SELECT unnest(toks) AS w FROM tokd),
+c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+n AS (SELECT (SELECT count(*) FROM uni) AS n1, (SELECT count(*) FROM pairs) AS n2)
+SELECT concat_ws(' ', w1, w2) AS bigram, c12 AS n,
+       round(ln((c12 / cast(n.n2 AS double))
+                / ((a.c / cast(n.n1 AS double)) * (b.c / cast(n.n1 AS double)))), 6) AS pmi
+FROM c12
+JOIN c1 a ON c12.w1 = a.w
+JOIN c1 b ON c12.w2 = b.w
+CROSS JOIN n
+WHERE c12 >= 5
+ORDER BY pmi DESC, bigram ASC LIMIT 20
+"""
+
+
 def q_char_health(spark, sf_dir):
     """C4-style character-class ratios (text.char_health): uppercase /
     digit / symbol fractions per doc — pure scan-stage regexp length
@@ -2758,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity_audit": q_fk_integrity_audit,
         "merge_upsert": q_merge_upsert,
         "char_health": q_char_health,
+        "collocations": q_collocations,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2852,5 +2880,6 @@ def oracle_sql() -> dict[str, str]:
         "fk_integrity_audit": SQL_FK_AUDIT,
         "merge_upsert": SQL_MERGE_UPSERT,
         "char_health": _sql_char_health(),
+        "collocations": SQL_COLLOCATIONS,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -274,3 +274,55 @@ def lm_score(
             F.round(F.sum("logp") / F.count("*"), 6).alias("lm_score"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by PMI: bigrams whose parts co-occur far more
+    than independence predicts — ln((c12/N2) / ((c1/N1)·(c2/N1))),
+    ``min_count`` filtering the unstable low-frequency tail (standard
+    practice; PMI explodes on hapax pairs).
+
+    Two token-keyed aggregates (bigram counts, unigram counts) + two
+    broadcast joins of the vocab-sized unigram table + a
+    TakeOrderedAndProject top-k. Scalars N1/N2 are single-row aggregates.
+    Rounded to 6 dp with bigram tiebreak for cross-engine ordering.
+    """
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    base = df.select(toks.alias("__toks__"))
+    bigrams = F.when(
+        F.size("__toks__") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks__) - 1),"
+            " i -> struct(element_at(__toks__, i) AS w1,"
+            "             element_at(__toks__, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    pairs = base.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = base.select(F.explode("__toks__").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    n1 = base.select(F.explode("__toks__").alias("w")).count()
+    n2 = pairs.count()
+    scored = (
+        c12.where(F.col("c12") >= min_count)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c12").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("c12") / F.lit(float(n2)))
+                    / ((F.col("c1") / F.lit(float(n1))) * (F.col("c2") / F.lit(float(n1))))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(top_k)
