@@ -1891,6 +1891,53 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_price_outliers(spark, sf_dir):
+    """IQR outlier detection per group: orders whose total price exceeds
+    p75 + 1.5·IQR of their priority class. Group stats are a
+    priority-cardinality aggregate broadcast back onto the facts (the
+    fact table never shuffles); exact interpolated percentiles for the
+    oracle, approx_percentile the drop-in at scale. Returns per-group
+    outlier counts + id digests."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+    )
+    cutoff = F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .where(F.col("o_totalprice") > cutoff)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("o_orderkey")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
+    )
+
+
+SQL_PRICE_OUTLIERS = """
+WITH stats AS (SELECT o_orderpriority,
+                      quantile_cont(o_totalprice, 0.25) AS p25,
+                      quantile_cont(o_totalprice, 0.75) AS p75
+               FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority, count(*) AS n_outliers,
+       md5(string_agg(cast(o_orderkey AS varchar), ',' ORDER BY o_orderkey))
+         AS id_digest
+FROM orders o JOIN stats s USING (o_orderpriority)
+WHERE o.o_totalprice > s.p75 + 1.5 * (s.p75 - s.p25)
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_collocations(spark, sf_dir):
     """Top-20 PMI collocations with min_count=5 (terms.collocations):
     two token-keyed aggregates + broadcast unigram joins + TakeOrdered."""
@@ -2786,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "char_health": q_char_health,
         "collocations": q_collocations,
+        "price_outliers": q_price_outliers,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2881,5 +2929,6 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": SQL_MERGE_UPSERT,
         "char_health": _sql_char_health(),
         "collocations": SQL_COLLOCATIONS,
+        "price_outliers": SQL_PRICE_OUTLIERS,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
