@@ -1891,6 +1891,38 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_interarrival_stats(spark, sf_dir):
+    """Event-stream health: per event type, the median and p95
+    inter-arrival gap in seconds (lag window per type partition, then a
+    type-cardinality percentile aggregate). The gap computation sorts
+    within type partitions only — no global ordering anywhere."""
+    prep_session(spark)
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    gaps = ev.select("event_type", gap).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 4).alias("p95_gap_s"),
+    )
+
+
+SQL_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events)
+SELECT event_type, count(*) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
+FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
+"""
+
+
 def q_price_outliers(spark, sf_dir):
     """IQR outlier detection per group: orders whose total price exceeds
     p75 + 1.5·IQR of their priority class. Group stats are a
@@ -2834,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_health": q_char_health,
         "collocations": q_collocations,
         "price_outliers": q_price_outliers,
+        "interarrival_stats": q_interarrival_stats,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2930,5 +2963,6 @@ def oracle_sql() -> dict[str, str]:
         "char_health": _sql_char_health(),
         "collocations": SQL_COLLOCATIONS,
         "price_outliers": SQL_PRICE_OUTLIERS,
+        "interarrival_stats": SQL_INTERARRIVAL,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
