@@ -1891,6 +1891,52 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_event_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: which event-type pairs happen in the
+    same (user, day) basket, with support counts. Distinct baskets
+    first (one aggregate — kills within-basket multiplicity before the
+    join), then a basket-keyed self-equi-join ordered a < b. Join
+    fan-out is bounded by types-per-basket (≤ 5 distinct types), never
+    raw event counts."""
+    prep_session(spark)
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    baskets = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_baskets"))
+    )
+
+
+SQL_COOCCURRENCE = """
+WITH baskets AS (SELECT DISTINCT user_id, cast(ts AS date) AS day, event_type
+                 FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_baskets
+FROM baskets a JOIN baskets b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 def q_interarrival_stats(spark, sf_dir):
     """Event-stream health: per event type, the median and p95
     inter-arrival gap in seconds (lag window per type partition, then a
@@ -2867,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "price_outliers": q_price_outliers,
         "interarrival_stats": q_interarrival_stats,
+        "event_cooccurrence": q_event_cooccurrence,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -2964,5 +3011,6 @@ def oracle_sql() -> dict[str, str]:
         "collocations": SQL_COLLOCATIONS,
         "price_outliers": SQL_PRICE_OUTLIERS,
         "interarrival_stats": SQL_INTERARRIVAL,
+        "event_cooccurrence": SQL_COOCCURRENCE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
