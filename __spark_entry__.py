@@ -1891,6 +1891,31 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_length_histogram(spark, sf_dir):
+    """Doc-length histogram in 100-char buckets (integer bucket math —
+    no float log binning, so bucket edges cannot diverge between
+    engines). One map-side-combined aggregate; the reporting primitive
+    behind every corpus dashboard."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_LENGTH_HIST = """
+SELECT (n_chars // 100) * 100 AS bucket_lo, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
 def q_event_cooccurrence(spark, sf_dir):
     """Market-basket co-occurrence: which event-type pairs happen in the
     same (user, day) basket, with support counts. Distinct baskets
@@ -2914,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_outliers": q_price_outliers,
         "interarrival_stats": q_interarrival_stats,
         "event_cooccurrence": q_event_cooccurrence,
+        "length_histogram": q_length_histogram,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -3012,5 +3038,6 @@ def oracle_sql() -> dict[str, str]:
         "price_outliers": SQL_PRICE_OUTLIERS,
         "interarrival_stats": SQL_INTERARRIVAL,
         "event_cooccurrence": SQL_COOCCURRENCE,
+        "length_histogram": SQL_LENGTH_HIST,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
