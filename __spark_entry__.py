@@ -1891,6 +1891,37 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_argmax_per_group(spark, sf_dir):
+    """Top-1-per-group WITHOUT a window: each customer's highest-value
+    order via max(struct(price, key)) — one map-side-combined aggregate,
+    no per-partition sort at all (the window top-k's shuffle+sort
+    becomes shuffle-only; at 100 TB this is the cheaper plan whenever
+    k=1). Struct comparison is lexicographic in both engines, so the
+    (price, key) tuple is a deterministic total order."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(best.alias("b"))
+        .select(
+            "o_custkey",
+            F.col("b.k").alias("best_order"),
+            F.round(F.col("b.p"), 4).alias("best_price"),
+        )
+    )
+
+
+SQL_ARGMAX = """
+SELECT o_custkey,
+       (max({'p': o_totalprice, 'k': o_orderkey})).k AS best_order,
+       round((max({'p': o_totalprice, 'k': o_orderkey})).p, 4) AS best_price
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_length_histogram(spark, sf_dir):
     """Doc-length histogram in 100-char buckets (integer bucket math —
     no float log binning, so bucket edges cannot diverge between
@@ -2940,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "event_cooccurrence": q_event_cooccurrence,
         "length_histogram": q_length_histogram,
+        "argmax_per_group": q_argmax_per_group,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -3039,5 +3071,6 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_stats": SQL_INTERARRIVAL,
         "event_cooccurrence": SQL_COOCCURRENCE,
         "length_histogram": SQL_LENGTH_HIST,
+        "argmax_per_group": SQL_ARGMAX,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
