@@ -1891,6 +1891,48 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_embedding_health(spark, sf_dir):
+    """Embedding-table health audit: per label, vector count, dimension
+    consistency (min=max size), zero-vector count, and mean L2 norm —
+    the sanity gate before building any ANN index over the column. All
+    per-vector math is a JVM array fold; one label-keyed aggregate.
+    Norms rounded to 4 dp before averaging so engine-order float-sum
+    noise cannot reach the comparison."""
+    prep_session(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(embedding, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"
+    )
+    per_vec = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 4).alias("norm"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0)).cast("long").alias(
+            "n_zero_vecs"
+        ),
+        F.round(F.avg("norm"), 4).alias("mean_norm"),
+    )
+
+
+SQL_EMBEDDING_HEALTH = """
+WITH per_vec AS (
+  SELECT label, len(embedding) AS dim,
+         round(sqrt(list_sum(list_transform(embedding,
+               x -> cast(x AS double) * cast(x AS double)))), 4) AS norm
+  FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+       cast(min(dim) AS bigint) AS dim_min, cast(max(dim) AS bigint) AS dim_max,
+       cast(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS bigint) AS n_zero_vecs,
+       round(avg(norm), 4) AS mean_norm
+FROM per_vec GROUP BY label
+"""
+
+
 def q_argmax_per_group(spark, sf_dir):
     """Top-1-per-group WITHOUT a window: each customer's highest-value
     order via max(struct(price, key)) — one map-side-combined aggregate,
@@ -2972,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence": q_event_cooccurrence,
         "length_histogram": q_length_histogram,
         "argmax_per_group": q_argmax_per_group,
+        "embedding_health": q_embedding_health,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -3072,5 +3115,6 @@ def oracle_sql() -> dict[str, str]:
         "event_cooccurrence": SQL_COOCCURRENCE,
         "length_histogram": SQL_LENGTH_HIST,
         "argmax_per_group": SQL_ARGMAX,
+        "embedding_health": SQL_EMBEDDING_HEALTH,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
