@@ -1891,6 +1891,45 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_key_uniqueness_audit(spark, sf_dir):
+    """Candidate-key audit: for each declared key, how many key values
+    occur more than once (0 = the key is unique). One count aggregate
+    per key, each map-side combined; the HAVING side is duplicate-sized,
+    not table-sized."""
+    prep_session(spark)
+    checks = [
+        ("lineitem(l_orderkey,l_linenumber)",
+         _t(spark, sf_dir, "lineitem").groupBy("l_orderkey", "l_linenumber")),
+        ("orders(o_orderkey)", _t(spark, sf_dir, "orders").groupBy("o_orderkey")),
+        ("events(event_id)",
+         load_events(spark, f"{sf_dir}/events.parquet").groupBy("event_id")),
+    ]
+    out = None
+    for name, grouped in checks:
+        row = (
+            grouped.agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .agg(
+                F.lit(name).alias("candidate_key"),
+                F.count("*").cast("long").alias("n_duplicated_keys"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_KEY_AUDIT = """
+SELECT 'lineitem(l_orderkey,l_linenumber)' AS candidate_key, count(*) AS n_duplicated_keys
+FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders(o_orderkey)', count(*)
+FROM (SELECT 1 FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'events(event_id)', count(*)
+FROM (SELECT 1 FROM events GROUP BY event_id HAVING count(*) > 1)
+"""
+
+
 def q_embedding_health(spark, sf_dir):
     """Embedding-table health audit: per label, vector count, dimension
     consistency (min=max size), zero-vector count, and mean L2 norm —
@@ -3015,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "argmax_per_group": q_argmax_per_group,
         "embedding_health": q_embedding_health,
+        "key_uniqueness_audit": q_key_uniqueness_audit,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -3116,5 +3156,6 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": SQL_LENGTH_HIST,
         "argmax_per_group": SQL_ARGMAX,
         "embedding_health": SQL_EMBEDDING_HEALTH,
+        "key_uniqueness_audit": SQL_KEY_AUDIT,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
