@@ -1891,6 +1891,58 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication-rate report: docs, distinct texts, and the
+    dup rate — the first number a corpus health dashboard shows. One
+    (source, md5(text))-keyed aggregate then a source rollup; text never
+    shuffles, only its hash."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    per_text = (
+        d.select("source", F.md5("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.round((F.sum("c") - F.count("*")) / F.sum("c"), 6).alias("dup_rate"),
+    )
+
+
+SQL_DUP_RATE = """
+WITH per_text AS (SELECT source, md5(text) AS h, count(*) AS c
+                  FROM documents GROUP BY 1, 2)
+SELECT source, cast(sum(c) AS bigint) AS n_docs, count(*) AS n_unique,
+       round((sum(c) - count(*)) / cast(sum(c) AS double), 6) AS dup_rate
+FROM per_text GROUP BY source
+"""
+
+
+def q_derived_column_conformance(spark, sf_dir):
+    """Derived-column conformance audit: does documents.n_chars actually
+    equal length(text)? Scan-stage predicate + one count — the
+    generated-column consistency check every ingest pipeline should
+    assert (a nonzero count means the upstream writer and the column
+    drifted)."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).cast("long").alias("n_mismatched"),
+    )
+
+
+SQL_CONFORMANCE = """
+SELECT count(*) AS n_docs,
+       cast(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS bigint)
+         AS n_mismatched
+FROM documents
+"""
+
+
 def q_key_uniqueness_audit(spark, sf_dir):
     """Candidate-key audit: for each declared key, how many key values
     occur more than once (0 = the key is unique). One count aggregate
@@ -3055,6 +3107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_per_group": q_argmax_per_group,
         "embedding_health": q_embedding_health,
         "key_uniqueness_audit": q_key_uniqueness_audit,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "derived_column_conformance": q_derived_column_conformance,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
     }
@@ -3157,5 +3211,7 @@ def oracle_sql() -> dict[str, str]:
         "argmax_per_group": SQL_ARGMAX,
         "embedding_health": SQL_EMBEDDING_HEALTH,
         "key_uniqueness_audit": SQL_KEY_AUDIT,
+        "dup_rate_by_source": SQL_DUP_RATE,
+        "derived_column_conformance": SQL_CONFORMANCE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
