@@ -1891,6 +1891,42 @@ def _sql_quality_topk() -> str:
     )
 
 
+def q_minmax_normalize(spark, sf_dir):
+    """Per-group min-max feature scaling: o_totalprice rescaled to [0,1]
+    within its priority class — the ML-prep normalization primitive.
+    Group stats are a group-cardinality aggregate broadcast back onto
+    the facts (which never shuffle); all arithmetic is plain IEEE
+    doubles, rounded to 6 dp for the comparison."""
+    prep_session(spark)
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    norm = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+    ).otherwise(F.lit(0.0))
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(norm, 6).alias("price_norm"),
+        )
+    )
+
+
+SQL_MINMAX_NORM = """
+WITH stats AS (SELECT o_orderpriority, min(o_totalprice) AS lo,
+                      max(o_totalprice) AS hi
+               FROM orders GROUP BY o_orderpriority)
+SELECT o_orderkey, o.o_orderpriority,
+       round(CASE WHEN hi > lo THEN (o_totalprice - lo) / (hi - lo)
+                  ELSE 0.0 END, 6) AS price_norm
+FROM orders o JOIN stats USING (o_orderpriority)
+"""
+
+
 def q_dup_rate_by_source(spark, sf_dir):
     """Per-source duplication-rate report: docs, distinct texts, and the
     dup rate — the first number a corpus health dashboard shows. One
@@ -3108,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "key_uniqueness_audit": q_key_uniqueness_audit,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "minmax_normalize": q_minmax_normalize,
         "derived_column_conformance": q_derived_column_conformance,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
@@ -3212,6 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_health": SQL_EMBEDDING_HEALTH,
         "key_uniqueness_audit": SQL_KEY_AUDIT,
         "dup_rate_by_source": SQL_DUP_RATE,
+        "minmax_normalize": SQL_MINMAX_NORM,
         "derived_column_conformance": SQL_CONFORMANCE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }
