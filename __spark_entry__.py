@@ -897,6 +897,7 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 IVF_CENTROIDS = 8
 IVF_PROBE = 2
 IVF_KMEANS_ITERS = 2
+SEMDEDUP_THRESHOLD = 0.95
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -926,17 +927,17 @@ def _dd_cos(a: str, b: str) -> str:
     )
 
 
-def _sql_knn_ivf() -> str:
-    """Mirror of ivf_topk: the Lloyd rounds are unrolled into one CTE
-    pair (assign, recompute-means) per iteration, generated from the
-    same IVF_* constants the Spark query uses. Centroid components are
-    rounded to 6 dp on both sides, which erases cross-engine float
-    summation-order differences."""
+def _sql_kmeans_parts(n_centroids: int, iters: int) -> list[str]:
+    """CTE list unrolling the deterministic seeded Lloyd rounds of
+    ``similarity.kmeans_centroids`` (assign, recompute-6dp-rounded
+    means, per iteration). Shared by every oracle that needs k-means
+    cells so the Spark constants and the SQL stay in lockstep; the
+    final centroid CTE is named ``cents{iters}``."""
     parts = [
         "WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
-        f"cents0 AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < {IVF_CENTROIDS})",
+        f"cents0 AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < {n_centroids})",
     ]
-    for it in range(IVF_KMEANS_ITERS):
+    for it in range(iters):
         parts.append(
             f"""asg{it} AS (
   SELECT vec_id, v, cell FROM (
@@ -954,6 +955,16 @@ def _sql_knn_ivf() -> str:
     GROUP BY cell, pos)
   GROUP BY cell)"""
         )
+    return parts
+
+
+def _sql_knn_ivf() -> str:
+    """Mirror of ivf_topk: the Lloyd rounds are unrolled into one CTE
+    pair (assign, recompute-means) per iteration, generated from the
+    same IVF_* constants the Spark query uses. Centroid components are
+    rounded to 6 dp on both sides, which erases cross-engine float
+    summation-order differences."""
+    parts = _sql_kmeans_parts(IVF_CENTROIDS, IVF_KMEANS_ITERS)
     final = f"cents{IVF_KMEANS_ITERS}"
     parts.append(
         f"""corpus AS (
@@ -987,6 +998,85 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
 WHERE rnk <= 5
 """
     )
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup over the embeddings table (similarity.semdedup_prune):
+    k-means cells (same seeded Lloyd rounds as knn_ivf), then within
+    each cell drop every vector with a lower-id cluster-mate at cosine
+    >= 0.95. Returns every vector with its cell and kept flag."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_prune(
+        emb,
+        n_centroids=IVF_CENTROIDS,
+        threshold=SEMDEDUP_THRESHOLD,
+        kmeans_iters=IVF_KMEANS_ITERS,
+    )
+
+
+def _sql_semdedup() -> str:
+    """Twin of q_semdedup_prune: shared Lloyd-round CTEs, final-centroid
+    assignment, then a cell-keyed self-join marking every vector that
+    has a lower-id cluster-mate at cosine >= threshold."""
+    parts = _sql_kmeans_parts(IVF_CENTROIDS, IVF_KMEANS_ITERS)
+    final = f"cents{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c)
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""drops AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_dd_cos('a.v', 'b.v')} >= {SEMDEDUP_THRESHOLD})"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT c.vec_id, c.cell, (d.vid IS NULL) AS kept
+FROM cells c LEFT JOIN drops d ON c.vec_id = d.vid
+"""
+    )
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN quality harness: recall@5 of the LSH index against exact
+    brute force, per query — the evaluation loop every approximate
+    index needs before it replaces the exact path. Reuses the exact
+    cosine_topk / lsh_topk operators with the knn_lsh parameters; the
+    only added work is one broadcast-sized join of two 5-row-per-query
+    result sets."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=4, dim=64).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = brute.join(approx, ["query_id", "neighbor_id"], "left")
+    hits = F.coalesce(F.sum("hit"), F.lit(0))
+    return joined.groupBy("query_id").agg(
+        hits.cast("long").alias("hits"),
+        F.round(hits / 5.0, 6).alias("recall"),
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH brute AS ({SQL_KNN}),
+approx AS ({_sql_knn_lsh()})
+SELECT b.query_id, count(a.neighbor_id) AS hits,
+       round(count(a.neighbor_id) / 5.0, 6) AS recall
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -3081,6 +3171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "semdedup_prune": q_semdedup_prune,
+        "ann_recall_eval": q_ann_recall_eval,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -3186,6 +3278,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": SQL_KNN,
         "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
+        "semdedup_prune": _sql_semdedup(),
+        "ann_recall_eval": _sql_ann_recall(),
         "text_token_stats": SQL_TOKEN_STATS,
         "text_quality": SQL_QUALITY,
         "text_langid": _sql_langid(),

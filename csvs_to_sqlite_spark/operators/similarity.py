@@ -390,6 +390,63 @@ def lsh_near_dup_pairs(
     )
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the deterministic
+    seeded k-means from ``kmeans_centroids``, then within each cluster
+    drop every vector that has a LOWER-id cluster-mate within cosine
+    ``threshold`` — keep-first, the same survivor rule the text dedup
+    ops use, so the result is order-free and oracle-checkable.
+
+    Returns every input row as (id, cell, kept): the caller filters
+    ``kept`` to materialize the pruned corpus, or aggregates per cell
+    for a pruning report.
+
+    Scale shape: the Lloyd rounds are broadcast sweeps + (cell, pos)
+    shuffles (see ``kmeans_centroids``); after assignment the only wide
+    op is ONE self-equi-join keyed by cell. Within-cell pairing is
+    quadratic in cell size, so ``n_centroids`` must grow with the
+    corpus (the paper uses ~sqrt(n); expected cell size n/k stays
+    bounded) — same contract as every bucketed op here.
+    """
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_centroids(base, id_col, n_centroids, kmeans_iters)
+    assigned = assign_cells(
+        base.select(F.col(id_col).alias("vid"), F.col("v").alias("av")),
+        cents,
+        "vid",
+        "av",
+    ).persist()  # reused by both self-join sides and the final output
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(
+        _dot(F.col("a.av"), F.col("b.av"))
+        / (_norm(F.col("a.av")) * _norm(F.col("b.av"))),
+        6,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .where(sim >= threshold)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+        .withColumn("__dropped__", F.lit(True))
+    )
+    return assigned.join(drops, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("kept"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -98,3 +98,15 @@ def test_quantize_constant_vector_guard(spark):
     out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
     assert list(out[1].q) == [0, 0, 0]  # degenerate span -> level 0
     assert list(out[2].q) == [0, 255, 128]
+
+
+def test_ann_recall_eval_consistency(spark):
+    """The recall harness's per-query rows must be internally consistent
+    (hits = 5·recall, both bounded) and cover every query exactly once."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_ann_recall_eval(spark, SF).collect()
+    assert sorted(r["query_id"] for r in rows) == list(range(10))
+    for r in rows:
+        assert 0 <= r["hits"] <= 5
+        assert abs(r["recall"] - r["hits"] / 5.0) < 1e-9

@@ -127,6 +127,34 @@ def test_knn_selfsim(spark):
     assert top["cos_sim"] == pytest.approx(1.0, abs=1e-5)
 
 
+def test_semdedup_prune_drops_clone_keeps_rest(spark):
+    # 4 orthogonal basis vectors seed 4 cells; vec 4 is a near-clone of
+    # vec 1 (cos ≈ 0.99995) and must be the one dropped (keep-first).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [0.01, 0.999, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup_prune(emb, n_centroids=4, threshold=0.95).collect()
+    }
+    assert len(out) == 5
+    assert [out[i]["kept"] for i in range(5)] == [True, True, True, True, False]
+    assert out[4]["cell"] == out[1]["cell"]
+
+
+def test_semdedup_threshold_above_one_keeps_everything(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [0.0, 1.0, 0.0, 0.0]))  # exact clone of vec 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semdedup_prune(emb, n_centroids=4, threshold=1.01)
+    assert all(r["kept"] for r in out.collect())
+
+
 def test_lang_id_markers(spark):
     rows = [
         (0, "the cat and the dog is here"),
