@@ -2017,6 +2017,39 @@ FROM orders o JOIN stats USING (o_orderpriority)
 """
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization: clip l_extendedprice into its group's
+    [p01, p99] within l_returnflag — the outlier-robust scaling prep
+    that precedes normalization in a feature pipeline. The percentile
+    pair is a 3-row aggregate broadcast back onto the facts (which
+    never shuffle); the clip itself is scan-stage least/greatest."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("l_extendedprice")))
+    return li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        F.round(clipped, 4).alias("price_winsor"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH stats AS (SELECT l_returnflag,
+                      quantile_cont(l_extendedprice, 0.01) AS lo,
+                      quantile_cont(l_extendedprice, 0.99) AS hi
+               FROM lineitem GROUP BY 1)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l.l_returnflag,
+       round(greatest(lo, least(hi, l_extendedprice)), 4) AS price_winsor
+FROM lineitem l JOIN stats USING (l_returnflag)
+"""
+
+
 def q_dup_rate_by_source(spark, sf_dir):
     """Per-source duplication-rate report: docs, distinct texts, and the
     dup rate — the first number a corpus health dashboard shows. One
@@ -3237,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_uniqueness_audit": q_key_uniqueness_audit,
         "dup_rate_by_source": q_dup_rate_by_source,
         "minmax_normalize": q_minmax_normalize,
+        "winsorize": q_winsorize,
         "derived_column_conformance": q_derived_column_conformance,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
@@ -3344,6 +3378,7 @@ def oracle_sql() -> dict[str, str]:
         "key_uniqueness_audit": SQL_KEY_AUDIT,
         "dup_rate_by_source": SQL_DUP_RATE,
         "minmax_normalize": SQL_MINMAX_NORM,
+        "winsorize": SQL_WINSORIZE,
         "derived_column_conformance": SQL_CONFORMANCE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -89,6 +89,29 @@ def main() -> None:
     print(f"dedup_clusters {n}x: {cln} clusters, {time.time()-t0:.1f}s")
     assert cl1 == cln, f"cluster count not scale-invariant: {cl1} vs {cln}"
 
+    # semdedup: clones are exact (cos=1) with HIGHER ids, and k-means
+    # assignment depends only on vector values (seeds stay vec_id <
+    # n_centroids, all originals), so cells are identical at 1x and Nx;
+    # every copy drops against its original and no copy ever survives.
+    sd1 = (
+        similarity.semdedup_prune(e1, n_centroids=32)
+        .where("kept")
+        .count()
+    )
+    t0 = time.time()
+    sdn = (
+        similarity.semdedup_prune(en, n_centroids=32)
+        .where("kept")
+        .agg(
+            F.count("*").alias("kept"),
+            F.sum((F.col("vec_id") >= 10_000_000).cast("int")).alias("new_survivors"),
+        )
+        .collect()[0]
+    )
+    print(f"semdedup {n}x: {sdn['kept']} survivors, {time.time()-t0:.1f}s")
+    assert sd1 == sdn["kept"], f"semdedup not scale-invariant: {sd1} vs {sdn['kept']}"
+    assert sdn["new_survivors"] == 0, "a synthetic copy survived semdedup"
+
     new = dn.where(F.col("doc_id") % 5 == 0)
     old = dn.where(F.col("doc_id") % 5 != 0)
     timed(f"incremental_dedup {n}x", lambda: dedup.incremental_near_dup_filter(new, old, "text").count())
