@@ -2017,6 +2017,56 @@ FROM orders o JOIN stats USING (o_orderpriority)
 """
 
 
+VOCAB_TOP_K = 100
+TOKEN_BUDGET = 700
+
+
+def q_vocab_encode(spark, sf_dir):
+    """Vocabulary build + integer encoding (terms.build_vocab /
+    terms.encode_docs): top-100 corpus tokens get dense ids 1..100 in
+    (freq desc, token asc) order, documents become id sequences with
+    OOV→0. The vocab is a TakeOrdered head collected driver-side and
+    shipped as one map literal, so encoding is scan-stage array math —
+    zero joins, zero shuffles on the corpus."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    vocab = terms.build_vocab(d, "text", top_k=VOCAB_TOP_K)
+    return terms.encode_docs(d, "text", "doc_id", vocab)
+
+
+def _sql_vocab_encode() -> str:
+    toks = tokens_sql("text", distinct=False)
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+counts AS (SELECT t AS token, count(*) AS cnt FROM (
+             SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+vocab AS (SELECT token,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS tok_id
+          FROM counts ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_K}),
+pos AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token
+        FROM toks),
+enc AS (SELECT doc_id, list(coalesce(v.tok_id, 0) ORDER BY pos) AS ids,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM pos LEFT JOIN vocab v USING (token) GROUP BY doc_id)
+SELECT t.doc_id, coalesce(e.ids, []) AS ids,
+       coalesce(e.n_tokens, 0) AS n_tokens
+FROM toks t LEFT JOIN enc e USING (doc_id)
+"""
+
+
+def q_token_budget_cap(spark, sf_dir):
+    """Token-budget mixture capping (splits.token_budget_cap): every
+    source capped at 700 tokens, docs admitted in salted-hash order.
+    The Spark plan is the two-phase bucket design (no source-sized
+    window); the oracle is the naive single-window cumsum — matching
+    hashes prove the plans equivalent."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return splits.token_budget_cap(
+        d, "text", "doc_id", "source", budget=TOKEN_BUDGET
+    )
+
+
 def q_winsorize(spark, sf_dir):
     """Per-group winsorization: clip l_extendedprice into its group's
     [p01, p99] within l_returnflag — the outlier-robust scaling prep
@@ -3271,6 +3321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "minmax_normalize": q_minmax_normalize,
         "winsorize": q_winsorize,
+        "vocab_encode": q_vocab_encode,
+        "token_budget_cap": q_token_budget_cap,
         "derived_column_conformance": q_derived_column_conformance,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
@@ -3379,6 +3431,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": SQL_DUP_RATE,
         "minmax_normalize": SQL_MINMAX_NORM,
         "winsorize": SQL_WINSORIZE,
+        "vocab_encode": _sql_vocab_encode(),
+        "token_budget_cap": splits.token_budget_cap_sql(
+            "text", "doc_id", "source", TOKEN_BUDGET
+        ),
         "derived_column_conformance": SQL_CONFORMANCE,
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

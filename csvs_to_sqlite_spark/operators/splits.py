@@ -195,3 +195,113 @@ def stratified_sample_exact_k(
         .where(F.col("__rk__") <= k)
         .drop("__rk__")
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str = "source",
+    budget: int = 10_000,
+    n_buckets: int = 1024,
+    seed: str = "budget",
+) -> DataFrame:
+    """Token-budget corpus capping: per source, keep documents in salted-
+    hash order while the running token total stays ≤ ``budget`` — how a
+    mixture recipe caps an over-represented source at N tokens instead
+    of at a sampling rate (cf. ``weighted_sample``).
+
+    SEMANTICS are one per-source cumulative sum in (hash, id) order; the
+    PLAN is two-phase so no executor ever runs a source-sized window:
+
+    1. per-(source, bucket) token subtotals, where ``bucket`` is a
+       monotone prefix of the hash (so (bucket, hash, id) order equals
+       (hash, id) order); collected driver-side — ≤ sources × n_buckets
+       rows, the same dim-sized-collect class as the dim maps — to find
+       each source's boundary bucket and the token total before it;
+    2. buckets strictly before the boundary are kept by a scan-stage
+       filter with NO window; the exact cumsum window runs only over
+       boundary-bucket rows (~1/n_buckets of each source).
+
+    Every row after the boundary bucket is provably over budget (token
+    counts are non-negative), so the two-phase result is identical to
+    the naive single-window cumsum — which is exactly what the SQL
+    oracle runs. Returns kept rows as (id, source, n_tok).
+    """
+    from collections import defaultdict
+
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+    from pyspark.sql.window import Window
+
+    h = md5_long(F.col(id_col).cast("string"), seed=seed)
+    n_tok = F.size(tokens_expr(F.col(text_col), distinct=False)).cast("long")
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            n_tok.alias("n_tok"),
+            h.alias("h"),
+        )
+        .withColumn(
+            "bucket", F.floor(F.col("h") * n_buckets / F.lit(2**32)).cast("long")
+        )
+        .persist()  # reused by the subtotal pass and both keep branches
+    )
+    per_source: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for r in base.groupBy("source", "bucket").agg(F.sum("n_tok").alias("t")).collect():
+        per_source[r["source"]].append((r["bucket"], r["t"]))
+    cut: dict[str, int] = {}
+    pre: dict[str, int] = {}
+    for s, lst in per_source.items():
+        run = 0
+        for b, t in sorted(lst):
+            if run + t > budget:
+                cut[s] = b
+                pre[s] = run
+                break
+            run += t
+    if not cut:
+        return base.select("id", "source", "n_tok")
+    cut_col = F.lit(None).cast("long")
+    pre_col = F.lit(0).cast("long")
+    for s in cut:
+        cut_col = F.when(F.col("source") == s, F.lit(cut[s])).otherwise(cut_col)
+        pre_col = F.when(F.col("source") == s, F.lit(pre[s])).otherwise(pre_col)
+    whole = base.where(cut_col.isNull() | (F.col("bucket") < cut_col))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        base.where(F.col("bucket") == cut_col)
+        .withColumn("cum", F.sum("n_tok").over(w) + pre_col)
+        .where(F.col("cum") <= budget)
+    )
+    return whole.select("id", "source", "n_tok").unionByName(
+        boundary.select("id", "source", "n_tok")
+    )
+
+
+def token_budget_cap_sql(
+    text_expr: str,
+    id_expr: str,
+    source_expr: str,
+    budget: int,
+    seed: str = "budget",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of token_budget_cap — the naive single-window cumsum
+    the two-phase plan must agree with."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(text_expr, distinct=False)
+    h = md5_long_sql(f"cast({id_expr} as varchar)", seed=seed)
+    return f"""
+WITH base AS (SELECT {id_expr} AS id, {source_expr} AS source,
+                     CAST(len({toks}) AS BIGINT) AS n_tok, {h} AS h
+              FROM {table}),
+cum AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY h, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM base)
+SELECT id, source, n_tok FROM cum WHERE cum <= {budget}
+"""

@@ -326,3 +326,55 @@ def collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(top_k)
+
+
+def build_vocab(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
+    """Top-``top_k`` corpus vocabulary with dense ids 1..k assigned in
+    (frequency desc, token asc) order; id 0 is implicitly reserved for
+    OOV. One explode + map-side-combined count, then orderBy+limit (a
+    distributed TakeOrdered — the vocabulary never sorts globally); the
+    final row_number window only ever sees the k surviving rows."""
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.withColumn("tok_id", F.row_number().over(w).cast("long"))
+
+
+def encode_docs(
+    df: DataFrame, text_col: str, id_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Integer-encode every document against a vocabulary: tokens → ids
+    in original order, OOV → 0. The vocabulary is collected (it is
+    top-k small BY CONSTRUCTION — same class of driver-side collect as
+    the dim maps) and shipped as one map literal, so encoding is pure
+    scan-stage array math: zero joins, zero shuffles, zero Python in
+    the hot path. Returns (id, ids, n_tokens)."""
+    rows = sorted(
+        vocab.select("token", "tok_id").collect(), key=lambda r: r["tok_id"]
+    )
+    if rows:
+        mapping = F.map_from_arrays(
+            F.array(*[F.lit(r["token"]) for r in rows]),
+            F.array(*[F.lit(int(r["tok_id"])).cast("long") for r in rows]),
+        )
+    else:
+        mapping = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<bigint>")
+        )
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    projected = df.select(F.col(id_col), toks.alias("__toks__"))
+    ids = F.transform(
+        F.col("__toks__"),
+        lambda t: F.coalesce(F.element_at(mapping, t), F.lit(0).cast("long")),
+    )
+    return projected.select(
+        id_col,
+        ids.alias("ids"),
+        F.size("__toks__").cast("long").alias("n_tokens"),
+    )

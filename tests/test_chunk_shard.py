@@ -9,6 +9,7 @@ import math
 from pyspark.sql import functions as F
 
 from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+from csvs_to_sqlite_spark.operators import splits
 from csvs_to_sqlite_spark.operators.dedup import chunk_dedup
 from csvs_to_sqlite_spark.operators.splits import shard_assignment
 from csvs_to_sqlite_spark.operators.terms import corpus_stats
@@ -264,3 +265,76 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
     back2 = spark.read.json(sharded)
     assert back2.count() == d.count()
     assert {r.shard for r in back2.select("shard").distinct().collect()} <= set(range(4))
+
+
+def test_token_budget_cap_matches_naive_window(spark):
+    """The two-phase bucket plan must agree exactly with the naive
+    per-source cumsum it documents — exercised with n_buckets=4 so
+    boundary buckets actually split sources."""
+    from pyspark.sql.window import Window
+
+    from csvs_to_sqlite_spark.functions.hashing import md5_long, tokens_expr
+
+    rows = [
+        (i, "s" + str(i % 3), "tok " * (i % 7 + 1))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 20
+    got = {
+        (r["id"], r["source"], r["n_tok"])
+        for r in splits.token_budget_cap(
+            df, "text", "doc_id", "source", budget=budget, n_buckets=4
+        ).collect()
+    }
+    h = md5_long(F.col("doc_id").cast("string"), seed="budget")
+    n_tok = F.size(tokens_expr(F.col("text"), distinct=False)).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        df.select(
+            F.col("doc_id").alias("id"), "source", n_tok.alias("n_tok"), h.alias("h")
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .where(F.col("cum") <= budget)
+    )
+    want = {(r["id"], r["source"], r["n_tok"]) for r in naive.collect()}
+    assert got == want
+    assert 0 < len(got) < 60  # the budget actually cut something
+
+
+def test_token_budget_cap_keeps_all_under_budget(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "one two"), (2, "a", "three")],
+        "doc_id long, source string, text string",
+    )
+    out = splits.token_budget_cap(df, "text", "doc_id", "source", budget=100)
+    assert out.count() == 2
+
+
+def test_vocab_encode_order_oov_and_empty(spark):
+    from csvs_to_sqlite_spark.operators import terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "b b b a a c"),
+            (2, "a zzz b"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: r["tok_id"] for r in terms.build_vocab(df, "text", top_k=3).collect()}
+    # freq: b=4, a=3, c=1/zzz=1 (tie broken alphabetically: c)
+    assert vocab == {"b": 1, "a": 2, "c": 3}
+    enc = {
+        r["doc_id"]: (list(r["ids"]), r["n_tokens"])
+        for r in terms.encode_docs(
+            df, "text", "doc_id", terms.build_vocab(df, "text", top_k=3)
+        ).collect()
+    }
+    assert enc[1] == ([1, 1, 1, 2, 2, 3], 6)
+    assert enc[2] == ([2, 0, 1], 3)  # zzz is OOV -> 0
+    assert enc[3] == ([], 0)
