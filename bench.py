@@ -90,9 +90,7 @@ def main() -> None:
 
     # Median-of-3: round 2 recorded a 3.5x one-off on the first two heavy
     # queries (machine contention defeating the warm-up; did not reproduce
-    # on re-run). The median absorbs a single contended sample. Ingest
-    # stays single-run: it is ~40% of total wall and its observed variance
-    # is proportionally small (±10%), so tripling it isn't worth the time.
+    # on re-run). The median absorbs a single contended sample.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -104,7 +102,14 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
-    timings["ingest_sqlite"] = round(bench_ingest_sqlite(spark, sf_dir), 3)
+    # Ingest is median-of-3 too (was single-run with a documented ±10%
+    # variance): round-3 probes measured one-off 40-80s samples from
+    # transient kernel writeback right after heavy runs, settling to
+    # ~9.5-14s on repeats — a single sample can triple the headline.
+    ingest_samples = sorted(
+        bench_ingest_sqlite(spark, sf_dir) for _ in range(runs_per_query)
+    )
+    timings["ingest_sqlite"] = round(ingest_samples[len(ingest_samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

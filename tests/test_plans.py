@@ -127,3 +127,44 @@ def test_shard_manifest_single_aggregation_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winsorize_broadcasts_percentiles(spark):
+    plan = explain_str(E.q_winsorize(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must never shuffle
+
+
+def test_encode_docs_is_scan_stage_only(spark):
+    """encode_docs ships the vocab as a map literal: the encoding plan
+    must contain no join and no exchange at all."""
+    from csvs_to_sqlite_spark.operators import terms
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = terms.build_vocab(d, "text", top_k=50)
+    plan = explain_str(terms.encode_docs(d, "text", "doc_id", vocab))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_token_budget_cap_windows_only_boundary_buckets(spark):
+    """The two-phase plan runs its one window strictly on the
+    bucket-filtered boundary branch, never over a whole source."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    from csvs_to_sqlite_spark.operators import splits
+
+    out = splits.token_budget_cap(d, "text", "doc_id", "source", budget=300)
+    plan = explain_str(out, "simple")
+    assert plan.count("Window") <= 1
+    if "Window" in plan:
+        # the window's input subtree must carry the boundary-bucket filter
+        window_subtree = plan[plan.index("Window"):]
+        assert "bucket" in window_subtree
+
+
+def test_semdedup_cell_join_not_broadcast(spark):
+    """The within-cell self-join must be a shuffle equi-join on cell
+    (broadcasting a corpus side would OOM at scale); assignment sweeps
+    may broadcast the dim-sized centroid set."""
+    plan = explain_str(E.q_semdedup_prune(spark, SF))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
