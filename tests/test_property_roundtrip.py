@@ -101,6 +101,10 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == df.count()
     assert "__row_id__" not in back.columns
-    # partition pruning works on the partition column
+    # partition pruning works on the partition column: the equality
+    # predicate must land in the scan's PartitionFilters (directory
+    # pruning — 100 TB of other partitions are never opened), not in a
+    # post-scan Filter
     plan = back.where(back.o_orderstatus == "O")._jdf.queryExecution().toString()
-    assert "PartitionFilters" in plan or "o_orderstatus" in plan
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
