@@ -76,3 +76,39 @@ def write_jsonl(
         df.write.mode("overwrite").partitionBy("shard").json(path)
     else:
         df.write.mode("overwrite").json(path)
+
+
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame (optimized-plan stats).
+    For parquet-backed frames this is the scan's file-size statistic
+    scaled by the plan's selectivity guesses — the same number the
+    optimizer uses for broadcast decisions, available without running
+    the job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def plan_output_partitions(df: DataFrame, target_bytes: int = 512 * 1024 * 1024) -> int:
+    """Output-file count for a compacted write: ceil(estimated size /
+    target file size), floor 1. At 100 TB the small-files problem is the
+    sink-side killer (a 32-task job writing 10 MB each per partition dir
+    makes millions of unreadable files); sizing writes by bytes, not by
+    upstream task count, keeps file counts sane as data grows."""
+    est = estimated_bytes(df)
+    return max(1, -(-est // target_bytes))
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_bytes: int = 512 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Compacting writer: repartition to ~target-sized output files
+    before landing. Uses round-robin repartition (no key) so rows spread
+    evenly regardless of upstream partitioning skew. Returns the file
+    count it chose. coalesce() is deliberately NOT used when shrinking:
+    it would also shrink the parallelism of every upstream stage fused
+    into the write."""
+    n = plan_output_partitions(df, target_bytes)
+    df.repartition(n).write.mode(mode).parquet(path)
+    return n

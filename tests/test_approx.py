@@ -110,3 +110,15 @@ def test_ann_recall_eval_consistency(spark):
     for r in rows:
         assert 0 <= r["hits"] <= 5
         assert abs(r["recall"] - r["hits"] / 5.0) < 1e-9
+
+
+def test_freq_items_sketch_finds_heavy_hitter(spark):
+    """df.stat.freqItems (the lossy-counting sketch) must surface a key
+    holding >25% of rows — the sketch-tier complement to the exact
+    skew_report."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    freq = li.stat.freqItems(["l_returnflag"], support=0.25).collect()[0][0]
+    exact_top = (
+        li.groupBy("l_returnflag").count().orderBy("count", ascending=False).first()
+    )
+    assert exact_top["l_returnflag"] in freq

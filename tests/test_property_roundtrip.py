@@ -108,3 +108,43 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     plan = back.where(back.o_orderstatus == "O")._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_write_compacted_sizes_files_by_bytes(spark, tmp_path):
+    """The compaction writer picks ceil(est/target) files — file count
+    follows DATA size, not upstream task count (small-files guard)."""
+    import glob
+
+    from csvs_to_sqlite_spark.sinks import parquet_sink
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").repartition(32)
+    est = parquet_sink.estimated_bytes(df)
+    assert est > 0
+    # huge target -> exactly one file despite 32 upstream partitions
+    out1 = str(tmp_path / "one")
+    n1 = parquet_sink.write_compacted(df, out1, target_bytes=10 * est)
+    assert n1 == 1
+    assert len(glob.glob(out1 + "/part-*")) == 1
+    # quarter-sized target -> more, still far fewer than 32
+    out2 = str(tmp_path / "few")
+    n2 = parquet_sink.write_compacted(df, out2, target_bytes=max(est // 4, 1))
+    assert 2 <= n2 <= 8
+    assert len(glob.glob(out2 + "/part-*")) == n2
+    back = spark.read.parquet(out2)
+    assert back.count() == df.count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appending batches that GAIN columns must stay readable: mergeSchema
+    unions the schemas and backfills nulls — the contract an evolving
+    100 TB dataset directory relies on."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(p + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, x string, score double"
+    ).write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "x", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5
