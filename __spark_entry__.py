@@ -2067,6 +2067,37 @@ def q_token_budget_cap(spark, sf_dir):
     )
 
 
+# deliberately nasty: control char, curly quotes, em/en dash, ellipsis,
+# no-break space, tabs and run-on spaces — one shared constant so the
+# Spark query and the SQL twin plant byte-identical input
+NORMALIZE_PLANT = "  \x01ctl “double” and ‘single’ …\tgap — dash nb  end  "
+
+
+def q_text_normalize(spark, sf_dir):
+    """Text canonicalization (text.normalize_text): control chars out,
+    typographic punctuation folded to ASCII, whitespace collapsed. The
+    corpus is clean synthetic text, so the query appends a deterministic
+    nasty suffix on both sides — the hash check verifies the Java and
+    RE2 regex engines agree on every fold."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(F.substring("text", 1, 40), F.lit(NORMALIZE_PLANT))
+    norm = text.normalize_text(planted)
+    return d.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length(norm).cast("long").alias("n_chars"),
+    )
+
+
+def _sql_text_normalize() -> str:
+    norm = text.normalize_text_sql(f"concat(substr(text, 1, 40), '{NORMALIZE_PLANT}')")
+    return f"""
+SELECT doc_id, {norm} AS norm, CAST(length({norm}) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def q_winsorize(spark, sf_dir):
     """Per-group winsorization: clip l_extendedprice into its group's
     [p01, p99] within l_returnflag — the outlier-robust scaling prep
@@ -3321,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "minmax_normalize": q_minmax_normalize,
         "winsorize": q_winsorize,
+        "text_normalize": q_text_normalize,
         "vocab_encode": q_vocab_encode,
         "token_budget_cap": q_token_budget_cap,
         "derived_column_conformance": q_derived_column_conformance,
@@ -3431,6 +3463,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": SQL_DUP_RATE,
         "minmax_normalize": SQL_MINMAX_NORM,
         "winsorize": SQL_WINSORIZE,
+        "text_normalize": _sql_text_normalize(),
         "vocab_encode": _sql_vocab_encode(),
         "token_budget_cap": splits.token_budget_cap_sql(
             "text", "doc_id", "source", TOKEN_BUDGET

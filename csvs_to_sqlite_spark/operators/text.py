@@ -127,6 +127,47 @@ def redact_pii_sql(expr: str) -> str:
     return out
 
 
+# text cleaning: control chars out, typographic punctuation folded to
+# ASCII, whitespace runs collapsed. Each (pattern, replacement) is
+# RE2/Java-portable so the Spark chain and the DuckDB twin agree
+# byte-for-byte. Order matters: fold first (an ellipsis becomes "..."),
+# collapse whitespace last, trim at the end.
+NORMALIZE_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " "),  # control chars (keep \t \n \r)
+    (r"[‘’]", "'"),                     # curly single quotes
+    (r"[“”]", "\""),                    # curly double quotes
+    (r"[–—]", "-"),                     # en/em dash
+    (r"…", "..."),                           # ellipsis
+    (r" ", " "),                             # no-break space
+    (r"\s+", " "),                                # collapse whitespace runs
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical cleaning applied before hashing/dedup/tokenizing at
+    corpus scale: strip control characters, fold typographic punctuation
+    to ASCII, collapse whitespace, trim. Pure JVM regexp_replace chain —
+    scan-stage cost, zero shuffle."""
+    out = text
+    for pat, repl in NORMALIZE_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB rendering of normalize_text. The patterns embed their
+    unicode characters verbatim (UTF-8 literals work identically in Java
+    regex and RE2) and the ``\\xNN`` hex escapes are RE2-portable as
+    written; 'g' flag because RE2 replaces only the first match by
+    default."""
+    out = expr
+    for pat, repl in NORMALIZE_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        sql_repl = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{sql_repl}', 'g')"
+    return f"trim({out})"
+
+
 # --- repetition / boilerplate metrics (Gopher-style filters) ---------------
 def dup_ngram_fraction(toks: Column, n: int) -> Column:
     """Fraction of word n-gram windows that are repeats of an earlier

@@ -547,3 +547,16 @@ def test_char_health_hand_computed(spark):
     assert out[1].digit_ratio == round(2 / 9, 6)
     assert out[1].symbol_ratio == round(1 / 9, 6)
     assert (out[2].upper_ratio, out[2].digit_ratio, out[2].symbol_ratio) == (0.0, 0.0, 0.0)
+
+
+def test_normalize_text_hand_computed(spark):
+    raw = "  \x01a “b” ‘c’ d — e – f … g\th i   j \x7f "
+    df = spark.createDataFrame([(raw,)], "t string")
+    out = df.select(text.normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
+    assert out == "a \"b\" 'c' d - e - f ... g h i j"
+
+
+def test_normalize_text_idempotent_on_clean_text(spark):
+    df = spark.createDataFrame([("already clean ascii text.",)], "t string")
+    out = df.select(text.normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
+    assert out == "already clean ascii text."
