@@ -1,0 +1,76 @@
+"""Results must not depend on physical parallelism: re-running an
+operator over the same data repartitioned 1-way and 7-way must produce
+identical rows. This is the local-mode stand-in for 'same answer on a
+laptop and on 1000 executors' — it catches partition-dependent logic
+(driver-side boundary scans, first-appearance ordering, iterative
+label propagation) that small-SF correctness checks can miss."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.operators import dedup, similarity, splits, terms
+
+SF = "/root/testdata/sf0.01"
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_token_budget_cap_partitioning_invariant(spark, docs, parts):
+    base = rows_of(splits.token_budget_cap(docs, "text", "doc_id", "source", budget=700))
+    got = rows_of(
+        splits.token_budget_cap(
+            docs.repartition(parts), "text", "doc_id", "source", budget=700
+        )
+    )
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_semdedup_partitioning_invariant(spark, emb, parts):
+    base = rows_of(similarity.semdedup_prune(emb, n_centroids=8))
+    got = rows_of(similarity.semdedup_prune(emb.repartition(parts), n_centroids=8))
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_dedup_clusters_partitioning_invariant(spark, docs, parts):
+    d = docs.repartition(parts)
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id")
+    got = rows_of(dedup.dedup_clusters(d, pairs, "doc_id"))
+    base_pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    base = rows_of(dedup.dedup_clusters(docs, base_pairs, "doc_id"))
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_global_shuffle_partitioning_invariant(spark, docs, parts):
+    base = rows_of(splits.global_shuffle(docs, "doc_id").select("doc_id", "shuffle_rank"))
+    got = rows_of(
+        splits.global_shuffle(docs.repartition(parts), "doc_id").select("doc_id", "shuffle_rank")
+    )
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_vocab_encode_partitioning_invariant(spark, docs, parts):
+    d = docs.repartition(parts)
+    vocab = terms.build_vocab(d, "text", top_k=50)
+    got = rows_of(terms.encode_docs(d, "text", "doc_id", vocab).select("doc_id", "ids"))
+    base_vocab = terms.build_vocab(docs, "text", top_k=50)
+    base = rows_of(
+        terms.encode_docs(docs, "text", "doc_id", base_vocab).select("doc_id", "ids")
+    )
+    assert got == base
