@@ -55,6 +55,45 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def survivors_by_priority(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    priority: list[str],
+) -> DataFrame:
+    """Exact-dup survivor selection with a PROVENANCE policy: among
+    copies of the same text, keep the copy from the highest-priority
+    source (curated > crawled), then the lowest id — how a curation
+    pipeline picks the canonical copy instead of blindly keeping
+    min(id). Sources absent from ``priority`` rank last (alphabetical
+    id tie-break still makes the pick deterministic).
+
+    Same shuffle profile as ``exact_dedup``: ONE aggregate keyed
+    md5(text), the winner chosen windowlessly via min(struct(rank, id,
+    source)) — no per-group sort, map-side partials apply."""
+    rank = F.lit(len(priority))
+    for i, s in enumerate(priority):
+        rank = F.when(F.col(group_col) == s, F.lit(i)).otherwise(rank)
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("__h__"),
+            F.struct(
+                rank.cast("long").alias("r"),
+                F.col(id_col).alias("id"),
+                F.col(group_col).alias("src"),
+            ).alias("__cand__"),
+        )
+        .groupBy("__h__")
+        .agg(F.min("__cand__").alias("w"), F.count("*").alias("n_copies"))
+        .select(
+            F.col("w.id").alias(id_col),
+            F.col("w.src").alias(group_col),
+            "n_copies",
+        )
+    )
+
+
 def token_posting(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int | None = None
 ) -> DataFrame:

@@ -278,13 +278,18 @@ def infer_reference_types(
         aggs.append(F.min(F.when(is_big, mid)).alias(f"c{i}_firstbig"))
         aggs.append(F.min(F.when(is_floatish, mid)).alias(f"c{i}_firstfloat"))
         aggs.append(F.count(d).alias(f"c{i}_dbl"))
-        # C1 (reference utils.py:290-303): v.is_integer() per non-null value
-        # (inf/NaN are not integral)
+        # C1 (reference utils.py:290-303): `not np.isnan(v) and not
+        # v.is_integer()` — NaN is SKIPPED (it's pandas-missing), inf is
+        # non-integral. Integrality via `% 1.0` (stays in double): floor()
+        # returns BIGINT and silently overflows for values like 1e25,
+        # which would misclassify huge integral floats as non-integral
+        # (caught by differential fuzz seed 9501).
         aggs.append(
             F.count(
                 F.when(
                     d.isNotNull()
-                    & ((d != F.floor(d)) | F.isnan(d) | (F.abs(d) == float("inf"))),
+                    & ~F.isnan(d)
+                    & (((d % F.lit(1.0)) != 0.0) | (F.abs(d) == float("inf"))),
                     1,
                 )
             ).alias(f"c{i}_nonint")

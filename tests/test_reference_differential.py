@@ -41,6 +41,17 @@ Second,04/30/2005,5:45 10 December 2009"""
 
 SCENARIOS = [
     (
+        # C1 on integral floats BEYOND int64 (1e25): the reference's
+        # is_integer() check has no int64-fit requirement, so the column
+        # is declared INTEGER and SQLite affinity stores what fits as
+        # int and the rest as real. Regression for the floor()-overflow
+        # misclassification caught by differential fuzz seed 9501.
+        "hugeint.csv",
+        "a,b\n1E+3,x\n-0,y\n9999999999999999999999999,z\n1e5,w\n",
+        [],
+        dict(),
+    ),
+    (
         "election.csv",
         CSV,
         ["-c", "office", "-c", "district", "-c", "party", "-c", "candidate",
