@@ -2067,6 +2067,38 @@ def q_token_budget_cap(spark, sf_dir):
     )
 
 
+PRIORITY_SOURCES = ["src7", "src3", "src1"]
+
+
+def q_dedup_priority(spark, sf_dir):
+    """Provenance-priority exact-dup survivors (dedup.
+    survivors_by_priority): among copies of the same text keep the copy
+    from the highest-priority source (src7 > src3 > src1 > the rest),
+    then lowest doc_id — canonical-copy selection by curation policy
+    instead of blind min(id). One md5(text)-keyed aggregate; the winner
+    is a windowless min(struct(rank, id, source))."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.survivors_by_priority(d, "text", "doc_id", "source", PRIORITY_SOURCES)
+
+
+def _sql_dedup_priority() -> str:
+    rank = str(len(PRIORITY_SOURCES))
+    for i, s in reversed(list(enumerate(PRIORITY_SOURCES))):
+        rank = f"CASE WHEN source = '{s}' THEN {i} ELSE {rank} END"
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, md5(text) AS h, CAST({rank} AS BIGINT) AS r
+  FROM documents),
+win AS (
+  SELECT h, doc_id, source,
+         row_number() OVER (PARTITION BY h ORDER BY r, doc_id) AS rn,
+         count(*) OVER (PARTITION BY h) AS n_copies
+  FROM ranked)
+SELECT doc_id, source, n_copies FROM win WHERE rn = 1
+"""
+
+
 # deliberately nasty: control char, curly quotes, em/en dash, ellipsis,
 # no-break space, tabs and run-on spaces — one shared constant so the
 # Spark query and the SQL twin plant byte-identical input
@@ -3353,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_normalize": q_minmax_normalize,
         "winsorize": q_winsorize,
         "text_normalize": q_text_normalize,
+        "dedup_priority": q_dedup_priority,
         "vocab_encode": q_vocab_encode,
         "token_budget_cap": q_token_budget_cap,
         "derived_column_conformance": q_derived_column_conformance,
@@ -3464,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "minmax_normalize": SQL_MINMAX_NORM,
         "winsorize": SQL_WINSORIZE,
         "text_normalize": _sql_text_normalize(),
+        "dedup_priority": _sql_dedup_priority(),
         "vocab_encode": _sql_vocab_encode(),
         "token_budget_cap": splits.token_budget_cap_sql(
             "text", "doc_id", "source", TOKEN_BUDGET

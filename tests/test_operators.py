@@ -560,3 +560,23 @@ def test_normalize_text_idempotent_on_clean_text(spark):
     df = spark.createDataFrame([("already clean ascii text.",)], "t string")
     out = df.select(text.normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
     assert out == "already clean ascii text."
+
+
+def test_survivors_by_priority_policy(spark):
+    rows = [
+        (10, "crawl", "same text here"),
+        (3, "curated", "same text here"),   # higher priority wins over lower id 10? no — priority first
+        (7, "curated", "same text here"),   # same priority: lower id 3 wins
+        (1, "unknown", "same text here"),   # unlisted source ranks last despite id 1
+        (5, "crawl", "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.survivors_by_priority(
+            df, "text", "doc_id", "source", ["curated", "crawl"]
+        ).collect()
+    }
+    assert set(out) == {3, 5}
+    assert out[3]["source"] == "curated" and out[3]["n_copies"] == 4
+    assert out[5]["n_copies"] == 1
