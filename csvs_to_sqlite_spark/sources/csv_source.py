@@ -278,6 +278,17 @@ def infer_reference_types(
         aggs.append(F.min(F.when(is_big, mid)).alias(f"c{i}_firstbig"))
         aggs.append(F.min(F.when(is_floatish, mid)).alias(f"c{i}_firstfloat"))
         aggs.append(F.count(d).alias(f"c{i}_dbl"))
+        # overflow-notation floats ('1e309'): pandas' C parser sets ERANGE
+        # and falls back to object (TEXT column), while Spark's cast
+        # saturates to ±Infinity. Digit-bearing strings that cast to inf
+        # are parse FAILURES; the bare inf keywords ('Inf', '-inf') carry
+        # no digit and stay accepted. (QUOTE_NONNUMERIC is exempt: that
+        # path converts via Python float(), which returns inf happily.)
+        aggs.append(
+            F.count(
+                F.when((F.abs(d) == float("inf")) & q.rlike("[0-9]"), 1)
+            ).alias(f"c{i}_ovf")
+        )
         # C1 (reference utils.py:290-303): `not np.isnan(v) and not
         # v.is_integer()` — NaN is SKIPPED (it's pandas-missing), inf is
         # non-integral. Integrality via `% 1.0` (stays in double): floor()
@@ -400,7 +411,7 @@ def infer_reference_types(
                 # values travel as doubles and SQLite coerces per value
                 projections.append(q.try_cast("double").alias(c))
                 overrides[c] = "INTEGER"
-        elif row[f"c{i}_dbl"] == n:
+        elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
             projections.append(q.try_cast("double").alias(c))
             if row[f"c{i}_nonint"] == 0:
                 overrides[c] = "INTEGER"  # C1 affinity-only downcast

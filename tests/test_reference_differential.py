@@ -52,6 +52,16 @@ SCENARIOS = [
         dict(),
     ),
     (
+        # overflow-notation floats: pandas' C parser fails '±1e309' with
+        # ERANGE and keeps the column object (TEXT); a naive double cast
+        # would saturate to ±inf and emit REAL. The inf KEYWORD ('Inf')
+        # is still parsed — second column stays REAL.
+        "overflow.csv",
+        "a,b\n1e309,Inf\n-1e309,3.5\n7,-inf\n",
+        [],
+        dict(),
+    ),
+    (
         "election.csv",
         CSV,
         ["-c", "office", "-c", "district", "-c", "party", "-c", "candidate",

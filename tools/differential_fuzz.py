@@ -4,7 +4,12 @@ mismatch. Usage: python tools/differential_fuzz.py [seed ...]
 
 Known accepted divergences (see NOTES.md): pandas' lossy xstrtod parse of
 >int64 ints, and float64 precision loss for ints >= 2^53 in nullable
-columns — we produce the exact/correctly-rounded values.
+columns — we produce the exact/correctly-rounded values. The round-3
+vocabulary wave surfaced two more instances of the same xstrtod family:
+decimals with >15 fraction digits collapse toward 0 in pandas
+('0.000000000000000000001' -> 0.0, which also flips the C1 affinity to
+INTEGER), and long mantissas drift in the last digit
+('123456789.123456789' -> ...678 vs the correctly rounded ...679).
 """
 
 import csv as csvmod
@@ -29,6 +34,11 @@ tricky = [
     'quote"inside', "a,b", "line1", "e-z", "True", "FALSE", "true",
     "3.14", "-2.5e-3", "9" * 25, "0.1", "-.5", "5.", "1E+3", "0", "-1",
     "2147483648", "9223372036854775807", ".inf", " ",
+    # second vocabulary wave (round 3): overflow/underflow notation,
+    # padded numerics, malformed numerics, unicode digits
+    "1e309", "-1e309", "1e-320", " 7.5 ", "+3.5", "123456789.123456789",
+    "１２３", "0b101", "--5", "5-", "1.0.0", "00.5", "1e", "e5",
+    ".", "-", "+", "1 000", "0.000000000000000000001",
 ]
 
 
@@ -69,8 +79,13 @@ for seed in seeds:
         b = snapshot(os.path.join(d, "ours.db"))
         if a != b:
             fails += 1
-            for k in a:
+            if set(a) != set(b):
+                print(
+                    "seed", seed, "trial", trial,
+                    ": TABLE SET ref:", sorted(a), "ours:", sorted(b),
+                )
+            for k in set(a) | set(b):
                 if a.get(k) != b.get(k):
-                    print("seed", seed, "trial", trial, ": ref =", str(a[k])[:170])
-                    print("                 ours=", str(b[k])[:170])
+                    print("seed", seed, "trial", trial, ": ref =", str(a.get(k))[:170])
+                    print("                 ours=", str(b.get(k))[:170])
 print(tried, "trials, fails=", fails)
