@@ -2054,6 +2054,41 @@ FROM toks t LEFT JOIN enc e USING (doc_id)
 """
 
 
+def q_vocab_update(spark, sf_dir):
+    """Incremental vocabulary growth (terms.update_vocab): vocab built
+    on 3/4 of the corpus, then grown with the held-out quarter — old
+    ids immutable, the top-50 new tokens numbered after max(tok_id) in
+    (freq desc, token asc) order."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    old = terms.build_vocab(d.where(F.col("doc_id") % 4 != 0), "text", top_k=VOCAB_TOP_K)
+    return terms.update_vocab(old, d.where(F.col("doc_id") % 4 == 0), "text", top_k_new=50)
+
+
+def _sql_vocab_update() -> str:
+    toks = tokens_sql("text", distinct=False)
+    return f"""
+WITH old_toks AS (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id % 4 <> 0),
+old_counts AS (SELECT t AS token, count(*) AS cnt FROM (
+                 SELECT unnest(tk) AS t FROM old_toks) GROUP BY t),
+vocab AS (SELECT token,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS tok_id
+          FROM old_counts ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_K}),
+new_toks AS (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id % 4 = 0),
+new_counts AS (SELECT t AS token, count(*) AS cnt FROM (
+                 SELECT unnest(tk) AS t FROM new_toks) GROUP BY t),
+fresh AS (SELECT token, cnt FROM new_counts
+          WHERE token NOT IN (SELECT token FROM vocab)
+          ORDER BY cnt DESC, token LIMIT 50),
+numbered AS (SELECT token,
+                    (SELECT coalesce(max(tok_id), 0) FROM vocab)
+                    + CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS tok_id
+             FROM fresh)
+SELECT token, tok_id FROM vocab
+UNION ALL SELECT token, tok_id FROM numbered
+"""
+
+
 def q_token_budget_cap(spark, sf_dir):
     """Token-budget mixture capping (splits.token_budget_cap): every
     source capped at 700 tokens, docs admitted in salted-hash order.
@@ -3387,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "dedup_priority": q_dedup_priority,
         "vocab_encode": q_vocab_encode,
+        "vocab_update": q_vocab_update,
         "token_budget_cap": q_token_budget_cap,
         "derived_column_conformance": q_derived_column_conformance,
         "multimodal_image_features": q_multimodal_image_features,
@@ -3499,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _sql_text_normalize(),
         "dedup_priority": _sql_dedup_priority(),
         "vocab_encode": _sql_vocab_encode(),
+        "vocab_update": _sql_vocab_update(),
         "token_budget_cap": splits.token_budget_cap_sql(
             "text", "doc_id", "source", TOKEN_BUDGET
         ),

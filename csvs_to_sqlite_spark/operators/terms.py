@@ -378,3 +378,37 @@ def encode_docs(
         ids.alias("ids"),
         F.size("__toks__").cast("long").alias("n_tokens"),
     )
+
+
+def update_vocab(
+    vocab: DataFrame, df: DataFrame, text_col: str, top_k_new: int = 50
+) -> DataFrame:
+    """Incremental vocabulary growth — the tokenizer-level echo of the
+    engine's incremental dim growth (E4): existing (token, tok_id) pairs
+    are IMMUTABLE; the top ``top_k_new`` unseen tokens of the new batch
+    get ids continuing after max(tok_id), assigned in (freq desc, token
+    asc) order. Re-running over a grown corpus never renumbers a token,
+    so downstream id-encoded datasets stay valid.
+
+    Plan: one map-side-combined count + a broadcast anti-join against
+    the (small) vocab + TakeOrdered head; the k-row numbering window
+    only sees the survivors."""
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    fresh = (
+        counts.join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_k_new)
+    )
+    base_max = vocab.agg(F.coalesce(F.max("tok_id"), F.lit(0)).cast("long").alias("m"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    newly = (
+        fresh.withColumn("rn", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(base_max))
+        .select("token", (F.col("m") + F.col("rn")).alias("tok_id"))
+    )
+    return vocab.select("token", "tok_id").unionByName(newly)

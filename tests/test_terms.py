@@ -120,3 +120,28 @@ def test_lm_score_hand_computed(spark):
     assert out[3].lm_score == round(math.log(1.5 / 5.0), 6)
     assert out[1].lm_score > out[3].lm_score  # common bigram scores higher
     assert 4 not in out  # single-token doc has no bigrams
+
+
+def test_update_vocab_immutable_ids_and_growth(spark):
+    from csvs_to_sqlite_spark.operators import terms
+    from pyspark.sql import functions as F
+
+    d1 = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    v1 = terms.build_vocab(d1, "text", top_k=2)  # a->1, b->2 (c cut)
+    d2 = spark.createDataFrame(
+        [(2, "c c z z z a")], "doc_id long, text string"
+    )
+    out = {r["token"]: r["tok_id"] for r in terms.update_vocab(v1, d2, "text", top_k_new=2).collect()}
+    # old ids untouched; new tokens z(3 occurrences) then c(2) numbered after max
+    assert out == {"a": 1, "b": 2, "z": 3, "c": 4}
+
+
+def test_update_vocab_empty_base(spark):
+    from csvs_to_sqlite_spark.operators import terms
+
+    empty = spark.createDataFrame([], "token string, tok_id long")
+    d = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    out = {r["token"]: r["tok_id"] for r in terms.update_vocab(empty, d, "text").collect()}
+    assert out == {"x": 1, "y": 2}

@@ -112,6 +112,25 @@ def main() -> None:
     assert sd1 == sdn["kept"], f"semdedup not scale-invariant: {sd1} vs {sdn['kept']}"
     assert sdn["new_survivors"] == 0, "a synthetic copy survived semdedup"
 
+    # vocab: an N× self-union scales every token count by N, so the
+    # top-k set AND its (freq desc, token) ordering are unchanged —
+    # the encoding of every original document must be byte-identical.
+    v1 = terms.build_vocab(d1, "text", top_k=100)
+    t0 = time.time()
+    vn = terms.build_vocab(dn, "text", top_k=100)
+    enc1 = {
+        r["doc_id"]: list(r["ids"])
+        for r in terms.encode_docs(d1, "text", "doc_id", v1).collect()
+    }
+    encn = {
+        r["doc_id"]: list(r["ids"])
+        for r in terms.encode_docs(
+            dn.where(F.col("doc_id") < 10_000_000), "text", "doc_id", vn
+        ).collect()
+    }
+    print(f"vocab_encode {n}x: {len(encn)} docs, {time.time()-t0:.1f}s")
+    assert enc1 == encn, "vocab/encoding not scale-invariant under self-union"
+
     new = dn.where(F.col("doc_id") % 5 == 0)
     old = dn.where(F.col("doc_id") % 5 != 0)
     timed(f"incremental_dedup {n}x", lambda: dedup.incremental_near_dup_filter(new, old, "text").count())
