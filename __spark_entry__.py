@@ -1079,6 +1079,145 @@ GROUP BY b.query_id
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < 10), the top-3 most-similar vectors with a
+    DIFFERENT label — the negatives that actually teach the model.
+    Reuses the brute-force cosine sweep (queries broadcast, corpus
+    never shuffles) with a label-inequality predicate pushed into the
+    candidate filter before the per-query top-k window."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("cv"),
+        F.col("label").alias("c_label"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        (F.col("q_label") != F.col("c_label"))
+    )
+    sim = F.round(
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+            " / (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))"
+            " * sqrt(aggregate(cv, 0D, (a, x) -> a + x * x)))"
+        ),
+        6,
+    )
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+SQL_HARD_NEG = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv,
+                  label AS q_label
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv,
+             label AS c_label
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cos_sim
+  FROM q, c WHERE q_label <> c_label),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_centroid_classifier_eval(spark, sf_dir):
+    """Nearest-centroid classifier evaluation: class centroids from the
+    labeled embeddings (posexplode + per-(label,pos) mean, 6-dp rounded),
+    every vector assigned to its nearest centroid by cosine, and
+    per-class accuracy reported — the zero-training baseline every
+    embedding space gets measured with. Centroids are class-cardinality
+    rows, broadcast back for the assignment sweep; the corpus never
+    shuffles with its vectors."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cents = (
+        base.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pm, s -> s.m)").alias("cv"),
+        )
+    )
+    pairs = base.crossJoin(F.broadcast(cents))
+    sim = F.round(
+        F.expr(
+            "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+            " / (sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"
+            " * sqrt(aggregate(cv, 0D, (a, x) -> a + x * x)))"
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_label").asc())
+    assigned = (
+        pairs.select("vec_id", "label", "c_label", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("c_label") == F.col("label")).cast("int")).cast("long").alias("hits"),
+        F.round(
+            F.sum((F.col("c_label") == F.col("label")).cast("int"))
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+SQL_CENTROID_EVAL = """
+WITH base AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+cents AS (
+  SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM (
+    SELECT label, pos, round(avg(x), 6) AS m FROM (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM base)
+    GROUP BY label, pos)
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, label, c_label FROM (
+    SELECT b.vec_id, b.label, c.c_label,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             round(list_sum(list_transform(list_zip(b.v, c.cv), p -> p[1]*p[2])) /
+                   (sqrt(list_sum(list_transform(b.v, x -> x*x))) *
+                    sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) DESC,
+             c.c_label) AS rn
+    FROM base b CROSS JOIN cents c)
+  WHERE rn = 1)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       round(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+FROM assigned GROUP BY label
+"""
+
+
 def q_text_token_stats(spark, sf_dir):
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
@@ -3354,6 +3493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "semdedup_prune": q_semdedup_prune,
         "ann_recall_eval": q_ann_recall_eval,
+        "hard_negatives": q_hard_negatives,
+        "centroid_classifier_eval": q_centroid_classifier_eval,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -3467,6 +3608,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _sql_knn_ivf(),
         "semdedup_prune": _sql_semdedup(),
         "ann_recall_eval": _sql_ann_recall(),
+        "hard_negatives": SQL_HARD_NEG,
+        "centroid_classifier_eval": SQL_CENTROID_EVAL,
         "text_token_stats": SQL_TOKEN_STATS,
         "text_quality": SQL_QUALITY,
         "text_langid": _sql_langid(),
