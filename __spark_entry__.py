@@ -1665,12 +1665,18 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_multimodal_image_features(spark, sf_dir):
-    """mapInPandas binary-decode plumbing with a deterministic fake decoder
-    (rows-only: mapInPandas is not SQL-expressible)."""
+    """mapInPandas binary-decode over REAL image bytes: the synthetic
+    payloads are actual binary PPMs and ``fake=False`` runs the genuine
+    numpy decode (width/height from the header, Rec.601 mean luma from
+    the pixels). Rows-only: mapInPandas is not SQL-expressible; the
+    decode itself is hand-verified by units against numpy."""
     prep_session(spark)
-    from csvs_to_sqlite_spark.operators.multimodal import extract_image_features, synth_media
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_image_features,
+        synth_ppm_media,
+    )
 
-    return extract_image_features(synth_media(spark, n=64), fake=True)
+    return extract_image_features(synth_ppm_media(spark, n=64), fake=False)
 
 
 def q_stateful_user_totals(spark, sf_dir):

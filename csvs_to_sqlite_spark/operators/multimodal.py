@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the DECODE step is stubbed:
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic md5-seeded fake decoder produces stable
-(width, height, mean_luma) features — the Spark-side plumbing (schema,
-batch iteration, partitioning) is real and tested either way.
+The container has no codec libraries, so decode is REAL only for the
+codec-free raster family: binary PPM/PGM (P6/P5) parse, feature-extract,
+and nearest-neighbor resize run on actual pixels with pure numpy
+(``_parse_pnm`` / ``decode_image`` / ``resize_image``), driven end-to-end
+by ``synth_ppm_media``. Formats that require a codec (jpeg/png, all
+audio) raise NotImplementedError unless ``fake=True``, whose
+deterministic md5-seeded stand-ins keep the Spark-side plumbing (schema,
+batch iteration, partitioning) exercised for those too.
 
 Design for 100 TB: binary payloads stay in executor memory only for the
 duration of one Arrow batch (``maxRecordsPerBatch`` bounds it); metadata
@@ -37,13 +40,62 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Real decode is unavailable in this environment (no PIL/opencv).
+def _parse_pnm(payload: bytes):
+    """Parse a binary PPM (P6) / PGM (P5) image with pure numpy — the
+    one raster family decodable without any codec library. Returns
+    (width, height, pixels) where pixels is uint8 (h, w) for P5 or
+    (h, w, 3) for P6. Raises ValueError on malformed input."""
+    import numpy as np
 
-    reference point: this engine treats decode as a per-batch vectorized
-    stage; plug a real decoder in here when codecs exist.
-    """
-    raise NotImplementedError("image codecs not available in this container")
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end of line
+    tokens, i = [], 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace byte after maxval, then raster
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=width * height * channels, offset=i)
+    pixels = raster.reshape((height, width, channels))
+    return width, height, pixels[..., 0] if channels == 1 else pixels
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode for the codec-free raster formats (binary PPM/PGM —
+    parseable with numpy alone). mean_luma is Rec.601
+    (0.299R + 0.587G + 0.114B) normalized to [0, 1]. Other formats
+    (jpeg/png) need PIL/opencv, absent in this container — plug a real
+    decoder into this same per-batch stage when codecs exist."""
+    if payload and payload[:2] in (b"P5", b"P6"):
+        import numpy as np
+
+        width, height, px = _parse_pnm(payload)
+        if px.ndim == 2:
+            luma = px.astype(np.float64)
+        else:
+            luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        return width, height, round(float(luma.mean()) / 255.0, 6)
+    raise NotImplementedError("only PPM/PGM decode without codecs; jpeg/png need PIL")
 
 
 def fake_decode_image(payload: bytes) -> tuple[int, int, float]:
@@ -98,6 +150,31 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         payload = hashlib.md5(f"media{i}".encode()).digest() * 4
         kind = ["image", "audio", "video"][i % 3]
         rows.append((i, kind, payload, f"application/x-{kind}", {"n_frames": str(90 + i)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_ppm_media(spark, n: int = 16) -> DataFrame:
+    """Synthetic media table whose image payloads are REAL binary PPMs
+    (deterministic md5-seeded gradients) — drives the actual decode/
+    resize path end-to-end with no codec library."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"ppm{i}".encode()).digest()
+        w, ht = 8 + h[0] % 9, 8 + h[1] % 9
+        y, x = np.mgrid[0:ht, 0:w]
+        px = np.stack(
+            [
+                ((x * (1 + h[2] % 5) + y) % 256),
+                ((y * (1 + h[3] % 5) + x) % 256),
+                ((x + y + h[4]) % 256),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        rows.append(
+            (i, "image", encode_ppm(px), "image/x-portable-pixmap", {"w": str(w)})
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -161,18 +238,34 @@ def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
     return (seed * (out_len // len(seed) + 1))[:out_len]
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL decode→resize→re-encode for binary PPM/PGM: nearest-neighbor
+    via numpy index maps (vectorized, no per-pixel Python), re-encoded
+    as P6. Raises NotImplementedError for codec-requiring formats."""
+    import numpy as np
+
+    if not (payload and payload[:2] in (b"P5", b"P6")):
+        raise NotImplementedError("only PPM/PGM resize without codecs")
+    w0, h0, px = _parse_pnm(payload)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    return encode_ppm(px[rows][:, cols])
+
+
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize plumbing: mapInPandas stage that rewrites the payload column
-    at a target resolution. With real codecs, swap fake_resize_image for a
-    PIL/opencv decode→resize→encode; the Spark-side contract (schema,
-    Arrow batching, per-batch payload residency) is identical."""
-    if not fake:
-        raise NotImplementedError("image codecs not available in this container")
+    """Resize: mapInPandas stage that rewrites the payload column at a
+    target resolution. ``fake=False`` runs the REAL PNM decode→resize→
+    encode (``resize_image``); the fake path keeps exercising the
+    Spark-side contract (schema, Arrow batching, per-batch payload
+    residency) for payloads in codec-requiring formats."""
+    resizer = fake_resize_image if fake else resize_image
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             resized = [
-                fake_resize_image(p if p is not None else b"", width, height)
+                resizer(p if p is not None else b"", width, height)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

@@ -580,3 +580,68 @@ def test_survivors_by_priority_policy(spark):
     assert set(out) == {3, 5}
     assert out[3]["source"] == "curated" and out[3]["n_copies"] == 4
     assert out[5]["n_copies"] == 1
+
+
+def test_ppm_decode_hand_computed():
+    import numpy as np
+
+    from csvs_to_sqlite_spark.operators.multimodal import decode_image, encode_ppm
+
+    px = np.array([[[255, 0, 0], [0, 0, 255]]], dtype=np.uint8)  # 2x1: red, blue
+    w, h, luma = decode_image(encode_ppm(px))
+    assert (w, h) == (2, 1)
+    want = ((0.299 * 255) + (0.114 * 255)) / 2 / 255.0
+    assert abs(luma - round(want, 6)) < 1e-9
+
+
+def test_ppm_decode_with_comment_header():
+    from csvs_to_sqlite_spark.operators.multimodal import _parse_pnm
+
+    payload = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    w, h, px = _parse_pnm(payload)
+    assert (w, h) == (3, 2)
+    assert px.tolist() == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_real_image_features_on_ppm(spark):
+    import numpy as np
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        _parse_pnm,
+        extract_image_features,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, n=8)
+    feats = {r["media_id"]: r for r in extract_image_features(media, fake=False).collect()}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(feats) == 8
+    for mid, payload in raw.items():
+        w, h, px = _parse_pnm(payload)
+        assert (feats[mid]["width"], feats[mid]["height"]) == (w, h)
+        want = float(px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                     if px.ndim == 1 else
+                     (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()) / 255.0
+        assert abs(feats[mid]["mean_luma"] - round(want, 6)) < 1e-9
+
+
+def test_real_resize_identity_and_dims(spark):
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        _parse_pnm,
+        resize_images,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, n=4)
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in resize_images(media, 4, 4, fake=False).collect()}
+    for mid, r in out.items():
+        w, h, px = _parse_pnm(bytes(r["payload"]))
+        assert (w, h) == (4, 4)
+        assert px.shape == (4, 4, 3)
+    # same-dims resize is the identity under nearest-neighbor
+    m0 = media.where("media_id = 0")
+    w0, h0, px0 = _parse_pnm(raw[0])
+    same = resize_images(m0, w0, h0, fake=False).collect()[0]
+    _, _, px_same = _parse_pnm(bytes(same["payload"]))
+    assert (px_same == px0).all()
