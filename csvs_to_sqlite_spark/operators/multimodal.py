@@ -185,10 +185,65 @@ AUDIO_FEATURES_SCHEMA = (
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary, payload_sha string"
 
 
+def _parse_wav(payload: bytes):
+    """Parse a PCM WAV (RIFF/WAVE) file with pure numpy — like PNM for
+    images, the one audio container decodable without a codec library.
+    Returns (sample_rate, n_channels, samples) with samples float64 in
+    [-1, 1]. Raises ValueError on malformed/compressed input."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM WAV supported")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return sample_rate, n_channels, samples
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode float samples in [-1, 1] as a mono 16-bit PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
 def decode_audio(payload: bytes) -> tuple[float, int, float]:
-    """Real audio decode is unavailable in this container (no soundfile/
-    ffmpeg); plug a real decoder in here when codecs exist."""
-    raise NotImplementedError("audio codecs not available in this container")
+    """REAL decode for the codec-free container (PCM WAV): duration,
+    sample rate, and RMS from the actual samples. Compressed formats
+    (mp3/ogg/flac) need a codec library, absent here."""
+    if payload and payload[:4] == b"RIFF":
+        sample_rate, n_channels, samples = _parse_wav(payload)
+        n_frames = len(samples) // max(n_channels, 1)
+        duration = round(n_frames / sample_rate, 6)
+        rms = round(float((samples**2).mean()) ** 0.5, 6) if len(samples) else 0.0
+        return duration, sample_rate, rms
+    raise NotImplementedError("only PCM WAV decode without codecs; mp3/ogg need a codec")
 
 
 def fake_decode_audio(payload: bytes) -> tuple[float, int, float]:
@@ -227,6 +282,25 @@ def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
     )
+
+
+def synth_wav_media(spark, n: int = 16) -> DataFrame:
+    """Synthetic media table whose audio payloads are REAL mono 16-bit
+    PCM WAVs (deterministic md5-seeded sine waves)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"wav{i}".encode()).digest()
+        sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+        freq = 110.0 * (1 + h[1] % 8)
+        dur = 0.05 + (h[2] % 10) / 100.0
+        t = np.arange(int(sample_rate * dur)) / sample_rate
+        samples = 0.5 * np.sin(2 * np.pi * freq * t)
+        rows.append(
+            (i, "audio", encode_wav_pcm16(samples, sample_rate), "audio/wav", {})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:

@@ -645,3 +645,42 @@ def test_real_resize_identity_and_dims(spark):
     same = resize_images(m0, w0, h0, fake=False).collect()[0]
     _, _, px_same = _parse_pnm(bytes(same["payload"]))
     assert (px_same == px0).all()
+
+
+def test_wav_decode_hand_computed():
+    import numpy as np
+
+    from csvs_to_sqlite_spark.operators.multimodal import decode_audio, encode_wav_pcm16
+
+    sr = 8000
+    t = np.arange(sr) / sr  # exactly 1 second
+    samples = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    dur, rate, rms = decode_audio(encode_wav_pcm16(samples, sr))
+    assert rate == sr
+    assert abs(dur - 1.0) < 1e-9
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ≈ 0.353553
+    assert abs(rms - 0.5 / 2**0.5) < 1e-3
+
+
+def test_real_audio_features_on_wav(spark):
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, n=8)
+    feats = {r["media_id"]: r for r in extract_audio_features(media, fake=False).collect()}
+    assert len(feats) == 8
+    for r in feats.values():
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert 0.04 < r["duration_s"] < 0.16
+        assert 0.2 < r["rms"] < 0.5
+
+
+def test_decode_audio_rejects_non_wav():
+    import pytest as _pytest
+
+    from csvs_to_sqlite_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfbmp3data")
