@@ -1079,6 +1079,58 @@ GROUP BY b.query_id
 """
 
 
+def q_dataset_card(spark, sf_dir):
+    """One-row dataset card — the release-notes summary a corpus ships
+    with: doc/source/lang counts, token totals, exact-dup rate, and the
+    mean quality score. One pass over documents (all metrics are
+    map-side-combinable aggregates over scan-stage expressions; the only
+    exact-distinct is on md5(text), bounded-width)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(tokens_expr(F.col("text"), distinct=False)).cast("long")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        toks.alias("n_tok"),
+        F.md5("text").alias("h"),
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("mean_tokens"),
+        F.countDistinct("h").cast("long").alias("distinct_texts"),
+        F.round(1 - F.countDistinct("h") / F.count("*"), 6).alias("dup_rate"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+    )
+
+
+def _sql_dataset_card() -> str:
+    toks = tokens_sql("text", distinct=False)
+    quality = SQL_QUALITY.strip().rstrip(";")
+    return f"""
+WITH q AS ({quality}),
+base AS (SELECT d.doc_id, d.source, d.lang,
+                CAST(len({toks}) AS BIGINT) AS n_tok,
+                md5(d.text) AS h, q.quality AS q
+         FROM documents d JOIN q USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       sum(n_tok) AS total_tokens,
+       round(avg(n_tok), 6) AS mean_tokens,
+       CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+       round(1 - count(DISTINCT h) / count(*), 6) AS dup_rate,
+       round(avg(q), 6) AS mean_quality
+FROM base
+"""
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: for each query
     vector (vec_id < 10), the top-3 most-similar vectors with a
@@ -3499,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "semdedup_prune": q_semdedup_prune,
         "ann_recall_eval": q_ann_recall_eval,
+        "dataset_card": q_dataset_card,
         "hard_negatives": q_hard_negatives,
         "centroid_classifier_eval": q_centroid_classifier_eval,
         "text_token_stats": q_text_token_stats,
@@ -3614,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _sql_knn_ivf(),
         "semdedup_prune": _sql_semdedup(),
         "ann_recall_eval": _sql_ann_recall(),
+        "dataset_card": _sql_dataset_card(),
         "hard_negatives": SQL_HARD_NEG,
         "centroid_classifier_eval": SQL_CENTROID_EVAL,
         "text_token_stats": SQL_TOKEN_STATS,
