@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import codecs
 import fnmatch
+import logging
 import os
 import tempfile
 import urllib.parse
@@ -27,6 +28,8 @@ import urllib.request
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger("csvs_to_sqlite_spark.csv_source")
 
 
 class LoadCsvError(Exception):
@@ -48,13 +51,30 @@ def _detect_encoding(
 
     We instead validate the byte stream incrementally on the driver
     (chunked, constant memory). ``probe_bytes`` caps how much of the file
-    is validated: the faithful default (None) checks everything, the scale
-    path samples a prefix — set SPARK_GRAFT_ENCODING_PROBE_BYTES for
-    multi-GB files where a full driver-side read is unacceptable.
+    is validated: files up to 256 MB get the faithful full check; larger
+    files AUTO-SAMPLE a 256 MB prefix (logged) so a multi-GB input never
+    costs O(file) driver IO by default. Override either way with
+    SPARK_GRAFT_ENCODING_PROBE_BYTES (0 = always validate everything).
     """
     if probe_bytes is None:
         env = os.environ.get("SPARK_GRAFT_ENCODING_PROBE_BYTES")
-        probe_bytes = int(env) if env else None
+        if env is not None:
+            probe_bytes = int(env) or None  # 0 = full validation
+        else:
+            cap = 256 << 20
+            try:
+                size = os.path.getsize(filepath)
+            except OSError:
+                size = 0
+            if size > cap:
+                probe_bytes = cap
+                logger.warning(
+                    "encoding probe: sampling first %d of %d bytes of %s "
+                    "(set SPARK_GRAFT_ENCODING_PROBE_BYTES=0 to validate all)",
+                    cap,
+                    size,
+                    filepath,
+                )
     last_err: Exception | None = None
     for enc in encodings_to_try:
         decoder = codecs.getincrementaldecoder(enc)()

@@ -309,3 +309,19 @@ def test_jsonl_missing_projection_column_errors(spark, tmp_path):
     p.write_text('{"a": 1}\n')
     with pytest.raises(ValueError, match="no column nope"):
         load_jsonl(spark, str(p), columns=["a", "nope"])
+
+
+def test_encoding_probe_cap_semantics(tmp_path):
+    from csvs_to_sqlite_spark.sources.csv_source import _detect_encoding
+
+    p = tmp_path / "mixed.csv"
+    # valid UTF-8 prefix, a latin-1 byte (0xE9) beyond the probe window
+    p.write_bytes(b"a,b\n" + b"x," * 1000 + b"\xe9\n")
+    # full validation sees the bad byte -> falls back to latin-1
+    assert _detect_encoding(str(p)) == "latin-1"
+    # capped probe stops before it -> utf-8 accepted (documented trade-off)
+    assert _detect_encoding(str(p), probe_bytes=100) == "utf-8"
+    # a cap ending mid-codepoint must NOT reject utf-8
+    q = tmp_path / "split.csv"
+    q.write_bytes(b"abc" + "é".encode("utf-8") * 10)
+    assert _detect_encoding(str(q), probe_bytes=4) == "utf-8"
