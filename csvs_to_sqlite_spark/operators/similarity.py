@@ -397,6 +397,8 @@ def semdedup_prune(
     n_centroids: int = 8,
     threshold: float = 0.95,
     kmeans_iters: int = 2,
+    cell_cap: int | None = 10_000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the deterministic
@@ -414,7 +416,13 @@ def semdedup_prune(
     op is ONE self-equi-join keyed by cell. Within-cell pairing is
     quadratic in cell size, so ``n_centroids`` must grow with the
     corpus (the paper uses ~sqrt(n); expected cell size n/k stays
-    bounded) — same contract as every bucketed op here.
+    bounded) — same contract as every bucketed op here. ``cell_cap``
+    (ON by default, like ``lsh_candidate_pairs``'s bucket_cap) is the
+    deterministic backstop for a runaway cell: only each cell's
+    ``cell_cap`` lowest ids participate in pairing, so a monster cell
+    costs O(cap²) and the overflow is conservatively KEPT (never
+    silently dropped); ``log_drops`` reports how many vectors the cap
+    excluded from pairing.
     """
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     cents = kmeans_centroids(base, id_col, n_centroids, kmeans_iters)
@@ -424,7 +432,29 @@ def semdedup_prune(
         "vid",
         "av",
     ).persist()  # reused by both self-join sides and the final output
-    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_side = assigned
+    if cell_cap is not None:
+        if log_drops:
+            sizes = assigned.groupBy("cell").count()
+            excluded = (
+                sizes.select(
+                    F.sum(F.greatest(F.col("count") - cell_cap, F.lit(0))).alias("d")
+                ).collect()[0]["d"]
+                or 0
+            )
+            if excluded:
+                logger.warning(
+                    "semdedup_prune: cell_cap=%d excluded %d vectors from pairing",
+                    cell_cap,
+                    excluded,
+                )
+        w_cap = Window.partitionBy("cell").orderBy("vid")
+        pair_side = (
+            assigned.withColumn("__rn__", F.row_number().over(w_cap))
+            .where(F.col("__rn__") <= cell_cap)
+            .drop("__rn__")
+        )
+    a, b = pair_side.alias("a"), pair_side.alias("b")
     sim = F.round(
         _dot(F.col("a.av"), F.col("b.av"))
         / (_norm(F.col("a.av")) * _norm(F.col("b.av"))),

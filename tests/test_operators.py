@@ -684,3 +684,19 @@ def test_decode_audio_rejects_non_wav():
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfbmp3data")
+
+
+def test_semdedup_cell_cap_is_conservative(spark):
+    """With cell_cap=1 only each cell's lowest id participates in
+    pairing, so no pair forms and even an exact clone is KEPT — the cap
+    degrades toward keeping data, never silently dropping it."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [0.0, 1.0, 0.0, 0.0]))  # exact clone of vec 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.semdedup_prune(emb, n_centroids=4, cell_cap=1)
+    assert all(r["kept"] for r in capped.collect())
+    uncapped = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semdedup_prune(emb, n_centroids=4, cell_cap=None).collect()
+    }
+    assert uncapped[4] is False
