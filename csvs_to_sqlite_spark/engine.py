@@ -144,10 +144,11 @@ def import_csvs(
     dim_specs, foreign_keys = parse_extract_columns(extract_column)
     extract_cols = {s.resolved().column for s in dim_specs}
     tables: list[Table] = []
+    table_nonnulls: list[dict[str, int]] = []
     spill_dirs: list[str] = []
     for name, path in csvs.items():
         try:
-            df, partition_counts, inferred_overrides = load_csv(
+            df, partition_counts, inferred_overrides, nonnull_counts = load_csv(
                 spark,
                 path,
                 separator,
@@ -162,6 +163,11 @@ def import_csvs(
                 inferred_overrides = {
                     shape_renames[k]: v
                     for k, v in inferred_overrides.items()
+                    if k in shape_renames
+                }
+                nonnull_counts = {
+                    shape_renames[k]: v
+                    for k, v in nonnull_counts.items()
                     if k in shape_renames
                 }
             df, overrides = apply_shape(df, shape)
@@ -202,6 +208,7 @@ def import_csvs(
             cached = spark.read.parquet(spill)
             spill_dirs.append(spill)
             tables.append(Table(table or name, cached, overrides=inferred_overrides))
+            table_nonnulls.append(nonnull_counts)
         except LoadCsvError as e:
             # A13 per-file isolation (reference cli.py:224-225)
             result.messages.append(f"Could not load {path}: {e}")
@@ -212,6 +219,20 @@ def import_csvs(
         dim_maps: dict[str, dict] = {}
         if dim_specs:
             existing = _existing_dims(spark, dbname, dim_specs)
+            # an extracted column with NO non-null values stays TEXT in the
+            # reference: apply(id_for_value) over all-NaN yields an object
+            # column of Nones, so to_sql derives TEXT, not INTEGER
+            # (utils.py:253 + 146-147); counts come free from the load's
+            # fused inference aggregate (just-strings files fall back to a
+            # single limit-1 probe)
+            for t, nn in zip(tables, table_nonnulls):
+                for c in extract_cols:
+                    if c in t.df.columns:
+                        n = nn.get(c)
+                        if n is None:
+                            n = t.df.where(F.col(c).isNotNull()).limit(1).count()
+                        if n == 0:
+                            t.overrides[c] = "TEXT"
             tables, dim_frames = build_dims(tables, dim_specs, existing)
             # dims are written BEFORE facts (reference utils.py:238-254)
             label_by_dim = {s.resolved().table: s.resolved().value_column for s in dim_specs}

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, FloatType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, FloatType, StringType
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 
@@ -68,6 +68,12 @@ def canonical_value(col: F.Column, dtype) -> F.Column:
         return F.when(col.isNotNull() & ~F.isnan(col), fmt_g(col))
     if isinstance(dtype, StringType):
         return col
+    if isinstance(dtype, BooleanType):
+        # reference id_for_value (utils.py:146-151): a non-string,
+        # non-float value renders via six.text_type — str(True) = 'True'
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            col, F.lit("True")
+        ).otherwise(F.lit("False"))
     return col.cast("string")
 
 

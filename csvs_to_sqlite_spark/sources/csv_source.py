@@ -230,7 +230,7 @@ def load_csv(
                 .agg(F.count(F.lit(1)).alias("__rows__"))
                 .collect()
             }
-            return df, counts, {}
+            return df, counts, {}, {}
         return df  # A7: everything stays StringType (reference utils.py:31)
     return infer_reference_types(
         df,
@@ -438,13 +438,22 @@ def infer_reference_types(
         elif bool_ok.get(c):
             # pandas bools → 0/1 via to_sql; affinity from the reference's
             # first-row sample when NULLs are present
-            projections.append((F.lower(q) == "true").cast("long").alias(c))
+            # keep BooleanType: the sink writes 0/1 (INTEGER affinity)
+            # either way, but dim extraction must render 'True'/'False'
+            # like the reference's six.text_type(bool) (utils.py:146-151)
+            projections.append((F.lower(q) == "true").alias(c))
             if bool_first_null.get(c):
                 overrides[c] = "TEXT"
         else:
             projections.append(q)
     typed = df.select(*projections)
-    return (typed, counts, overrides) if return_partition_counts else typed
+    if return_partition_counts:
+        # per-column non-null counts ride along from the same aggregate —
+        # the engine needs "is this column ALL null" for extract DDL
+        # parity without a second job
+        nonnull = {c: row[f"c{i}_n"] for i, c in enumerate(data_cols)}
+        return typed, counts, overrides, nonnull
+    return typed
 
 
 def _add_item(filename: str, lookup: dict[str, str], path: str) -> None:

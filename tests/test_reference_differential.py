@@ -52,6 +52,23 @@ SCENARIOS = [
         dict(),
     ),
     (
+        # extracting an ALL-null column: the reference's apply(id_for_value)
+        # over all-NaN yields an object column of Nones, so the fk column
+        # stays TEXT (not INTEGER) and the lookup table is created empty
+        "nullextract.csv",
+        "a,b\n<NA>,1\nNaN,2\n,3\n",
+        ["-c", "a"],
+        dict(extract_column=["a"]),
+    ),
+    (
+        # extracting a BOOL column: id_for_value renders Python bools via
+        # six.text_type -> lookup labels are 'True'/'False', not 1/0
+        "boolextract.csv",
+        "flag,v\nTrue,1\nFALSE,2\ntrue,3\nTrue,4\n",
+        ["-c", "flag"],
+        dict(extract_column=["flag"]),
+    ),
+    (
         # overflow-notation floats: pandas' C parser fails '±1e309' with
         # ERANGE and keeps the column object (TEXT); a naive double cast
         # would saturate to ±inf and emit REAL. The inf KEYWORD ('Inf')

@@ -64,17 +64,34 @@ for seed in seeds:
         d = tempfile.mkdtemp()
         n_cols = rng.randint(1, 3)
         n_rows = rng.randint(1, 8)
+        # quoting mixes into the fuzz (QUOTE_MINIMAL-weighted): the
+        # QUOTE_NONNUMERIC read path floats every unquoted field, a
+        # whole separate inference branch worth fuzzing
+        quoting = rng.choice([0, 0, 0, 1, 2])
         rows = [[rng.choice(tricky) for _ in range(n_cols)] for _ in range(n_rows)]
         with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
             w = csvmod.writer(f)
             w.writerow(["c%d" % i for i in range(n_cols)])
             w.writerows(rows)
+        # ~1/3 of trials also extract c0 into a lookup table: fuzzes the
+        # dim path end-to-end (fmt_g %g canonicalization of adversarial
+        # floats, first-appearance ids, FK rewrite)
+        extract = rng.random() < 0.34
+        ref_args = ["t.csv", "ref.db"] + (
+            ["--quoting", str(quoting)] if quoting else []
+        ) + (["-c", "c0"] if extract else [])
         try:
-            run_ref(d, ["t.csv", "ref.db"])
+            run_ref(d, ref_args)
         except subprocess.CalledProcessError:
             continue
         tried += 1
-        import_csvs(spark, [os.path.join(d, "t.csv")], os.path.join(d, "ours.db"))
+        import_csvs(
+            spark,
+            [os.path.join(d, "t.csv")],
+            os.path.join(d, "ours.db"),
+            quoting=quoting,
+            extract_column=["c0"] if extract else (),
+        )
         a = snapshot(os.path.join(d, "ref.db"))
         b = snapshot(os.path.join(d, "ours.db"))
         if a != b:
