@@ -145,6 +145,7 @@ def import_csvs(
     extract_cols = {s.resolved().column for s in dim_specs}
     tables: list[Table] = []
     table_nonnulls: list[dict[str, int]] = []
+    table_rowcounts: list[int] = []
     spill_dirs: list[str] = []
     for name, path in csvs.items():
         try:
@@ -209,6 +210,7 @@ def import_csvs(
             spill_dirs.append(spill)
             tables.append(Table(table or name, cached, overrides=inferred_overrides))
             table_nonnulls.append(nonnull_counts)
+            table_rowcounts.append(sum(partition_counts.values()))
         except LoadCsvError as e:
             # A13 per-file isolation (reference cli.py:224-225)
             result.messages.append(f"Could not load {path}: {e}")
@@ -244,7 +246,9 @@ def import_csvs(
         created_tables: list[str] = []
         seen_created: set[str] = set()
         shared_overrides = dict(shape_overrides) if shape else None
-        for t, spill in zip(tables, spill_dirs):
+        for t, spill, t_nn, t_rows in zip(
+            tables, spill_dirs, table_nonnulls, table_rowcounts
+        ):
             if shared_overrides is not None:
                 will_create = (
                     replace_tables and t.name not in seen_created
@@ -266,6 +270,24 @@ def import_csvs(
                             if v == "INTEGER" and c in float_cols
                         }
                     )
+                    # pandas-float64 parity for columns Spark types
+                    # differently: a non-extracted ALL-null column is all-NaN
+                    # float64 in pandas, and an extracted fk column whose
+                    # source mixed nulls with values is ids+NaN float64 —
+                    # both integral, so the reference's write-time C1
+                    # overwrites any shape entry with INTEGER
+                    # (utils.py:290-303). Extracted columns with no nulls
+                    # stay int64 (no overwrite: a shape REAL survives), and
+                    # all-null EXTRACTED columns are object (no overwrite).
+                    for c in t.df.columns:
+                        nn_c = t_nn.get(c)
+                        if nn_c is None:
+                            continue
+                        if c in extract_cols:
+                            if 0 < nn_c < t_rows:
+                                shared_overrides[c] = "INTEGER"
+                        elif nn_c == 0:
+                            shared_overrides[c] = "INTEGER"
                 # per-table dtype-mapping entries (uint64 INTEGER, bool-null
                 # TEXT) yield to shape/C1 entries like pandas' dtype= arg
                 # beats its dtype-derived DDL

@@ -39,28 +39,24 @@ def parse_shape(shape: str) -> list[ShapeCol]:
     return cols
 
 
-_SPARK_CAST = {"INTEGER": "long", "REAL": "double"}
-
-
 def apply_shape(df: DataFrame, shape: str | list[ShapeCol] | None) -> tuple[DataFrame, dict[str, str]]:
-    """B2-B4: keep/rename/cast; returns (df, sink_type_overrides).
+    """B2-B4: keep/rename + DDL overrides; returns (df, sink_type_overrides).
 
-    TEXT/BLOB/NUMERIC only affect sink DDL (reference utils.py:285,305);
-    INTEGER/REAL additionally cast the data (golden tests:295-312: values
-    become 41.0… under REAL; tests:714-732: just-strings + REAL casts
-    strings to float).
-    """
+    EVERY type override (REAL/INTEGER/TEXT/BLOB/NUMERIC) is DDL-ONLY,
+    exactly like the reference: apply_shape (utils.py:469-487) never
+    casts a value — the override reaches to_sql's dtype= and SQLite's
+    column AFFINITY coerces per value at insert. That is why '41' under
+    (REAL) lands as 41.0 (golden tests:295-312) while 'e5' in the same
+    column stays TEXT: a Spark-side cast would instead null (or, under
+    ANSI, reject) the uncastable values — caught by differential fuzz
+    seed 17001 with a partially-numeric column."""
     if not shape:
         return df, {}
     cols = parse_shape(shape) if isinstance(shape, str) else shape
     overrides: dict[str, str] = {}
     projections = []
     for c in cols:
-        expr = F.col(c.csv_name)
         if c.type_override:
             overrides[c.db_name] = c.type_override
-            spark_type = _SPARK_CAST.get(c.type_override)
-            if spark_type:
-                expr = expr.cast(spark_type)
-        projections.append(expr.alias(c.db_name))
+        projections.append(F.col(c.csv_name).alias(c.db_name))
     return df.select(*projections), overrides

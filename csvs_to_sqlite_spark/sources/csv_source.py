@@ -302,8 +302,9 @@ def infer_reference_types(
         # and falls back to object (TEXT column), while Spark's cast
         # saturates to ±Infinity. Digit-bearing strings that cast to inf
         # are parse FAILURES; the bare inf keywords ('Inf', '-inf') carry
-        # no digit and stay accepted. (QUOTE_NONNUMERIC is exempt: that
-        # path converts via Python float(), which returns inf happily.)
+        # no digit and stay accepted. Applies to QUOTE_NONNUMERIC too —
+        # probed: pandas 2.2 quoting=2 also objects the whole column on
+        # an overflow literal.
         aggs.append(
             F.count(
                 F.when((F.abs(d) == float("inf")) & q.rlike("[0-9]"), 1)
@@ -409,8 +410,10 @@ def infer_reference_types(
         )
         if n == 0:
             projections.append(q.try_cast("long").alias(c))
-        elif quoting == _QUOTE_NONNUMERIC and (
-            row[f"c{i}_re"] == n or row[f"c{i}_dbl"] == n
+        elif (
+            quoting == _QUOTE_NONNUMERIC
+            and (row[f"c{i}_re"] == n or row[f"c{i}_dbl"] == n)
+            and row[f"c{i}_ovf"] == 0
         ):
             # QUOTE_NONNUMERIC: any numeric column is float64 — int64,
             # uint64 and beyond-uint64 tiers all collapse into this branch

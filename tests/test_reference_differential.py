@@ -52,6 +52,28 @@ SCENARIOS = [
         dict(),
     ),
     (
+        # --shape (REAL) on a PARTIALLY castable column: the override is
+        # DDL-only in the reference, so SQLite affinity coerces per value
+        # ('007' -> 7.0) and uncastable strings survive as TEXT — a
+        # Spark-side cast would null/reject them
+        "shapemixed.csv",
+        "c0,c1\n1 000,x\nNULL,y\n007,z\ne5,w\n41,v\n",
+        ["--shape", "c0:r0(REAL),c1:keep"],
+        dict(shape="c0:r0(REAL),c1:keep"),
+    ),
+    (
+        # shape(REAL) + extraction of the SAME column, with a null: the
+        # post-extract id column is ids+NaN float64 in pandas, so the
+        # write-time C1 overwrites the shape's REAL with INTEGER in the
+        # shared dict (utils.py:290-303). Without nulls ids stay int64 and
+        # REAL survives (ids land as 1.0 via affinity) — covered by the
+        # same scenario's second file semantics in unit probes.
+        "shapeextract.csv",
+        "c0,c1\nNA,a\n007,b\n1e5,c\n0,d\n0,e\n",
+        ["--shape", "c0:r0(REAL),c1:r1", "-c", "r0"],
+        dict(shape="c0:r0(REAL),c1:r1", extract_column=["r0"]),
+    ),
+    (
         # extracting an ALL-null column: the reference's apply(id_for_value)
         # over all-NaN yields an object column of Nones, so the fk column
         # stays TEXT (not INTEGER) and the lookup table is created empty

@@ -77,9 +77,20 @@ for seed in seeds:
         # dim path end-to-end (fmt_g %g canonicalization of adversarial
         # floats, first-appearance ids, FK rewrite)
         extract = rng.random() < 0.34
-        ref_args = ["t.csv", "ref.db"] + (
-            ["--quoting", str(quoting)] if quoting else []
-        ) + (["-c", "c0"] if extract else [])
+        # ~1/5 of trials shape-rename every column and force c0 to REAL:
+        # exercises B1-B4 (shape parse, rename, cast) under adversarial
+        # values (uncastable ones crash the reference too -> trial skipped)
+        shape = None
+        if rng.random() < 0.2:
+            shape = ",".join(
+                ["c0:r0(REAL)"] + [f"c{i}:r{i}" for i in range(1, n_cols)]
+            )
+        ref_args = (
+            ["t.csv", "ref.db"]
+            + (["--quoting", str(quoting)] if quoting else [])
+            + (["-c", "r0" if shape else "c0"] if extract else [])
+            + (["--shape", shape] if shape else [])
+        )
         try:
             run_ref(d, ref_args)
         except subprocess.CalledProcessError:
@@ -90,7 +101,8 @@ for seed in seeds:
             [os.path.join(d, "t.csv")],
             os.path.join(d, "ours.db"),
             quoting=quoting,
-            extract_column=["c0"] if extract else (),
+            extract_column=(["r0" if shape else "c0"] if extract else ()),
+            shape=shape,
         )
         a = snapshot(os.path.join(d, "ref.db"))
         b = snapshot(os.path.join(d, "ours.db"))
