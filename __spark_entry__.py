@@ -3505,6 +3505,54 @@ FROM cnt GROUP BY source
 """
 
 
+_BM25_QUERY = ["spark", "shuffle", "window"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (terms.bm25_search): top-20 documents
+    for a 3-token query. Per-term tf/dl are scan-stage array expressions
+    (the corpus never explodes); df + (N, Σdl) collapse into one 1-row
+    broadcast aggregate; scoring sums query terms in a FIXED expression
+    order (no float-sum nondeterminism); top-k is TakeOrderedAndProject."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return terms.bm25_search(d, "text", "doc_id", _BM25_QUERY, k=20)
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style hashed-unigram importance weights (terms.dsir_importance,
+    after Xie et al. 2023): top-20 most src0-like documents by
+    Σ ln(p_target/p_raw) over 256 md5 feature buckets. One bucket-keyed
+    aggregate builds both distributions in a single corpus pass; the
+    256-row log-ratio table broadcasts; the per-doc score folds exact
+    (doc, bucket) integer counts in bucket order on both engines."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return terms.dsir_importance(
+        d, "text", "doc_id", F.col("source") == "src0", n_buckets=256, top_k=20
+    )
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard (terms.vocab_overlap): one
+    distinct (source, token) aggregate + a token-keyed self-join whose
+    fan-out is bounded by sources-per-token; exact integer counts."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return terms.vocab_overlap(d, "text", "source")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """α=0.5 temperature mixture sampling (splits.temperature_mixture):
+    per-source quotas ∝ floor(sqrt(count)), documents chosen by
+    salted-hash rank; per-source manifest with ordered-id digests so the
+    oracle verifies membership row by row. Integer-only quota math keeps
+    both engines exactly aligned."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return splits.temperature_mixture(d, "doc_id", "source", budget=1000)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3627,6 +3675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_column_conformance": q_derived_column_conformance,
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
+        "bm25_search": q_bm25_search,
+        "dsir_importance": q_dsir_importance,
+        "vocab_overlap": q_vocab_overlap,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -3743,5 +3795,13 @@ def oracle_sql() -> dict[str, str]:
             "text", "doc_id", "source", TOKEN_BUDGET
         ),
         "derived_column_conformance": SQL_CONFORMANCE,
+        "bm25_search": terms.bm25_search_sql("text", "doc_id", _BM25_QUERY, k=20),
+        "dsir_importance": terms.dsir_importance_sql(
+            "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20
+        ),
+        "vocab_overlap": terms.vocab_overlap_sql("text", "source"),
+        "temperature_mixture": splits.temperature_mixture_sql(
+            "doc_id", "source", budget=1000
+        ),
         # multimodal_image_features, streaming_sessions: rows-only by design
     }

@@ -283,6 +283,107 @@ def token_budget_cap(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget: int,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-LM α-sampling
+    recipe, α = 0.5): per-group quotas proportional to count^α flatten
+    the source distribution — over-represented sources are downweighted,
+    rare ones kept nearly whole — then each group contributes exactly its
+    quota of documents, chosen by salted-hash rank (reproducible across
+    runs, engines, and partitionings; re-salt for an independent draw).
+
+    Quota arithmetic is INTEGER-ONLY so both engines agree exactly:
+    w_g = floor(sqrt(c_g)) (IEEE sqrt of an exact int is identical
+    everywhere), k_g = floor(budget·w_g / Σw) — a double division of
+    exact int64s, bit-identical in both engines. Plan shape: one
+    group-cardinality count aggregate; the quota table (+ the 1-row Σw)
+    broadcasts back; selection is one group-partitioned row_number
+    window in (hash, id) order — partition width = group size, same
+    contract as stratified_sample_exact_k. Returns a per-group manifest
+    (group, n_groupdocs, quota, n_selected, id_digest) — the digest is
+    md5 over the ordered selected-id list, so the oracle verifies every
+    row's membership, not just counts.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("c"))
+    w_int = F.floor(F.sqrt(F.col("c").cast("double"))).cast("long")
+    quotas = counts.select("g", "c", w_int.alias("w"))
+    tot = quotas.agg(F.sum("w").alias("w_tot"))
+    quotas = quotas.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "c",
+        F.floor(F.lit(budget) * F.col("w") / F.col("w_tot")).cast("long").alias("quota"),
+    )
+    h = md5_long(F.col(id_col).cast("string"), seed=seed)
+    win = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.row_number().over(win).alias("rk"),
+    )
+    kept = ranked.join(F.broadcast(quotas), "g").where(F.col("rk") <= F.col("quota"))
+    return (
+        kept.groupBy("g", "c", "quota")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.col(id_col))),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
+        .select(
+            F.col("g").alias("group_name"),
+            F.col("c").alias("n_groupdocs"),
+            "quota",
+            "n_selected",
+            "id_digest",
+        )
+    )
+
+
+def temperature_mixture_sql(
+    id_expr: str,
+    group_expr: str,
+    budget: int,
+    seed: str = "temp",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of temperature_mixture (same integer quota math, same
+    salted-hash selection order)."""
+    h = md5_long_sql(f"cast({id_expr} as varchar)", seed=seed)
+    return f"""
+WITH counts AS (SELECT {group_expr} AS g, count(*) AS c FROM {table} GROUP BY 1),
+quotas AS (SELECT g, c,
+                  CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS w
+           FROM counts),
+tot AS (SELECT sum(w) AS w_tot FROM quotas),
+q AS (SELECT g, c,
+             CAST(floor({budget} * w / w_tot) AS BIGINT) AS quota
+      FROM quotas CROSS JOIN tot),
+ranked AS (SELECT {id_expr} AS id, {group_expr} AS g,
+                  row_number() OVER (PARTITION BY {group_expr}
+                                     ORDER BY {h} ASC, {id_expr} ASC) AS rk
+           FROM {table}),
+kept AS (SELECT ranked.*, q.c, q.quota FROM ranked JOIN q USING (g)
+         WHERE rk <= quota)
+SELECT g AS group_name, c AS n_groupdocs, quota,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       md5(string_agg(cast(id AS varchar), ',' ORDER BY id)) AS id_digest
+FROM kept GROUP BY g, c, quota
+"""
+
+
 def token_budget_cap_sql(
     text_expr: str,
     id_expr: str,

@@ -27,11 +27,11 @@ result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+from csvs_to_sqlite_spark.functions.hashing import md5_long, tokens_expr
 
 
 def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -378,6 +378,309 @@ def encode_docs(
         ids.alias("ids"),
         F.size("__toks__").cast("long").alias("n_tokens"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ranked lexical retrieval: top-k documents by Okapi BM25 for a
+    small query-token list — the search-engine complement of the
+    TF-IDF/cosine operators (Robertson & Zaragoza, 2009; idf in Lucene's
+    nonnegative form ln(1 + (N − df + 0.5)/(df + 0.5))).
+
+    Plan shape: per-term tf and the document length are scan-stage array
+    expressions over the token array (the corpus never explodes); the
+    per-term df vector and the (N, Σdl) totals collapse into ONE
+    aggregate broadcast back as a single row; scoring is a FIXED
+    left-to-right sum over the query terms — no aggregation at all, so
+    float addition order is identical in Spark and the SQL oracle — and
+    the top-k is orderBy+limit = TakeOrderedAndProject. Zero windows,
+    zero joins beyond the 1-row stats broadcast. Returns
+    (id, bm25 rounded to 6 dp, n_terms_matched), score desc / id asc.
+    """
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+
+    def term_freq(q: str) -> "Column":
+        # single-arg lambda on purpose: a 2-arg lambda would be treated as
+        # the (element, index) form of F.filter
+        return F.size(F.filter(F.col("__toks__"), lambda t: t == F.lit(q)))
+
+    per_doc = base.select(
+        F.col(id_col),
+        F.size("__toks__").cast("double").alias("dl"),
+        *[term_freq(q).cast("double").alias(f"tf{i}") for i, q in enumerate(query)],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("double").alias(f"df{i}")
+            for i in range(len(query))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = None
+    matched = None
+    for i in range(len(query)):
+        tf = F.col(f"tf{i}")
+        dfq = F.col(f"df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - dfq + 0.5) / (dfq + 0.5))
+        term = (idf * (tf * (k1 + 1.0))) / (
+            tf + k1 * ((1.0 - b) + (b * F.col("dl")) / avgdl)
+        )
+        hit = (tf > 0).cast("long")
+        score = term if score is None else score + term
+        matched = hit if matched is None else matched + hit
+    return (
+        scored.select(
+            id_col,
+            F.round(score, 6).alias("bm25"),
+            matched.alias("n_terms_matched"),
+        )
+        .where(F.col("n_terms_matched") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_search_sql(
+    text_expr: str,
+    id_expr: str,
+    query: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of bm25_search — same expression tree, same constant
+    folding ((k1+1), (1−b) pre-folded exactly as Python folds them), same
+    fixed term order, so every double is bit-identical."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(text_expr, distinct=False)
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{q}')) AS DOUBLE) AS tf{i}"
+        for i, q in enumerate(query)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(query))
+    )
+    terms_sql = " + ".join(
+        f"((ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0!r})) / (tf{i} + {k1!r} *"
+        f" ({1.0 - b!r} + ({b!r} * dl) / (sum_dl / n_docs))))"
+        for i in range(len(query))
+    )
+    hits = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(query))
+    )
+    return f"""
+WITH tokd AS (SELECT {id_expr} AS id, {toks} AS toks FROM {table}),
+per_doc AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols} FROM tokd),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+                 {df_cols} FROM per_doc),
+scored AS (SELECT id, round({terms_sql}, 6) AS bm25,
+                  CAST({hits} AS BIGINT) AS n_terms_matched
+           FROM per_doc CROSS JOIN stats)
+SELECT id AS {id_expr}, bm25, n_terms_matched FROM scored
+WHERE n_terms_matched > 0 ORDER BY bm25 DESC, id ASC LIMIT {k}
+"""
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    n_buckets: int = 256,
+    k_smooth: float = 0.5,
+    top_k: int = 20,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-unigram distribution is —
+    w(doc) = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) with add-k
+    smoothing over ``n_buckets`` md5 feature buckets. ``target`` is a
+    boolean Column marking the target domain (e.g. source == 'src0');
+    the raw distribution is the whole corpus.
+
+    Plan shape: ONE (bucket)-keyed aggregate builds both distributions
+    (target counts ride along as a conditional sum — the corpus is read
+    once); the ``n_buckets``-row log-ratio table is broadcast; per-doc
+    scoring is an exact integer (doc, bucket) count aggregate followed by
+    an ORDERED fold (sort_array + F.aggregate) so float addition order is
+    bucket-ascending in both engines — the SQL twin uses DuckDB's ordered
+    aggregate ``sum(x ORDER BY bucket)``. Per-bucket log-ratios are
+    rounded to 6 dp before the fold, final weights to 6 dp. Top-k via
+    orderBy+limit. Returns (id, dsir_weight, n_tokens).
+    """
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    bucket = (md5_long(F.col("token"), seed="dsir") % n_buckets).cast("long")
+    tok = df.select(
+        F.col(id_col), target.alias("__target__"), F.explode(toks).alias("token")
+    ).select(F.col(id_col), "__target__", bucket.alias("bucket"))
+    btab = tok.groupBy("bucket").agg(
+        F.sum(F.col("__target__").cast("long")).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = btab.agg(
+        F.sum("ct").cast("double").alias("t_tot"),
+        F.sum("cr").cast("double").alias("r_tot"),
+    )
+    lr = btab.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + k_smooth) / (F.col("t_tot") + k_smooth * n_buckets))
+                / ((F.col("cr") + k_smooth) / (F.col("r_tot") + k_smooth * n_buckets))
+            ),
+            6,
+        ).alias("lr"),
+    )
+    per_db = tok.groupBy(id_col, "bucket").agg(F.count("*").alias("c"))
+    folded = (
+        per_db.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("bucket"),
+                                (F.col("c") * F.col("lr")).alias("v"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ),
+                6,
+            ).alias("dsir_weight"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    return folded.orderBy(
+        F.col("dsir_weight").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def dsir_importance_sql(
+    text_expr: str,
+    id_expr: str,
+    target_pred: str,
+    n_buckets: int = 256,
+    k_smooth: float = 0.5,
+    top_k: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of dsir_importance (same md5 buckets, same folded
+    smoothing constants, ordered per-doc sum)."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long_sql, tokens_sql
+
+    toks = tokens_sql(text_expr, distinct=False)
+    bucket = f"({md5_long_sql('token', seed='dsir')} % {n_buckets})"
+    kb = k_smooth * n_buckets
+    return f"""
+WITH tok0 AS (SELECT {id_expr} AS id, ({target_pred}) AS tgt,
+                     unnest({toks}) AS token FROM {table}),
+tok AS (SELECT id, tgt, {bucket} AS bucket FROM tok0),
+btab AS (SELECT bucket, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                count(*) AS cr FROM tok GROUP BY bucket),
+totals AS (SELECT CAST(sum(ct) AS DOUBLE) AS t_tot,
+                  CAST(sum(cr) AS DOUBLE) AS r_tot FROM btab),
+lr AS (SELECT bucket,
+              round(ln(((ct + {k_smooth!r}) / (t_tot + {kb!r}))
+                       / ((cr + {k_smooth!r}) / (r_tot + {kb!r}))), 6) AS lr
+       FROM btab CROSS JOIN totals),
+per_db AS (SELECT id, bucket, count(*) AS c FROM tok GROUP BY id, bucket),
+folded AS (SELECT id, round(sum(c * lr ORDER BY bucket), 6) AS dsir_weight,
+                  CAST(sum(c) AS BIGINT) AS n_tokens
+           FROM per_db JOIN lr USING (bucket) GROUP BY id)
+SELECT id AS {id_expr}, dsir_weight, n_tokens FROM folded
+ORDER BY dsir_weight DESC, id ASC LIMIT {top_k}
+"""
+
+
+def vocab_overlap(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups (sources/domains) — the
+    corpus-mixture diagnostic for "how lexically distinct are my
+    sources?" (near-1 overlap between two crawls flags the same site
+    scraped twice; near-0 flags a language/domain outlier).
+
+    Plan shape: ONE distinct aggregate to (group, token); per-group
+    vocabulary sizes are a group-cardinality aggregate broadcast back;
+    intersections come from a token-keyed self-equi-join whose fan-out
+    per token is bounded by the number of groups containing it (≤
+    n_groups, C(n_groups, 2) pairs worst case — never corpus-quadratic).
+    All counts are exact integers; jaccard = inter/(|A|+|B|−inter)
+    rounded to 6 dp. Returns (group_a, group_b, n_common, jaccard) for
+    group_a < group_b.
+    """
+    toks = tokens_expr(F.col(text_col), distinct=True)
+    vt = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("token"))
+        .distinct()
+    )
+    sizes = vt.groupBy("g").agg(F.count("*").alias("n"))
+    a = vt.select(F.col("g").alias("group_a"), "token")
+    bb = vt.select(F.col("g").alias("group_b"), "token")
+    inter = (
+        a.join(bb, "token")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("n").alias("na"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("n").alias("nb"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def vocab_overlap_sql(
+    text_expr: str, group_expr: str, table: str = "documents"
+) -> str:
+    """DuckDB twin of vocab_overlap (exact integer counts; DuckDB's `/`
+    on integers yields DOUBLE like Spark's)."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(text_expr, distinct=True)
+    return f"""
+WITH tok AS (SELECT {group_expr} AS g, unnest({toks}) AS token FROM {table}),
+vt AS (SELECT DISTINCT g, token FROM tok),
+sizes AS (SELECT g, count(*) AS n FROM vt GROUP BY g),
+inter AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+          FROM vt a JOIN vt b ON a.token = b.token AND a.g < b.g
+          GROUP BY a.g, b.g)
+SELECT group_a, group_b, n_common,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.g = group_a
+JOIN sizes sb ON sb.g = group_b
+"""
 
 
 def update_vocab(

@@ -338,3 +338,43 @@ def test_vocab_encode_order_oov_and_empty(spark):
     assert enc[1] == ([1, 1, 1, 2, 2, 3], 6)
     assert enc[2] == ([2, 0, 1], 3)  # zzz is OOV -> 0
     assert enc[3] == ([], 0)
+
+
+def test_temperature_mixture_quotas_and_membership(spark):
+    # counts 9 / 4 / 1 → w = 3 / 2 / 1 (floor sqrt), Σw = 6; budget 6 →
+    # quotas 3 / 2 / 1
+    rows = (
+        [(i, "s9") for i in range(9)]
+        + [(100 + i, "s4") for i in range(4)]
+        + [(200, "s1")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r.group_name: r
+        for r in splits.temperature_mixture(docs, "doc_id", "source", budget=6).collect()
+    }
+    assert {(g, r.n_groupdocs, r.quota, r.n_selected) for g, r in out.items()} == {
+        ("s9", 9, 3, 3),
+        ("s4", 4, 2, 2),
+        ("s1", 1, 1, 1),
+    }
+    # membership: replicate the salted-hash selection order in Python
+    ids = {"s9": range(9), "s4": range(100, 104), "s1": [200]}
+    for g, quota in (("s9", 3), ("s4", 2), ("s1", 1)):
+        order = sorted(ids[g], key=lambda i: (py_md5_long(str(i), seed="temp"), i))
+        expect = hashlib.md5(
+            ",".join(str(i) for i in sorted(order[:quota])).encode()
+        ).hexdigest()
+        assert out[g].id_digest == expect
+
+
+def test_temperature_mixture_quota_capped_by_group_size(spark):
+    # budget far beyond the corpus: every group contributes all its rows
+    rows = [(i, "a") for i in range(9)] + [(50 + i, "b") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r.group_name: (r.quota, r.n_selected)
+        for r in splits.temperature_mixture(docs, "doc_id", "source", budget=500).collect()
+    }
+    # w = 3 / 2, Σw = 5 → quotas 300 / 200, selections capped at 9 / 4
+    assert out == {"a": (300, 9), "b": (200, 4)}

@@ -145,3 +145,89 @@ def test_update_vocab_empty_base(spark):
     d = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
     out = {r["token"]: r["tok_id"] for r in terms.update_vocab(empty, d, "text").collect()}
     assert out == {"x": 1, "y": 2}
+
+
+def test_bm25_hand_computed(spark):
+    from csvs_to_sqlite_spark.operators.terms import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry date"),
+            (4, "zebra"),  # no query term → must be excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_search(docs, "text", "doc_id", ["apple", "cherry"]).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 matched nothing
+
+    # replicate the exact formula (N=4, sum_dl=9, df(apple)=1, df(cherry)=2)
+    k1, b = 1.2, 0.75
+    n, sum_dl = 4.0, 9.0
+
+    def term(tf, dl, dfq):
+        idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+        return (idf * (tf * (k1 + 1.0))) / (
+            tf + k1 * ((1.0 - b) + (b * dl) / (sum_dl / n))
+        )
+
+    assert out[1].bm25 == round(term(2.0, 3.0, 1.0) + term(0.0, 3.0, 2.0), 6)
+    assert out[1].n_terms_matched == 1
+    assert out[3].bm25 == round(term(0.0, 3.0, 1.0) + term(2.0, 3.0, 2.0), 6)
+    assert out[2].n_terms_matched == 1
+    # rarer term (apple, df=1) outranks the common one at equal tf/dl
+    assert out[1].bm25 > out[3].bm25
+
+
+def test_bm25_plan_no_explode_no_window(spark):
+    from csvs_to_sqlite_spark.operators.terms import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    plan = (
+        bm25_search(docs, "text", "doc_id", ["a", "b"])
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "Generate explode" not in plan  # corpus token stream never explodes
+    assert "Window" not in plan  # top-k is TakeOrdered, not a ranking window
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from csvs_to_sqlite_spark.operators.terms import dsir_importance
+
+    rows = [(i, "alpha beta gamma", "tgt") for i in range(10)]
+    rows += [(100 + i, "delta epsilon zeta", "raw") for i in range(10)]
+    # held-out docs drawn from each side's vocabulary
+    rows += [(500, "alpha beta", "raw"), (501, "delta epsilon", "raw")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(
+            docs, "text", "doc_id", F.col("source") == "tgt", top_k=50
+        ).collect()
+    }
+    assert len(out) == 22 and out[500].n_tokens == 2
+    # target-vocabulary doc scores above the raw-vocabulary doc
+    assert out[500].dsir_weight > 0 > out[501].dsir_weight
+
+
+def test_vocab_overlap_hand_computed(spark):
+    from csvs_to_sqlite_spark.operators.terms import vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "g1"),
+            (2, "b c a", "g1"),  # g1 vocab {a,b,c}
+            (3, "b c d", "g2"),  # g2 vocab {b,c,d}
+            (4, "x", "g3"),  # g3 vocab {x} — disjoint, no output pair
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.group_a, r.group_b): r for r in vocab_overlap(docs, "text", "source").collect()}
+    assert set(out) == {("g1", "g2")}
+    assert out[("g1", "g2")].n_common == 2  # {b, c}
+    assert out[("g1", "g2")].jaccard == round(2 / 4, 6)
