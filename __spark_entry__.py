@@ -3506,6 +3506,84 @@ FROM cnt GROUP BY source
 
 
 _BM25_QUERY = ["spark", "shuffle", "window"]
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009): BM25 top-50 over `documents` and brute-force
+    cosine top-50 around query vector 0 over `embeddings` (ids share the
+    0..N key space in this star schema), fused by
+    rrf = Σ 1/(60 + rank) over the rankers that returned the id —
+    integer ranks make every fused score an identical double in both
+    engines; fixed coalesce(lex)+coalesce(sem) addition order.
+
+    Plan shape: each ranker keeps its own scale story (BM25: scan-stage
+    tf + TakeOrdered; cosine: broadcast query sweep); the fusion joins
+    two ≤50-row results — driver-sized, the rank windows only ever see
+    k rows. Returns top-10 (id, rrf_score, lex_rank, sem_rank)."""
+    prep_session(spark)
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (
+        terms.bm25_search(d, "text", "doc_id", _BM25_QUERY, k=50)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .select(F.col("doc_id").alias("id"), "lex_rank")
+    )
+    sem = (
+        similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50)
+        .select(F.col("neighbor_id").alias("id"), F.col("rank").cast("long").alias("sem_rank"))
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(sem, "id", "full_outer")
+        .select("id", rrf.alias("rrf_score"), "lex_rank", "sem_rank")
+        .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
+def _sql_hybrid_retrieval() -> str:
+    lex_sql = terms.bm25_search_sql("text", "doc_id", _BM25_QUERY, k=50)
+    return f"""
+WITH lex0 AS (SELECT * FROM ({lex_sql})),
+lex AS (SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+                 AS lex_rank
+        FROM lex0),
+q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cos_sim
+  FROM q, c WHERE query_id <> neighbor_id),
+sem AS (SELECT neighbor_id AS id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS sem_rank
+        FROM scored QUALIFY sem_rank <= 50)
+SELECT COALESCE(lex.id, sem.id) AS id,
+       round(COALESCE((1.0::DOUBLE) / ({_RRF_K} + lex_rank), 0.0::DOUBLE)
+             + COALESCE((1.0::DOUBLE) / ({_RRF_K} + sem_rank), 0.0::DOUBLE), 6)
+         AS rrf_score,
+       lex_rank, sem_rank
+FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+ORDER BY rrf_score DESC, id ASC LIMIT 10
+"""
 
 
 def q_bm25_search(spark, sf_dir):
@@ -3676,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "streaming_sessions": q_streaming_sessions,
         "bm25_search": q_bm25_search,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "dsir_importance": q_dsir_importance,
         "vocab_overlap": q_vocab_overlap,
         "temperature_mixture": q_temperature_mixture,
@@ -3796,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "derived_column_conformance": SQL_CONFORMANCE,
         "bm25_search": terms.bm25_search_sql("text", "doc_id", _BM25_QUERY, k=20),
+        "hybrid_retrieval": _sql_hybrid_retrieval(),
         "dsir_importance": terms.dsir_importance_sql(
             "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20
         ),

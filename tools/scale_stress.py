@@ -131,6 +131,35 @@ def main() -> None:
     print(f"vocab_encode {n}x: {len(encn)} docs, {time.time()-t0:.1f}s")
     assert enc1 == encn, "vocab/encoding not scale-invariant under self-union"
 
+    # vocab_overlap: a self-union adds only duplicate (source, token)
+    # pairs, so every per-source vocabulary — and hence every pairwise
+    # Jaccard — is IDENTICAL at 1x and Nx.
+    ov1 = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["jaccard"])
+        for r in terms.vocab_overlap(d1, "text", "source").collect()
+    }
+    t0 = time.time()
+    ovn = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["jaccard"])
+        for r in terms.vocab_overlap(dn, "text", "source").collect()
+    }
+    print(f"vocab_overlap {n}x: {len(ovn)} pairs, {time.time()-t0:.1f}s")
+    assert ov1 == ovn, "vocab_overlap not scale-invariant under self-union"
+
+    # temperature_mixture: floor'd quotas can never oversubscribe the
+    # budget, at any corpus size.
+    t0 = time.time()
+    tm = splits.temperature_mixture(dn, "doc_id", "source", budget=1000).agg(
+        F.sum("n_selected").alias("sel"), F.count("*").alias("groups")
+    ).collect()[0]
+    print(f"temperature_mixture {n}x: {tm['sel']} selected / {tm['groups']} groups, {time.time()-t0:.1f}s")
+    assert tm["sel"] <= 1000, f"quota oversubscribed: {tm['sel']} > 1000"
+
+    timed(f"bm25_search {n}x", lambda: terms.bm25_search(
+        dn, "text", "doc_id", ["spark", "shuffle", "window"]).count())
+    timed(f"dsir_importance {n}x", lambda: terms.dsir_importance(
+        dn, "text", "doc_id", F.col("source") == "src0").count())
+
     new = dn.where(F.col("doc_id") % 5 == 0)
     old = dn.where(F.col("doc_id") % 5 != 0)
     timed(f"incremental_dedup {n}x", lambda: dedup.incremental_near_dup_filter(new, old, "text").count())
