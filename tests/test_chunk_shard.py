@@ -378,3 +378,43 @@ def test_temperature_mixture_quota_capped_by_group_size(spark):
     }
     # w = 3 / 2, Σw = 5 → quotas 300 / 200, selections capped at 9 / 4
     assert out == {"a": (300, 9), "b": (200, 4)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=4),
+    budget=st.integers(min_value=0, max_value=30),
+)
+def test_temperature_mixture_matches_python_model(spark, sizes, budget):
+    rows = []
+    ids = {}
+    for g, size in enumerate(sizes):
+        gname = f"g{g}"
+        ids[gname] = [g * 1000 + i for i in range(size)]
+        rows += [(i, gname) for i in ids[gname]]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r.group_name: (r.n_groupdocs, r.quota, r.n_selected, r.id_digest)
+        for r in splits.temperature_mixture(df, "doc_id", "source", budget=budget).collect()
+    }
+    w = {g: math.floor(math.sqrt(float(len(v)))) for g, v in ids.items()}
+    w_tot = sum(w.values())
+    want = {}
+    for g, gids in ids.items():
+        quota = math.floor(budget * w[g] / w_tot)
+        order = sorted(gids, key=lambda i: (py_md5_long(str(i), seed="temp"), i))
+        sel = sorted(order[:quota])
+        want[g] = (
+            len(gids),
+            quota,
+            min(quota, len(gids)),
+            hashlib.md5(",".join(str(i) for i in sel).encode()).hexdigest(),
+        )
+    # groups whose quota floors to 0 contribute no manifest row (inner
+    # join keeps them, but count(*) needs >=1 selected row)
+    want = {g: v for g, v in want.items() if v[2] > 0}
+    assert got == want

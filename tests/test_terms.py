@@ -231,3 +231,55 @@ def test_vocab_overlap_hand_computed(spark):
     assert set(out) == {("g1", "g2")}
     assert out[("g1", "g2")].n_common == 2  # {b, c}
     assert out[("g1", "g2")].jaccard == round(2 / 4, 6)
+
+
+# ---------------------------------------------------------------------------
+# property: bm25_search vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["a", "b", "c", "dd"]
+_TEXTS = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join)
+
+
+def _py_bm25(docs, query, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in docs}
+    n = float(len(docs))
+    sum_dl = float(sum(len(v) for v in toks.values()))
+    dfs = {q: float(sum(1 for v in toks.values() if q in v)) for q in query}
+    out = {}
+    for i, v in toks.items():
+        score, hits = 0.0, 0
+        for q in query:
+            tf = float(v.count(q))
+            idf = math.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            score += (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + (b * len(v)) / (sum_dl / n))
+            )
+            hits += 1 if tf > 0 else 0
+        if hits:
+            out[i] = (round(score, 6), hits)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_TEXTS, min_size=1, max_size=8),
+    query=st.lists(st.sampled_from(_WORDS), min_size=1, max_size=2, unique=True),
+)
+def test_bm25_matches_python_model(spark, texts, query):
+    from csvs_to_sqlite_spark.operators.terms import bm25_search
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.bm25, r.n_terms_matched)
+        for r in bm25_search(df, "text", "doc_id", query, k=100).collect()
+    }
+    assert got == _py_bm25(docs, query)
