@@ -3505,6 +3505,74 @@ FROM cnt GROUP BY source
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD-2 state history (the versioned complement of the SCD-1 merge
+    in q_merge_upsert): each user's event_type stream collapses into
+    validity intervals — consecutive duplicate states merge into one row
+    carrying (valid_from, valid_to, is_current, n_merged). This is the
+    slowly-changing-dimension table a warehouse keeps for point-in-time
+    joins.
+
+    Plan shape: run-length encoding via one user-keyed lag flag + one
+    user-keyed cumulative sum (same window, computed in one pass), a
+    (user, run)-keyed aggregate, and a user-keyed lead for the interval
+    close — every window is partitioned by the entity, no global
+    ordering anywhere."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w) == F.col("event_type"), 0).otherwise(1),
+    )
+    runs = (
+        flagged.withColumn(
+            "version",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("valid_from"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("version")
+    return runs.withColumn(
+        "valid_to", F.lead("valid_from").over(w_runs)
+    ).select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "n_merged",
+    )
+
+
+SQL_SCD2 = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) = event_type THEN 0 ELSE 1 END AS chg
+  FROM events),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS version FROM f),
+runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                min(event_type) AS state, min(ts) AS valid_from,
+                CAST(count(*) AS BIGINT) AS n_merged
+         FROM g GROUP BY user_id, version),
+hist AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY version) AS valid_to FROM runs)
+SELECT user_id, version, state, valid_from, valid_to,
+       valid_to IS NULL AS is_current, n_merged
+FROM hist
+"""
+
+
 _BM25_QUERY = ["spark", "shuffle", "window"]
 _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
@@ -3755,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "bm25_search": q_bm25_search,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "scd2_history": q_scd2_history,
         "dsir_importance": q_dsir_importance,
         "vocab_overlap": q_vocab_overlap,
         "temperature_mixture": q_temperature_mixture,
@@ -3876,6 +3945,7 @@ def oracle_sql() -> dict[str, str]:
         "derived_column_conformance": SQL_CONFORMANCE,
         "bm25_search": terms.bm25_search_sql("text", "doc_id", _BM25_QUERY, k=20),
         "hybrid_retrieval": _sql_hybrid_retrieval(),
+        "scd2_history": SQL_SCD2,
         "dsir_importance": terms.dsir_importance_sql(
             "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20
         ),

@@ -74,6 +74,54 @@ def _parse_pnm(payload: bytes):
     return width, height, pixels[..., 0] if channels == 1 else pixels
 
 
+def _parse_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BI_RGB Windows BMP with pure numpy —
+    the second codec-free raster family next to PNM. Returns
+    (width, height, pixels) with pixels uint8 (h, w, 3) in RGB order
+    (BMP stores BGR bottom-up with 4-byte row padding). Raises
+    ValueError on compressed/other-depth input."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bits = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bits != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape((height, stride))[:, : width * 3]
+    px = raster.reshape((height, width, 3))[..., ::-1]  # BGR → RGB
+    return width, height, (px[::-1] if bottom_up else px).copy()
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BI_RGB BMP (rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape((h, w * 3))  # RGB→BGR, flip
+    raster = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(raster), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    return header + raster
+
+
 def encode_ppm(pixels) -> bytes:
     """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
     h, w = pixels.shape[:2]
@@ -81,21 +129,26 @@ def encode_ppm(pixels) -> bytes:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """REAL decode for the codec-free raster formats (binary PPM/PGM —
-    parseable with numpy alone). mean_luma is Rec.601
-    (0.299R + 0.587G + 0.114B) normalized to [0, 1]. Other formats
-    (jpeg/png) need PIL/opencv, absent in this container — plug a real
-    decoder into this same per-batch stage when codecs exist."""
-    if payload and payload[:2] in (b"P5", b"P6"):
+    """REAL decode for the codec-free raster formats (binary PPM/PGM and
+    uncompressed 24-bit BMP — parseable with numpy alone). mean_luma is
+    Rec.601 (0.299R + 0.587G + 0.114B) normalized to [0, 1]. Other
+    formats (jpeg/png) need PIL/opencv, absent in this container — plug
+    a real decoder into this same per-batch stage when codecs exist."""
+    if payload and (payload[:2] in (b"P5", b"P6") or payload[:2] == b"BM"):
         import numpy as np
 
-        width, height, px = _parse_pnm(payload)
+        if payload[:2] == b"BM":
+            width, height, px = _parse_bmp(payload)
+        else:
+            width, height, px = _parse_pnm(payload)
         if px.ndim == 2:
             luma = px.astype(np.float64)
         else:
             luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
         return width, height, round(float(luma.mean()) / 255.0, 6)
-    raise NotImplementedError("only PPM/PGM decode without codecs; jpeg/png need PIL")
+    raise NotImplementedError(
+        "only PPM/PGM/BMP decode without codecs; jpeg/png need PIL"
+    )
 
 
 def fake_decode_image(payload: bytes) -> tuple[int, int, float]:
@@ -313,19 +366,22 @@ def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL decode→resize→re-encode for binary PPM/PGM: nearest-neighbor
-    via numpy index maps (vectorized, no per-pixel Python), re-encoded
-    as P6. Raises NotImplementedError for codec-requiring formats."""
+    """REAL decode→resize→re-encode for binary PPM/PGM and uncompressed
+    24-bit BMP: nearest-neighbor via numpy index maps (vectorized, no
+    per-pixel Python), re-encoded in the SOURCE container (PNM → P6,
+    BMP → BMP). Raises NotImplementedError for codec-requiring formats."""
     import numpy as np
 
-    if not (payload and payload[:2] in (b"P5", b"P6")):
-        raise NotImplementedError("only PPM/PGM resize without codecs")
-    w0, h0, px = _parse_pnm(payload)
+    is_bmp = bool(payload and payload[:2] == b"BM")
+    if not (payload and (payload[:2] in (b"P5", b"P6") or is_bmp)):
+        raise NotImplementedError("only PPM/PGM/BMP resize without codecs")
+    w0, h0, px = _parse_bmp(payload) if is_bmp else _parse_pnm(payload)
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
     rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
     cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-    return encode_ppm(px[rows][:, cols])
+    out = px[rows][:, cols]
+    return encode_bmp(out) if is_bmp else encode_ppm(out)
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:

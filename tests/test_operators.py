@@ -700,3 +700,61 @@ def test_semdedup_cell_cap_is_conservative(spark):
         for r in similarity.semdedup_prune(emb, n_centroids=4, cell_cap=None).collect()
     }
     assert uncapped[4] is False
+
+
+def test_bmp_roundtrip_decode_and_luma():
+    import numpy as np
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        _parse_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    # odd width exercises the 4-byte row padding
+    px = (np.arange(5 * 3 * 3).reshape(5, 3, 3) % 256).astype(np.uint8)
+    payload = encode_bmp(px)
+    w, h, back = _parse_bmp(payload)
+    assert (w, h) == (3, 5)
+    assert np.array_equal(back, px)  # lossless roundtrip incl. BGR/flip
+    w2, h2, luma = decode_image(payload)
+    want = float(
+        (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
+    )
+    assert (w2, h2, luma) == (3, 5, round(want, 6))
+
+
+def test_bmp_resize_real_pixels():
+    import numpy as np
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        _parse_bmp,
+        encode_bmp,
+        resize_image,
+    )
+
+    y, x = np.mgrid[0:10, 0:7]
+    px = np.stack([x * 30 % 256, y * 20 % 256, (x + y) % 256], axis=2).astype(np.uint8)
+    out = resize_image(encode_bmp(px), 4, 6)
+    w, h, small = _parse_bmp(out)
+    assert (w, h) == (4, 6) and out[:2] == b"BM"  # stays in the BMP container
+    # nearest-neighbor: every output pixel is some exact source pixel
+    rows = (np.arange(6) * 10 // 6).clip(0, 9)
+    cols = (np.arange(4) * 7 // 4).clip(0, 6)
+    assert np.array_equal(small, px[rows][:, cols])
+
+
+def test_bmp_rejects_unsupported_depth():
+    import struct
+
+    import pytest as _pytest
+
+    from csvs_to_sqlite_spark.operators.multimodal import _parse_bmp
+
+    bad = bytearray(64)
+    bad[:2] = b"BM"
+    struct.pack_into("<I", bad, 10, 54)
+    struct.pack_into("<ii", bad, 18, 2, 2)
+    struct.pack_into("<H", bad, 28, 8)  # 8-bit palette — unsupported
+    with _pytest.raises(ValueError):
+        _parse_bmp(bytes(bad))
