@@ -271,7 +271,10 @@ UNION ALL SELECT 'l_tax',
 
 # one tuple drives BOTH the Spark query and the SQL oracle — editing the
 # scale set in one place cannot silently desynchronize the other (ADVICE r2)
-GFMT_SCALES = (1e4, 1e5, 1e-2)
+# 1e-322 pushes quantities into the SUBNORMAL range, exercising the
+# exact-%g fallback (Java's %g works from the shortest repr there and
+# diverges from CPython/C/DuckDB — differential fuzz seed 12001)
+GFMT_SCALES = (1e4, 1e5, 1e-2, 1e-322)
 
 
 def q_canonical_g_format(spark, sf_dir):
@@ -3505,6 +3508,28 @@ FROM cnt GROUP BY source
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over the MinHash near-duplicate graph
+    (operators/graph.py::pagerank): the centrality score of each document
+    inside its duplicate family — the canonical-survivor ranking when
+    provenance is equal. 3 damped rounds; per round one node-keyed join +
+    one destination-keyed aggregate over the (sparse) edge list, lineage
+    cut per round. Ordered neighbor folds + per-round 12 dp rounding keep
+    the oracle (the same rounds unrolled as chained CTEs) bit-identical."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id")
+    return pagerank(pairs, "id_a", "id_b", rounds=3)
+
+
+def _sql_pagerank() -> str:
+    from csvs_to_sqlite_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(_sql_minhash_pairs(), "id_a", "id_b", rounds=3)
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD-2 state history (the versioned complement of the SCD-1 merge
     in q_merge_upsert): each user's event_type stream collapses into
@@ -3824,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_retrieval": q_hybrid_retrieval,
         "scd2_history": q_scd2_history,
+        "pagerank": q_pagerank,
         "dsir_importance": q_dsir_importance,
         "vocab_overlap": q_vocab_overlap,
         "temperature_mixture": q_temperature_mixture,
@@ -3946,6 +3972,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": terms.bm25_search_sql("text", "doc_id", _BM25_QUERY, k=20),
         "hybrid_retrieval": _sql_hybrid_retrieval(),
         "scd2_history": SQL_SCD2,
+        "pagerank": _sql_pagerank(),
         "dsir_importance": terms.dsir_importance_sql(
             "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20
         ),

@@ -149,7 +149,7 @@ def import_csvs(
     spill_dirs: list[str] = []
     for name, path in csvs.items():
         try:
-            df, partition_counts, inferred_overrides, nonnull_counts = load_csv(
+            df, partition_counts, inferred_overrides, nonnull_counts, subnormal_cols = load_csv(
                 spark,
                 path,
                 separator,
@@ -170,6 +170,9 @@ def import_csvs(
                     shape_renames[k]: v
                     for k, v in nonnull_counts.items()
                     if k in shape_renames
+                }
+                subnormal_cols = {
+                    shape_renames[k] for k in subnormal_cols if k in shape_renames
                 }
             df, overrides = apply_shape(df, shape)
             shape_overrides.update(overrides)
@@ -198,8 +201,15 @@ def import_csvs(
             # driver-side {canonical: id} substitution hits exactly the
             # keys the Spark-built dims carry — value canonicalization
             # happens in one engine only, never twice.
+            # exact-%g subnormal handling only where the inference pass saw
+            # subnormals — the fact-sized canonicalization stays JVM-only in
+            # the overwhelmingly common case
             proj = [
-                canonical_value(F.col(c), df.schema[c].dataType).alias(c)
+                canonical_value(
+                    F.col(c),
+                    df.schema[c].dataType,
+                    exact_subnormals=(c in subnormal_cols),
+                ).alias(c)
                 if c in extract_cols
                 else F.col(c)
                 for c in df.columns
@@ -235,6 +245,16 @@ def import_csvs(
                             n = t.df.where(F.col(c).isNotNull()).limit(1).count()
                         if n == 0:
                             t.overrides[c] = "TEXT"
+                        else:
+                            # the fk column's DDL follows the FK dtype
+                            # (int64 → INTEGER; with nulls the reference's
+                            # write-time C1 makes the float64 id column
+                            # INTEGER too) — the SOURCE column's inference
+                            # override must not leak onto it (a bool column
+                            # whose first row is null carries TEXT, which
+                            # rendered fk ids as '1.0'; differential fuzz
+                            # seed 12003)
+                            t.overrides.pop(c, None)
             tables, dim_frames = build_dims(tables, dim_specs, existing)
             # dims are written BEFORE facts (reference utils.py:238-254)
             label_by_dim = {s.resolved().table: s.resolved().value_column for s in dim_specs}

@@ -33,6 +33,7 @@ facts never pass through a window at all.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, FloatType, StringType
@@ -40,32 +41,73 @@ from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 
 
-def fmt_g(col: F.Column) -> F.Column:
+# smallest normal double; below it Java's %g diverges from CPython's
+_MIN_NORMAL = 2.2250738585072014e-308
+_GFMT_PY = None
+
+
+def _gfmt_py():
+    """Arrow-batched CPython '%g' — the subnormal fallback. Java's
+    Formatter renders %g from the SHORTEST decimal repr of the double
+    (Double.toString), which for subnormals has fewer than 6 significant
+    digits: 1e-320 (exact value 9.99988867182683e-321) prints
+    "1.00000e-320" in Java but "9.99989e-321" in CPython/C, which format
+    the exact value (caught by differential fuzz seed 12001). Cached
+    module-wide; only attached when the caller asks for exact subnormal
+    parity, so the JVM-only fast path stays Python-free."""
+    global _GFMT_PY
+    if _GFMT_PY is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def gfmt(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None or v != v else "%g" % v)
+
+        _GFMT_PY = gfmt
+    return _GFMT_PY
+
+
+def fmt_g(col: F.Column, exact_subnormals: bool = True) -> F.Column:
     """CPython ``"{0:g}"`` / C printf %g. Java's %g keeps trailing zeros
     (17.0 → "17.0000"), so strip them: in the mantissa of exponent form,
     and at the end of plain form. Zeros are only stripped AFTER a decimal
     point — Java renders integral doubles in [1e5, 1e6) with no fraction
     at all ("100000"), and an unanchored ``\\.?0+$`` would eat its real
     trailing zeros ("100000" → "1"). Java also renders infinities as
-    "Infinity"/"-Infinity" where CPython %g gives "inf"/"-inf"."""
+    "Infinity"/"-Infinity" where CPython %g gives "inf"/"-inf".
+
+    ``exact_subnormals``: route |x| < MIN_NORMAL through the CPython
+    fallback (see _gfmt_py). Default ON (dim builds run over dim-sized
+    distinct sets where the Arrow hop is free); the engine's fact-sized
+    spill canonicalization turns it off when the inference pass counted
+    zero subnormals in the column — the overwhelmingly common case —
+    so the scan stage stays wholly JVM-side."""
     s = F.format_string("%g", col)
     s = F.regexp_replace(s, r"(\.\d*?)0+e", r"$1e")  # 1.20000e+06 → 1.2e+06
     s = F.regexp_replace(s, r"\.e", "e")  # 1.e+06 → 1e+06
     s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")  # 17.0000 → 17., 0.500000 → 0.5
     s = F.regexp_replace(s, r"\.$", "")  # 17. → 17
-    return (
+    out = (
         F.when(col == F.lit(float("inf")), F.lit("inf"))
         .when(col == F.lit(float("-inf")), F.lit("-inf"))
         .otherwise(s)
     )
+    if exact_subnormals:
+        out = F.when(
+            (F.abs(col) < F.lit(_MIN_NORMAL)) & (col != F.lit(0.0)),
+            _gfmt_py()(col),
+        ).otherwise(out)
+    return out
 
 
-def canonical_value(col: F.Column, dtype) -> F.Column:
+def canonical_value(col: F.Column, dtype, exact_subnormals: bool = True) -> F.Column:
     """E2 (reference utils.py:193-200): the string form a value takes in a
     lookup table (golden: extracted float district renders "7", scores
     "0.5"/"0.8")."""
     if isinstance(dtype, (DoubleType, FloatType)):
-        return F.when(col.isNotNull() & ~F.isnan(col), fmt_g(col))
+        return F.when(
+            col.isNotNull() & ~F.isnan(col), fmt_g(col, exact_subnormals)
+        )
     if isinstance(dtype, StringType):
         return col
     if isinstance(dtype, BooleanType):

@@ -282,8 +282,19 @@ class SQLiteSink:
                         pdf[c] = s.map(fk_maps[c])
                         pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
                     elif c in slow_fix:
-                        pdf[c] = s.astype(object).map(
-                            lambda v: None if v is None or v != v else _to_py(v)
+                        # build the result Series as object EXPLICITLY:
+                        # Series.map re-infers dtype, so a bool column with
+                        # nulls ([None, True] → [None, 1]) would coerce to
+                        # float64 and TEXT affinity would store '1.0' where
+                        # the reference stores '1' (differential fuzz seed
+                        # 12002)
+                        pdf[c] = pd.Series(
+                            [
+                                None if v is None or v != v else _to_py(v)
+                                for v in s.tolist()
+                            ],
+                            index=s.index,
+                            dtype=object,
                         )
                     elif s.isna().values.any():
                         pdf[c] = s.astype(object).where(s.notna(), None)

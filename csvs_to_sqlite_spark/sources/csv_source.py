@@ -230,7 +230,7 @@ def load_csv(
                 .agg(F.count(F.lit(1)).alias("__rows__"))
                 .collect()
             }
-            return df, counts, {}, {}
+            return df, counts, {}, {}, set()
         return df  # A7: everything stays StringType (reference utils.py:31)
     return infer_reference_types(
         df,
@@ -269,7 +269,7 @@ def infer_reference_types(
     """
     data_cols = [c for c in df.columns if c != _EXTRA]
     if not data_cols:
-        return (df, {}, {}) if return_partition_counts else df
+        return (df, {}, {}, {}, set()) if return_partition_counts else df
     # integer-ness via regex, not try_cast("long"): Spark's string→long cast
     # rejects non-integers through an exception path (~5× slower on columns
     # with decimal values). The regex matches exactly what pandas parses as
@@ -309,6 +309,15 @@ def infer_reference_types(
             F.count(
                 F.when((F.abs(d) == float("inf")) & q.rlike("[0-9]"), 1)
             ).alias(f"c{i}_ovf")
+        )
+        # subnormal doubles (|x| < 2^-1022): Java's %g formats these from
+        # the shortest decimal repr and diverges from CPython — the engine
+        # only pays the exact-%g Arrow fallback in its fact-sized spill
+        # canonicalization when this count is nonzero (it almost never is)
+        aggs.append(
+            F.count(
+                F.when((F.abs(d) < 2.2250738585072014e-308) & (d != 0.0), 1)
+            ).alias(f"c{i}_subn")
         )
         # C1 (reference utils.py:290-303): `not np.isnan(v) and not
         # v.is_integer()` — NaN is SKIPPED (it's pandas-missing), inf is
@@ -353,7 +362,7 @@ def infer_reference_types(
         raise LoadCsvError("Error tokenizing data: too many fields")
     if not row:  # empty file: keep all-string schema
         out = df.drop(_EXTRA, "__pos__")
-        return (out, counts or {}, {}) if return_partition_counts else out
+        return (out, counts or {}, {}, {}, set()) if return_partition_counts else out
 
     # bool detection only for columns that are neither int nor float —
     # usually none, so the second pass is free or touches few columns
@@ -453,9 +462,11 @@ def infer_reference_types(
     if return_partition_counts:
         # per-column non-null counts ride along from the same aggregate —
         # the engine needs "is this column ALL null" for extract DDL
-        # parity without a second job
+        # parity without a second job; ditto the subnormal-presence set
+        # that gates the exact-%g spill fallback
         nonnull = {c: row[f"c{i}_n"] for i, c in enumerate(data_cols)}
-        return typed, counts, overrides, nonnull
+        subnormal = {c for i, c in enumerate(data_cols) if row[f"c{i}_subn"]}
+        return typed, counts, overrides, nonnull, subnormal
     return typed
 
 

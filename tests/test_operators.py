@@ -758,3 +758,46 @@ def test_bmp_rejects_unsupported_depth():
     struct.pack_into("<H", bad, 28, 8)  # 8-bit palette — unsupported
     with _pytest.raises(ValueError):
         _parse_bmp(bytes(bad))
+
+
+def test_pagerank_hand_computed(spark):
+    """Star graph 0-1, 0-2, 0-3: the hub must outrank the leaves, values
+    must match a pure-Python replica (same damping, rounding, rounds)."""
+    from csvs_to_sqlite_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "a long, b long")
+    got = {r.node: (r.deg, r.pagerank) for r in pagerank(edges, rounds=3).collect()}
+
+    # python replica — Spark/DuckDB round() is HALF_UP on the shortest
+    # decimal repr (java.math.BigDecimal.valueOf), not Python's half-even
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r_up(x, nd):
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+    adj = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    deg = {k: len(v) for k, v in adj.items()}
+    n, d = 4, 0.85
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        r = {
+            v: r_up(
+                (1.0 - d) / n + d * sum(r[u] / deg[u] for u in sorted(adj[v])), 12
+            )
+            for v in adj
+        }
+    want = {v: (deg[v], r_up(r[v], 6)) for v in adj}
+    assert got == want
+    assert got[0][1] > got[1][1]  # hub beats leaves
+    assert got[1] == got[2] == got[3]  # symmetry
+
+
+def test_pagerank_mass_conservation(spark):
+    from csvs_to_sqlite_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "a long, b long"
+    )
+    rows = pagerank(edges, rounds=4).collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-6  # every node has edges → mass conserved

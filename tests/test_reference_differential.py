@@ -165,6 +165,36 @@ SCENARIOS = [
         ["--quoting", "2"],
         dict(quoting=2),
     ),
+    # subnormal doubles in an extracted dim: CPython %g formats the EXACT
+    # value (1e-320 → '9.99989e-321') while Java's %g works from the
+    # shortest repr ('1.00000e-320') — the engine's exact-%g fallback
+    # must kick in (differential fuzz seed 12001)
+    (
+        "subnormal.csv",
+        "v,w\n1e5,x\n0,y\n1e-320,z\n",
+        ["-c", "v"],
+        dict(extract_column=["v"]),
+    ),
+    # bool column with a null under QUOTE_NONNUMERIC: pandas keeps the
+    # object [NaN, True] column (no float conversion of 'true'), DDL TEXT
+    # from the null first row, and True lands as integer 1 → text '1' —
+    # a dtype-re-inferring pandas map floated it to '1.0' (fuzz seed 12002)
+    (
+        "quotebool.csv",
+        "c0\n#N/A\ntrue\n",
+        ["--quoting", "2"],
+        dict(quoting=2),
+    ),
+    # extracting a bool column that has nulls: the FK column's DDL follows
+    # the fk ids (INTEGER via the reference's write-time C1 on the
+    # ids+NaN float64), NOT the source column's bool-first-row-null TEXT
+    # override (fuzz seed 12003)
+    (
+        "boolnullextract.csv",
+        "flag,v\nNA,1\nnan,2\ntrue,3\nFALSE,4\n",
+        ["-c", "flag"],
+        dict(extract_column=["flag"]),
+    ),
     # kitchen sink: extract + shape rename/cast + fuzzy dates + FTS +
     # compound index + filename/fixed columns in ONE run — feature
     # interplay, not just isolated flags
