@@ -168,3 +168,36 @@ def test_semdedup_cell_join_not_broadcast(spark):
     may broadcast the dim-sized centroid set."""
     plan = explain_str(E.q_semdedup_prune(spark, SF))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bm25_stats_broadcast_no_fact_shuffle(spark):
+    """BM25's only join is the 1-row stats broadcast; the corpus never
+    shuffles and the top-k is a TakeOrdered, not a sort."""
+    plan = explain_str(E.q_bm25_search(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_dsir_logratio_table_broadcasts(spark):
+    """The n_buckets-row log-ratio table must broadcast onto the
+    (doc, bucket) counts — never shuffle the corpus side for it."""
+    plan = explain_str(E.q_dsir_importance(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mixture_quota_broadcast_entity_window(spark):
+    """Quota table broadcasts; the only window is per-group (no global
+    'Window' over an unpartitioned frame)."""
+    plan = explain_str(E.q_temperature_mixture(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_windows_are_entity_partitioned(spark):
+    """Every exchange in the SCD-2 plan is keyed by user_id — run-length
+    encoding never needs a global ordering."""
+    plan = explain_str(E.q_scd2_history(spark, SF))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan

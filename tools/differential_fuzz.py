@@ -91,19 +91,45 @@ for seed in seeds:
             + (["-c", "r0" if shape else "c0"] if extract else [])
             + (["--shape", shape] if shape else [])
         )
+        # append axis (~1/4 of extract trials, no shape): a SECOND file
+        # lands in the same db — fuzzes incremental dim growth (E4: new
+        # values get ids after max(id), existing ids immutable) and
+        # multi-table accumulation, which single-run trials never touch
+        second = None
+        if extract and not shape and rng.random() < 0.25:
+            second = [
+                [rng.choice(tricky) for _ in range(n_cols)]
+                for _ in range(rng.randint(1, 6))
+            ]
+            with open(os.path.join(d, "t2.csv"), "w", newline="", encoding="utf-8") as f:
+                w = csvmod.writer(f)
+                w.writerow(["c%d" % i for i in range(n_cols)])
+                w.writerows(second)
         try:
             run_ref(d, ref_args)
+            if second is not None:
+                run_ref(d, ["t2.csv", "ref.db"] + ref_args[2:])
         except subprocess.CalledProcessError:
             continue
         tried += 1
-        import_csvs(
-            spark,
-            [os.path.join(d, "t.csv")],
-            os.path.join(d, "ours.db"),
+        our_kwargs = dict(
             quoting=quoting,
             extract_column=(["r0" if shape else "c0"] if extract else ()),
             shape=shape,
         )
+        import_csvs(
+            spark,
+            [os.path.join(d, "t.csv")],
+            os.path.join(d, "ours.db"),
+            **our_kwargs,
+        )
+        if second is not None:
+            import_csvs(
+                spark,
+                [os.path.join(d, "t2.csv")],
+                os.path.join(d, "ours.db"),
+                **our_kwargs,
+            )
         a = snapshot(os.path.join(d, "ref.db"))
         b = snapshot(os.path.join(d, "ours.db"))
         if a != b:
