@@ -3530,23 +3530,9 @@ def _sql_pagerank() -> str:
     return pagerank_sql(_sql_minhash_pairs(), "id_a", "id_b", rounds=3)
 
 
-def q_scd2_history(spark, sf_dir):
-    """SCD-2 state history (the versioned complement of the SCD-1 merge
-    in q_merge_upsert): each user's event_type stream collapses into
-    validity intervals — consecutive duplicate states merge into one row
-    carrying (valid_from, valid_to, is_current, n_merged). This is the
-    slowly-changing-dimension table a warehouse keeps for point-in-time
-    joins.
-
-    Plan shape: run-length encoding via one user-keyed lag flag + one
-    user-keyed cumulative sum (same window, computed in one pass), a
-    (user, run)-keyed aggregate, and a user-keyed lead for the interval
-    close — every window is partitioned by the entity, no global
-    ordering anywhere."""
-    prep_session(spark)
-    e = load_events(spark, f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id", "event_type"
-    )
+def _scd2_runs(e):
+    """Shared run-length SCD-2 builder over an (event_id, ts, user_id,
+    event_type) frame — see q_scd2_history for semantics/plan shape."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.withColumn(
         "chg",
@@ -3578,12 +3564,35 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
-SQL_SCD2 = """
+def q_scd2_history(spark, sf_dir):
+    """SCD-2 state history (the versioned complement of the SCD-1 merge
+    in q_merge_upsert): each user's event_type stream collapses into
+    validity intervals — consecutive duplicate states merge into one row
+    carrying (valid_from, valid_to, is_current, n_merged). This is the
+    slowly-changing-dimension table a warehouse keeps for point-in-time
+    joins.
+
+    Plan shape: run-length encoding via one user-keyed lag flag + one
+    user-keyed cumulative sum (same window, computed in one pass), a
+    (user, run)-keyed aggregate, and a user-keyed lead for the interval
+    close — every window is partitioned by the entity, no global
+    ordering anywhere."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return _scd2_runs(e)
+
+
+def _sql_scd2_from(relation: str) -> str:
+    """DuckDB twin of _scd2_runs, parameterized over the source relation
+    so the point-in-time join can reuse it on a filtered stream."""
+    return f"""
 WITH f AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(event_type) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) = event_type THEN 0 ELSE 1 END AS chg
-  FROM events),
+  FROM {relation}),
 g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS version FROM f),
 runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
@@ -3595,6 +3604,106 @@ hist AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
 SELECT user_id, version, state, valid_from, valid_to,
        valid_to IS NULL AS is_current, n_merged
 FROM hist
+"""
+
+
+SQL_SCD2 = _sql_scd2_from("events")
+
+
+def q_pit_join(spark, sf_dir):
+    """Point-in-time enrichment against the SCD-2 history — THE query an
+    SCD-2 table exists for: each purchase event joins the state interval
+    (built from the user's NON-purchase events) that contains its
+    timestamp: valid_from <= ts < valid_to (current interval open-ended).
+    Reports per (user, version, state) purchase counts + value sums.
+
+    Plan shape: both sides shuffle once keyed user_id; the interval
+    predicate is evaluated inside the user-keyed sort-merge join (state
+    intervals per user are few, so per-key fan-out is bounded); one
+    (user, version)-keyed aggregate after."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    hist = _scd2_runs(
+        e.where(F.col("event_type") != "purchase").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+    ).select(
+        F.col("user_id").alias("h_user"), "version", "state",
+        "valid_from", "valid_to",
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_user"), F.col("ts").alias("f_ts"), "value"
+    )
+    joined = facts.join(
+        hist,
+        (F.col("f_user") == F.col("h_user"))
+        & (F.col("f_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("f_ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy(
+        F.col("h_user").alias("user_id"), "version", "state"
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _sql_pit_join() -> str:
+    hist = _sql_scd2_from("(SELECT * FROM events WHERE event_type <> 'purchase')")
+    return f"""
+WITH hist AS ({hist})
+SELECT h.user_id, h.version, h.state,
+       count(*) AS n_purchases, round(sum(e.value), 4) AS sum_value
+FROM events e JOIN hist h
+  ON e.user_id = h.user_id
+ AND e.event_type = 'purchase'
+ AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+GROUP BY h.user_id, h.version, h.state
+"""
+
+
+def q_fuzzy_link(spark, sf_dir):
+    """Cross-table record linkage (dedup.fuzzy_link): every src1
+    document linked to its best-matching src0 "master" by token-set
+    Jaccard. Blocking = the token-keyed equi-join (a pair is scored only
+    if it shares a token — never a cross join), with the df cap guarding
+    hyper-frequent blocking tokens; argmax per left row via a
+    left-partitioned row_number."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.fuzzy_link(
+        d.where(F.col("source") == "src1"),
+        d.where(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        "doc_id",
+        threshold=0.3,
+    )
+
+
+def _sql_fuzzy_link() -> str:
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql("text", distinct=True)
+    return f"""
+WITH lt AS (SELECT doc_id AS l, unnest({toks}) AS token
+            FROM documents WHERE source = 'src1'),
+rt AS (SELECT doc_id AS r, unnest({toks}) AS token
+       FROM documents WHERE source = 'src0'),
+inter AS (SELECT l, r, count(*) AS inter FROM lt JOIN rt USING (token)
+          GROUP BY l, r),
+ls AS (SELECT l, count(*) AS sz_l FROM lt GROUP BY l),
+rs AS (SELECT r, count(*) AS sz_r FROM rt GROUP BY r),
+scored AS (
+  SELECT l, r, round(inter / (sz_l + sz_r - inter), 6) AS jaccard
+  FROM inter JOIN ls USING (l) JOIN rs USING (r)
+  WHERE round(inter / (sz_l + sz_r - inter), 6) >= 0.3),
+best AS (SELECT *, row_number() OVER (PARTITION BY l
+               ORDER BY jaccard DESC, r ASC) AS rk FROM scored)
+SELECT l AS doc_id, r AS match_id, jaccard FROM best WHERE rk = 1
 """
 
 
@@ -3850,6 +3959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "scd2_history": q_scd2_history,
         "pagerank": q_pagerank,
+        "pit_join": q_pit_join,
+        "fuzzy_link": q_fuzzy_link,
         "dsir_importance": q_dsir_importance,
         "vocab_overlap": q_vocab_overlap,
         "temperature_mixture": q_temperature_mixture,
@@ -3973,6 +4084,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval": _sql_hybrid_retrieval(),
         "scd2_history": SQL_SCD2,
         "pagerank": _sql_pagerank(),
+        "pit_join": _sql_pit_join(),
+        "fuzzy_link": _sql_fuzzy_link(),
         "dsir_importance": terms.dsir_importance_sql(
             "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20
         ),

@@ -177,6 +177,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_link(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.5,
+    max_df: int | str | None = "auto",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Cross-table record linkage: each LEFT row's best-matching RIGHT
+    row by token-set Jaccard — the two-table cousin of
+    ``ngram_jaccard_pairs`` (dedup asks "which rows are copies of each
+    other", linkage asks "which master record does this row belong to").
+
+    Plan shape: both sides become (id, token) postings; candidates come
+    from the token-keyed equi-join (BLOCKING — a (left, right) pair is
+    scored only if it shares a token, never the O(|L|·|R|) cross join);
+    ``max_df`` (computed over the combined postings, same auto sizing as
+    the dedup cap) drops hyper-frequent blocking tokens before the join
+    fans out. One (l, r)-keyed count, per-side size aggregates broadcast
+    back, then a LEFT-partitioned row_number picks the argmax match
+    (rounded Jaccard, right-id tiebreak). Returns
+    (left_id, match_id, jaccard) for matches ≥ threshold.
+    """
+    lt = token_posting(left, text_col, left_id).select(
+        F.col(left_id).alias("__l__"), "token"
+    ).persist()
+    rt = token_posting(right, text_col, right_id).select(
+        F.col(right_id).alias("__r__"), "token"
+    ).persist()
+    if max_df == "auto":
+        max_df = max(1000, int(0.01 * (left.count() + right.count())))
+    if max_df is not None:
+        dfreq = (
+            lt.select("token").unionAll(rt.select("token"))
+            .groupBy("token").count()
+        )
+        drop = dfreq.where(F.col("count") > max_df).select("token")
+        lt = lt.join(F.broadcast(drop), "token", "left_anti")
+        rt = rt.join(F.broadcast(drop), "token", "left_anti")
+    inter = (
+        lt.join(rt, "token")
+        .groupBy("__l__", "__r__")
+        .agg(F.count("*").alias("inter"))
+    )
+    ls = lt.groupBy("__l__").agg(F.count("*").alias("sz_l"))
+    rs = rt.groupBy("__r__").agg(F.count("*").alias("sz_r"))
+    scored = (
+        inter.join(ls, "__l__")
+        .join(rs, "__r__")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_l") + F.col("sz_r") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__l__").orderBy(
+        F.col("jaccard").desc(), F.col("__r__").asc()
+    )
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") == 1)
+        .select(
+            F.col("__l__").alias(left_id),
+            F.col("__r__").alias("match_id"),
+            "jaccard",
+        )
+    )
+
+
 # universal-hash family for MinHash: h_i(x) = (a_i·md5(x) + b_i) mod P.
 # ONE md5 per shingle, k cheap integer mixes — vs k md5 calls. a_i < 2^20 and
 # md5_long < 2^32 keep the product under 2^52 (no long overflow, ANSI-safe).

@@ -801,3 +801,33 @@ def test_pagerank_mass_conservation(spark):
     rows = pagerank(edges, rounds=4).collect()
     total = sum(r.pagerank for r in rows)
     assert abs(total - 1.0) < 1e-6  # every node has edges → mass conserved
+
+
+def test_fuzzy_link_best_match_and_threshold(spark):
+    from csvs_to_sqlite_spark.operators.dedup import fuzzy_link
+
+    masters = spark.createDataFrame(
+        [(1, "acme corp inc"), (2, "globex corporation"), (3, "wayne enterprises")],
+        "rid long, text string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "acme corp"),         # → 1 (J = 2/3)
+            (11, "globex corp inc"),   # 1: {corp,inc}/4 = 0.5 beats 2: 0.25
+            (12, "stark industries"),  # no shared token → no row
+            (13, "wayne enterprises"), # exact master hit → J = 1
+        ],
+        "lid long, text string",
+    )
+    got = {
+        r.lid: (r.match_id, r.jaccard)
+        for r in fuzzy_link(
+            dirty, masters, "text", "lid", "rid", threshold=0.1, max_df=None
+        ).collect()
+    }
+    assert got[10] == (1, round(2 / 3, 6))
+    assert got[11] == (1, 0.5)  # higher-jaccard master wins the argmax
+    assert got[13] == (3, 1.0)
+    assert 12 not in got  # blocking: unshared rows are never scored
+    # exactly one match per left row
+    assert sorted(got) == [10, 11, 13]
