@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.functions.cols import qcol
 from pyspark.sql import types as T
 
 from csvs_to_sqlite_spark.operators.dates import apply_dates_and_datetimes
@@ -206,12 +208,12 @@ def import_csvs(
             # the overwhelmingly common case
             proj = [
                 canonical_value(
-                    F.col(c),
+                    qcol(c),
                     df.schema[c].dataType,
                     exact_subnormals=(c in subnormal_cols),
                 ).alias(c)
                 if c in extract_cols
-                else F.col(c)
+                else qcol(c)
                 for c in df.columns
             ]
             spill = tempfile.mkdtemp(prefix="engine_spill_")
@@ -242,7 +244,7 @@ def import_csvs(
                     if c in t.df.columns:
                         n = nn.get(c)
                         if n is None:
-                            n = t.df.where(F.col(c).isNotNull()).limit(1).count()
+                            n = t.df.where(qcol(c).isNotNull()).limit(1).count()
                         if n == 0:
                             t.overrides[c] = "TEXT"
                         else:

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvs_to_sqlite_spark.functions.cols import qcol
+
 from csvs_to_sqlite_spark.functions.fuzzydate import parse_datetime
 
 
@@ -56,8 +58,8 @@ def apply_dates_and_datetimes(
     dt_udf = _make_udf(datetime_formats, date_only=False)
     for c in date_cols:
         if c in cols:
-            df = df.withColumn(c, date_udf(F.col(c).cast("string")))
+            df = df.withColumn(c, date_udf(qcol(c).cast("string")))
     for c in datetime_cols:
         if c in cols:
-            df = df.withColumn(c, dt_udf(F.col(c).cast("string")))
+            df = df.withColumn(c, dt_udf(qcol(c).cast("string")))
     return df

@@ -36,6 +36,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.functions.cols import qcol
 from pyspark.sql.types import BooleanType, DoubleType, FloatType, StringType
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
@@ -150,7 +152,7 @@ def build_dims(
                 dtype = _dtype_of(table.df, spec.column)
                 pieces.append(
                     table.df.select(
-                        canonical_value(F.col(spec.column), dtype).alias("value"),
+                        canonical_value(qcol(spec.column), dtype).alias("value"),
                         F.struct(
                             F.lit(c_idx).alias("c"),
                             F.lit(t_idx).alias("t"),
@@ -210,11 +212,11 @@ def rewrite_fk(df: DataFrame, column: str, dim: DataFrame, value_column: str = "
     """Replace ``column``'s values with dim ids (broadcast left join).
     NULL values stay NULL (no dim row) — reference utils.py:193-194."""
     dtype = _dtype_of(df, column)
-    probe = canonical_value(F.col(column), dtype)
+    probe = canonical_value(qcol(column), dtype)
     joined = df.withColumn("__probe__", probe).join(
         F.broadcast(dim.select(F.col("id").alias("__dim_id__"), F.col(value_column).alias("__probe__"))),
         "__probe__",
         "left",
     )
-    cols = [F.col("__dim_id__").alias(column) if c == column else F.col(c) for c in df.columns]
+    cols = [F.col("__dim_id__").alias(column) if c == column else qcol(c) for c in df.columns]
     return joined.select(*cols)

@@ -13,6 +13,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvs_to_sqlite_spark.functions.cols import qcol
+
 from csvs_to_sqlite_spark.plans.specs import ShapeCol
 
 # reference utils.py:441
@@ -58,5 +60,5 @@ def apply_shape(df: DataFrame, shape: str | list[ShapeCol] | None) -> tuple[Data
     for c in cols:
         if c.type_override:
             overrides[c.db_name] = c.type_override
-        projections.append(F.col(c.csv_name).alias(c.db_name))
+        projections.append(qcol(c.csv_name).alias(c.db_name))
     return df.select(*projections), overrides

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from csvs_to_sqlite_spark.functions.cols import qcol
+
 logger = logging.getLogger("csvs_to_sqlite_spark.csv_source")
 
 
@@ -108,6 +110,59 @@ _QUOTE_NONNUMERIC = 2
 _QUOTE_NONE = 3
 _EXTRA = "__extra_fields__"
 
+
+def _pandas_header_names(fields: list[str]) -> list[str]:
+    """pandas' C-parser header naming: empty cells become 'Unnamed: N';
+    a duplicate gets the smallest 'name.k' (k counting up per base name)
+    that collides with NEITHER the whole original header (lookahead:
+    ['a', 'a', 'a.1'] → ['a', 'a.2', 'a.1']) nor an already-assigned
+    name. Unit-tested cell-for-cell against pandas.read_csv."""
+    base = [
+        f"Unnamed: {i}" if (c is None or c == "") else c
+        for i, c in enumerate(fields)
+    ]
+    taken = set(base)
+    next_k: dict[str, int] = {}
+    seen: set[str] = set()
+    out: list[str] = []
+    for col in base:
+        if col not in seen:
+            out.append(col)
+            seen.add(col)
+            continue
+        k = next_k.get(col, 1)
+        while f"{col}.{k}" in taken:
+            k += 1
+        cand = f"{col}.{k}"
+        next_k[col] = k + 1
+        taken.add(cand)
+        seen.add(cand)
+        out.append(cand)
+    return out
+
+
+def _read_header(
+    local_path: str, separator: str, quoting: int, encoding: str
+) -> list[str] | None:
+    """First-line header fields via the csv module (same dialect the data
+    read uses), mangled pandas-style. None = caller falls back to Spark's
+    naming (multi-char separator, which the csv module can't parse)."""
+    import csv as _csv
+
+    if len(separator) != 1:
+        return None
+    py_enc = {"ISO-8859-1": "latin-1"}.get(encoding, "utf-8-sig")
+    with open(local_path, newline="", encoding=py_enc) as f:
+        r = _csv.reader(
+            f,
+            delimiter=separator,
+            quoting=_csv.QUOTE_NONE if quoting == _QUOTE_NONE else _csv.QUOTE_MINIMAL,
+        )
+        first = next(r, None)
+    if not first:
+        raise LoadCsvError("No columns to parse from file")
+    return _pandas_header_names(first)
+
 # pandas read_csv's default na_values (keep_default_na=True): all of these
 # become NaN → SQL NULL. Spark's reader only nulls the empty string, so we
 # map the rest explicitly after the all-string read.
@@ -170,7 +225,14 @@ def load_csv(
         # csv.QUOTE_NONE: quotes are ordinary characters.
         reader = reader.option("quote", "\u0000")
     try:
-        columns = reader.csv(local_path).columns
+        # pandas' header semantics, computed driver-side from the first
+        # line: duplicate names mangle to a, a.1, a.2… and empty cells to
+        # 'Unnamed: N' (Spark's own dedup renames BOTH duplicates to a0,
+        # a1, which diverges). Data columns map by POSITION via the
+        # enforced schema, so only the NAMES come from this parse.
+        columns = _read_header(local_path, separator, quoting, encoding)
+        if columns is None:  # multi-char separator: csv module can't parse
+            columns = reader.csv(local_path).columns
         # A4: pandas treats a row with MORE fields than the header as a bad
         # line — an error, or dropped under --skip-errors (reference
         # utils.py:42, cli.py:34-38). Spark silently truncates extras, so
@@ -186,8 +248,8 @@ def load_csv(
         # the column to object/TEXT; the sentinel column is exempt)
         df = df.select(
             *[
-                F.when(F.col(c).isin(*_PANDAS_NA_TOKENS), None)
-                .otherwise(F.col(c))
+                F.when(qcol(c).isin(*_PANDAS_NA_TOKENS), None)
+                .otherwise(qcol(c))
                 .alias(c)
                 for c in columns
             ],
@@ -196,7 +258,7 @@ def load_csv(
         if len(columns) == 1:
             # pandas blank-line quirk: in a single-column file a
             # whitespace-only LINE is skipped entirely (not a NaN row)
-            c0 = F.col(columns[0])
+            c0 = qcol(columns[0])
             df = df.where(c0.isNull() | ~c0.rlike(r"^\s+$"))
         if skip_errors:
             df = df.where(F.col(_EXTRA).isNull()).drop(_EXTRA)
@@ -216,7 +278,8 @@ def load_csv(
             raise LoadCsvError(
                 f"Usecols do not match columns, columns expected but not found: {missing}"
             )
-        df = df.select(*wanted, *([_EXTRA] if bad_lines_pending else []))
+        df = df.select(*[qcol(c) for c in wanted],
+                       *([F.col(_EXTRA)] if bad_lines_pending else []))
 
     if just_strings:
         if bad_lines_pending:
@@ -283,7 +346,7 @@ def infer_reference_types(
     mid = F.col("__pos__")
     aggs = [F.count(F.lit(1)).alias("__rows__")]
     for i, c in enumerate(data_cols):
-        q = F.col(c)
+        q = qcol(c)
         d = q.try_cast("double")
         aggs.append(F.count(q).alias(f"c{i}_n"))
         # int-looking strings, and the subset that actually fit in int64
@@ -378,7 +441,7 @@ def infer_reference_types(
     bool_first_null: dict[str, bool] = {}
     if undecided:
         baggs = [
-            F.count(F.when(F.lower(F.col(c)).isin("true", "false"), 1)).alias(f"b{i}")
+            F.count(F.when(F.lower(qcol(c)).isin("true", "false"), 1)).alias(f"b{i}")
             for i, c in undecided
         ]
         brow = df.agg(*baggs).collect()[0]
@@ -391,7 +454,7 @@ def infer_reference_types(
             c for i, c in undecided if bool_ok[c] and row[f"c{i}_n"] < total_rows
         ]
         if with_null_bools:
-            first = df.select(*with_null_bools).limit(1).collect()
+            first = df.select(*[qcol(c) for c in with_null_bools]).limit(1).collect()
             for c in with_null_bools:
                 bool_first_null[c] = (not first) or first[0][c] is None
 
@@ -411,7 +474,7 @@ def infer_reference_types(
     overrides: dict[str, str] = {}
     for i, c in enumerate(data_cols):
         n = row[f"c{i}_n"]
-        q = F.col(c)
+        q = qcol(c)
         first_big = row[f"c{i}_firstbig"]
         first_float = row[f"c{i}_firstfloat"]
         big_blocks = first_big is not None and (

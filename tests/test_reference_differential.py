@@ -195,6 +195,30 @@ SCENARIOS = [
         ["-c", "flag"],
         dict(extract_column=["flag"]),
     ),
+    # duplicate header names: pandas mangles to a, a.1 (Spark's own dedup
+    # renames BOTH to a0/a1 — the engine must reproduce pandas')
+    (
+        "dup.csv",
+        "a,a,b\n1,2,3\n4,5,6\n",
+        [],
+        dict(),
+    ),
+    # empty header cell → 'Unnamed: N'
+    (
+        "unnamed.csv",
+        "a,,b\n1,2,3\n",
+        [],
+        dict(),
+    ),
+    # dotted header + extraction on it: F.col would parse 'p.x' as a
+    # struct accessor — every user-named column reference must be
+    # backtick-quoted (functions/cols.qcol)
+    (
+        "dotted.csv",
+        "p.x,b\n1,2\n3,4\n",
+        ["-c", "p.x"],
+        dict(extract_column=["p.x"]),
+    ),
     # kitchen sink: extract + shape rename/cast + fuzzy dates + FTS +
     # compound index + filename/fixed columns in ONE run — feature
     # interplay, not just isolated flags

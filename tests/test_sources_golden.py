@@ -325,3 +325,33 @@ def test_encoding_probe_cap_semantics(tmp_path):
     q = tmp_path / "split.csv"
     q.write_bytes(b"abc" + "é".encode("utf-8") * 10)
     assert _detect_encoding(str(q), probe_bytes=4) == "utf-8"
+
+
+def test_pandas_header_names_matches_pandas():
+    """_pandas_header_names must replicate pandas.read_csv's header
+    mangling (dup → name.N cascade, empty → Unnamed: N) exactly."""
+    import io
+
+    import pandas as pd
+
+    from csvs_to_sqlite_spark.sources.csv_source import _pandas_header_names
+
+    cases = [
+        ["a", "a"],
+        ["a", "a", "a"],
+        ["a", "a", "a.1"],  # lookahead: second a skips to a.2
+        ["a", "a.1", "a"],
+        ["", "a", ""],
+        ["a", "b", "a", "b", "a"],
+        ["x.1", "x", "x"],
+        ["a", "a", "a.1", "a"],
+        ["a", "a.1", "a.1"],  # mangled-name dup cascades to a.1.1
+        ["a", "a", "a.2"],
+        ["a.1", "a.1"],
+        ["", "", ""],
+        ["a", "a.1", "a.2", "a", "a"],
+    ]
+    for header in cases:
+        csv = ",".join(header) + "\n" + ",".join("1" * len(header)) + "\n"
+        want = list(pd.read_csv(io.StringIO(csv)).columns)
+        assert _pandas_header_names(header) == want, header

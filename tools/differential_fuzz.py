@@ -69,10 +69,10 @@ for seed in seeds:
         # whole separate inference branch worth fuzzing
         quoting = rng.choice([0, 0, 0, 1, 2])
         rows = [[rng.choice(tricky) for _ in range(n_cols)] for _ in range(n_rows)]
-        with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
-            w = csvmod.writer(f)
-            w.writerow(["c%d" % i for i in range(n_cols)])
-            w.writerows(rows)
+        # header axis (~1/4 of trials): duplicate names (pandas mangles to
+        # a, a.1…), dots (F.col hazard), empty cells ('Unnamed: N') —
+        # plain c0… otherwise so -c/--shape keep a stable column to target
+        header_fuzz = rng.random() < 0.25
         # ~1/3 of trials also extract c0 into a lookup table: fuzzes the
         # dim path end-to-end (fmt_g %g canonicalization of adversarial
         # floats, first-appearance ids, FK rewrite)
@@ -85,6 +85,16 @@ for seed in seeds:
             shape = ",".join(
                 ["c0:r0(REAL)"] + [f"c{i}:r{i}" for i in range(1, n_cols)]
             )
+        # header fuzz only when -c/--shape don't need a stable c0 target
+        header = (
+            [rng.choice(["a", "a", "a.1", "p.x", "", "b"]) for _ in range(n_cols)]
+            if header_fuzz and not extract and not shape
+            else ["c%d" % i for i in range(n_cols)]
+        )
+        with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
+            w = csvmod.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
         ref_args = (
             ["t.csv", "ref.db"]
             + (["--quoting", str(quoting)] if quoting else [])
