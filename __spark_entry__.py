@@ -3665,6 +3665,26 @@ GROUP BY h.user_id, h.version, h.state
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge learning (operators/bpe.py, after Sennrich et al. 2016):
+    8 merge rounds over the word-frequency dictionary. The corpus is
+    scanned ONCE (word counts); every round is vocab-sized — one
+    adjacent-pair aggregate + TakeOrdered argmax + a scan-stage fold
+    applying the merge. Oracle = the rounds unrolled as chained CTEs with
+    recursive-walk merge application."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.bpe import learn_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return learn_bpe(spark, d, "text", n_merges=8)
+
+
+def _sql_bpe_merges() -> str:
+    from csvs_to_sqlite_spark.operators.bpe import learn_bpe_sql
+
+    return learn_bpe_sql("text", n_merges=8)
+
+
 def q_fuzzy_link(spark, sf_dir):
     """Cross-table record linkage (dedup.fuzzy_link): every src1
     document linked to its best-matching src0 "master" by token-set
@@ -3961,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pit_join": q_pit_join,
         "fuzzy_link": q_fuzzy_link,
+        "bpe_merges": q_bpe_merges,
         "dsir_importance": q_dsir_importance,
         "vocab_overlap": q_vocab_overlap,
         "temperature_mixture": q_temperature_mixture,
@@ -4086,6 +4107,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "pit_join": _sql_pit_join(),
         "fuzzy_link": _sql_fuzzy_link(),
+        "bpe_merges": _sql_bpe_merges(),
         "dsir_importance": terms.dsir_importance_sql(
             "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20
         ),

@@ -283,3 +283,44 @@ def test_bm25_matches_python_model(spark, texts, query):
         for r in bm25_search(df, "text", "doc_id", query, k=100).collect()
     }
     assert got == _py_bm25(docs, query)
+
+
+def test_learn_bpe_matches_sennrich_reference(spark):
+    """The classic corpus from the BPE paper: merges must equal a pure-
+    Python implementation of the count-merge loop (same tie-break)."""
+    from collections import Counter
+
+    from csvs_to_sqlite_spark.operators.bpe import learn_bpe
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in learn_bpe(spark, docs, "text", n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    # python reference
+    vocab = {w: (list(w), c) for w, c in Counter(words).items()}
+    want = []
+    for rank in range(1, 7):
+        counts = Counter()
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += c
+        (s, t), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, s, t, s + t, n))
+        for w, (syms, c) in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == s and x == t:
+                    out[-1] = s + t
+                else:
+                    out.append(x)
+            vocab[w] = (out, c)
+    assert got == want
+    # the famous first merges: 'es' (tie with 'st' broken on lhs), then 'est'
+    assert got[0][3] == "es" and got[1][3] == "est"
