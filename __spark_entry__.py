@@ -3685,6 +3685,57 @@ def _sql_bpe_merges() -> str:
     return learn_bpe_sql("text", n_merges=8)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketch.py, Cormode &
+    Muthukrishnan 2005): top-20 tokens with exact counts, the CMS
+    estimate from a 4×256 md5-deterministic sketch, and the measured
+    overestimate. The sketch aggregate is CONSTANT d·w state at any
+    corpus size — the sketch is the scale story, and determinism makes
+    its error an oracle-checked quantity."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.sketch import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, "text", d=4, w=256, k=20)
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter dedup pre-filter report (operators/sketch.py):
+    even-id documents build a 1024-bit / 3-hash filter; odd-id documents
+    probe it. Reports pass/true-member/false-positive/missed counts —
+    the oracle proves n_missed == 0 (no false negatives, ever) and
+    measures the false-positive cost of the m-bit compression exactly."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.sketch import bloom_prefilter_report
+
+    d = _t(spark, sf_dir, "documents")
+    return bloom_prefilter_report(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        "text",
+        m=1024,
+        n_hashes=3,
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from csvs_to_sqlite_spark.operators.sketch import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql("text", d=4, w=256, k=20)
+
+
+def _sql_bloom_prefilter() -> str:
+    from csvs_to_sqlite_spark.operators.sketch import bloom_prefilter_sql
+
+    return bloom_prefilter_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "text",
+        m=1024,
+        n_hashes=3,
+    )
+
+
 def q_fuzzy_link(spark, sf_dir):
     """Cross-table record linkage (dedup.fuzzy_link): every src1
     document linked to its best-matching src0 "master" by token-set
@@ -3982,6 +4033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "fuzzy_link": q_fuzzy_link,
         "bpe_merges": q_bpe_merges,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_prefilter": q_bloom_prefilter,
         "dsir_importance": q_dsir_importance,
         "vocab_overlap": q_vocab_overlap,
         "temperature_mixture": q_temperature_mixture,
@@ -4108,6 +4161,8 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _sql_pit_join(),
         "fuzzy_link": _sql_fuzzy_link(),
         "bpe_merges": _sql_bpe_merges(),
+        "cms_heavy_hitters": _sql_cms_heavy_hitters(),
+        "bloom_prefilter": _sql_bloom_prefilter(),
         "dsir_importance": terms.dsir_importance_sql(
             "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20
         ),

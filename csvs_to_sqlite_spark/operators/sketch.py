@@ -1,0 +1,230 @@
+"""Deterministic streaming sketches: Count-Min and Bloom.
+
+Both sketches are usually treated as "approximate and therefore
+untestable"; built on the md5 hash family they are fully DETERMINISTIC —
+the same sketch, cell for cell, in Spark, DuckDB and Python — so their
+estimates (and their error) are exact oracle-checkable quantities.
+
+- Count-Min (Cormode & Muthukrishnan 2005): d rows × w columns of
+  integer counters; ``est(x) = min_i sketch[i][h_i(x)]`` ≥ true count,
+  with overestimate bounded by collisions. The sketch is ONE aggregate
+  keyed (row, cell) — CONSTANT d·w state regardless of corpus size,
+  which is the whole point at 100 TB: a heavy-hitter pass whose shuffle
+  is d·w rows instead of |vocab|.
+- Bloom (Bloom 1970): an m-bit array as the distinct set of set
+  positions; a member sets k md5-derived bits. As a dedup/linkage
+  PRE-FILTER the m-row bit set is broadcast-class even when the master
+  id set is not: probes that miss ANY bit are guaranteed non-members
+  and skip the expensive exact join; false positives are the (measured
+  here, exactly) price.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+    tokens_expr,
+    tokens_sql,
+)
+
+
+def _cms_cell(token, i: int, w: int):
+    return (md5_long(token, seed=f"cms{i}") % w).cast("long")
+
+
+def cms_heavy_hitters(
+    df: DataFrame, text_col: str, d: int = 4, w: int = 256, k: int = 20
+) -> DataFrame:
+    """Top-k tokens by exact count, with their Count-Min estimate and
+    the sketch's overestimate (always ≥ 0 — asserted by a unit test).
+
+    Plan shape: the sketch is ONE (row, cell)-keyed aggregate over the
+    exploded token stream (d·w cells total); exact top-k is a
+    map-side-combined count + TakeOrdered; the estimate joins the k
+    tokens' d cells against the broadcastable sketch. Returns
+    (token, exact_n, cms_estimate, overestimate)."""
+    tok = df.select(F.explode(tokens_expr(F.col(text_col), distinct=False)).alias("t"))
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_cell(F.col("t"), i, w).alias("cell")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch = cells.groupBy(F.col("c.i").alias("i"), F.col("c.cell").alias("cell")).agg(
+        F.count("*").alias("n")
+    )
+    top = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("t").asc())
+        .limit(k)
+    )
+    probes = top.select(
+        "t",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_cell(F.col("t"), i, w).alias("cell")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("t", "exact_n", F.col("c.i").alias("i"), F.col("c.cell").alias("cell"))
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "cell"])
+        .groupBy("t", "exact_n")
+        .agg(F.min("n").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("t").alias("token"),
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overestimate"),
+    )
+
+
+def cms_heavy_hitters_sql(
+    text_expr: str, d: int = 4, w: int = 256, k: int = 20, table: str = "documents"
+) -> str:
+    toks = tokens_sql(text_expr, distinct=False)
+    cell_rows = " UNION ALL ".join(
+        f"SELECT t, {i} AS i, ({md5_long_sql('t', seed=f'cms{i}')} % {w}) AS cell"
+        f" FROM tok"
+        for i in range(d)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS t FROM {table}),
+cells AS ({cell_rows}),
+sketch AS (SELECT i, cell, count(*) AS n FROM cells GROUP BY i, cell),
+top AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY t
+        ORDER BY exact_n DESC, t ASC LIMIT {k}),
+probes AS ({" UNION ALL ".join(
+    f"SELECT t, exact_n, {i} AS i,"
+    f" ({md5_long_sql('t', seed=f'cms{i}')} % {w}) AS cell FROM top"
+    for i in range(d))}),
+est AS (SELECT t, exact_n, min(n) AS cms_estimate
+        FROM probes JOIN sketch USING (i, cell) GROUP BY t, exact_n)
+SELECT t AS token, exact_n, cms_estimate,
+       cms_estimate - exact_n AS overestimate FROM est
+"""
+
+
+def _bloom_positions(key, m: int, n_hashes: int):
+    return [
+        (md5_long(key, seed=f"bloom{i}") % m).cast("long") for i in range(n_hashes)
+    ]
+
+
+def bloom_prefilter_report(
+    probe: DataFrame,
+    master: DataFrame,
+    text_col: str,
+    m: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-prefilter effectiveness report: build an m-bit filter from
+    the master set's text hashes, probe every probe-side row, and
+    compare against the exact answer. One row:
+    (n_probes, n_pass, n_true_members, n_false_positives, n_missed).
+    n_missed is asserted 0 by the oracle — a Bloom filter NEVER misses a
+    true member; false positives are the measured cost of the m-bit
+    compression.
+
+    Plan shape: the bit set is a distinct aggregate of ≤ m rows
+    (broadcast-class at any master size); probes join it k times via one
+    (position)-keyed join and pass iff all k bits hit. The exact check is
+    the md5-keyed semi-join the filter would gate at scale."""
+    mh = master.select(F.md5(F.col(text_col)).alias("h"))
+    bits = (
+        mh.select(
+            F.explode(
+                F.array(*_bloom_positions(F.col("h"), m, n_hashes))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    # distinct probe hashes: the prefilter gates unique keys (duplicate
+    # probe texts would double-count bit hits in the all-k check)
+    ph = probe.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    probe_pos = ph.select(
+        "h",
+        F.explode(F.array(*_bloom_positions(F.col("h"), m, n_hashes))).alias("pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("h")
+        .agg(F.count("*").alias("nbits"))
+        .where(F.col("nbits") == n_hashes)
+        .select("h")
+    )
+    truth = mh.distinct().select(F.col("h").alias("h_true"))
+    flagged = hits.join(F.broadcast(truth), hits["h"] == truth["h_true"], "left")
+    passed = flagged.agg(
+        F.count("*").alias("n_pass"),
+        F.sum(F.when(F.col("h_true").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+    )
+    missed = (
+        ph.join(truth, ph["h"] == truth["h_true"], "inner")
+        .join(hits.select(F.col("h").alias("h_hit")), F.col("h") == F.col("h_hit"), "left_anti")
+        .count()
+    )
+    n_probes = ph.count()
+    return passed.select(
+        F.lit(n_probes).cast("long").alias("n_probes"),
+        F.col("n_pass").cast("long"),
+        "n_true_members",
+        (F.col("n_pass") - F.col("n_true_members")).alias("n_false_positives"),
+        F.lit(missed).cast("long").alias("n_missed"),
+    )
+
+
+def bloom_prefilter_sql(
+    probe_rel: str,
+    master_rel: str,
+    text_expr: str,
+    m: int = 4096,
+    n_hashes: int = 3,
+) -> str:
+    pos = lambda i: f"({md5_long_sql('h', seed=f'bloom{i}')} % {m})"
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {pos(i)} AS pos FROM mh" for i in range(n_hashes)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT h, {pos(i)} AS pos FROM ph" for i in range(n_hashes)
+    )
+    return f"""
+WITH mh AS (SELECT md5({text_expr}) AS h FROM {master_rel}),
+bits AS (SELECT DISTINCT pos FROM ({bit_rows})),
+ph AS (SELECT DISTINCT md5({text_expr}) AS h FROM {probe_rel}),
+ppos AS ({probe_rows}),
+hits AS (SELECT h FROM ppos JOIN bits USING (pos)
+         GROUP BY h HAVING count(*) = {n_hashes}),
+truth AS (SELECT DISTINCT h FROM mh),
+agg AS (SELECT count(*) AS n_pass,
+               CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true_members
+        FROM hits LEFT JOIN truth t USING (h)),
+missed AS (SELECT count(*) AS n_missed FROM ph
+           WHERE h IN (SELECT h FROM truth)
+             AND h NOT IN (SELECT h FROM hits))
+SELECT CAST((SELECT count(*) FROM ph) AS BIGINT) AS n_probes,
+       CAST(n_pass AS BIGINT) AS n_pass, n_true_members,
+       CAST(n_pass - n_true_members AS BIGINT) AS n_false_positives,
+       CAST((SELECT n_missed FROM missed) AS BIGINT) AS n_missed
+FROM agg
+"""

@@ -831,3 +831,40 @@ def test_fuzzy_link_best_match_and_threshold(spark):
     assert 12 not in got  # blocking: unshared rows are never scored
     # exactly one match per left row
     assert sorted(got) == [10, 11, 13]
+
+
+def test_cms_estimate_never_underestimates(spark):
+    from csvs_to_sqlite_spark.operators.sketch import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta beta gamma " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    # tiny width forces collisions so the overestimate is actually exercised
+    rows = cms_heavy_hitters(docs, "text", d=2, w=4, k=10).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n  # the CMS one-sided guarantee
+        assert r.overestimate == r.cms_estimate - r.exact_n
+    by_tok = {r.token: r.exact_n for r in rows}
+    assert by_tok["beta"] == 2 * sum(range(1, 7))
+
+
+def test_bloom_prefilter_no_false_negatives_and_counts(spark):
+    from csvs_to_sqlite_spark.operators.sketch import bloom_prefilter_report
+
+    master = spark.createDataFrame(
+        [(i, f"master text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    # probes: 10 true members + 40 non-members
+    probe = spark.createDataFrame(
+        [(100 + i, f"master text {i}") for i in range(10)]
+        + [(200 + i, f"novel text {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    row = bloom_prefilter_report(probe, master, "text", m=512, n_hashes=3).collect()[0]
+    assert row.n_probes == 50
+    assert row.n_missed == 0  # a Bloom filter never misses a member
+    assert row.n_true_members == 10
+    assert row.n_pass >= 10
+    assert row.n_false_positives == row.n_pass - 10
