@@ -3685,6 +3685,96 @@ def _sql_bpe_merges() -> str:
     return learn_bpe_sql("text", n_merges=8)
 
 
+def q_event_anomaly(spark, sf_dir):
+    """Time-series anomaly flags: daily event counts per type whose
+    z-score vs that type's daily distribution is ≥ 2 in magnitude — the
+    stream-health alarm a pipeline runs over its ingest volumes.
+
+    Determinism: mean/std derive from exact integer (n, Σc, Σc²) via the
+    textbook formula — no float accumulation order anywhere — and the
+    z-score is rounded to 6 dp. Plan: one (type, day) count aggregate,
+    one type-keyed stats aggregate (cardinality = n_types) broadcast
+    back; the fact stream shuffles once."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count("*").alias("c"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    z = F.round(
+        (F.col("c") - F.col("sum_c") / F.col("n_days"))
+        / F.sqrt(
+            (F.col("sum_c2") - F.col("sum_c") * F.col("sum_c") / F.col("n_days"))
+            / (F.col("n_days") - 1)
+        ),
+        6,
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("n_events"),
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= 2.0)
+    )
+
+
+SQL_EVENT_ANOMALY = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (SELECT event_type, count(*) AS n_days, sum(c) AS sum_c,
+                 sum(c * c) AS sum_c2 FROM daily GROUP BY event_type),
+scored AS (
+  SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         CAST(c AS BIGINT) AS n_events,
+         round((c - sum_c / n_days)
+               / sqrt((sum_c2 - sum_c * sum_c / n_days) / (n_days - 1)),
+               6) AS z_score
+  FROM daily JOIN stats USING (event_type))
+SELECT * FROM scored WHERE abs(z_score) >= 2.0
+"""
+
+
+def q_user_growth(spark, sf_dir):
+    """Cumulative-distinct growth curve: per day, how many users were
+    seen for the FIRST time, and the running total of distinct users to
+    date — computed from one per-user min(ts) aggregate + one per-day
+    count + a running sum over the DAY-cardinality rollup (the window
+    sees ~#days rows, never the fact stream; same contract as
+    customer_deciles)."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = firsts.groupBy("first_day").agg(F.count("*").alias("n_new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    )
+
+
+SQL_USER_GROWTH = """
+WITH firsts AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+per_day AS (SELECT first_day, count(*) AS n_new_users
+            FROM firsts GROUP BY first_day)
+SELECT strftime(first_day, '%Y-%m-%d') AS day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per_day
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters (operators/sketch.py, Cormode &
     Muthukrishnan 2005): top-20 tokens with exact counts, the CMS
@@ -4034,6 +4124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_link": q_fuzzy_link,
         "bpe_merges": q_bpe_merges,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "event_anomaly": q_event_anomaly,
+        "user_growth": q_user_growth,
         "bloom_prefilter": q_bloom_prefilter,
         "dsir_importance": q_dsir_importance,
         "vocab_overlap": q_vocab_overlap,
@@ -4162,6 +4254,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_link": _sql_fuzzy_link(),
         "bpe_merges": _sql_bpe_merges(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
+        "event_anomaly": SQL_EVENT_ANOMALY,
+        "user_growth": SQL_USER_GROWTH,
         "bloom_prefilter": _sql_bloom_prefilter(),
         "dsir_importance": terms.dsir_importance_sql(
             "text", "doc_id", "source = 'src0'", n_buckets=256, top_k=20

@@ -68,6 +68,9 @@ for seed in seeds:
         # QUOTE_NONNUMERIC read path floats every unquoted field, a
         # whole separate inference branch worth fuzzing
         quoting = rng.choice([0, 0, 0, 1, 2])
+        # separator axis: TSV/semicolon/pipe files go through the same
+        # parse+inference path but a different csv dialect on both sides
+        sep = rng.choice([",", ",", ",", "\t", ";", "|"])
         rows = [[rng.choice(tricky) for _ in range(n_cols)] for _ in range(n_rows)]
         # header axis (~1/4 of trials): duplicate names (pandas mangles to
         # a, a.1…), dots (F.col hazard), empty cells ('Unnamed: N') —
@@ -92,11 +95,12 @@ for seed in seeds:
             else ["c%d" % i for i in range(n_cols)]
         )
         with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
-            w = csvmod.writer(f)
+            w = csvmod.writer(f, delimiter=sep)
             w.writerow(header)
             w.writerows(rows)
         ref_args = (
             ["t.csv", "ref.db"]
+            + (["-s", sep] if sep != "," else [])
             + (["--quoting", str(quoting)] if quoting else [])
             + (["-c", "r0" if shape else "c0"] if extract else [])
             + (["--shape", shape] if shape else [])
@@ -112,7 +116,7 @@ for seed in seeds:
                 for _ in range(rng.randint(1, 6))
             ]
             with open(os.path.join(d, "t2.csv"), "w", newline="", encoding="utf-8") as f:
-                w = csvmod.writer(f)
+                w = csvmod.writer(f, delimiter=sep)
                 w.writerow(["c%d" % i for i in range(n_cols)])
                 w.writerows(second)
         try:
@@ -123,6 +127,7 @@ for seed in seeds:
             continue
         tried += 1
         our_kwargs = dict(
+            separator=sep,
             quoting=quoting,
             extract_column=(["r0" if shape else "c0"] if extract else ()),
             shape=shape,
