@@ -157,6 +157,53 @@ def main() -> None:
 
     timed(f"bm25_search {n}x", lambda: terms.bm25_search(
         dn, "text", "doc_id", ["spark", "shuffle", "window"]).count())
+
+    # Count-Min: an Nx self-union scales every sketch cell AND every
+    # exact count by exactly N, so the whole report is the 1x report xN.
+    from csvs_to_sqlite_spark.operators.sketch import (
+        bloom_prefilter_report,
+        cms_heavy_hitters,
+    )
+
+    cms1 = {
+        r["token"]: (r["exact_n"], r["cms_estimate"])
+        for r in cms_heavy_hitters(d1, "text").collect()
+    }
+    t0 = time.time()
+    cmsn = {
+        r["token"]: (r["exact_n"], r["cms_estimate"])
+        for r in cms_heavy_hitters(dn, "text").collect()
+    }
+    print(f"cms_heavy_hitters {n}x: {len(cmsn)} tokens, {time.time()-t0:.1f}s")
+    assert cmsn == {t: (e * n, c * n) for t, (e, c) in cms1.items()}, "CMS not xN"
+
+    # Bloom: distinct hash sets are unchanged by a self-union (copies
+    # carry identical text), so the report is IDENTICAL at 1x and Nx.
+    def bloom_row(frame):
+        return tuple(
+            bloom_prefilter_report(
+                frame.where(F.col("doc_id") % 2 == 1),
+                frame.where(F.col("doc_id") % 2 == 0),
+                "text",
+            ).collect()[0]
+        )
+
+    b1 = bloom_row(d1)
+    t0 = time.time()
+    # copies get ids + i*10_000_000 (even offsets), so parity-based
+    # probe/master splits see the same distinct-text sets
+    bn = bloom_row(dn)
+    print(f"bloom_prefilter {n}x: pass={bn[1]}, {time.time()-t0:.1f}s")
+    assert b1 == bn, f"bloom report not self-union invariant: {b1} vs {bn}"
+
+    # BPE: word counts scale by N -> identical merges, pair counts xN.
+    from csvs_to_sqlite_spark.operators.bpe import learn_bpe
+
+    bpe1 = [tuple(r) for r in learn_bpe(spark, d1, "text", 4).collect()]
+    t0 = time.time()
+    bpen = [tuple(r) for r in learn_bpe(spark, dn, "text", 4).collect()]
+    print(f"bpe_merges {n}x: {len(bpen)} merges, {time.time()-t0:.1f}s")
+    assert bpen == [(r, s, t, m, c * n) for (r, s, t, m, c) in bpe1], "BPE not xN"
     timed(f"dsir_importance {n}x", lambda: terms.dsir_importance(
         dn, "text", "doc_id", F.col("source") == "src0").count())
 
