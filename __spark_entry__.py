@@ -3269,6 +3269,20 @@ def _sql_global_shuffle() -> str:
     )
 
 
+def q_random_projection(spark, sf_dir):
+    """±1 Johnson-Lindenstrauss projection 64→16 (similarity.py::
+    random_projection, after Achlioptas 2003): the md5-derived literal
+    matrix makes the compression deterministic and oracle-checkable;
+    zero joins/shuffles — pure scan-stage array folds."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, d_in=64, d_out=16)
+
+
+def _sql_random_projection() -> str:
+    return similarity.random_projection_sql(d_in=64, d_out=16)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Affine int8 embedding quantization (similarity.quantize_embeddings):
     scan-stage array expressions only; floor-based levels so the full
@@ -4125,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "event_anomaly": q_event_anomaly,
+        "random_projection": q_random_projection,
         "user_growth": q_user_growth,
         "bloom_prefilter": q_bloom_prefilter,
         "dsir_importance": q_dsir_importance,
@@ -4255,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _sql_bpe_merges(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "event_anomaly": SQL_EVENT_ANOMALY,
+        "random_projection": _sql_random_projection(),
         "user_growth": SQL_USER_GROWTH,
         "bloom_prefilter": _sql_bloom_prefilter(),
         "dsir_importance": terms.dsir_importance_sql(

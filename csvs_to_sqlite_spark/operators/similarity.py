@@ -477,6 +477,89 @@ def semdedup_prune(
     )
 
 
+def rp_signs(d_out: int, d_in: int, seed: str = "rp") -> list[list[float]]:
+    """The ±1 projection matrix (Achlioptas 2003's database-friendly
+    Johnson-Lindenstrauss variant), derived row-by-row from md5 so
+    Spark, DuckDB and Python all see the IDENTICAL matrix — the
+    projection is deterministic, hence oracle-checkable."""
+    from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+
+    return [
+        [
+            1.0 if py_md5_long(f"{k}:{j}", seed=seed) % 2 == 0 else -1.0
+            for j in range(d_in)
+        ]
+        for k in range(d_out)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    d_in: int,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss compression of an embedding column:
+    y_k = (1/√d_out) · Σ_j ±1_{k,j} · x_j, the 4× (64→16) dimensionality
+    cut applied before ANN indexing or shipping at corpus scale (pairwise
+    cosines survive within the JL bound — unit-tested statistically).
+
+    Entirely scan-stage: the matrix ships as ±1 LITERAL arrays (zero
+    joins, zero shuffles, zero Python at runtime); each output dim is an
+    ordered fold over the input so float addition order matches the SQL
+    twin. Components rounded to 6 dp. Returns (id, proj array<double>).
+    """
+    signs = rp_signs(d_out, d_in, seed)
+    inv = 1.0 / float(d_out) ** 0.5
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    base = df.select(F.col(id_col), v.alias("__v__"))
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v__"),
+                    F.array(*[F.lit(s) for s in signs[k]]),
+                    lambda x, r: x * r,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(inv),
+            6,
+        )
+        for k in range(d_out)
+    ]
+    return base.select(id_col, F.array(*comps).alias("proj"))
+
+
+def random_projection_sql(
+    d_in: int,
+    d_out: int = 16,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    seed: str = "rp",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of random_projection — same literal matrix (shared
+    builder), same per-component rounding."""
+    signs = rp_signs(d_out, d_in, seed)
+    inv = repr(1.0 / float(d_out) ** 0.5)
+    comps = ", ".join(
+        "round(list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(s) for s in signs[k])
+        + f"]), p -> p[1] * p[2])) * {inv}, 6)"
+        for k in range(d_out)
+    )
+    return f"""
+WITH base AS (SELECT {id_expr} AS id,
+                     list_transform({vec_expr}, x -> x::DOUBLE) AS v
+              FROM {table})
+SELECT id AS {id_expr}, [{comps}] AS proj FROM base
+"""
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -122,3 +122,47 @@ def test_freq_items_sketch_finds_heavy_hitter(spark):
         li.groupBy("l_returnflag").count().orderBy("count", ascending=False).first()
     )
     assert exact_top["l_returnflag"] in freq
+
+
+def test_random_projection_preserves_cosine_statistically(spark):
+    """JL property: pairwise cosines of the 16-dim projections track the
+    64-dim originals (mean absolute deviation well under the JL bound
+    for d_out=16)."""
+    import itertools
+    import math
+
+    from csvs_to_sqlite_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    orig = {r.vec_id: list(r.embedding) for r in emb.where("vec_id < 12").collect()}
+    proj = {
+        r.vec_id: list(r.proj)
+        for r in random_projection(emb.where("vec_id < 12"), d_in=64).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    devs = [
+        abs(cos(orig[i], orig[j]) - cos(proj[i], proj[j]))
+        for i, j in itertools.combinations(sorted(orig), 2)
+    ]
+    # JL error scale for d_out=16 is ~1/sqrt(16) = 0.25; the mean must sit
+    # at that scale and nothing may be catastrophically distorted
+    assert sum(devs) / len(devs) < 0.3
+    assert max(devs) < 0.9
+
+
+def test_random_projection_matrix_is_engine_stable():
+    from csvs_to_sqlite_spark.operators.similarity import rp_signs
+
+    m1 = rp_signs(4, 8)
+    assert m1 == rp_signs(4, 8)  # deterministic
+    assert m1 != rp_signs(4, 8, seed="rp2")  # re-seedable
+    assert all(s in (1.0, -1.0) for row in m1 for s in row)
+    # roughly balanced signs (md5 uniformity)
+    flat = [s for row in rp_signs(16, 64) for s in row]
+    assert 0.4 < (flat.count(1.0) / len(flat)) < 0.6
