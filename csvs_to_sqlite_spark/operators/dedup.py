@@ -216,8 +216,10 @@ def fuzzy_link(
             .groupBy("token").count()
         )
         drop = dfreq.where(F.col("count") > max_df).select("token")
-        lt = lt.join(F.broadcast(drop), "token", "left_anti")
-        rt = rt.join(F.broadcast(drop), "token", "left_anti")
+        # re-persist: the capped postings feed the blocking join AND the
+        # per-side size aggregates (same discipline as the Jaccard path)
+        lt = lt.join(F.broadcast(drop), "token", "left_anti").persist()
+        rt = rt.join(F.broadcast(drop), "token", "left_anti").persist()
     inter = (
         lt.join(rt, "token")
         .groupBy("__l__", "__r__")
