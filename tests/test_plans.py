@@ -201,3 +201,18 @@ def test_scd2_windows_are_entity_partitioned(spark):
     plan = explain_str(E.q_scd2_history(spark, SF))
     assert "hashpartitioning(user_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_random_projection_is_scan_stage_only(spark):
+    """The JL matrix ships as literals: no join, no exchange at all."""
+    plan = explain_str(E.q_random_projection(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_cms_sketch_is_broadcast_to_probes(spark):
+    """The d*w sketch must broadcast onto the k probe tokens — never
+    shuffle the probe side against it."""
+    plan = explain_str(E.q_cms_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
