@@ -3716,15 +3716,22 @@ def q_event_anomaly(spark, sf_dir):
             "event_type", F.to_date("ts").alias("day")
         ).agg(F.count("*").alias("c"))
     )
+    # sum_c2 accumulates in decimal(38,0) (exact, like DuckDB's HUGEINT)
+    # and sum_c squares through DOUBLE on both sides — int64 c*c would
+    # silently wrap at ~3e9 events/type under ansi=off while the oracle
+    # stayed exact (review finding)
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("c").alias("sum_c"),
-        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("sum_c2"),
     )
+    sum_c_d = F.col("sum_c").cast("double")
     z = F.round(
         (F.col("c") - F.col("sum_c") / F.col("n_days"))
         / F.sqrt(
-            (F.col("sum_c2") - F.col("sum_c") * F.col("sum_c") / F.col("n_days"))
+            (F.col("sum_c2") - sum_c_d * sum_c_d / F.col("n_days"))
             / (F.col("n_days") - 1)
         ),
         6,
@@ -3745,12 +3752,14 @@ SQL_EVENT_ANOMALY = """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
                FROM events GROUP BY event_type, CAST(ts AS DATE)),
 stats AS (SELECT event_type, count(*) AS n_days, sum(c) AS sum_c,
-                 sum(c * c) AS sum_c2 FROM daily GROUP BY event_type),
+                 CAST(sum((c::HUGEINT) * c) AS DOUBLE) AS sum_c2
+          FROM daily GROUP BY event_type),
 scored AS (
   SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
          CAST(c AS BIGINT) AS n_events,
          round((c - sum_c / n_days)
-               / sqrt((sum_c2 - sum_c * sum_c / n_days) / (n_days - 1)),
+               / sqrt((sum_c2 - (sum_c::DOUBLE) * (sum_c::DOUBLE) / n_days)
+                      / (n_days - 1)),
                6) AS z_score
   FROM daily JOIN stats USING (event_type))
 SELECT * FROM scored WHERE abs(z_score) >= 2.0
@@ -3860,14 +3869,28 @@ def q_fuzzy_link(spark, sf_dir):
 
 
 def _sql_fuzzy_link() -> str:
+    # models dedup.fuzzy_link's DEFAULT max_df='auto' cap — the oracle
+    # must stay a true twin even on corpora where the cap actually bites
+    # (review finding: at shipped SFs no token crosses it, which would
+    # have masked a divergence on bigger data)
     from csvs_to_sqlite_spark.functions.hashing import tokens_sql
 
     toks = tokens_sql("text", distinct=True)
     return f"""
-WITH lt AS (SELECT doc_id AS l, unnest({toks}) AS token
-            FROM documents WHERE source = 'src1'),
-rt AS (SELECT doc_id AS r, unnest({toks}) AS token
-       FROM documents WHERE source = 'src0'),
+WITH lt0 AS (SELECT doc_id AS l, unnest({toks}) AS token
+             FROM documents WHERE source = 'src1'),
+rt0 AS (SELECT doc_id AS r, unnest({toks}) AS token
+        FROM documents WHERE source = 'src0'),
+cap AS (SELECT greatest(1000, CAST(floor(0.01 *
+              ((SELECT count(*) FROM documents WHERE source = 'src1')
+               + (SELECT count(*) FROM documents WHERE source = 'src0')))
+              AS BIGINT)) AS max_df),
+dropped AS (SELECT token FROM (
+              SELECT token, count(*) AS c FROM (
+                SELECT token FROM lt0 UNION ALL SELECT token FROM rt0)
+              GROUP BY token) d, cap WHERE d.c > cap.max_df),
+lt AS (SELECT * FROM lt0 WHERE token NOT IN (SELECT token FROM dropped)),
+rt AS (SELECT * FROM rt0 WHERE token NOT IN (SELECT token FROM dropped)),
 inter AS (SELECT l, r, count(*) AS inter FROM lt JOIN rt USING (token)
           GROUP BY l, r),
 ls AS (SELECT l, count(*) AS sz_l FROM lt GROUP BY l),

@@ -147,7 +147,9 @@ def bloom_prefilter_report(
     (broadcast-class at any master size); probes join it k times via one
     (position)-keyed join and pass iff all k bits hit. The exact check is
     the md5-keyed semi-join the filter would gate at scale."""
-    mh = master.select(F.md5(F.col(text_col)).alias("h"))
+    # persisted: mh feeds bits + truth, ph feeds probes + missed +
+    # n_probes — one tokenize/hash pass each, not one per consumer
+    mh = master.select(F.md5(F.col(text_col)).alias("h")).persist()
     bits = (
         mh.select(
             F.explode(
@@ -158,7 +160,7 @@ def bloom_prefilter_report(
     )
     # distinct probe hashes: the prefilter gates unique keys (duplicate
     # probe texts would double-count bit hits in the all-k check)
-    ph = probe.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    ph = probe.select(F.md5(F.col(text_col)).alias("h")).distinct().persist()
     probe_pos = ph.select(
         "h",
         F.explode(F.array(*_bloom_positions(F.col("h"), m, n_hashes))).alias("pos"),
@@ -178,18 +180,29 @@ def bloom_prefilter_report(
         .cast("long")
         .alias("n_true_members"),
     )
+    # every scalar stays a 1-row aggregate cross-joined into ONE lazy
+    # plan (review finding: driver-side .count() at build time executed
+    # two extra jobs and rescanned both inputs)
     missed = (
         ph.join(truth, ph["h"] == truth["h_true"], "inner")
-        .join(hits.select(F.col("h").alias("h_hit")), F.col("h") == F.col("h_hit"), "left_anti")
-        .count()
+        .join(
+            hits.select(F.col("h").alias("h_hit")),
+            F.col("h") == F.col("h_hit"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_missed"))
     )
-    n_probes = ph.count()
-    return passed.select(
-        F.lit(n_probes).cast("long").alias("n_probes"),
-        F.col("n_pass").cast("long"),
-        "n_true_members",
-        (F.col("n_pass") - F.col("n_true_members")).alias("n_false_positives"),
-        F.lit(missed).cast("long").alias("n_missed"),
+    n_probes = ph.agg(F.count("*").cast("long").alias("n_probes"))
+    return (
+        passed.crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "n_probes",
+            F.col("n_pass").cast("long"),
+            "n_true_members",
+            (F.col("n_pass") - F.col("n_true_members")).alias("n_false_positives"),
+            "n_missed",
+        )
     )
 
 

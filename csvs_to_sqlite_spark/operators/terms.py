@@ -528,8 +528,11 @@ def dsir_importance(
     tok = df.select(
         F.col(id_col), target.alias("__target__"), F.explode(toks).alias("token")
     ).select(F.col(id_col), "__target__", bucket.alias("bucket"))
+    # coalesce: a bucket whose rows all carry a NULL target predicate
+    # must count 0 (like the SQL twin's CASE ... ELSE 0), not sum to
+    # NULL and poison that bucket's log-ratio (review finding)
     btab = tok.groupBy("bucket").agg(
-        F.sum(F.col("__target__").cast("long")).alias("ct"),
+        F.sum(F.coalesce(F.col("__target__").cast("long"), F.lit(0))).alias("ct"),
         F.count("*").alias("cr"),
     )
     totals = btab.agg(

@@ -159,6 +159,11 @@ def _read_header(
             quoting=_csv.QUOTE_NONE if quoting == _QUOTE_NONE else _csv.QUOTE_MINIMAL,
         )
         first = next(r, None)
+        # pandas skip_blank_lines=True: empty LINES before the header are
+        # skipped, the first non-empty row is the header (review finding:
+        # rejecting them regressed vs the reference)
+        while first == []:
+            first = next(r, None)
     if not first:
         raise LoadCsvError("No columns to parse from file")
     return _pandas_header_names(first)

@@ -195,6 +195,15 @@ SCENARIOS = [
         ["-c", "flag"],
         dict(extract_column=["flag"]),
     ),
+    # a blank FIRST line: pandas' skip_blank_lines skips it and the next
+    # line is the header (rejecting such files regressed vs the
+    # reference — review finding on the driver-side header parse)
+    (
+        "blankfirst.csv",
+        "\na,b\n1,2\n",
+        [],
+        dict(),
+    ),
     # duplicate header names: pandas mangles to a, a.1 (Spark's own dedup
     # renames BOTH to a0/a1 — the engine must reproduce pandas')
     (
