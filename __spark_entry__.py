@@ -3798,6 +3798,63 @@ FROM per_day
 """
 
 
+def q_shingle_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a document's distinct
+    3-gram shingles that appear in NO other document — the
+    memorization-risk / boilerplate-inverse signal (1.0 = fully novel
+    text, ~0 = assembled from corpus-common fragments). Top-20 least
+    novel documents (the dedup-candidate tail).
+
+    Plan shape: one (doc, shingle) posting aggregate (the same inverted
+    index the Jaccard join uses), shingle df derived FROM the posting
+    table (no second corpus pass), one broadcast-joined per-doc rollup;
+    ratio of exact integers rounded to 6 dp."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    post = dedup.token_posting(d, "text", "doc_id", shingle_n=3)
+    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        post.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        .orderBy(F.col("novelty").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _sql_shingle_novelty() -> str:
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql("text", distinct=False)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                AS token
+       FROM tokd),
+dfreq AS (SELECT token, count(*) AS df FROM sh GROUP BY token),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unique
+            FROM sh JOIN dfreq USING (token) GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_unique,
+       round(n_unique / n_shingles, 6) AS novelty
+FROM per_doc ORDER BY novelty ASC, doc_id ASC LIMIT 20
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters (operators/sketch.py, Cormode &
     Muthukrishnan 2005): top-20 tokens with exact counts, the CMS
@@ -4163,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "event_anomaly": q_event_anomaly,
         "random_projection": q_random_projection,
+        "shingle_novelty": q_shingle_novelty,
         "user_growth": q_user_growth,
         "bloom_prefilter": q_bloom_prefilter,
         "dsir_importance": q_dsir_importance,
@@ -4294,6 +4352,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "event_anomaly": SQL_EVENT_ANOMALY,
         "random_projection": _sql_random_projection(),
+        "shingle_novelty": _sql_shingle_novelty(),
         "user_growth": SQL_USER_GROWTH,
         "bloom_prefilter": _sql_bloom_prefilter(),
         "dsir_importance": terms.dsir_importance_sql(
