@@ -3798,6 +3798,66 @@ FROM per_day
 """
 
 
+def q_charwords(spark, sf_dir):
+    """Characteristic terms of src0 vs the rest of the corpus by smoothed
+    log-odds-ratio (Monroe, Colaresi & Quinn 2008, "Fightin' Words"):
+    δ_w = ln((a+0.5)/(A−a+0.5)) − ln((b+0.5)/(B−b+0.5)) over exact
+    integer counts, min_count ≥ 5 guarding the hapax tail. Top-15 by
+    δ desc / token asc — 'which words make this source sound like
+    itself', the per-domain vocabulary profile a mixture report needs.
+
+    Plan: ONE (token) aggregate with conditional sums for both groups
+    (corpus read once), a 1-row totals broadcast, TakeOrdered top-k."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("source") == "src0").alias("g"),
+        F.explode(
+            F.expr(
+                "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')"
+            )
+        ).alias("t"),
+    )
+    counts = toks.groupBy("t").agg(
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("g"), 0).otherwise(1)).cast("long").alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("double").alias("ta"), F.sum("b").cast("double").alias("tb")
+    )
+    delta = F.round(
+        F.log((F.col("a") + 0.5) / (F.col("ta") - F.col("a") + 0.5))
+        - F.log((F.col("b") + 0.5) / (F.col("tb") - F.col("b") + 0.5)),
+        6,
+    )
+    return (
+        counts.where(F.col("a") + F.col("b") >= 5)
+        .crossJoin(F.broadcast(totals))
+        .select(F.col("t").alias("token"), "a", "b", delta.alias("log_odds"))
+        .orderBy(F.col("log_odds").desc(), F.col("token").asc())
+        .limit(15)
+    )
+
+
+SQL_CHARWORDS = """
+WITH tok AS (SELECT (source = 'src0') AS g,
+                    unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                           '\\s+'), t -> t <> '')) AS t
+             FROM documents),
+counts AS (SELECT t, CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM tok GROUP BY t),
+totals AS (SELECT CAST(sum(a) AS DOUBLE) AS ta, CAST(sum(b) AS DOUBLE) AS tb
+           FROM counts),
+scored AS (
+  SELECT t AS token, a, b,
+         round(ln((a + 0.5) / (ta - a + 0.5))
+               - ln((b + 0.5) / (tb - b + 0.5)), 6) AS log_odds
+  FROM counts CROSS JOIN totals WHERE a + b >= 5)
+SELECT * FROM scored ORDER BY log_odds DESC, token ASC LIMIT 15
+"""
+
+
 def q_shingle_novelty(spark, sf_dir):
     """Per-document novelty: the fraction of a document's distinct
     3-gram shingles that appear in NO other document — the
@@ -4221,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomaly": q_event_anomaly,
         "random_projection": q_random_projection,
         "shingle_novelty": q_shingle_novelty,
+        "charwords": q_charwords,
         "user_growth": q_user_growth,
         "bloom_prefilter": q_bloom_prefilter,
         "dsir_importance": q_dsir_importance,
@@ -4353,6 +4414,7 @@ def oracle_sql() -> dict[str, str]:
         "event_anomaly": SQL_EVENT_ANOMALY,
         "random_projection": _sql_random_projection(),
         "shingle_novelty": _sql_shingle_novelty(),
+        "charwords": SQL_CHARWORDS,
         "user_growth": SQL_USER_GROWTH,
         "bloom_prefilter": _sql_bloom_prefilter(),
         "dsir_importance": terms.dsir_importance_sql(
