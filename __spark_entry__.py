@@ -3798,6 +3798,51 @@ FROM per_day
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day (the
+    cohort), then for each day-offset k the count and fraction of the
+    cohort active k days later — THE product-analytics rollup. All
+    exact integers + one final division; plan = one per-user min
+    aggregate, one distinct (user, day) activity set, a user-keyed join
+    and a (cohort, offset) rollup with the cohort sizes broadcast back."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").alias("day_offset"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+SQL_RETENTION = """
+WITH firsts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                FROM events GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort),
+cells AS (SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM activity JOIN firsts USING (user_id)
+          GROUP BY cohort, date_diff('day', cohort, day))
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(day_offset AS BIGINT) AS day_offset, n_active, cohort_size,
+       round(n_active / cohort_size, 6) AS retention
+FROM cells JOIN sizes USING (cohort)
+"""
+
+
 def q_charwords(spark, sf_dir):
     """Characteristic terms of src0 vs the rest of the corpus by smoothed
     log-odds-ratio (Monroe, Colaresi & Quinn 2008, "Fightin' Words"):
@@ -4282,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "shingle_novelty": q_shingle_novelty,
         "charwords": q_charwords,
+        "retention_cohorts": q_retention_cohorts,
         "user_growth": q_user_growth,
         "bloom_prefilter": q_bloom_prefilter,
         "dsir_importance": q_dsir_importance,
@@ -4415,6 +4461,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": _sql_random_projection(),
         "shingle_novelty": _sql_shingle_novelty(),
         "charwords": SQL_CHARWORDS,
+        "retention_cohorts": SQL_RETENTION,
         "user_growth": SQL_USER_GROWTH,
         "bloom_prefilter": _sql_bloom_prefilter(),
         "dsir_importance": terms.dsir_importance_sql(
