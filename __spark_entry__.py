@@ -52,6 +52,64 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic float aggregation (bit-stable by construction)
+# ---------------------------------------------------------------------------
+# Summing doubles is order-dependent: partial-aggregate merge order varies
+# with scan splits, shuffle block arrival, and AQE — so round(sum(double), k)
+# can flip its last digit between runs/sessions (the r3 driver's
+# dataset_card hash-fail class). Fix by construction: quantize each row to
+# integer units (exact — the testdata money/value columns are 2-dp decimals,
+# quality scores 6-dp), sum as long integers (associative ⇒ order-free), then
+# perform ONE mirrored double division. Both engines compute identical bits
+# under ANY partitioning. Scale note: sums of cents fit int64 up to ~9e16
+# dollars; beyond that cast the quantized value to decimal before summing.
+
+
+def _qcol(col, q):
+    """Integer-quantized column: round(col*q) as long, exact for fixed-dp data."""
+    return F.round(col * F.lit(q)).cast("long")
+
+
+def qsum(col, q, dp):
+    """Order-free sum of a fixed-dp double column, rounded to dp digits."""
+    return F.round(F.sum(_qcol(col, q)) / F.lit(float(q)), dp)
+
+
+def qavg(col, q, dp):
+    """Order-free mean of a fixed-dp double column, rounded to dp digits.
+
+    Division sequence is (sum/q)/n — the DuckDB twin must mirror it exactly
+    (double division is deterministic given identical operands, but
+    (s/q)/n and s/(q*n) differ in the last ULP).
+    """
+    return F.round((F.sum(_qcol(col, q)) / F.lit(float(q))) / F.count(col), dp)
+
+
+def sql_qsum(expr, q, dp):
+    # CAST(q AS DOUBLE), not a q.0 literal: Spark SQL (and DuckDB) parse
+    # `100.0` as DECIMAL, which silently switches the division to decimal
+    # arithmetic — the DataFrame API's F.lit(float) is a double
+    return (
+        f"round(sum(CAST(round(({expr}) * {q}) AS BIGINT))"
+        f" / CAST({q} AS DOUBLE), {dp})"
+    )
+
+
+def sql_qavg(expr, q, dp):
+    return (
+        f"round((sum(CAST(round(({expr}) * {q}) AS BIGINT)) / CAST({q} AS DOUBLE))"
+        f" / count({expr}), {dp})"
+    )
+
+
+# quantum for embedding components: 2^40 is EXACT for float32-origin values
+# (ulp ≥ 2^-40 at these magnitudes), so quantization loses nothing while
+# making component sums integer ⇒ order-free (single source of truth in
+# operators/similarity.py so the kmeans oracle CTEs stay in lockstep)
+EMB_Q = similarity.EMB_Q
+
+
+# ---------------------------------------------------------------------------
 # A/B: scans, projection, filter pushdown
 # ---------------------------------------------------------------------------
 
@@ -340,22 +398,22 @@ def q_agg_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            qsum(F.col("l_extendedprice"), 100, 2).alias("sum_base_price"),
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            qavg(F.col("l_discount"), 100, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-SQL_Q1 = """
+SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       {sql_qsum("l_extendedprice", 100, 2)} AS sum_base_price,
+       {sql_qsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       {sql_qavg("l_discount", 100, 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -412,14 +470,18 @@ def q_running_revenue(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(_qcol(F.col("o_totalprice"), 100)).over(w) / 100.0, 2).alias(
+            "running_total"
+        ),
     )
 
 
+# cumulative frames: integer cents make the window sum associative, so
+# Spark's sequential accumulation and DuckDB's segment tree agree bit-wise
 SQL_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS running_total
 FROM orders
 """
 
@@ -640,7 +702,8 @@ def q_windowed_event_counts(spark, sf_dir):
 
 SQL_WINDOWED = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+       event_type, count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -953,7 +1016,7 @@ def _sql_kmeans_parts(n_centroids: int, iters: int) -> list[str]:
         parts.append(
             f"""cents{it + 1} AS (
   SELECT cell AS centroid_id, list(m ORDER BY pos) AS cv FROM (
-    SELECT cell, pos, round(avg(x), 6) AS m FROM (
+    SELECT cell, pos, {sql_qavg("x", EMB_Q, 6)} AS m FROM (
       SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM asg{it})
     GROUP BY cell, pos)
   GROUP BY cell)"""
@@ -1109,7 +1172,10 @@ def q_dataset_card(spark, sf_dir):
         F.round(F.avg("n_tok"), 6).alias("mean_tokens"),
         F.countDistinct("h").cast("long").alias("distinct_texts"),
         F.round(1 - F.countDistinct("h") / F.count("*"), 6).alias("dup_rate"),
-        F.round(F.avg("q"), 6).alias("mean_quality"),
+        # quality is 6-dp per doc: quantize to micro-units so the mean is
+        # an exact integer sum — bit-stable under any partitioning (the
+        # r3 driver hash-fail class)
+        qavg(F.col("q"), 1000000, 6).alias("mean_quality"),
     )
 
 
@@ -1129,7 +1195,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_tok), 6) AS mean_tokens,
        CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
        round(1 - count(DISTINCT h) / count(*), 6) AS dup_rate,
-       round(avg(q), 6) AS mean_quality
+       {sql_qavg("q", 1000000, 6)} AS mean_quality
 FROM base
 """
 
@@ -1212,7 +1278,7 @@ def q_centroid_classifier_eval(spark, sf_dir):
     cents = (
         base.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .agg(qavg(F.col("x"), EMB_Q, 6).alias("m"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -1246,13 +1312,13 @@ def q_centroid_classifier_eval(spark, sf_dir):
     )
 
 
-SQL_CENTROID_EVAL = """
+SQL_CENTROID_EVAL = f"""
 WITH base AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                      list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings),
 cents AS (
   SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM (
-    SELECT label, pos, round(avg(x), 6) AS m FROM (
+    SELECT label, pos, {sql_qavg("x", EMB_Q, 6)} AS m FROM (
       SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM base)
     GROUP BY label, pos)
   GROUP BY label),
@@ -1427,13 +1493,13 @@ def q_cube_agg(spark, sf_dir):
     prep_session(spark)
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), qsum(F.col("o_totalprice"), 100, 2).alias("total")
     )
 
 
-SQL_CUBE = """
+SQL_CUBE = f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       {sql_qsum("o_totalprice", 100, 2)} AS total
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
@@ -1529,12 +1595,12 @@ def q_embedding_centroids(spark, sf_dir):
         "label", F.posexplode(F.col("embedding")).alias("pos", "v")
     )
     return exploded.withColumn("pos", F.col("pos").cast("long")).groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v")
+        qavg(F.col("v").cast("double"), EMB_Q, 6).alias("centroid_v")
     )
 
 
-SQL_CENTROIDS = """
-SELECT label, pos, round(avg(v), 6) AS centroid_v FROM (
+SQL_CENTROIDS = f"""
+SELECT label, pos, {sql_qavg("v", EMB_Q, 6)} AS centroid_v FROM (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
   FROM embeddings)
@@ -1669,16 +1735,17 @@ def q_time_rollup(spark, sf_dir):
         "value",
     ).createOrReplaceTempView("__events_buckets__")
     return spark.sql(
-        """
-        SELECT day, hour, count(*) AS n, round(sum(value), 4) AS sum_value
+        f"""
+        SELECT day, hour, count(*) AS n,
+               {sql_qsum("value", 100, 4)} AS sum_value
         FROM __events_buckets__
         GROUP BY GROUPING SETS ((day), (day, hour))
         """
     )
 
 
-SQL_TIME_ROLLUP = """
-SELECT day, hour, count(*) AS n, round(sum(value), 4) AS sum_value
+SQL_TIME_ROLLUP = f"""
+SELECT day, hour, count(*) AS n, {sql_qsum("value", 100, 4)} AS sum_value
 FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              value FROM events)
@@ -1701,7 +1768,7 @@ def q_range_join(spark, sf_dir):
         (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
     )
     return out.groupBy("band").agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+        F.count("*").alias("n"), qavg(F.col("value"), 100, 4).alias("avg_value")
     )
 
 
@@ -1709,7 +1776,9 @@ SQL_RANGE_JOIN = """
 WITH bands AS (
   SELECT i AS bucket, i*10.0 AS lo, (i+1)*10.0 AS hi, 'band_' || i AS band
   FROM generate_series(0, 9) AS t(i))
-SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
+SELECT band, count(*) AS n,
+       round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
+             / count(value), 4) AS avg_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY 1
 """
@@ -1746,7 +1815,8 @@ def q_stateful_user_totals(spark, sf_dir):
 
 SQL_STATEFUL = """
 SELECT user_id, count(*) AS n_events,
-       round(sum(coalesce(value, 0.0)), 4) AS sum_value
+       round(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)) / 100.0, 4)
+         AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -2010,7 +2080,8 @@ def q_streaming_enrich(spark, sf_dir):
 
 
 SQL_STREAM_ENRICH = """
-SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS total_value
+SELECT c_mktsegment, count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
@@ -2513,7 +2584,7 @@ def q_embedding_health(spark, sf_dir):
         F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0)).cast("long").alias(
             "n_zero_vecs"
         ),
-        F.round(F.avg("norm"), 4).alias("mean_norm"),
+        qavg(F.col("norm"), 10000, 4).alias("mean_norm"),
     )
 
 
@@ -2526,7 +2597,8 @@ WITH per_vec AS (
 SELECT label, count(*) AS n_vecs,
        cast(min(dim) AS bigint) AS dim_min, cast(max(dim) AS bigint) AS dim_max,
        cast(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS bigint) AS n_zero_vecs,
-       round(avg(norm), 4) AS mean_norm
+       round((sum(CAST(round(norm * 10000) AS BIGINT)) / 10000.0)
+             / count(norm), 4) AS mean_norm
 FROM per_vec GROUP BY label
 """
 
@@ -2783,7 +2855,7 @@ def q_merge_upsert(spark, sf_dir):
         F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).cast("long").alias(
             "n_updated"
         ),
-        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        qsum(F.col("o_totalprice"), 10000, 2).alias("total_revenue"),
     )
 
 
@@ -2798,7 +2870,8 @@ merged AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
            FROM unioned)
 SELECT count(*) AS n_rows,
        cast(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS bigint) AS n_updated,
-       round(sum(o_totalprice), 2) AS total_revenue
+       round(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) / 10000.0, 2)
+         AS total_revenue
 FROM merged WHERE rn = 1
 """
 
@@ -2866,7 +2939,7 @@ def q_daily_dense_rollup(spark, sf_dir):
     spine = days.crossJoin(types)
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    ).agg(F.count("*").alias("n"), qsum(F.col("value"), 100, 4).alias("v"))
     return (
         F.broadcast(spine)
         .join(daily, ["day", "event_type"], "left")
@@ -2886,7 +2959,8 @@ days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::date AS day
          FROM bounds),
 types AS (SELECT DISTINCT event_type FROM events),
 daily AS (SELECT cast(ts AS date) AS day, event_type,
-                 count(*) AS n, round(sum(value), 4) AS v
+                 count(*) AS n,
+                 round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS v
           FROM events GROUP BY 1, 2)
 SELECT strftime(d.day, '%Y-%m-%d') AS day, t.event_type,
        coalesce(daily.n, 0) AS n_events,
@@ -3015,15 +3089,18 @@ def q_rolling_revenue_7d(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 4).alias("rev_7d"),
+        F.round(F.sum(_qcol(F.col("o_totalprice"), 100)).over(w) / 100.0, 4).alias(
+            "rev_7d"
+        ),
     )
 
 
 SQL_ROLLING_7D = """
 SELECT o_orderkey, o_custkey,
-       round(sum(o_totalprice) OVER (
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate
-         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 4) AS rev_7d
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) / 100.0, 4)
+         AS rev_7d
 FROM orders
 """
 
@@ -3036,7 +3113,7 @@ def q_customer_deciles(spark, sf_dir):
     prep_session(spark)
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+        qsum(F.col("o_totalprice"), 100, 4).alias("revenue")
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
     return (
@@ -3044,19 +3121,21 @@ def q_customer_deciles(spark, sf_dir):
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("revenue"), 4).alias("decile_revenue"),
+            qsum(F.col("revenue"), 10000, 4).alias("decile_revenue"),
         )
     )
 
 
 SQL_DECILES = """
-WITH per_cust AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+WITH per_cust AS (SELECT o_custkey,
+                         round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS revenue
                   FROM orders GROUP BY o_custkey),
 ranked AS (SELECT o_custkey, revenue,
                   ntile(10) OVER (ORDER BY revenue DESC, o_custkey ASC) AS decile
            FROM per_cust)
 SELECT decile, count(*) AS n_customers,
-       round(sum(revenue), 4) AS decile_revenue
+       round(sum(CAST(round(revenue * 10000) AS BIGINT)) / 10000.0, 4)
+         AS decile_revenue
 FROM ranked GROUP BY decile
 """
 
@@ -3170,7 +3249,8 @@ model AS (SELECT bigram, ln((c12 + 0.5) / (c1 + 0.5 * v.v)) AS logp
           FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
           CROSS JOIN v)
 SELECT doc_id, count(*) AS n_bigrams,
-       round(sum(logp) / count(*), 6) AS lm_score
+       round((sum(CAST(round(logp * 1e12) AS BIGINT)) / 1e12) / count(*), 6)
+         AS lm_score
 FROM big JOIN model USING (bigram) GROUP BY doc_id
 """
 
@@ -3378,12 +3458,14 @@ w AS (SELECT doc_id, token,
           * ln(n.n_docs / dfreq.df) AS w
       FROM tf JOIN dfreq USING (token) CROSS JOIN n),
 u AS (SELECT doc_id, token,
-        w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS u
+        w / sqrt(sum(CAST(round(w * w * 1e12) AS BIGINT))
+                 OVER (PARTITION BY doc_id) / 1e12) AS u
       FROM w)
-SELECT a.doc_id AS a, b.doc_id AS b, round(sum(a.u * b.u), 6) AS cosine
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT)) / 1e12, 6) AS cosine
 FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-HAVING round(sum(a.u * b.u), 6) >= 0.9
+HAVING round(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT)) / 1e12, 6) >= 0.9
 """
 
 
@@ -3517,7 +3599,8 @@ cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token)
 SELECT source, cast(sum(c) AS bigint) AS n_tokens, count(*) AS n_types,
        round(count(*) / cast(sum(c) AS double), 6) AS type_token_ratio,
        round(ln(cast(sum(c) AS double))
-             - sum(c * ln(c)) / cast(sum(c) AS double), 6) AS entropy
+             - (sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) / 1e6)
+               / cast(sum(c) AS double), 6) AS entropy
 FROM cnt GROUP BY source
 """
 
@@ -3660,7 +3743,7 @@ def q_pit_join(spark, sf_dir):
         F.col("h_user").alias("user_id"), "version", "state"
     ).agg(
         F.count("*").alias("n_purchases"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        qsum(F.col("value"), 100, 4).alias("sum_value"),
     )
 
 
@@ -3669,7 +3752,8 @@ def _sql_pit_join() -> str:
     return f"""
 WITH hist AS ({hist})
 SELECT h.user_id, h.version, h.state,
-       count(*) AS n_purchases, round(sum(e.value), 4) AS sum_value
+       count(*) AS n_purchases,
+       round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM events e JOIN hist h
   ON e.user_id = h.user_id
  AND e.event_type = 'purchase'

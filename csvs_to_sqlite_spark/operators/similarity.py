@@ -32,6 +32,14 @@ from pyspark.sql.window import Window
 
 logger = logging.getLogger("csvs_to_sqlite_spark.similarity")
 
+# Quantum for embedding-component aggregation: multiplying a float32-origin
+# double by 2^40 yields an exact integer at these magnitudes (float32 ulp
+# ≥ 2^-40 for |x| > ~2^-16), so sums become exact long arithmetic —
+# associative, hence bit-identical under any partitioning or shuffle order.
+# Without this, round(avg(double), 6) can flip its last digit between
+# sessions that split the scan differently.
+EMB_Q = 1 << 40
+
 
 def _as_double(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -141,10 +149,10 @@ def kmeans_centroids(
     ``n_centroids`` vectors by id, run a FIXED number of Lloyd rounds
     (assign to nearest by rounded cosine, recompute element-wise means).
 
-    Fixed iteration count + rounding every centroid component to
+    Fixed iteration count + EMB_Q-quantized component means (exact
+    integer sums — order-free) + rounding every centroid component to
     ``round_dp`` decimals keeps the result bit-reproducible across Spark
-    and a SQL oracle (float summation order differs between engines;
-    at 6 dp those last-bit differences vanish). Each round is one
+    and a SQL oracle under ANY partitioning. Each round is one
     broadcast sweep + one shuffle keyed (cell, pos) — the corpus is
     never collected, so the loop scales to any corpus size; n_iters is
     a small constant, not data-dependent (no convergence probe needed
@@ -158,8 +166,11 @@ def kmeans_centroids(
             base.select(F.col(id_col), F.col("v").alias("av")), cents, id_col, "av"
         )
         exploded = assigned.select("cell", F.posexplode("av").alias("pos", "x"))
+        # quantized mean: exact integer sum (order-free) + one mirrored
+        # double division — see EMB_Q
+        qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
         means = exploded.groupBy("cell", "pos").agg(
-            F.round(F.avg("x"), round_dp).alias("m")
+            F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), round_dp).alias("m")
         )
         cents = (
             means.groupBy("cell")

@@ -136,8 +136,17 @@ def corpus_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
             n.alias("n_tokens"),
             F.count("*").alias("n_types"),
             F.round(F.count("*") / n, 6).alias("type_token_ratio"),
+            # Σ c·ln(c) quantized to 1e-6 units: exact long sum (order-free
+            # under any shuffle), and integer rounding also absorbs last-ulp
+            # libm ln() differences between engines
             F.round(
-                F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+                F.log(n)
+                - (
+                    F.sum(F.round(F.col("c") * F.log("c") * 1e6).cast("long"))
+                    / F.lit(1e6)
+                )
+                / n,
+                6,
             ).alias("entropy"),
         )
     )
@@ -175,7 +184,13 @@ def tfidf_unit_vectors(
             * F.log(F.lit(float(n_docs)) / F.col("df")),
         )
     )
-    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(w_doc))
+    # quantized norm: the per-doc Σw² runs over unordered partition rows, so
+    # a raw double sum is shuffle-order-dependent; 1e-12-unit integer sums
+    # are exact and order-free (w ≤ 1 ⇒ w²·1e12 fits long comfortably)
+    norm = F.sqrt(
+        F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).over(w_doc)
+        / F.lit(1e12)
+    )
     return weighted.select(
         id_col, "token", (F.col("w") / norm).alias("u")
     ).where(F.col("u").isNotNull())
@@ -211,7 +226,16 @@ def tfidf_cosine_pairs(
         a.join(b, "token")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("cosine"))
+        # per-term products quantized to 1e-12 units: the pair dot product
+        # becomes an exact integer sum — order-free, bit-stable under any
+        # shuffle order (drift ≤ 5e-13·|shared tokens|, invisible at 6 dp)
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("ua") * F.col("ub") * 1e12).cast("long"))
+                / F.lit(1e12),
+                6,
+            ).alias("cosine")
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -271,7 +295,13 @@ def lm_score(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.sum("logp") / F.count("*"), 6).alias("lm_score"),
+            # quantized mean of logp (see tfidf cosine note): exact long
+            # sum ⇒ identical bits under any partitioning
+            F.round(
+                (F.sum(F.round(F.col("logp") * 1e12).cast("long")) / F.lit(1e12))
+                / F.count("*"),
+                6,
+            ).alias("lm_score"),
         )
     )
 

@@ -17,18 +17,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
-STATE_SCHEMA = "n long, s double"
+# value sum held as exact integer cents (value is 2-dp): integer addition is
+# associative, so the total is bit-identical regardless of micro-batch
+# sizing/order — and matches the batch-SQL oracle's quantized sum exactly
+STATE_SCHEMA = "n long, s_cents long"
 
 
 def _update(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    n, s = state.get if state.exists else (0, 0.0)
+    n, s_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]})
+        s_cents += int(
+            (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
+        )
+    state.update((n, s_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s_cents / 100.0, 4)],
+        }
+    )
 
 
 def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:

@@ -58,7 +58,14 @@ def _agg(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        # value is 2-dp: sum exact integer cents (order-free — bit-stable
+        # across micro-batch orders and partitionings), one double division
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 4
+            ).alias("sum_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -170,7 +177,9 @@ def streaming_enrich_counts(
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 4
+            ).alias("total_value"),
         )
     )
     q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()

@@ -32,11 +32,13 @@ def norm_cell(v) -> str:
     if v is None:
         return "∅"
     if isinstance(v, float):
+        # STRICT (driver-parity): bit-exact repr, no rounding, no
+        # int-collapse, -0.0 stays distinct from 0.0. Queries must make
+        # their float outputs bit-stable by construction (quantize to
+        # integer fixed-point before aggregating, or emit DECIMAL).
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, bool):
