@@ -27,8 +27,8 @@ from csvs_to_sqlite_spark.functions.cols import qcol
 from pyspark.sql import types as T
 
 from csvs_to_sqlite_spark.operators.dates import apply_dates_and_datetimes
-from csvs_to_sqlite_spark.operators.dims import build_dims, canonical_value
-from csvs_to_sqlite_spark.operators.rowid import with_row_id
+from csvs_to_sqlite_spark.operators.dims import build_dims, canonical_value, rewrite_fk
+from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
 from csvs_to_sqlite_spark.operators.shapes import apply_shape, parse_shape
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 from csvs_to_sqlite_spark.sinks.sqlite_sink import SQLiteSink, best_fts_version
@@ -260,9 +260,20 @@ def import_csvs(
             tables, dim_frames = build_dims(tables, dim_specs, existing)
             # dims are written BEFORE facts (reference utils.py:238-254)
             label_by_dim = {s.resolved().table: s.resolved().value_column for s in dim_specs}
+            # guardrail: above this cardinality the dim is NOT collected
+            # into a driver map — it streams to SQLite and the fact fks are
+            # rewritten with the Spark-side join (a near-unique -c column
+            # would otherwise make the driver hold O(column cardinality))
+            dim_collect_max = int(
+                os.environ.get("SPARK_GRAFT_DIM_COLLECT_MAX", "500000")
+            )
             for dim_name, dim_df in dim_frames.items():
                 dim_maps[dim_name] = sink.write_dim(
-                    dim_name, dim_df, label_by_dim[dim_name], fts=not no_fulltext_fks
+                    dim_name,
+                    dim_df,
+                    label_by_dim[dim_name],
+                    fts=not no_fulltext_fks,
+                    collect_max=dim_collect_max,
                 )
 
         created_tables: list[str] = []
@@ -319,6 +330,36 @@ def import_csvs(
                 # (utils.py:285 ``None or {}``): same-named columns in other
                 # files never contaminate this table's DDL
                 overrides = t.overrides
+            # columns whose dim exceeded the collect guardrail have no
+            # driver map: rewrite their fks with the Spark-side join
+            # (non-broadcast — the dim is big by definition) and re-spill
+            # in ROW_ID order so the landing keeps reference row order
+            big_cols = {
+                col: (dim_table, dim_maps.get(dim_table))
+                for col, (dim_table, _label) in foreign_keys.items()
+                if col in t.df.columns
+                and dim_table in dim_frames
+                and dim_maps.get(dim_table) is None
+            }
+            landing = spill
+            if big_cols:
+                land_df = spark.read.parquet(spill)
+                for col, (dim_table, _none) in big_cols.items():
+                    land_df = rewrite_fk(
+                        land_df,
+                        col,
+                        dim_frames[dim_table],
+                        value_column=label_by_dim[dim_table],
+                        broadcast=False,
+                    )
+                landing = tempfile.mkdtemp(prefix="engine_spill_fk_")
+                spill_dirs.append(landing)
+                (
+                    land_df.repartitionByRange(F.col(ROW_ID))
+                    .sortWithinPartitions(ROW_ID)
+                    .write.mode("overwrite")
+                    .parquet(landing)
+                )
             created = sink.write_table(
                 t.name,
                 t.df,
@@ -332,11 +373,11 @@ def import_csvs(
                 # only); extracted columns substitute their dim id through
                 # the driver-side canonical→id map, so the broadcast-join
                 # rewrite plan (t.df, used for DDL schema) never executes
-                data_parquet_dir=spill,
+                data_parquet_dir=landing,
                 fk_maps={
                     col: dim_maps[dim_table]
                     for col, (dim_table, _label) in foreign_keys.items()
-                    if col in t.df.columns and dim_table in dim_maps
+                    if col in t.df.columns and dim_maps.get(dim_table) is not None
                 },
             )
             if created:

@@ -208,15 +208,26 @@ def build_dims(
     return out_tables, dim_frames
 
 
-def rewrite_fk(df: DataFrame, column: str, dim: DataFrame, value_column: str = "value") -> DataFrame:
+def rewrite_fk(
+    df: DataFrame,
+    column: str,
+    dim: DataFrame,
+    value_column: str = "value",
+    broadcast: bool = True,
+) -> DataFrame:
     """Replace ``column``'s values with dim ids (broadcast left join).
-    NULL values stay NULL (no dim row) — reference utils.py:193-194."""
+    NULL values stay NULL (no dim row) — reference utils.py:193-194.
+
+    ``broadcast=False`` for dims too large to ship to every task (the
+    near-unique-column case): the join falls back to a plain equi-join,
+    letting AQE pick shuffle-hash vs sort-merge from runtime sizes."""
     dtype = _dtype_of(df, column)
     probe = canonical_value(qcol(column), dtype)
-    joined = df.withColumn("__probe__", probe).join(
-        F.broadcast(dim.select(F.col("id").alias("__dim_id__"), F.col(value_column).alias("__probe__"))),
-        "__probe__",
-        "left",
+    dim_side = dim.select(
+        F.col("id").alias("__dim_id__"), F.col(value_column).alias("__probe__")
     )
+    if broadcast:
+        dim_side = F.broadcast(dim_side)
+    joined = df.withColumn("__probe__", probe).join(dim_side, "__probe__", "left")
     cols = [F.col("__dim_id__").alias(column) if c == column else qcol(c) for c in df.columns]
     return joined.select(*cols)

@@ -308,8 +308,13 @@ class SQLiteSink:
 
     # -- dimension write (E1/E4/F4) ------------------------------------------
     def write_dim(
-        self, name: str, dim: DataFrame, value_column: str = "value", fts: bool = True
-    ) -> dict:
+        self,
+        name: str,
+        dim: DataFrame,
+        value_column: str = "value",
+        fts: bool = True,
+        collect_max: int | None = None,
+    ) -> dict | None:
         """Write/extend a lookup table ``(id INTEGER PRIMARY KEY, value TEXT)``
         (reference utils.py:151-182). Only ids not already present are
         inserted (E4 incremental growth). ``fts`` adds/extends the per-dim
@@ -317,7 +322,14 @@ class SQLiteSink:
 
         Returns the FULL ``{value: id}`` map (existing + new rows) — the
         dim is dim-sized and collected here anyway, and the engine reuses
-        the map for driver-side fk substitution in the fact write."""
+        the map for driver-side fk substitution in the fact write.
+
+        ``collect_max`` is the guardrail for near-unique extracted columns:
+        when the dim exceeds it, rows stream through ``toLocalIterator``
+        (one partition held at a time, driver memory stays bounded) and the
+        return value is None — the engine must then rewrite fact fks with
+        the Spark-side broadcast/shuffle join (operators/dims.rewrite_fk)
+        instead of a driver-held map."""
         fts_version = best_fts_version() if fts else None
         if not self.table_exists(name):
             self.conn.execute(
@@ -329,14 +341,32 @@ class SQLiteSink:
                     f'USING {fts_version} ("{value_column}", content="{name}")'
                 )
         max_id = self.conn.execute(f"select max(id) from [{name}]").fetchone()[0] or 0
+        insert_sql = f'INSERT INTO [{name}] (id, "{value_column}") VALUES (?, ?)'
+        fts_sql = (
+            f'INSERT INTO "{name}_{value_column}_fts" (rowid, "{value_column}") VALUES (?, ?)'
+        )
+        fts_live = fts_version and self._fts_table_exists(f"{name}_{value_column}_fts")
+        if collect_max is not None and dim.count() > collect_max:
+            chunk: list[tuple] = []
+            for r in dim.orderBy("id").toLocalIterator():
+                if r[0] > max_id:
+                    chunk.append((r[0], r[1]))
+                if len(chunk) >= self.BATCH:
+                    self.conn.executemany(insert_sql, chunk)
+                    if fts_live:
+                        self.conn.executemany(fts_sql, chunk)
+                    chunk = []
+            if chunk:
+                self.conn.executemany(insert_sql, chunk)
+                if fts_live:
+                    self.conn.executemany(fts_sql, chunk)
+            self.conn.commit()
+            return None
         all_rows = dim.orderBy("id").collect()
         rows = [(r[0], r[1]) for r in all_rows if r[0] > max_id]
-        self.conn.executemany(f'INSERT INTO [{name}] (id, "{value_column}") VALUES (?, ?)', rows)
-        if fts_version and self._fts_table_exists(f"{name}_{value_column}_fts"):
-            self.conn.executemany(
-                f'INSERT INTO "{name}_{value_column}_fts" (rowid, "{value_column}") VALUES (?, ?)',
-                rows,
-            )
+        self.conn.executemany(insert_sql, rows)
+        if fts_live:
+            self.conn.executemany(fts_sql, rows)
         self.conn.commit()
         return {r[1]: r[0] for r in all_rows}
 

@@ -349,3 +349,42 @@ def test_readme_help_in_sync():
     assert sync(readme, write=False), (
         "Run 'python tools/sync_readme_help.py' to update --help in README.md"
     )
+
+
+def test_high_cardinality_dim_streams_without_collect(spark, tmp_path, monkeypatch):
+    """Guardrail: a near-unique extracted column must not collect the dim
+    into a driver map. Force the threshold below the dim size and assert
+    the streamed + Spark-join-rewritten output is byte-identical to the
+    default (collected-map) path."""
+    import csv as _csv
+
+    p = tmp_path / "hc.csv"
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["k", "label", "v"])
+        for i in range(500):
+            # repeat a few values so ids are reused, rest near-unique
+            w.writerow([i, f"label_{i % 7 if i < 20 else i}", i * 2])
+
+    def rows(db):
+        conn = sqlite3.connect(db)
+        try:
+            t = conn.execute("select * from hc order by rowid").fetchall()
+            d = conn.execute("select * from label order by id").fetchall()
+            schema = conn.execute(
+                "select name, sql from sqlite_master where type='table' order by name"
+            ).fetchall()
+            return t, d, schema
+        finally:
+            conn.close()
+
+    db_default = str(tmp_path / "default.db")
+    import_csvs(spark, [str(p)], db_default, extract_column=["label"])
+
+    monkeypatch.setenv("SPARK_GRAFT_DIM_COLLECT_MAX", "10")
+    db_streamed = str(tmp_path / "streamed.db")
+    import_csvs(spark, [str(p)], db_streamed, extract_column=["label"])
+
+    assert rows(db_streamed) == rows(db_default)
+    # sanity: the dim really is above the forced threshold
+    assert len(rows(db_default)[1]) > 10
