@@ -4,37 +4,75 @@ The reference delegates fuzzy parsing to the ``dateparser`` package
 (reference utils.py:505-518; golden cases "3rd May 2017", "10pm on April 4
 1938", "5:45 10 December 2009", "04/30/2005" in tests:584-587). That
 package is not available here, so we vendor a small parser that covers the
-reference's documented/golden behavior: explicit strptime formats first,
-then fuzzy English parsing (month names, ordinal suffixes, am/pm times,
-numeric m/d/y with US month-first disambiguation — dateparser's default
-for English locales).
+reference's documented/golden behavior plus the most-used slices of
+dateparser's public surface:
+
+- explicit strptime formats first (utils.py:509), then fuzzy parsing
+- English month names, ordinal suffixes, am/pm and noon/midnight times,
+  numeric m/d/y with US month-first disambiguation (dateparser's default
+  for English locales)
+- non-English month names for the top Latin-script locales (es, fr, de,
+  it, pt, nl) — dateparser's multilingual month recognition
+- relative dates ("2 weeks ago", "yesterday", "in 3 days") resolved
+  against ``relative_base`` (dateparser settings RELATIVE_BASE; defaults
+  to now, exactly like dateparser)
+- timezone suffixes: Z / UTC / GMT / ±HH:MM / common US abbreviations
+  attach a fixed-offset tzinfo, so ``isoformat()`` carries the offset
+  (dateparser's default RETURN_AS_TIMEZONE_AWARE for explicit tz input)
+- ``date_order="DMY"`` flips ambiguous numeric dates to day-first
+  (dateparser settings DATE_ORDER — locale-driven d/m/y control)
+
+Unsupported dateparser surface (documented in COVERAGE.md B10):
+non-Latin scripts, fuzzy language detection beyond month names,
+calendar systems (jalali/hijri), and "freshness" phrases with hour
+granularity ("2 hours ago" IS supported; "half an hour ago" is not).
 """
 
 from __future__ import annotations
 
 import re
-from datetime import datetime
+from datetime import datetime, timedelta, timezone
+
+_MONTH_TABLES = [
+    # (names per month, per language family; index = month-1)
+    ("january", "jan"),
+    ("february", "feb"),
+    ("march", "mar"),
+    ("april", "apr"),
+    ("may",),
+    ("june", "jun"),
+    ("july", "jul"),
+    ("august", "aug"),
+    ("september", "sep", "sept"),
+    ("october", "oct"),
+    ("november", "nov"),
+    ("december", "dec"),
+]
+
+# top Latin-script locales dateparser ships: es, fr, de, it, pt, nl
+_INTL_MONTHS = [
+    ("enero", "janvier", "januar", "gennaio", "janeiro", "januari", "ene"),
+    ("febrero", "février", "fevrier", "februar", "febbraio", "fevereiro",
+     "februari", "feb"),
+    ("marzo", "mars", "märz", "marz", "maerz", "março", "marco", "maart"),
+    ("abril", "avril", "aprile", "abr"),
+    ("mayo", "mai", "maggio", "maio", "mei"),
+    ("junio", "juin", "juni", "giugno", "junho"),
+    ("julio", "juillet", "juli", "luglio", "julho"),
+    ("agosto", "août", "aout", "ago", "augustus"),
+    ("septiembre", "septembre", "settembre", "setembro", "set"),
+    ("octubre", "octobre", "oktober", "ottobre", "outubro", "okt"),
+    ("noviembre", "novembre", "novembro", "nov"),
+    ("diciembre", "décembre", "decembre", "dezember", "dicembre", "dezembro",
+     "dic", "dez"),
+]
 
 _MONTHS = {
-    m: i + 1
-    for i, names in enumerate(
-        [
-            ("january", "jan"),
-            ("february", "feb"),
-            ("march", "mar"),
-            ("april", "apr"),
-            ("may",),
-            ("june", "jun"),
-            ("july", "jul"),
-            ("august", "aug"),
-            ("september", "sep", "sept"),
-            ("october", "oct"),
-            ("november", "nov"),
-            ("december", "dec"),
-        ]
-    )
-    for m in names
+    m: i + 1 for i, names in enumerate(_MONTH_TABLES) for m in names
 }
+_MONTHS.update(
+    {m: i + 1 for i, names in enumerate(_INTL_MONTHS) for m in names}
+)
 
 _ORDINAL_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b", re.I)
 _TIME_RE = re.compile(
@@ -44,31 +82,138 @@ _WEEKDAYS = {
     "monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday",
     "mon", "tue", "tues", "wed", "thu", "thur", "thurs", "fri", "sat", "sun",
 }
-_FILLER = {"on", "at", "of", "in", "the", "year", ""} | _WEEKDAYS
+_FILLER = {"on", "at", "of", "in", "the", "year", "de", "del", "le", "el", ""} | _WEEKDAYS
+
+# fixed-offset timezone names (the unambiguous, dateparser-supported core);
+# DST-ambiguous bare names like "PST" map to their standard offsets, same
+# as dateparser's timezone parser
+_TZ_OFFSETS = {
+    "z": 0, "utc": 0, "gmt": 0, "ut": 0,
+    "est": -5 * 60, "edt": -4 * 60,
+    "cst": -6 * 60, "cdt": -5 * 60,
+    "mst": -7 * 60, "mdt": -6 * 60,
+    "pst": -8 * 60, "pdt": -7 * 60,
+    "cet": 60, "cest": 120, "bst": 60, "ist": 5 * 60 + 30,
+}
+# offsets require a colon (":30") or a whitespace-separated HHMM block so a
+# trailing "-2017" in "3-May-2017" can never be mistaken for an offset
+_TZ_SUFFIX_RE = re.compile(
+    r"(?:\s+|(?<=\d))(?P<name>Z|UTC|GMT|UT|[ECMP][SD]T|CES?T|BST|IST)\s*$"
+    r"|(?:(?:UTC|GMT)\s*|\s+|(?<=\d))(?P<s1>[+-])(?P<h1>\d{1,2}):(?P<m1>\d{2})\s*$"
+    r"|\s(?P<s2>[+-])(?P<h2>\d{2})(?P<m2>\d{2})\s*$",
+    re.I,
+)
+
+_RELATIVE_UNITS = {
+    "second": "seconds", "seconds": "seconds", "sec": "seconds", "secs": "seconds",
+    "minute": "minutes", "minutes": "minutes", "min": "minutes", "mins": "minutes",
+    "hour": "hours", "hours": "hours", "hr": "hours", "hrs": "hours",
+    "day": "days", "days": "days",
+    "week": "weeks", "weeks": "weeks",
+    "month": "months", "months": "months",
+    "year": "years", "years": "years",
+}
+_RELATIVE_RE = re.compile(
+    r"^\s*(?:(in)\s+)?(\d+|a|an|one)\s+(\w+)\s*(ago)?\s*$", re.I
+)
 
 
 class UnparseableDate(ValueError):
     pass
 
 
-def parse_datetime(value: str, date_formats: list[str] | None = None) -> datetime:
+def _shift_months(base: datetime, months: int) -> datetime:
+    """Calendar-aware month shift, clamping the day like dateutil's
+    relativedelta (which dateparser uses for month/year freshness)."""
+    total = base.year * 12 + (base.month - 1) + months
+    y, m = divmod(total, 12)
+    m += 1
+    # clamp day to the target month's length
+    for day in (base.day, 30, 29, 28):
+        try:
+            return base.replace(year=y, month=m, day=day)
+        except ValueError:
+            continue
+    raise UnparseableDate(str(base))
+
+
+def _parse_relative(value: str, base: datetime) -> datetime | None:
+    s = value.strip().lower()
+    if s == "today":
+        return base
+    if s == "yesterday":
+        return base - timedelta(days=1)
+    if s == "tomorrow":
+        return base + timedelta(days=1)
+    m = _RELATIVE_RE.match(s)
+    if not m:
+        return None
+    fwd, qty, unit, ago = m.groups()
+    if (fwd is None) == (ago is None):  # need exactly one of "in"/"ago"
+        return None
+    unit = _RELATIVE_UNITS.get(unit)
+    if unit is None:
+        return None
+    n = 1 if qty in ("a", "an", "one") else int(qty)
+    if ago:
+        n = -n
+    if unit == "months":
+        return _shift_months(base, n)
+    if unit == "years":
+        return _shift_months(base, 12 * n)
+    return base + timedelta(**{unit: n})
+
+
+def _extract_tz(s: str):
+    """Split a trailing timezone designator off; returns (rest, tzinfo|None)."""
+    m = _TZ_SUFFIX_RE.search(s)
+    if not m:
+        return s, None
+    if m.group("name"):
+        minutes = _TZ_OFFSETS.get(m.group("name").lower())
+        if minutes is None:
+            return s, None
+        return s[: m.start()], timezone(timedelta(minutes=minutes))
+    sign_s = m.group("s1") or m.group("s2")
+    hh = int(m.group("h1") or m.group("h2"))
+    mm = int(m.group("m1") or m.group("m2"))
+    sign = -1 if sign_s == "-" else 1
+    return s[: m.start()], timezone(sign * timedelta(hours=hh, minutes=mm))
+
+
+def parse_datetime(
+    value: str,
+    date_formats: list[str] | None = None,
+    relative_base: datetime | None = None,
+    date_order: str = "MDY",
+) -> datetime:
     """strptime formats first (reference utils.py:509: formats are tried
-    before fuzzy parsing), then fuzzy."""
+    before fuzzy parsing), then relative phrases, then fuzzy."""
     for fmt in date_formats or []:
         try:
             return datetime.strptime(value.strip(), fmt)
         except ValueError:
             continue
-    return _parse_fuzzy(value)
+    rel = _parse_relative(value, relative_base or datetime.now())
+    if rel is not None:
+        return rel
+    return _parse_fuzzy(value, date_order=date_order)
 
 
-def _parse_fuzzy(value: str) -> datetime:
+def _parse_fuzzy(value: str, date_order: str = "MDY") -> datetime:
     s = value.strip()
     # ISO fast path
     try:
         return datetime.fromisoformat(s)
     except ValueError:
         pass
+
+    s, tzinfo = _extract_tz(s)
+    if tzinfo is not None:
+        try:
+            return datetime.fromisoformat(s.strip()).replace(tzinfo=tzinfo)
+        except ValueError:
+            pass
 
     s = _ORDINAL_RE.sub(r"\1", s)
     s = s.replace(",", " ")
@@ -116,19 +261,36 @@ def _parse_fuzzy(value: str) -> datetime:
             a, b, c = (int(x) for x in re.split(r"[/\-.]", tok))
             numeric_date = (a, b, c)
         else:
-            raise UnparseableDate(value)
+            # "3-May-2017" / "May/3/2017": separator-joined parts with a
+            # textual month — recurse into the subtokens
+            subtoks = re.split(r"[/\-.]", tok)
+            if len(subtoks) > 1 and all(
+                t in _MONTHS or re.fullmatch(r"\d+", t) for t in subtoks
+            ):
+                for t in subtoks:
+                    if t in _MONTHS:
+                        month = _MONTHS[t]
+                    else:
+                        numbers.append(int(t))
+            else:
+                raise UnparseableDate(value)
 
     if numeric_date is not None:
         a, b, c = numeric_date
         if a > 31:  # y-m-d
             yr, month, day = a, b, c
+        elif date_order.upper() == "DMY":  # locale-driven day-first
+            day, month, yr = a, b, c
+            if month > 12 and day <= 12:
+                month, day = day, month
         else:  # US default: m/d/y (dateparser en locale)
             month, day, yr = a, b, c
             if month > 12 and day <= 12:
                 month, day = day, month
         if yr < 100:
             yr += 2000 if yr < 70 else 1900
-        return datetime(yr, month, day, hour, minute, second)
+        dt = datetime(yr, month, day, hour, minute, second)
+        return dt.replace(tzinfo=tzinfo) if tzinfo else dt
 
     for n in numbers:
         if n > 31 or (yr is None and len(str(n)) == 4):
@@ -143,4 +305,5 @@ def _parse_fuzzy(value: str) -> datetime:
         raise UnparseableDate(value)
     if day is None:
         day = 1
-    return datetime(yr, month, day, hour, minute, second)
+    dt = datetime(yr, month, day, hour, minute, second)
+    return dt.replace(tzinfo=tzinfo) if tzinfo else dt

@@ -63,3 +63,84 @@ def test_roundtrip_common_renderings(dt):
     # date-only renderings drop the time
     assert parse_datetime(dt.strftime("%m/%d/%Y")).date() == dt.date()
     assert parse_datetime(dt.strftime("%d %B %Y")).date() == dt.date()
+
+
+# --- dateparser-surface extensions (reference utils.py:505-518 delegates to
+# the dateparser package; these cover its documented relative/locale/tz
+# behavior slices) ---------------------------------------------------------
+
+BASE = datetime(2024, 3, 15, 10, 30, 0)
+
+
+def test_relative_dates():
+    assert parse_datetime("yesterday", relative_base=BASE) == datetime(2024, 3, 14, 10, 30)
+    assert parse_datetime("today", relative_base=BASE) == BASE
+    assert parse_datetime("tomorrow", relative_base=BASE) == datetime(2024, 3, 16, 10, 30)
+    assert parse_datetime("2 weeks ago", relative_base=BASE) == datetime(2024, 3, 1, 10, 30)
+    assert parse_datetime("3 days ago", relative_base=BASE) == datetime(2024, 3, 12, 10, 30)
+    assert parse_datetime("a month ago", relative_base=BASE) == datetime(2024, 2, 15, 10, 30)
+    assert parse_datetime("in 2 days", relative_base=BASE) == datetime(2024, 3, 17, 10, 30)
+    assert parse_datetime("1 year ago", relative_base=BASE) == datetime(2023, 3, 15, 10, 30)
+    assert parse_datetime("2 hours ago", relative_base=BASE) == datetime(2024, 3, 15, 8, 30)
+
+
+def test_relative_month_clamps_day():
+    # Jan 31 minus 1 month clamps to Dec 31; Mar 31 minus 1 month -> Feb 29 (leap)
+    assert parse_datetime(
+        "1 month ago", relative_base=datetime(2024, 3, 31)
+    ) == datetime(2024, 2, 29)
+
+
+def test_relative_requires_direction_word():
+    # "2 weeks" alone is ambiguous -> falls to fuzzy -> unparseable
+    with pytest.raises(UnparseableDate):
+        parse_datetime("2 weeks", relative_base=BASE)
+
+
+def test_dmy_date_order():
+    assert parse_datetime("04/03/2005").isoformat() == "2005-04-03T00:00:00"
+    assert (
+        parse_datetime("04/03/2005", date_order="DMY").isoformat()
+        == "2005-03-04T00:00:00"
+    )
+    # unambiguous values unaffected by order
+    assert (
+        parse_datetime("30/04/2005", date_order="DMY").isoformat()
+        == "2005-04-30T00:00:00"
+    )
+
+
+def test_timezone_suffixes():
+    assert (
+        parse_datetime("2017-05-03 10:00 UTC").isoformat() == "2017-05-03T10:00:00+00:00"
+    )
+    assert (
+        parse_datetime("May 3 2017 10:00 EST").isoformat()
+        == "2017-05-03T10:00:00-05:00"
+    )
+    assert (
+        parse_datetime("May 3 2017 10:00 +02:00").isoformat()
+        == "2017-05-03T10:00:00+02:00"
+    )
+    assert (
+        parse_datetime("May 3 2017 10:00 -0500").isoformat()
+        == "2017-05-03T10:00:00-05:00"
+    )
+
+
+def test_tz_suffix_never_eats_date_parts():
+    # '-2017' must not be mistaken for an offset
+    assert parse_datetime("3-May-2017").isoformat() == "2017-05-03T00:00:00"
+    # bare dates unaffected
+    assert parse_datetime("04/30/2005").isoformat() == "2005-04-30T00:00:00"
+
+
+def test_non_english_month_names():
+    assert parse_datetime("3 mayo 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("3 de mayo de 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("3 mai 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("3 märz 2017").date().isoformat() == "2017-03-03"
+    assert parse_datetime("10 dezember 2009").date().isoformat() == "2009-12-10"
+    assert parse_datetime("1 gennaio 2020").date().isoformat() == "2020-01-01"
+    assert parse_datetime("15 outubro 1999").date().isoformat() == "1999-10-15"
+    assert parse_datetime("5 maart 2021").date().isoformat() == "2021-03-05"

@@ -530,3 +530,46 @@ def test_fts_match_results_identical(spark, tmp_path):
         a = sqlite3.connect(str(tmp_path / "ref.db")).execute(q, [term]).fetchall()
         b = sqlite3.connect(str(tmp_path / "ours.db")).execute(q, [term]).fetchall()
         assert a == b, term
+
+
+def test_extended_dateparser_surface_identical(spark, tmp_path):
+    """The dateparser-surface extensions (non-English month names, tz
+    suffixes, dd-Mon-yyyy) produce identical ISO strings through the
+    actual reference tool (whose dateparser import resolves to our
+    vendored parser via tests/ref_shims) and our engine. Relative dates
+    are excluded: they resolve against now() on both sides, so the two
+    runs could straddle a second boundary."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    csv = (
+        "id,when\n"
+        "1,3 de mayo de 2017\n"
+        "2,10 dezember 2009\n"
+        "3,1 gennaio 2020\n"
+        "4,3-May-2017\n"
+        "5,May 3 2017 10:00 UTC\n"
+        "6,May 3 2017 10:00 EST\n"
+        "7,May 3 2017 10:00 +02:00\n"
+        "8,4th July 1976 8:30pm\n"
+    )
+    (tmp_path / "dates_ext.csv").write_text(csv)
+    run_reference(str(tmp_path), "dates_ext.csv", "ref.db", ["-dt", "when"])
+    import_csvs(
+        spark,
+        [str(tmp_path / "dates_ext.csv")],
+        str(tmp_path / "ours.db"),
+        datetime=["when"],
+    )
+    ref = snapshot(str(tmp_path / "ref.db"))
+    ours = snapshot(str(tmp_path / "ours.db"))
+    assert ref == ours
+    # and the values really are the extended-ISO forms
+    rows = dict(
+        sqlite3.connect(str(tmp_path / "ours.db"))
+        .execute("select id, [when] from dates_ext")
+        .fetchall()
+    )
+    assert rows[1] == "2017-05-03T00:00:00"
+    assert rows[5] == "2017-05-03T10:00:00+00:00"
+    assert rows[6] == "2017-05-03T10:00:00-05:00"
+    assert rows[8] == "1976-07-04T20:30:00"
