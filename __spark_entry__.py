@@ -1792,15 +1792,71 @@ def q_multimodal_image_features(spark, sf_dir):
     """mapInPandas binary-decode over REAL image bytes: the synthetic
     payloads are actual binary PPMs and ``fake=False`` runs the genuine
     numpy decode (width/height from the header, Rec.601 mean luma from
-    the pixels). Rows-only: mapInPandas is not SQL-expressible; the
-    decode itself is hand-verified by units against numpy."""
+    the pixels). Value-level oracle: the md5-seeded gradient images are
+    closed-form, so the DuckDB twin re-derives pixels from md5 bytes,
+    computes the same integer-milli luma mean, and rebuilds the exact
+    PPM byte stream (header + raster hex → unhex → sha256) to verify
+    payload_sha — the decode AND the binary round-trip are hash-checked."""
     prep_session(spark)
     from csvs_to_sqlite_spark.operators.multimodal import (
         extract_image_features,
         synth_ppm_media,
     )
 
-    return extract_image_features(synth_ppm_media(spark, n=64), fake=False)
+    media = synth_ppm_media(spark, n=64)
+    feats = extract_image_features(media, fake=False).drop("payload_sha")
+    # digest over the hex encoding (bijective with the raw bytes) because
+    # DuckDB 1.0 hash functions accept VARCHAR only; the operator itself
+    # still emits sha256 of the raw payload for library users
+    check = media.select(
+        "media_id", F.sha2(F.lower(F.hex("payload")), 256).alias("payload_sha")
+    )
+    return feats.join(check, "media_id")
+
+
+def _sql_hexbyte(k: int) -> str:
+    """DuckDB expr: byte k (0-based) of the md5 hex digest in column hh."""
+    hexpos = "strpos('0123456789abcdef', substr(hh, {p}, 1)) - 1"
+    hi = hexpos.format(p=2 * k + 1)
+    lo = hexpos.format(p=2 * k + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+def _sql_image_features() -> str:
+    """Mirror of synth_ppm_media + decode_image (operators/multimodal.py):
+    w/h/gradient coefficients from md5('ppm'||i) bytes, Rec.601 luma as an
+    exact integer-milli mean, payload_sha by reconstructing the PPM bytes
+    (header ASCII + row-major RGB raster) as hex and sha256-ing the blob."""
+    b0, b1, b2, b3, b4 = (_sql_hexbyte(k) for k in range(5))
+    return f"""
+WITH seed AS (
+  SELECT i, md5('ppm' || i) AS hh FROM (SELECT unnest(range(0, 64)) AS i)),
+geom AS (
+  SELECT i, 8 + {b0} % 9 AS w, 8 + {b1} % 9 AS h,
+         1 + {b2} % 5 AS ca, 1 + {b3} % 5 AS cb, {b4} AS cc
+  FROM seed),
+px AS (
+  SELECT g.i, g.w, g.h, y.y, x.x,
+         (x.x * g.ca + y.y) % 256 AS r,
+         (y.y * g.cb + x.x) % 256 AS gg,
+         (x.x + y.y + g.cc) % 256 AS b
+  FROM geom g
+  JOIN LATERAL (SELECT unnest(range(0, g.h)) AS y) y ON true
+  JOIN LATERAL (SELECT unnest(range(0, g.w)) AS x) x ON true),
+feat AS (
+  SELECT i, w, h,
+         round((CAST(sum(299 * r + 587 * gg + 114 * b) AS DOUBLE)
+                / count(*)) / 255000.0, 6) AS mean_luma,
+         string_agg(printf('%02x%02x%02x', r, gg, b), '' ORDER BY y, x)
+           AS raster_hex
+  FROM px GROUP BY i, w, h)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       mean_luma,
+       sha256(lower(hex('P6' || chr(10) || w || ' ' || h || chr(10)
+                        || '255' || chr(10)) || raster_hex)) AS payload_sha
+FROM feat
+"""
 
 
 def q_stateful_user_totals(spark, sf_dir):
@@ -1822,8 +1878,12 @@ FROM events GROUP BY 1
 
 
 def q_streaming_sessions(spark, sf_dir):
-    """Stateful streaming sessionization via session_window (rows-only:
-    streaming state semantics aren't SQL-expressible)."""
+    """Stateful streaming sessionization via session_window. Value-level
+    oracle: session_window's merge rule (an event extends a session while
+    its time is STRICTLY inside [start, last + gap)) is the gap-and-island
+    recurrence with a >= gap split, so the batch DuckDB twin reproduces
+    the final complete-mode table exactly (the file source replays as one
+    in-order batch, so the watermark drops nothing)."""
     prep_session(spark)
     from csvs_to_sqlite_spark.streaming.windows import streaming_sessionize
 
@@ -1833,6 +1893,24 @@ def q_streaming_sessions(spark, sf_dir):
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
     )
+
+
+SQL_STREAM_SESSIONS = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4555,5 +4633,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": splits.temperature_mixture_sql(
             "doc_id", "source", budget=1000
         ),
-        # multimodal_image_features, streaming_sessions: rows-only by design
+        # formerly rows-only, upgraded to hash-compared in round 4:
+        "multimodal_image_features": _sql_image_features(),
+        "streaming_sessions": SQL_STREAM_SESSIONS,
     }

@@ -141,11 +141,16 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
             width, height, px = _parse_bmp(payload)
         else:
             width, height, px = _parse_pnm(payload)
+        # integer milli-weights (299/587/114 = Rec.601 × 1000): the pixel
+        # sum is exact int arithmetic, so the mean is ONE double division —
+        # bit-reproducible by any external oracle regardless of summation
+        # order (float weights + pairwise numpy mean are not)
         if px.ndim == 2:
-            luma = px.astype(np.float64)
+            luma_milli = px.astype(np.int64) * 1000
         else:
-            luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-        return width, height, round(float(luma.mean()) / 255.0, 6)
+            luma_milli = px.astype(np.int64) @ np.array([299, 587, 114])
+        mean_milli = float(int(luma_milli.sum())) / luma_milli.size
+        return width, height, round(mean_milli / 255000.0, 6)
     raise NotImplementedError(
         "only PPM/PGM/BMP decode without codecs; jpeg/png need PIL"
     )
