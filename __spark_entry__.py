@@ -4205,14 +4205,20 @@ WITH lt0 AS (SELECT doc_id AS l, unnest({toks}) AS token
              FROM documents WHERE source = 'src1'),
 rt0 AS (SELECT doc_id AS r, unnest({toks}) AS token
         FROM documents WHERE source = 'src0'),
-cap AS (SELECT greatest(1000, CAST(floor(0.01 *
-              ((SELECT count(*) FROM documents WHERE source = 'src1')
-               + (SELECT count(*) FROM documents WHERE source = 'src0')))
-              AS BIGINT)) AS max_df),
+cap AS (SELECT greatest(1000, CAST(floor(0.2 *
+              (SELECT count(*) FROM documents WHERE source = 'src1'))
+              AS BIGINT)) AS cap_l,
+              greatest(1000, CAST(floor(0.2 *
+              (SELECT count(*) FROM documents WHERE source = 'src0'))
+              AS BIGINT)) AS cap_r),
 dropped AS (SELECT token FROM (
-              SELECT token, count(*) AS c FROM (
-                SELECT token FROM lt0 UNION ALL SELECT token FROM rt0)
-              GROUP BY token) d, cap WHERE d.c > cap.max_df),
+              SELECT coalesce(dl.token, dr.token) AS token,
+                     coalesce(dl.c_l, 0) AS c_l, coalesce(dr.c_r, 0) AS c_r
+              FROM (SELECT token, count(*) AS c_l FROM lt0 GROUP BY token) dl
+              FULL OUTER JOIN
+                   (SELECT token, count(*) AS c_r FROM rt0 GROUP BY token) dr
+              ON dl.token = dr.token) d, cap
+            WHERE d.c_l > cap.cap_l OR d.c_r > cap.cap_r),
 lt AS (SELECT * FROM lt0 WHERE token NOT IN (SELECT token FROM dropped)),
 rt AS (SELECT * FROM rt0 WHERE token NOT IN (SELECT token FROM dropped)),
 inter AS (SELECT l, r, count(*) AS inter FROM lt JOIN rt USING (token)

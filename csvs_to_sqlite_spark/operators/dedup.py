@@ -195,8 +195,11 @@ def fuzzy_link(
     Plan shape: both sides become (id, token) postings; candidates come
     from the token-keyed equi-join (BLOCKING — a (left, right) pair is
     scored only if it shares a token, never the O(|L|·|R|) cross join);
-    ``max_df`` (computed over the combined postings, same auto sizing as
-    the dedup cap) drops hyper-frequent blocking tokens before the join
+    ``max_df`` "auto" applies PER-SIDE df-fraction caps
+    (max(1000, 20% of that side) — scale-free: df/|side| is invariant
+    under corpus growth, so the same blocking tokens survive at any
+    size; an explicit int caps the combined df as before) and drops
+    hyper-frequent blocking tokens before the join
     fans out. One (l, r)-keyed count, per-side size aggregates broadcast
     back, then a LEFT-partitioned row_number picks the argmax match
     (rounded Jaccard, right-id tiebreak). Returns
@@ -209,8 +212,30 @@ def fuzzy_link(
         F.col(right_id).alias("__r__"), "token"
     ).persist()
     if max_df == "auto":
-        max_df = max(1000, int(0.01 * (left.count() + right.count())))
-    if max_df is not None:
+        # PER-SIDE fraction caps (round-4 scale-stress finding): the old
+        # combined max(1000, 1%·docs) cap was floor-dominated at test
+        # sizes but fraction-dominated at 50× — token dfs scale linearly
+        # with the corpus while the cap barely moved, so EVERY blocking
+        # token got dropped and the link set collapsed to zero. A df
+        # FRACTION per side is self-union-invariant (df/|side| is
+        # constant), so the same blocking tokens survive at any N; a
+        # token hyper-frequent on either side is dropped — it isn't a
+        # discriminative blocker and it alone drives the join fan-out.
+        cap_l = max(1000, int(0.2 * left.count()))
+        cap_r = max(1000, int(0.2 * right.count()))
+        df_l = lt.groupBy("token").agg(F.count("*").alias("c_l"))
+        df_r = rt.groupBy("token").agg(F.count("*").alias("c_r"))
+        drop = (
+            df_l.join(df_r, "token", "full_outer")
+            .where(
+                (F.coalesce(F.col("c_l"), F.lit(0)) > cap_l)
+                | (F.coalesce(F.col("c_r"), F.lit(0)) > cap_r)
+            )
+            .select("token")
+        )
+        lt = lt.join(F.broadcast(drop), "token", "left_anti").persist()
+        rt = rt.join(F.broadcast(drop), "token", "left_anti").persist()
+    elif max_df is not None:
         dfreq = (
             lt.select("token").unionAll(rt.select("token"))
             .groupBy("token").count()

@@ -573,3 +573,41 @@ def test_extended_dateparser_surface_identical(spark, tmp_path):
     assert rows[5] == "2017-05-03T10:00:00+00:00"
     assert rows[6] == "2017-05-03T10:00:00-05:00"
     assert rows[8] == "1976-07-04T20:30:00"
+
+
+def test_differential_fuzz_dates(spark, tmp_path):
+    """Seeded random DATE columns through both tools with -dt: every
+    fuzzy class the vendored parser supports (English/intl months,
+    ordinals, times, tz suffixes, separator-joined forms, numeric
+    m/d/y, ISO) must produce identical ISO strings end-to-end. Relative
+    phrases are excluded (now()-anchored on both sides)."""
+    import csv as csvmod
+    import random
+
+    rng = random.Random(4242)
+    datey = [
+        "3rd May 2017", "10pm on April 4 1938", "5:45 10 December 2009",
+        "04/30/2005", "2017-05-03", "2017-05-03 10:11:12", "May 3 2017",
+        "3 de mayo de 2017", "10 dezember 2009", "1 gennaio 2020",
+        "15 outubro 1999", "3-May-2017", "May/3/2017",
+        "May 3 2017 10:00 UTC", "May 3 2017 10:00 EST",
+        "May 3 2017 10:00 +02:00", "May 3 2017 10:00 -0500",
+        "noon 3 May 2017", "midnight 3 May 2017", "4th July 1976 8:30pm",
+        "31/12/99", "1/2/03", "",
+        "not a date", "NA",
+    ]
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    for trial in range(6):
+        d = tmp_path / f"dfz{trial}"
+        d.mkdir()
+        n_rows = rng.randint(2, 10)
+        with open(d / "t.csv", "w", newline="", encoding="utf-8") as f:
+            w = csvmod.writer(f)
+            w.writerow(["id", "when"])
+            for i in range(n_rows):
+                w.writerow([i, rng.choice(datey)])
+        _run_ref_args(str(d), ["t.csv", "ref.db", "-dt", "when"])
+        import_csvs(spark, [str(d / "t.csv")], str(d / "ours.db"), datetime=["when"])
+        ref, ours = snapshot(str(d / "ref.db")), snapshot(str(d / "ours.db"))
+        assert ref == ours, f"trial {trial}: {ref} != {ours}"

@@ -215,6 +215,122 @@ def main() -> None:
     timed(f"chunk_windows {n}x", lambda: chunk_windows(dn).count())
     timed(f"quantize {n}x", lambda: similarity.quantize_embeddings(en).count())
     timed(f"shard_manifest {n}x", lambda: splits.shard_manifest(dn, "doc_id", 64).count())
+
+    # ---- round-3 additions: pagerank, fuzzy_link, retention, charwords ----
+    def n_exchanges(df) -> int:
+        jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(jmode).count("Exchange")
+
+    def plan_flat(name, mk1, mkn):
+        """The N× plan must not grow new exchanges vs 1× — scale changes
+        data volume, never plan shape."""
+        x1, xn = n_exchanges(mk1()), n_exchanges(mkn())
+        assert xn <= x1, f"{name}: plan grew exchanges at {n}x ({x1} -> {xn})"
+        print(f"{name}: plan flat ({x1} exchanges at 1x, {xn} at {n}x)")
+
+    from csvs_to_sqlite_spark.operators.graph import pagerank
+
+    # pagerank over the N× near-dup graph (copies share text, so LSH
+    # merges every copy into its original's family — the graph is one
+    # merged component per family, NOT N disjoint copies). Invariants:
+    # rank mass is conserved (Σ rank = 1 up to the 12-dp per-round
+    # quantization) and two runs over the same N× graph are
+    # BIT-IDENTICAL (the ordered-fold determinism contract).
+    pairsn = dedup.minhash_lsh_pairs(dn, "text", "doc_id").localCheckpoint()
+    t0 = time.time()
+    prn = {r["node"]: r["pagerank"] for r in pagerank(pairsn, "id_a", "id_b", rounds=3).collect()}
+    print(f"pagerank {n}x: {len(prn)} nodes, {time.time()-t0:.1f}s")
+    mass = sum(prn.values())
+    assert abs(mass - 1.0) < 1e-6, f"pagerank mass not conserved: {mass}"
+    prn2 = {r["node"]: r["pagerank"] for r in pagerank(pairsn, "id_a", "id_b", rounds=3).collect()}
+    assert prn == prn2, "pagerank not bit-deterministic across runs"
+
+    # fuzzy_link under full self-union (both sides xN, ids keep their
+    # mod-5 residue since 10M % 5 == 0): every copy of a left row links
+    # with the same score, and equal-jaccard ties break to the lowest
+    # right id, so links scale EXACTLY xN. Asserted with an explicit
+    # combined cap scaled xN (combined dfs scale xN, so the kept token
+    # set is identical by construction).
+    left1 = d1.where(F.col("doc_id") % 5 != 0)
+    right1 = d1.where(F.col("doc_id") % 5 == 0)
+    leftn = dn.where(F.col("doc_id") % 5 != 0)
+    rightn = dn.where(F.col("doc_id") % 5 == 0)
+    l1 = dedup.fuzzy_link(
+        left1, right1, "text", "doc_id", "doc_id", max_df=1000
+    ).count()
+    t0 = time.time()
+    ln_ = dedup.fuzzy_link(
+        leftn, rightn, "text", "doc_id", "doc_id", max_df=1000 * n
+    ).count()
+    print(f"fuzzy_link {n}x: {ln_} links, {time.time()-t0:.1f}s")
+    assert ln_ == n * l1, f"fuzzy_link not xN: 1x={l1}, {n}x={ln_}"
+    # the AUTO per-side fraction cap must not collapse the link set at
+    # scale (the round-4 regression this harness caught: the old
+    # combined 1% cap dropped EVERY blocking token at 50x -> 0 links)
+    la = dedup.fuzzy_link(left1, right1, "text", "doc_id", "doc_id").count()
+    lna = dedup.fuzzy_link(leftn, rightn, "text", "doc_id", "doc_id").count()
+    print(f"fuzzy_link auto-cap {n}x: {lna} links (1x={la})")
+    assert la > 0 and lna >= n * la // 2, f"auto cap collapsed: 1x={la}, {n}x={lna}"
+
+    # retention cohorts: offset copies are N disjoint user populations
+    # with identical histories => every (cohort, offset) cell scales xN.
+    from csvs_to_sqlite_spark.streaming.windows import load_events
+
+    ev1 = load_events(spark, f"{sf_dir}/events.parquet").localCheckpoint()
+    evn = multiply(ev1, "user_id", n)
+
+    def retention(frame):
+        firsts = frame.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+        activity = frame.select("user_id", F.to_date("ts").alias("day")).distinct()
+        sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+        cells = (
+            activity.join(firsts, "user_id")
+            .groupBy("cohort", F.datediff("day", "cohort").alias("day_offset"))
+            .agg(F.count("*").alias("n_active"))
+        )
+        return cells.join(F.broadcast(sizes), "cohort").select(
+            "cohort", "day_offset", "n_active", "cohort_size"
+        )
+
+    r1 = {(r[0], r[1]): (r[2], r[3]) for r in retention(ev1).collect()}
+    t0 = time.time()
+    rn = {(r[0], r[1]): (r[2], r[3]) for r in retention(evn).collect()}
+    print(f"retention_cohorts {n}x: {len(rn)} cells, {time.time()-t0:.1f}s")
+    assert rn == {k: (a * n, s * n) for k, (a, s) in r1.items()}, "retention not xN"
+    plan_flat("retention_cohorts", lambda: retention(ev1), lambda: retention(evn))
+
+    # charwords: the underlying per-token (in-group, out-group) counts
+    # scale exactly xN under a self-union (log-odds deltas then follow
+    # deterministically from them).
+    def charword_counts(frame):
+        toks = frame.select(
+            (F.col("source") == "src0").alias("g"),
+            F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("token"),
+        ).where(F.length("token") > 0)
+        return toks.groupBy("token").agg(
+            F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("g"), 0).otherwise(1)).alias("b"),
+        )
+
+    cw1 = {r["token"]: (r["a"], r["b"]) for r in charword_counts(d1).collect()}
+    t0 = time.time()
+    cwn = {r["token"]: (r["a"], r["b"]) for r in charword_counts(dn).collect()}
+    print(f"charwords {n}x: {len(cwn)} tokens, {time.time()-t0:.1f}s")
+    assert cwn == {t: (a * n, b * n) for t, (a, b) in cw1.items()}, "charwords not xN"
+    plan_flat("charwords", lambda: charword_counts(d1), lambda: charword_counts(dn))
+
+    plan_flat(
+        "pagerank_round",
+        lambda: pagerank(dedup.minhash_lsh_pairs(d1, "text", "doc_id"), "id_a", "id_b", rounds=1),
+        lambda: pagerank(pairsn, "id_a", "id_b", rounds=1),
+    )
+    plan_flat(
+        "fuzzy_link",
+        lambda: dedup.fuzzy_link(left1, right1, "text", "doc_id", "doc_id"),
+        lambda: dedup.fuzzy_link(leftn, rightn, "text", "doc_id", "doc_id"),
+    )
     print("ALL INVARIANTS HELD")
 
 
