@@ -1814,6 +1814,146 @@ def q_multimodal_image_features(spark, sf_dir):
     return feats.join(check, "media_id")
 
 
+def q_multimodal_audio_features(spark, sf_dir):
+    """mapInPandas audio decode over REAL PCM-WAV bytes (duration/rate
+    from the RIFF header, RMS from the actual samples as an exact
+    integer pcm² sum). Value-level oracle: the md5-seeded sine payloads
+    are closed-form, so the DuckDB twin regenerates every pcm sample
+    (same op order: trunc(0.5·sin(((2π)·f)·(k/rate))·32767)), computes
+    the same integer RMS, and rebuilds the 44-byte RIFF header + LE
+    pcm raster as hex to verify the payload digest."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, n=64)
+    feats = extract_audio_features(media, fake=False).drop("payload_sha")
+    check = media.select(
+        "media_id", F.sha2(F.lower(F.hex("payload")), 256).alias("payload_sha")
+    )
+    return feats.join(check, "media_id")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """mapInPandas decode→nearest-neighbor-resize→re-encode over real
+    binary PPMs (resize_images, fake=False). Value-level oracle: the
+    index maps are pure integer arithmetic (src = dst·src_dim // 8), so
+    the DuckDB twin rebuilds every resized 8×8 PPM byte-for-byte from
+    the md5-seeded gradients and verifies the payload digest."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        resize_images,
+        synth_ppm_media,
+    )
+
+    rz = resize_images(synth_ppm_media(spark, n=64), 8, 8, fake=False)
+    return rz.select(
+        "media_id",
+        "width",
+        "height",
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_sha"),
+    )
+
+
+def _sql_resize() -> str:
+    """Mirror of resize_image's nearest-neighbor maps over the synth
+    gradients: dst pixel (y, x) samples src (y·h//8, x·w//8)."""
+    b0, b1, b2, b3, b4 = (_sql_hexbyte(k) for k in range(5))
+    return f"""
+WITH seed AS (
+  SELECT i, md5('ppm' || i) AS hh FROM (SELECT unnest(range(0, 64)) AS i)),
+geom AS (
+  SELECT i, 8 + {b0} % 9 AS w, 8 + {b1} % 9 AS h,
+         1 + {b2} % 5 AS ca, 1 + {b3} % 5 AS cb, {b4} AS cc
+  FROM seed),
+px AS (
+  SELECT g.i, y.y, x.x,
+         ((x.x * g.w // 8) * g.ca + (y.y * g.h // 8)) % 256 AS r,
+         ((y.y * g.h // 8) * g.cb + (x.x * g.w // 8)) % 256 AS gg,
+         ((x.x * g.w // 8) + (y.y * g.h // 8) + g.cc) % 256 AS b
+  FROM geom g
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x),
+feat AS (
+  SELECT i, string_agg(printf('%02x%02x%02x', r, gg, b), '' ORDER BY y, x)
+           AS raster_hex
+  FROM px GROUP BY i)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       sha256(lower(hex('P6' || chr(10) || '8 8' || chr(10) || '255'
+                        || chr(10))) || raster_hex) AS payload_sha
+FROM feat
+"""
+
+
+def _u32le(v: str) -> str:
+    return (
+        f"printf('%02x%02x%02x%02x', ({v}) % 256, (({v}) // 256) % 256,"
+        f" (({v}) // 65536) % 256, (({v}) // 16777216) % 256)"
+    )
+
+
+def _u16le(v: str) -> str:
+    return f"printf('%02x%02x', ({v}) % 256, (({v}) // 256) % 256)"
+
+
+def _sql_audio_features() -> str:
+    """Mirror of synth_wav_media + decode_audio (operators/multimodal.py)."""
+    b0, b1, b2 = (_sql_hexbyte(k) for k in range(3))
+    hdr = (
+        "lower(hex('RIFF')) || "
+        + _u32le("36 + 2 * f.n")
+        + " || lower(hex('WAVEfmt ')) || "
+        + _u32le("16")
+        + " || "
+        + _u16le("1")
+        + " || "
+        + _u16le("1")
+        + " || "
+        + _u32le("g.rate")
+        + " || "
+        + _u32le("g.rate * 2")
+        + " || "
+        + _u16le("2")
+        + " || "
+        + _u16le("16")
+        + " || lower(hex('data')) || "
+        + _u32le("2 * f.n")
+    )
+    return f"""
+WITH seed AS (
+  SELECT i, md5('wav' || i) AS hh FROM (SELECT unnest(range(0, 64)) AS i)),
+geom AS (
+  SELECT i, ([8000, 16000, 22050, 44100])[1 + {b0} % 4] AS rate,
+         110.0 * (1 + {b1} % 8) AS freq,
+         0.05 + ({b2} % 10) / 100.0 AS dur
+  FROM seed),
+g2 AS (SELECT i, rate, freq,
+              CAST(trunc(rate * dur) AS BIGINT) AS n FROM geom),
+pcm AS (
+  SELECT g.i, k.k,
+         CAST(trunc((0.5 * sin(((2 * pi()) * g.freq)
+                               * (k.k / CAST(g.rate AS DOUBLE))))
+                    * 32767.0) AS BIGINT) AS v
+  FROM g2 g JOIN LATERAL (SELECT unnest(range(0, g.n)) AS k) k ON true),
+feat AS (
+  SELECT i, count(*) AS n,
+         round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) / 32768.0, 6) AS rms,
+         string_agg(printf('%02x%02x', ((v + 65536) % 65536) % 256,
+                           ((v + 65536) % 65536) // 256), '' ORDER BY k)
+           AS pcm_hex
+  FROM pcm GROUP BY i)
+SELECT CAST(g.i AS BIGINT) AS media_id,
+       round(f.n / CAST(g.rate AS DOUBLE), 6) AS duration_s,
+       CAST(g.rate AS INTEGER) AS sample_rate,
+       f.rms,
+       sha256({hdr} || f.pcm_hex) AS payload_sha
+FROM g2 g JOIN feat f USING (i)
+"""
+
+
 def _sql_hexbyte(k: int) -> str:
     """DuckDB expr: byte k (0-based) of the md5 hex digest in column hh."""
     hexpos = "strpos('0123456789abcdef', substr(hh, {p}, 1)) - 1"
@@ -4482,6 +4622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_cap": q_token_budget_cap,
         "derived_column_conformance": q_derived_column_conformance,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_resize": q_multimodal_resize,
         "streaming_sessions": q_streaming_sessions,
         "bm25_search": q_bm25_search,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -4641,5 +4783,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # formerly rows-only, upgraded to hash-compared in round 4:
         "multimodal_image_features": _sql_image_features(),
+        "multimodal_audio_features": _sql_audio_features(),
+        "multimodal_resize": _sql_resize(),
         "streaming_sessions": SQL_STREAM_SESSIONS,
     }

@@ -296,10 +296,22 @@ def decode_audio(payload: bytes) -> tuple[float, int, float]:
     sample rate, and RMS from the actual samples. Compressed formats
     (mp3/ogg/flac) need a codec library, absent here."""
     if payload and payload[:4] == b"RIFF":
+        import numpy as np
+
         sample_rate, n_channels, samples = _parse_wav(payload)
         n_frames = len(samples) // max(n_channels, 1)
         duration = round(n_frames / sample_rate, 6)
-        rms = round(float((samples**2).mean()) ** 0.5, 6) if len(samples) else 0.0
+        if len(samples):
+            # exact-integer RMS: samples are pcm/32768 (dyadic, exact), so
+            # pcm² sums in int64 with no float-order dependence; one
+            # mirrored double division + IEEE-exact sqrt — reproducible by
+            # any external oracle (a float (samples**2).mean() is
+            # pairwise-summed and isn't)
+            pcm = np.rint(samples * 32768.0).astype(np.int64)
+            mean_sq = float(int((pcm * pcm).sum())) / len(pcm)
+            rms = round((mean_sq**0.5) / 32768.0, 6)
+        else:
+            rms = 0.0
         return duration, sample_rate, rms
     raise NotImplementedError("only PCM WAV decode without codecs; mp3/ogg need a codec")
 
