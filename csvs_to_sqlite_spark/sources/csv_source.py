@@ -212,6 +212,51 @@ def load_csv(
 
     if not os.path.exists(local_path):
         raise LoadCsvError(f"no such file: {filepath}")
+    # pandas compression='infer' parity (reference utils.py:38 —
+    # pd.read_csv decompresses by EXTENSION, so the reference accepts
+    # foo.csv.gz/.bz2/.xz/.zip transparently): decompress driver-side to
+    # a temp file so the header/encoding probes and the Spark scan all
+    # see plain bytes. Scale note: these containers are unsplittable
+    # anyway (one stream), and the reference is single-process through
+    # pandas on the same bytes — parity costs nothing extra.
+    comp = {".gz": "gzip", ".bz2": "bz2", ".xz": "xz", ".zip": "zip"}.get(
+        os.path.splitext(local_path)[1].lower()
+    )
+    if comp:
+        import shutil
+
+        try:
+            if comp == "gzip":
+                import gzip
+
+                src = gzip.open(local_path, "rb")
+            elif comp == "bz2":
+                import bz2
+
+                src = bz2.open(local_path, "rb")
+            elif comp == "xz":
+                import lzma
+
+                src = lzma.open(local_path, "rb")
+            else:
+                import zipfile
+
+                zf = zipfile.ZipFile(local_path)
+                members = zf.namelist()
+                if len(members) != 1:
+                    raise LoadCsvError(
+                        f"Multiple files found in ZIP file. Only one file per "
+                        f"ZIP: {members}"
+                    )
+                src = zf.open(members[0])
+            fd, plain = tempfile.mkstemp(suffix=".csv")
+            with src, os.fdopen(fd, "wb") as out:
+                shutil.copyfileobj(src, out)
+            local_path = plain
+        except LoadCsvError:
+            raise
+        except Exception as e:
+            raise LoadCsvError(str(e)) from e
     # Spark charset naming differs from Python's aliases
     encoding = {"latin-1": "ISO-8859-1", "utf-8": "UTF-8"}.get(
         _detect_encoding(local_path), "UTF-8"

@@ -611,3 +611,38 @@ def test_differential_fuzz_dates(spark, tmp_path):
         import_csvs(spark, [str(d / "t.csv")], str(d / "ours.db"), datetime=["when"])
         ref, ours = snapshot(str(d / "ref.db")), snapshot(str(d / "ours.db"))
         assert ref == ours, f"trial {trial}: {ref} != {ours}"
+
+
+def test_compressed_csv_identical(spark, tmp_path):
+    """pandas compression='infer' parity: the reference reads
+    foo.csv.gz/.bz2/.xz/.zip transparently (utils.py:38 pd.read_csv),
+    including the one-splitext table naming ('t.csv.gz' -> table
+    't.csv'). Our engine must produce the identical database."""
+    import bz2 as bz2mod
+    import gzip as gzipmod
+    import lzma
+    import zipfile
+
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    raw = b"a,b,score\n1,x,1.5\n2,y,2\n3,x,\n"
+    files = {}
+    with gzipmod.open(tmp_path / "t.csv.gz", "wb") as f:
+        f.write(raw)
+    files["t.csv.gz"] = None
+    with bz2mod.open(tmp_path / "u.csv.bz2", "wb") as f:
+        f.write(raw)
+    files["u.csv.bz2"] = None
+    with lzma.open(tmp_path / "v.csv.xz", "wb") as f:
+        f.write(raw)
+    files["v.csv.xz"] = None
+    with zipfile.ZipFile(tmp_path / "w.csv.zip", "w") as z:
+        z.writestr("w.csv", raw)
+    files["w.csv.zip"] = None
+
+    for fname in files:
+        ref_db = f"ref_{fname.split('.')[0]}.db"
+        our_db = str(tmp_path / f"ours_{fname.split('.')[0]}.db")
+        run_reference(str(tmp_path), fname, ref_db, [])
+        import_csvs(spark, [str(tmp_path / fname)], our_db)
+        assert snapshot(str(tmp_path / ref_db)) == snapshot(our_db), fname
