@@ -3291,6 +3291,49 @@ UNION ALL SELECT 'kept', count(*),
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per source,
+    docs ranked by LM score into head/middle/tail terciles, with doc and
+    bigram totals and the mean score per bucket — the rollup that decides
+    which quality band of each domain enters the training mix. ntile
+    carries a unique (score desc, doc_id) tiebreak so bucket assignment
+    is deterministic in both engines. Scale note: the per-source window
+    shuffles once on source; at extreme per-source cardinality swap the
+    ntile for percentile-cutoff assignment (3 broadcast numbers) — same
+    output contract."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    lm = terms.lm_score(d, "text", "doc_id")
+    scored = lm.join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            qavg(F.col("lm_score"), 1000000, 6).alias("mean_lm"),
+        )
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    lm = SQL_LM_SCORE.strip().rstrip(";")
+    return f"""
+WITH lm AS (SELECT * FROM ({lm})),
+s AS (SELECT l.doc_id, l.n_bigrams, l.lm_score, d.source
+      FROM lm l JOIN documents d USING (doc_id)),
+b AS (SELECT *, ntile(3) OVER (PARTITION BY source
+        ORDER BY lm_score DESC, doc_id ASC) AS bucket FROM s)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       sum(n_bigrams) AS total_bigrams,
+       {sql_qavg("lm_score", 1000000, 6)} AS mean_lm
+FROM b GROUP BY source, bucket
+"""
+
+
 def q_rolling_revenue_7d(spark, sf_dir):
     """RANGE-frame rolling window: each order's trailing-7-day revenue
     for its customer (event-time range frame, not row frame — the frame
@@ -4593,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "incremental_dedup": q_incremental_dedup,
         "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
         "skew_report": q_skew_report,
@@ -4729,6 +4773,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _sql_curation_pipeline(),
         "incremental_dedup": _sql_incremental_dedup(),
         "lm_score": SQL_LM_SCORE,
+        "ccnet_buckets": _sql_ccnet_buckets(),
         "contamination_report": _sql_contamination_report(),
         "stratified_sample": _sql_stratified_sample(),
         "skew_report": _sql_skew_report(),
