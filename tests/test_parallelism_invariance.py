@@ -74,3 +74,59 @@ def test_vocab_encode_partitioning_invariant(spark, docs, parts):
         terms.encode_docs(docs, "text", "doc_id", base_vocab).select("doc_id", "ids")
     )
     assert got == base
+
+
+# --- round-4 quantized-aggregate determinism: not just the same SET of
+# rows, the same FLOAT BITS under different physical parallelism (the
+# contract that lets round(sum...) outputs be hash-compared at all) ----
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_kmeans_centroids_bitwise_invariant(spark, emb, parts):
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    ref = rows_of(similarity.kmeans_centroids(base, "vec_id", n_centroids=4))
+    got = rows_of(
+        similarity.kmeans_centroids(base.repartition(parts), "vec_id", n_centroids=4)
+    )
+    assert got == ref  # tuple == is exact (bit-level for non-nan floats)
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_lm_score_bitwise_invariant(spark, docs, parts):
+    ref = rows_of(terms.lm_score(docs, "text", "doc_id"))
+    got = rows_of(terms.lm_score(docs.repartition(parts), "text", "doc_id"))
+    assert got == ref
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_tfidf_cosine_values_bitwise_invariant(spark, docs, parts):
+    ref = rows_of(terms.tfidf_cosine_pairs(docs, "text", "doc_id"))
+    got = rows_of(terms.tfidf_cosine_pairs(docs.repartition(parts), "text", "doc_id"))
+    assert got == ref
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_corpus_entropy_bitwise_invariant(spark, docs, parts):
+    ref = rows_of(terms.corpus_stats(docs, "text", "source"))
+    got = rows_of(terms.corpus_stats(docs.repartition(parts), "text", "source"))
+    assert got == ref
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_quantized_mean_quality_bitwise_invariant(spark, docs, parts):
+    """The dataset_card shape: mean of 6-dp per-doc quality, quantized to
+    exact micro-unit sums — identical bits at any partitioning."""
+    from csvs_to_sqlite_spark.operators import text
+
+    def card(frame):
+        q = text.quality_score(F.col("text")).alias("q")
+        qsum = F.sum(F.round(F.col("q") * 1000000).cast("long"))
+        return frame.select(q).agg(
+            F.round((qsum / F.lit(1000000.0)) / F.count("q"), 6).alias("mean_q")
+        )
+
+    ref = rows_of(card(docs))
+    got = rows_of(card(docs.repartition(parts)))
+    assert got == ref
