@@ -127,7 +127,7 @@ def _to_py(value):
 class SQLiteSink:
     """One output database; multiple runs accumulate tables (G4-G6)."""
 
-    BATCH = 40_000
+    BATCH = 100_000
 
     def __init__(self, db_path: str):
         self.db_path = db_path
@@ -332,6 +332,7 @@ class SQLiteSink:
         value_column: str = "value",
         fts: bool = True,
         collect_max: int | None = None,
+        prefetched_rows: list | None = None,
     ) -> dict | None:
         """Write/extend a lookup table ``(id INTEGER PRIMARY KEY, value TEXT)``
         (reference utils.py:151-182). Only ids not already present are
@@ -364,10 +365,16 @@ class SQLiteSink:
             f'INSERT INTO "{name}_{value_column}_fts" (rowid, "{value_column}") VALUES (?, ?)'
         )
         fts_live = fts_version and self._fts_table_exists(f"{name}_{value_column}_fts")
+        if prefetched_rows is not None:
+            # the engine already fetched this dim's rows (one batched job
+            # across all dims); same guardrail contract as the probe below
+            probe = prefetched_rows
+            collect_max = collect_max if collect_max is not None else len(probe)
         if collect_max is not None:
             # probe size and fetch in ONE job: limit(max+1) — if the extra
             # row comes back the dim is over the guardrail
-            probe = dim.orderBy("id").limit(collect_max + 1).collect()
+            if prefetched_rows is None:
+                probe = dim.orderBy("id").limit(collect_max + 1).collect()
             if len(probe) > collect_max:
                 chunk: list[tuple] = []
                 for r in dim.orderBy("id").toLocalIterator():
