@@ -1836,6 +1836,61 @@ def q_multimodal_audio_features(spark, sf_dir):
     return feats.join(check, "media_id")
 
 
+def q_multimodal_video_frames(spark, sf_dir):
+    """REAL video frame sampling: mapInPandas over PV01 streams (the
+    codec-free video container — concatenated self-describing P6
+    frames), emitting every 2nd frame's dimensions, exact integer-milli
+    Rec.601 luma, and a digest of the frame's PPM bytes. Value-level
+    oracle: frames are md5-seeded gradients shifted per frame index, so
+    the DuckDB twin regenerates every sampled frame byte-for-byte."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_video_frames,
+        synth_ppm_video_media,
+    )
+
+    return extract_video_frames(
+        synth_ppm_video_media(spark, n=24), every_n=2, fake=False
+    )
+
+
+def _sql_video_frames() -> str:
+    b0, b1, b2, b3, b4, b5 = (_sql_hexbyte(k) for k in range(6))
+    return f"""
+WITH seed AS (
+  SELECT i, md5('vid' || i) AS hh FROM (SELECT unnest(range(0, 24)) AS i)),
+geom AS (
+  SELECT i, 8 + {b0} % 5 AS w, 8 + {b1} % 5 AS h,
+         1 + {b2} % 3 AS ca, 1 + {b3} % 3 AS cb, {b4} AS cc,
+         4 + {b5} % 5 AS nf
+  FROM seed),
+fr AS (
+  SELECT g.*, f.f FROM geom g
+  JOIN LATERAL (SELECT unnest(range(0, g.nf, 2)) AS f) f ON true),
+px AS (
+  SELECT fr.i, fr.f, fr.w, fr.h, y.y, x.x,
+         (x.x * fr.ca + y.y + fr.f) % 256 AS r,
+         (y.y * fr.cb + x.x + fr.f) % 256 AS gg,
+         (x.x + y.y + fr.cc + fr.f) % 256 AS b
+  FROM fr
+  JOIN LATERAL (SELECT unnest(range(0, fr.h)) AS y) y ON true
+  JOIN LATERAL (SELECT unnest(range(0, fr.w)) AS x) x ON true),
+feat AS (
+  SELECT i, f, w, h,
+         round((CAST(sum(299 * r + 587 * gg + 114 * b) AS DOUBLE)
+                / count(*)) / 255000.0, 6) AS mean_luma,
+         string_agg(printf('%02x%02x%02x', r, gg, b), '' ORDER BY y, x)
+           AS raster_hex
+  FROM px GROUP BY i, f, w, h)
+SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       mean_luma,
+       sha256(lower(hex('P6' || chr(10) || w || ' ' || h || chr(10)
+                        || '255' || chr(10))) || raster_hex) AS frame_sha
+FROM feat
+"""
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas decode→nearest-neighbor-resize→re-encode over real
     binary PPMs (resize_images, fake=False). Value-level oracle: the
@@ -4668,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "streaming_sessions": q_streaming_sessions,
         "bm25_search": q_bm25_search,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -4830,5 +4886,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": _sql_image_features(),
         "multimodal_audio_features": _sql_audio_features(),
         "multimodal_resize": _sql_resize(),
+        "multimodal_video_frames": _sql_video_frames(),
         "streaming_sessions": SQL_STREAM_SESSIONS,
     }

@@ -430,3 +430,140 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
         .select("media_id", "payload")
         .mapInPandas(batches, RESIZE_SCHEMA)
     )
+
+
+# --- video: codec-free frame container + real frame sampling ---------------
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "mean_luma double, frame_sha string"
+)
+
+
+def encode_ppm_video(frames) -> bytes:
+    """Encode a list of (h, w, 3) uint8 arrays as a PV01 stream: the
+    codec-free video container ('PV01' + u32le frame count + each frame
+    as a self-describing binary P6 PPM — y4m's idea without the YUV).
+    Real codecs (h264/vp9) need decoder libraries, absent here; their
+    payloads take the fake path exactly like jpeg for images."""
+    import struct
+
+    body = b"".join(encode_ppm(f) for f in frames)
+    return b"PV01" + struct.pack("<I", len(frames)) + body
+
+
+def _parse_ppm_video(payload: bytes):
+    """Parse a PV01 stream into a list of (w, h, pixels). Raises
+    ValueError on malformed input."""
+    import struct
+
+    if len(payload) < 8 or payload[:4] != b"PV01":
+        raise ValueError("not a PV01 payload")
+    n = struct.unpack("<I", payload[4:8])[0]
+    pos, frames = 8, []
+    for _ in range(n):
+        w, h, px = _parse_pnm(payload[pos:])
+        # advance past this frame: header bytes + raster
+        hdr_len = len(b"P6\n%d %d\n255\n" % (w, h))
+        pos += hdr_len + w * h * 3
+        frames.append((w, h, px))
+    return frames
+
+
+def fake_video_frames(payload: bytes, every_n: int):
+    """Deterministic stand-in for codec-requiring containers."""
+    h = hashlib.md5(payload or b"").digest()
+    n = 4 + h[0] % 5
+    out = []
+    for idx in range(0, n, every_n):
+        out.append((idx, 8, 8, round((h[idx % 16] / 255.0), 6),
+                    hashlib.md5(payload + bytes([idx])).hexdigest()))
+    return out
+
+
+def extract_video_frames(
+    df: DataFrame, every_n: int = 2, fake: bool = True
+) -> DataFrame:
+    """Frame sampling with REAL decode: mapInPandas over PV01 payloads,
+    emitting every ``every_n``-th frame's (width, height, Rec.601
+    integer-milli mean luma, digest of the frame's PPM bytes in hex
+    form). The per-frame digest proves the byte-exact split of the
+    container; luma follows decode_image's exact-integer contract so an
+    external oracle reproduces it bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "width", "height", "mean_luma", "frame_sha"
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                if fake or p[:4] != b"PV01":
+                    for idx, w, h, luma, sha in fake_video_frames(p, every_n):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["mean_luma"].append(luma)
+                        rows["frame_sha"].append(sha)
+                    continue
+                frames = _parse_ppm_video(p)
+                for idx in range(0, len(frames), every_n):
+                    w, h, px = frames[idx]
+                    luma_milli = px.astype(np.int64) @ np.array([299, 587, 114])
+                    mean_milli = float(int(luma_milli.sum())) / luma_milli.size
+                    frame_bytes = encode_ppm(px)
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_luma"].append(round(mean_milli / 255000.0, 6))
+                    rows["frame_sha"].append(
+                        hashlib.sha256(frame_bytes.hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(batches, VIDEO_FRAMES_SCHEMA)
+    )
+
+
+def synth_ppm_video_media(spark, n: int = 24) -> DataFrame:
+    """Synthetic media whose video payloads are REAL PV01 streams of
+    md5-seeded gradient frames (the frame index shifts every channel, so
+    consecutive frames differ deterministically)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"vid{i}".encode()).digest()
+        w, ht = 8 + h[0] % 5, 8 + h[1] % 5
+        ca, cb, cc = 1 + h[2] % 3, 1 + h[3] % 3, h[4]
+        nf = 4 + h[5] % 5
+        y, x = np.mgrid[0:ht, 0:w]
+        frames = []
+        for f in range(nf):
+            frames.append(
+                np.stack(
+                    [
+                        (x * ca + y + f) % 256,
+                        (y * cb + x + f) % 256,
+                        (x + y + cc + f) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+            )
+        rows.append(
+            (
+                i,
+                "video",
+                encode_ppm_video(frames),
+                "video/x-pv01",
+                {"n_frames": str(nf)},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

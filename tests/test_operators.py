@@ -868,3 +868,45 @@ def test_bloom_prefilter_no_false_negatives_and_counts(spark):
     assert row.n_true_members == 10
     assert row.n_pass >= 10
     assert row.n_false_positives == row.n_pass - 10
+
+
+def test_ppm_video_roundtrip_and_sampling(spark):
+    import numpy as np
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        _parse_ppm_video,
+        encode_ppm_video,
+        extract_video_frames,
+        synth_ppm_video_media,
+    )
+
+    # hand-built 3-frame stream round-trips losslessly
+    frames = [
+        (np.arange(2 * 3 * 3).reshape(2, 3, 3) * (i + 1) % 256).astype(np.uint8)
+        for i in range(3)
+    ]
+    back = _parse_ppm_video(encode_ppm_video(frames))
+    assert [(w, h) for w, h, _ in back] == [(3, 2)] * 3
+    for (_, _, px), want in zip(back, frames):
+        assert np.array_equal(px, want)
+
+    media = synth_ppm_video_media(spark, n=6)
+    out = extract_video_frames(media, every_n=2, fake=False).collect()
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert set(by_vid) == set(raw)
+    for mid, rows in by_vid.items():
+        parsed = _parse_ppm_video(raw[mid])
+        # every 2nd frame sampled, indices ascending
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(
+            range(0, len(parsed), 2)
+        )
+        for r in rows:
+            w, h, px = parsed[r["frame_idx"]]
+            assert (r["width"], r["height"]) == (w, h)
+            want = float(
+                (px.astype(np.int64) @ np.array([299, 587, 114])).sum()
+            ) / px[..., 0].size / 255000.0
+            assert abs(r["mean_luma"] - round(want, 6)) < 1e-9
