@@ -46,6 +46,46 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+_SPARK_FAMILY = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+_DUCK_FAMILY = {
+    "BIGINT": "int", "INTEGER": "int", "HUGEINT": "int", "SMALLINT": "int",
+    "TINYINT": "int", "UBIGINT": "int", "UINTEGER": "int",
+    "DOUBLE": "float", "FLOAT": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "BLOB": "bin",
+}
+
+
+def _family(name: str, table: dict) -> str:
+    base = name.split("(")[0].strip()
+    if base.upper().startswith("DECIMAL") or base.lower().startswith("decimal"):
+        return "decimal"
+    return table.get(base, table.get(base.upper(), "other:" + base))
+
+
+def type_mismatches(sdf_schema, ocols, odesc) -> list[str]:
+    """Column-name → type-FAMILY comparison (int vs float vs decimal vs
+    str…). Value hashes can't catch a type drift on empty results, and a
+    decimal-vs-double drift (e.g. a `100.0` literal silently switching
+    Spark SQL to decimal arithmetic) deserves a static red flag."""
+    sfam = {f.name: _family(f.dataType.simpleString(), _SPARK_FAMILY) for f in sdf_schema}
+    out = []
+    for col, typ in zip(ocols, odesc):
+        ofam = _family(str(typ), _DUCK_FAMILY)
+        got = sfam.get(col)
+        if got is None or got.startswith("other") or ofam.startswith("other"):
+            continue  # complex/unmapped types: value hash still covers them
+        if got != ofam and {got, ofam} != {"int", "bool"}:
+            out.append(f"{col}: spark {got} vs oracle {ofam}")
+    return out
+
+
 def frame_hash(columns: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted(
@@ -105,6 +145,19 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+        else:
+            try:
+                desc = con.execute(
+                    f"DESCRIBE ({oracles[name].strip().rstrip(';')})"
+                ).fetchall()
+                otypes = {r[0]: r[1] for r in desc}
+                tm = type_mismatches(
+                    sdf.schema, list(otypes), [otypes[c] for c in otypes]
+                )
+            except Exception:
+                tm = []
+            if tm:
+                problems.append("type families: " + "; ".join(tm))
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if not problems:
