@@ -1803,7 +1803,7 @@ def q_multimodal_image_features(spark, sf_dir):
         synth_ppm_media,
     )
 
-    media = synth_ppm_media(spark, n=64)
+    media = synth_ppm_media(spark, n=64).coalesce(4).localCheckpoint()
     feats = extract_image_features(media, fake=False).drop("payload_sha")
     # digest over the hex encoding (bijective with the raw bytes) because
     # DuckDB 1.0 hash functions accept VARCHAR only; the operator itself
@@ -1828,7 +1828,7 @@ def q_multimodal_audio_features(spark, sf_dir):
         synth_wav_media,
     )
 
-    media = synth_wav_media(spark, n=64)
+    media = synth_wav_media(spark, n=64).coalesce(4).localCheckpoint()
     feats = extract_audio_features(media, fake=False).drop("payload_sha")
     check = media.select(
         "media_id", F.sha2(F.lower(F.hex("payload")), 256).alias("payload_sha")
@@ -1850,7 +1850,9 @@ def q_multimodal_video_frames(spark, sf_dir):
     )
 
     return extract_video_frames(
-        synth_ppm_video_media(spark, n=24), every_n=2, fake=False
+        synth_ppm_video_media(spark, n=24).coalesce(4).localCheckpoint(),
+        every_n=2,
+        fake=False,
     )
 
 
@@ -1903,7 +1905,9 @@ def q_multimodal_resize(spark, sf_dir):
         synth_ppm_media,
     )
 
-    rz = resize_images(synth_ppm_media(spark, n=64), 8, 8, fake=False)
+    rz = resize_images(
+        synth_ppm_media(spark, n=64).coalesce(4).localCheckpoint(), 8, 8, fake=False
+    )
     return rz.select(
         "media_id",
         "width",
