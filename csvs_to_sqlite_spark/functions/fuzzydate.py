@@ -137,6 +137,14 @@ def _shift_months(base: datetime, months: int) -> datetime:
     raise UnparseableDate(str(base))
 
 
+_WEEKDAY_NUM = {
+    "monday": 0, "mon": 0, "tuesday": 1, "tue": 1, "tues": 1,
+    "wednesday": 2, "wed": 2, "thursday": 3, "thu": 3, "thur": 3, "thurs": 3,
+    "friday": 4, "fri": 4, "saturday": 5, "sat": 5, "sunday": 6, "sun": 6,
+}
+_WEEKDAY_REL_RE = re.compile(r"^\s*(next|last)\s+([a-z]+)\s*$", re.I)
+
+
 def _parse_relative(value: str, base: datetime) -> datetime | None:
     s = value.strip().lower()
     if s == "today":
@@ -145,6 +153,15 @@ def _parse_relative(value: str, base: datetime) -> datetime | None:
         return base - timedelta(days=1)
     if s == "tomorrow":
         return base + timedelta(days=1)
+    wm = _WEEKDAY_REL_RE.match(s)
+    if wm and wm.group(2) in _WEEKDAY_NUM:
+        # "next monday" = the strictly-upcoming one (a Monday base means
+        # +7), "last friday" = the strictly-previous one — dateparser's
+        # unambiguous weekday navigation
+        target = _WEEKDAY_NUM[wm.group(2)]
+        if wm.group(1) == "next":
+            return base + timedelta(days=(target - base.weekday() - 1) % 7 + 1)
+        return base - timedelta(days=(base.weekday() - target - 1) % 7 + 1)
     m = _RELATIVE_RE.match(s)
     if not m:
         return None

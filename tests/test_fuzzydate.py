@@ -144,3 +144,14 @@ def test_non_english_month_names():
     assert parse_datetime("1 gennaio 2020").date().isoformat() == "2020-01-01"
     assert parse_datetime("15 outubro 1999").date().isoformat() == "1999-10-15"
     assert parse_datetime("5 maart 2021").date().isoformat() == "2021-03-05"
+
+
+def test_weekday_relative():
+    base = datetime(2024, 3, 15, 10, 0)  # a Friday
+    assert parse_datetime("next monday", relative_base=base) == datetime(2024, 3, 18, 10, 0)
+    assert parse_datetime("next friday", relative_base=base) == datetime(2024, 3, 22, 10, 0)
+    assert parse_datetime("last friday", relative_base=base) == datetime(2024, 3, 8, 10, 0)
+    assert parse_datetime("last saturday", relative_base=base) == datetime(2024, 3, 9, 10, 0)
+    assert parse_datetime("next sun", relative_base=base) == datetime(2024, 3, 17, 10, 0)
+    # bare weekday names stay date-part fillers, not relative phrases
+    assert parse_datetime("Friday March 15 2024").date().isoformat() == "2024-03-15"
