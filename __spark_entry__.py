@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from csvs_to_sqlite_spark.operators import dedup, similarity, splits, terms, text
+from csvs_to_sqlite_spark.operators import (
+    dedup,
+    packing,
+    similarity,
+    splits,
+    terms,
+    text,
+)
 from csvs_to_sqlite_spark.operators.dims import build_dims, fmt_g
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
@@ -3350,6 +3357,19 @@ UNION ALL SELECT 'kept', count(*),
 """
 
 
+def q_length_batches(spark, sf_dir):
+    """Length-grouped batch assignment (packing.length_bucketed_batches,
+    the HF group_by_length trainer pattern): log2-length buckets,
+    deterministic batches within each bucket, and the exact per-batch
+    padding waste the grouping minimizes — all integer arithmetic."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.packing import length_bucketed_batches
+
+    return length_bucketed_batches(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", batch_size=8
+    )
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per source,
     docs ranked by LM score into head/middle/tail terciles, with doc and
@@ -4696,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "lm_score": q_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
+        "length_batches": q_length_batches,
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
         "skew_report": q_skew_report,
@@ -4834,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _sql_incremental_dedup(),
         "lm_score": SQL_LM_SCORE,
         "ccnet_buckets": _sql_ccnet_buckets(),
+        "length_batches": packing.length_bucketed_batches_sql(batch_size=8),
         "contamination_report": _sql_contamination_report(),
         "stratified_sample": _sql_stratified_sample(),
         "skew_report": _sql_skew_report(),

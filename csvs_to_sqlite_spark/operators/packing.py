@@ -140,3 +140,78 @@ def chunk_windows_sql(
         "SELECT doc_id, cast(u.idx AS bigint) AS chunk_idx, "
         "cast(u.nt AS bigint) AS n_tokens, u.txt AS chunk FROM win"
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-grouped batch assignment (the HF ``group_by_length``
+    trainer pattern): docs land in log2 length buckets, batches form
+    WITHIN a bucket, and the per-batch padding waste — the wasted
+    compute the grouping exists to minimize — is reported exactly.
+
+    Returns one row per batch: (bucket, batch_id, n_docs, max_len,
+    sum_len, padding_waste) where padding_waste = n_docs·max_len −
+    sum_len (all exact integers — no float anywhere).
+
+    Plan shape: one scan-stage tokenize + bucket expr, one window keyed
+    (bucket) ordered (n_tokens, id) for deterministic batch membership,
+    one (bucket, batch) aggregate. The window partitions by bucket
+    (~log2(max_len) groups): batches must be globally numbered within a
+    bucket, so this is the price of the contract; at extreme scale
+    sub-salt the bucket by a hash prefix and renumber hierarchically,
+    same two-phase discipline as global_shuffle's rank."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+    toked = df.select(
+        F.col(id_col),
+        F.size(tokens_expr(F.col(text_col), distinct=False)).cast("long").alias(
+            "n_tokens"
+        ),
+    ).where(F.col("n_tokens") > 0)
+    # floor(log2(n)) via binary-string length: EXACT integer arithmetic —
+    # a float log2 is libm-dependent and can land on 2.999…96 at exact
+    # powers of two, flipping the bucket between engines
+    bucket = (
+        F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2)) - 1
+    ).cast("long").alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_tokens").asc(), F.col(id_col).asc()
+    )
+    laid = toked.select(id_col, "n_tokens", bucket).withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("long")
+    )
+    return (
+        laid.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+            (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+    )
+
+
+def length_bucketed_batches_sql(batch_size: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of length_bucketed_batches."""
+    return (
+        "WITH toked AS (SELECT doc_id, "
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "t -> t <> '')) AS n_tokens "
+        f"FROM {table}),\n"
+        "nz AS (SELECT * FROM toked WHERE n_tokens > 0),\n"
+        "laid AS (SELECT doc_id, n_tokens, "
+        "CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket, "
+        "CAST((row_number() OVER (PARTITION BY length(bin(n_tokens)) "
+        "ORDER BY n_tokens ASC, doc_id ASC) - 1) "
+        f"// {batch_size} AS BIGINT) AS batch_id FROM nz)\n"
+        "SELECT bucket, batch_id, count(*) AS n_docs, "
+        "max(n_tokens) AS max_len, sum(n_tokens) AS sum_len, "
+        "count(*) * max(n_tokens) - sum(n_tokens) AS padding_waste "
+        "FROM laid GROUP BY bucket, batch_id"
+    )
