@@ -646,3 +646,33 @@ def test_compressed_csv_identical(spark, tmp_path):
         run_reference(str(tmp_path), fname, ref_db, [])
         import_csvs(spark, [str(tmp_path / fname)], our_db)
         assert snapshot(str(tmp_path / ref_db)) == snapshot(our_db), fname
+
+
+def test_url_source_identical(spark, tmp_path):
+    """A12 through a REAL http fetch: both tools download the same URL
+    from a local server and must produce identical databases (reference
+    utils.py:93-136 fetches driver-side; so do we)."""
+    import http.server
+    import threading
+
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "served.csv").write_text("a,b\n1,x\n2,y\n3,x\n")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, directory=str(tmp_path), **k)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/served.csv"
+        _run_ref_args(str(tmp_path), [url, "ref.db", "-c", "b"])
+        import_csvs(spark, [url], str(tmp_path / "ours.db"), extract_column=["b"])
+        assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+    finally:
+        srv.shutdown()
