@@ -676,3 +676,39 @@ def test_url_source_identical(spark, tmp_path):
         assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
     finally:
         srv.shutdown()
+
+
+def test_kitchen_sink_gz_identical(spark, tmp_path):
+    """Compression composed with the full option surface: a gzip CSV
+    through extract + fuzzy dates + FTS + index + fixed column must be
+    byte-identical to the reference end-to-end."""
+    import gzip as gzipmod
+
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    raw = (
+        "city,team,founded,notes\n"
+        "Austin,Owls,3rd May 2017,alpha beta\n"
+        "Boston,Bears,04/30/2005,gamma\n"
+        "Austin,Hawks,10 December 2009,delta alpha\n"
+    ).encode()
+    with gzipmod.open(tmp_path / "clubs.csv.gz", "wb") as f:
+        f.write(raw)
+    args = [
+        "-c", "city", "-d", "founded", "-f", "notes",
+        "-i", "team", "--fixed-column", "src", "seed",
+    ]
+    run_reference(str(tmp_path), "clubs.csv.gz", "ref.db", args)
+    import_csvs(
+        spark,
+        [str(tmp_path / "clubs.csv.gz")],
+        str(tmp_path / "ours.db"),
+        extract_column=["city"],
+        date=["founded"],
+        fts=["notes"],
+        index=["team"],
+        fixed_columns=[("src", "seed")],
+    )
+    ref = snapshot(str(tmp_path / "ref.db"))
+    ours = snapshot(str(tmp_path / "ours.db"))
+    assert ref == ours
