@@ -3357,6 +3357,16 @@ UNION ALL SELECT 'kept', count(*),
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality gate (text.gopher_rules): the MassiveText
+    format/repetition heuristics as per-doc booleans + measurements,
+    pure scan-stage expressions — zero shuffles, zero joins."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    rules = text.gopher_rules(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in rules.items()])
+
+
 def q_length_batches(spark, sf_dir):
     """Length-grouped batch assignment (packing.length_bucketed_batches,
     the HF group_by_length trainer pattern): log2-length buckets,
@@ -4717,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
         "length_batches": q_length_batches,
+        "gopher_rules": q_gopher_rules,
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
         "skew_report": q_skew_report,
@@ -4856,6 +4867,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": SQL_LM_SCORE,
         "ccnet_buckets": _sql_ccnet_buckets(),
         "length_batches": packing.length_bucketed_batches_sql(batch_size=8),
+        "gopher_rules": (
+            "SELECT doc_id, " + text.gopher_rules_sql("text") + " FROM documents"
+        ),
         "contamination_report": _sql_contamination_report(),
         "stratified_sample": _sql_stratified_sample(),
         "skew_report": _sql_skew_report(),

@@ -254,3 +254,77 @@ def char_health_sql(expr: str) -> str:
         f"{ratio('[0-9]')} AS digit_ratio, "
         f"{ratio('[^A-Za-z0-9 ]')} AS symbol_ratio"
     )
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix A:
+    the repetition/format heuristics that gate MassiveText) as per-doc
+    boolean columns plus the measurements behind them — all scan-stage
+    expressions, patterns within RE2 ∩ Java-regex so the DuckDB twin is
+    byte-equivalent. Thresholds follow the paper (adapted to the ASCII
+    test corpus): 50..100k words, mean word length 3..10, ≤10% symbol
+    chars, ≤30% ellipsis lines, ≤90% bullet lines, ≥80% words with an
+    alphabetic char, ≥2 distinct required stopwords."""
+    toks = tokens_expr(text, distinct=False)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    mean_wl = F.when(n_words > 0, F.round(sum_len / n_words, 6)).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$")))
+    bullets = F.size(F.filter(lines, lambda l: l.rlike("^\\s*[-*]")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    )
+    symbol = _class_ratio(text, "[^A-Za-z0-9 \\n]")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "word_count_ok": (n_words >= 50) & (n_words <= 100000),
+        "mean_len_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_ok": F.round(symbol, 6) <= 0.1,
+        "ellipsis_ok": (ellipsis / n_lines) <= 0.3,
+        "bullet_ok": (bullets / n_lines) <= 0.9,
+        "alpha_ok": F.when(
+            n_words > 0, (alpha_words / n_words) >= 0.8
+        ).otherwise(F.lit(False)),
+        "stopword_ok": n_stop >= 2,
+    }
+
+
+def gopher_rules_sql(expr: str) -> str:
+    """DuckDB SELECT-list fragment mirroring gopher_rules."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(expr, distinct=False)
+    n_words = f"len({toks})"
+    sum_len = f"list_sum(list_transform({toks}, t -> length(t)))"
+    mean_wl = (
+        f"CASE WHEN {n_words} > 0 THEN round({sum_len} / CAST({n_words} AS DOUBLE), 6)"
+        " ELSE 0.0 END"
+    )
+    lines = f"string_split({expr}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)"
+    ellipsis = f"len(list_filter({lines}, l -> regexp_matches(l, '\\.\\.\\.$')))"
+    bullets = f"len(list_filter({lines}, l -> regexp_matches(l, '^\\s*[-*]')))"
+    alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[a-zA-Z]')))"
+    stops = "', '".join(STOPWORDS)
+    n_stop = f"len(list_distinct(list_filter({toks}, t -> t IN ('{stops}'))))"
+    n_chars = f"length({expr})"
+    kept = f"length(regexp_replace({expr}, '[^A-Za-z0-9 \\n]', '', 'g'))"
+    symbol = (
+        f"CASE WHEN {n_chars} > 0 THEN ({n_chars} - {kept}) / CAST({n_chars} AS DOUBLE)"
+        " ELSE 0.0 END"
+    )
+    return (
+        f"CAST({n_words} AS BIGINT) AS n_words, {mean_wl} AS mean_word_len, "
+        f"({n_words} >= 50 AND {n_words} <= 100000) AS word_count_ok, "
+        f"({mean_wl} >= 3.0 AND {mean_wl} <= 10.0) AS mean_len_ok, "
+        f"round({symbol}, 6) <= 0.1 AS symbol_ok, "
+        f"({ellipsis} / CAST({n_lines} AS DOUBLE)) <= 0.3 AS ellipsis_ok, "
+        f"({bullets} / CAST({n_lines} AS DOUBLE)) <= 0.9 AS bullet_ok, "
+        f"CASE WHEN {n_words} > 0 THEN ({alpha} / CAST({n_words} AS DOUBLE)) >= 0.8"
+        " ELSE false END AS alpha_ok, "
+        f"{n_stop} >= 2 AS stopword_ok"
+    )
