@@ -3357,6 +3357,21 @@ UNION ALL SELECT 'kept', count(*),
 """
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """RefinedWeb-style boilerplate line removal
+    (dedup.boilerplate_line_filter): corpus-frequent lines dropped from
+    every document, with the reconstructed kept-text digest verified.
+    The synthetic docs are single-line, so a shared footer line is
+    appended to every document — the oracle then checks BOTH paths: the
+    footer is corpus-frequent (dropped everywhere) while the body lines
+    survive and reconstruct."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat_ws("\n", F.col("text"), F.lit("-- shared footer --"))
+    )
+    return dedup.boilerplate_line_filter(d, "text", "doc_id", max_freq=2)
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher-style quality gate (text.gopher_rules): the MassiveText
     format/repetition heuristics as per-doc booleans + measurements,
@@ -4728,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "length_batches": q_length_batches,
         "gopher_rules": q_gopher_rules,
+        "boilerplate_lines": q_boilerplate_lines,
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
         "skew_report": q_skew_report,
@@ -4869,6 +4885,11 @@ def oracle_sql() -> dict[str, str]:
         "length_batches": packing.length_bucketed_batches_sql(batch_size=8),
         "gopher_rules": (
             "SELECT doc_id, " + text.gopher_rules_sql("text") + " FROM documents"
+        ),
+        "boilerplate_lines": dedup.boilerplate_line_filter_sql(
+            max_freq=2,
+            table="(SELECT doc_id, text || chr(10) || '-- shared footer --' AS text"
+            " FROM documents)",
         ),
         "contamination_report": _sql_contamination_report(),
         "stratified_sample": _sql_stratified_sample(),

@@ -667,3 +667,86 @@ def incremental_near_dup_filter(
     )
     dropped = hit_old.unionByName(hit_new).distinct()
     return new_docs.join(dropped, id_col, "left_anti")
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_freq: int = 2,
+) -> DataFrame:
+    """RefinedWeb-style boilerplate line removal (Penedo et al. 2023):
+    a LINE that appears in more than ``max_freq`` documents corpus-wide
+    (nav menus, cookie banners, footers) is dropped from EVERY document.
+
+    Returns (id, n_lines, n_kept, kept_md5) where kept_md5 digests the
+    kept lines joined by newline in original order — so the oracle
+    verifies the exact reconstructed text, not just counts.
+
+    Plan shape: one scan-stage line explode, one line-keyed count
+    aggregate (map-side combined; the shuffle key is md5(line), constant
+    width — raw lines never shuffle), one equi-join back, one per-doc
+    aggregate with an ordered fold. Blank lines are ignored entirely
+    (they'd otherwise count as corpus-wide duplicates). At 100 TB the
+    line-frequency table is the only wide intermediate and it shrinks
+    with ``HAVING count > max_freq`` before the join.
+    """
+    from csvs_to_sqlite_spark.functions.hashing import md5_long
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).where(F.length(F.trim(F.col("line"))) > 0)
+    keyed = lines.withColumn("h", md5_long(F.col("line"), seed="bline"))
+    freq = (
+        keyed.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") > max_freq)
+        .select("h", F.lit(True).alias("drop"))
+    )
+    marked = keyed.join(freq, "h", "left")
+    kept = marked.where(F.col("drop").isNull())
+    per_doc_total = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    per_doc_kept = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        per_doc_total.join(per_doc_kept, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+def boilerplate_line_filter_sql(max_freq: int = 2, table: str = "documents") -> str:
+    """DuckDB twin of boilerplate_line_filter."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("line", seed="bline")
+    return f"""
+WITH lines AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {table})),
+nz AS (SELECT * FROM lines WHERE length(trim(line)) > 0),
+keyed AS (SELECT doc_id, pos, line, {h} AS h FROM nz),
+freq AS (SELECT h FROM keyed GROUP BY h
+         HAVING count(DISTINCT doc_id) > {max_freq}),
+kept AS (SELECT k.* FROM keyed k LEFT JOIN freq f ON k.h = f.h
+         WHERE f.h IS NULL),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id),
+pd AS (SELECT doc_id, count(*) AS n_kept,
+              md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_md5
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines, coalesce(pd.n_kept, 0) AS n_kept,
+       coalesce(pd.kept_md5, md5('')) AS kept_md5
+FROM tot t LEFT JOIN pd ON t.doc_id = pd.doc_id
+"""

@@ -910,3 +910,34 @@ def test_ppm_video_roundtrip_and_sampling(spark):
                 (px.astype(np.int64) @ np.array([299, 587, 114])).sum()
             ) / px[..., 0].size / 255000.0
             assert abs(r["mean_luma"] - round(want, 6)) < 1e-9
+
+
+def test_boilerplate_line_filter_drops_shared_lines(spark):
+    import hashlib as _hl
+
+    from csvs_to_sqlite_spark.operators.dedup import boilerplate_line_filter
+
+    nav = "Home | About | Contact"
+    cookie = "We use cookies"
+    docs = [
+        (1, f"{nav}\nunique alpha text\n{cookie}"),
+        (2, f"{nav}\nanother body here\n{cookie}"),
+        (3, f"{nav}\nthird doc content\n{cookie}"),
+        (4, "standalone document\n\n  \nwith a blank line"),
+        (5, nav),  # all-boilerplate doc -> zero kept lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_line_filter(df, "text", "doc_id", max_freq=2).collect()}
+    # nav + cookie appear in >2 docs -> dropped everywhere
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    assert out[1]["kept_md5"] == _hl.md5(b"unique alpha text").hexdigest()
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 1)
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (3, 1)
+    # blank lines ignored, unique lines kept in order
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (2, 2)
+    assert out[4]["kept_md5"] == _hl.md5(
+        b"standalone document\nwith a blank line"
+    ).hexdigest()
+    # all-boilerplate doc: present with zero kept lines
+    assert (out[5]["n_lines"], out[5]["n_kept"]) == (1, 0)
+    assert out[5]["kept_md5"] == _hl.md5(b"").hexdigest()
