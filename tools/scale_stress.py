@@ -331,6 +331,40 @@ def main() -> None:
         lambda: dedup.fuzzy_link(left1, right1, "text", "doc_id", "doc_id"),
         lambda: dedup.fuzzy_link(leftn, rightn, "text", "doc_id", "doc_id"),
     )
+    # boilerplate line filter: line document-frequency scales xN under a
+    # self-union, so with a threshold scaled xN the kept/dropped split —
+    # and every reconstructed-text digest — is IDENTICAL for original docs.
+    bp1 = {
+        r[0]: (r[1], r[2], r[3])
+        for r in dedup.boilerplate_line_filter(d1, "text", "doc_id", max_freq=2).collect()
+    }
+    t0 = time.time()
+    bpn = {
+        r[0]: (r[1], r[2], r[3])
+        for r in dedup.boilerplate_line_filter(
+            dn, "text", "doc_id", max_freq=2 * n
+        ).collect()
+        if r[0] < 10_000_000
+    }
+    print(f"boilerplate_lines {n}x: {len(bpn)} docs, {time.time()-t0:.1f}s")
+    assert bpn == bp1, "boilerplate filter not xN-threshold invariant"
+
+    # gopher rules are per-row scan expressions: a copy's verdict equals
+    # its original's, at any N
+    from csvs_to_sqlite_spark.operators import text as text_ops
+
+    rules = text_ops.gopher_rules(F.col("text"))
+    g1 = {
+        r[0]: tuple(r)[1:]
+        for r in d1.select("doc_id", *[v.alias(k) for k, v in rules.items()]).collect()
+    }
+    t0 = time.time()
+    gn = {
+        r[0] % 10_000_000: tuple(r)[1:]
+        for r in dn.select("doc_id", *[v.alias(k) for k, v in rules.items()]).collect()
+    }
+    print(f"gopher_rules {n}x: {len(gn)} verdicts, {time.time()-t0:.1f}s")
+    assert gn == g1, "gopher rules not per-row invariant under self-union"
     print("ALL INVARIANTS HELD")
 
 
