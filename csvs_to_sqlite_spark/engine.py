@@ -220,15 +220,28 @@ def import_csvs(
             # exact-%g subnormal handling only where the inference pass saw
             # subnormals — the fact-sized canonicalization stays JVM-only in
             # the overwhelmingly common case
-            proj = [
-                canonical_value(
-                    qcol(c),
-                    df.schema[c].dataType,
-                    exact_subnormals=(c in subnormal_cols),
+            n_file_rows = sum(partition_counts.values())
+
+            def _canon(c):
+                dtype = df.schema[c].dataType
+                col = qcol(c)
+                # pandas float64-ness parity for dim labels: an int-string
+                # column WITH NA siblings is float64 in pandas (int64 can't
+                # hold NaN), so the reference's id_for_value renders its
+                # labels through %g ('9223372036854775807' + an NA sibling
+                # -> '9.22337e+18'). Our typed frame keeps long-with-nulls
+                # for exact fact values; the CANONICAL form must follow the
+                # pandas dtype (differential fuzz seed 99002 trial 32).
+                if isinstance(dtype, T.LongType) and (
+                    nonnull_counts.get(c, n_file_rows) < n_file_rows
+                ):
+                    col, dtype = col.cast("double"), T.DoubleType()
+                return canonical_value(
+                    col, dtype, exact_subnormals=(c in subnormal_cols)
                 ).alias(c)
-                if c in extract_cols
-                else qcol(c)
-                for c in df.columns
+
+            proj = [
+                _canon(c) if c in extract_cols else qcol(c) for c in df.columns
             ]
             spill = tempfile.mkdtemp(prefix="engine_spill_")
             df.select(*proj).write.mode("overwrite").parquet(spill)

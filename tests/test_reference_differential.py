@@ -712,3 +712,26 @@ def test_kitchen_sink_gz_identical(spark, tmp_path):
     ref = snapshot(str(tmp_path / "ref.db"))
     ours = snapshot(str(tmp_path / "ours.db"))
     assert ref == ours
+
+
+def test_extracted_bigint_with_na_renders_float_labels(spark, tmp_path):
+    """An int-string column with an NA sibling is float64 in pandas, so
+    the reference's lookup labels render via %g ('9223372036854775807'
+    -> '9.22337e+18'); our dim canonicalization must follow the pandas
+    dtype even though the typed frame keeps exact long-with-nulls
+    (differential fuzz seed 99002 trial 32)."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    csv = "id,big\n1,9223372036854775807\n2,-NaN\n3,-1\n4,123456789\n"
+    (tmp_path / "na_int.csv").write_text(csv)
+    run_reference(str(tmp_path), "na_int.csv", "ref.db", ["-c", "big"])
+    import_csvs(
+        spark, [str(tmp_path / "na_int.csv")], str(tmp_path / "ours.db"),
+        extract_column=["big"],
+    )
+    ref = snapshot(str(tmp_path / "ref.db"))
+    ours = snapshot(str(tmp_path / "ours.db"))
+    assert ref == ours
+    # and the labels really are %g forms
+    labels = [r[1] for r in ours["big"][1]]
+    assert "9.22337e+18" in labels and "1.23457e+08" in labels

@@ -41,6 +41,20 @@ tricky = [
     ".", "-", "+", "1 000", "0.000000000000000000001",
 ]
 
+# date-column vocabulary: every fuzzy class the vendored parser supports,
+# plus unparseable junk (which must pass through unchanged on both sides)
+datey = [
+    "3rd May 2017", "10pm on April 4 1938", "5:45 10 December 2009",
+    "04/30/2005", "2017-05-03", "2017-05-03 10:11:12", "May 3 2017",
+    "3 de mayo de 2017", "10 dezember 2009", "1 gennaio 2020",
+    "15 outubro 1999", "3-May-2017", "May/3/2017",
+    "May 3 2017 10:00 UTC", "May 3 2017 10:00 EST",
+    "May 3 2017 10:00 +02:00", "May 3 2017 10:00 -0500",
+    "noon 3 May 2017", "midnight 3 May 2017", "4th July 1976 8:30pm",
+    "31/12/99", "1/2/03", "", "NA", "not a date", "32 May 2017",
+    "0/0/0", "May", "2017",
+]
+
 
 def run_ref(workdir, argv):
     code = (
@@ -83,6 +97,10 @@ for seed in seeds:
         # ~1/5 of trials shape-rename every column and force c0 to REAL:
         # exercises B1-B4 (shape parse, rename, cast) under adversarial
         # values (uncastable ones crash the reference too -> trial skipped)
+        # date axis (~1/5 of trials): an extra column of fuzzy-date
+        # values run through -dt on both sides (relative phrases
+        # excluded: now()-anchored)
+        date_col = rng.random() < 0.2
         shape = None
         if rng.random() < 0.2:
             shape = ",".join(
@@ -94,6 +112,9 @@ for seed in seeds:
             if header_fuzz and not extract and not shape
             else ["c%d" % i for i in range(n_cols)]
         )
+        if date_col:
+            header = header + ["dt"]
+            rows = [r + [rng.choice(datey)] for r in rows]
         with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
             w = csvmod.writer(f, delimiter=sep)
             w.writerow(header)
@@ -104,6 +125,7 @@ for seed in seeds:
             + (["--quoting", str(quoting)] if quoting else [])
             + (["-c", "r0" if shape else "c0"] if extract else [])
             + (["--shape", shape] if shape else [])
+            + (["-dt", "dt"] if date_col and not shape else [])
         )
         # append axis (~1/4 of extract trials, no shape): a SECOND file
         # lands in the same db — fuzzes incremental dim growth (E4: new
@@ -131,6 +153,7 @@ for seed in seeds:
             quoting=quoting,
             extract_column=(["r0" if shape else "c0"] if extract else ()),
             shape=shape,
+            datetime=(["dt"] if date_col and not shape else ()),
         )
         import_csvs(
             spark,
