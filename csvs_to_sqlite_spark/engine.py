@@ -363,6 +363,11 @@ def import_csvs(
                     # (utils.py:290-303). Extracted columns with no nulls
                     # stay int64 (no overwrite: a shape REAL survives), and
                     # all-null EXTRACTED columns are object (no overwrite).
+                    long_cols = {
+                        f.name
+                        for f in t.df.schema.fields
+                        if isinstance(f.dataType, T.LongType)
+                    }
                     for c in t.df.columns:
                         nn_c = t_nn.get(c)
                         if nn_c is None:
@@ -371,6 +376,13 @@ def import_csvs(
                             if 0 < nn_c < t_rows:
                                 shared_overrides[c] = "INTEGER"
                         elif nn_c == 0:
+                            shared_overrides[c] = "INTEGER"
+                        elif c in long_cols and nn_c < t_rows:
+                            # int-strings + NA siblings: pandas float64 of
+                            # integral values, so the reference's write-time
+                            # C1 overwrites a shape REAL with INTEGER; our
+                            # typed frame keeps long-with-nulls (fuzz seed
+                            # 303 trial 39)
                             shared_overrides[c] = "INTEGER"
                 # per-table dtype-mapping entries (uint64 INTEGER, bool-null
                 # TEXT) yield to shape/C1 entries like pandas' dtype= arg

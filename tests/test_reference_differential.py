@@ -735,3 +735,22 @@ def test_extracted_bigint_with_na_renders_float_labels(spark, tmp_path):
     # and the labels really are %g forms
     labels = [r[1] for r in ours["big"][1]]
     assert "9.22337e+18" in labels and "1.23457e+08" in labels
+
+
+def test_shape_real_on_int_with_na_downcasts_to_integer(spark, tmp_path):
+    """shape REAL on an int-string column WITH an NA sibling: pandas
+    holds integral float64, so the reference's write-time C1 overwrites
+    the shape entry with INTEGER; our long-with-nulls frame must take
+    the same overwrite (fuzz seed 303 trial 39)."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_text("c0,c1\nNaN,x\n-0,y\n7,z\n")
+    run_reference(str(tmp_path), "t.csv", "ref.db", ["--shape", "c0:r0(REAL),c1:r1"])
+    import_csvs(
+        spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"),
+        shape="c0:r0(REAL),c1:r1",
+    )
+    ref = snapshot(str(tmp_path / "ref.db"))
+    ours = snapshot(str(tmp_path / "ours.db"))
+    assert ref == ours
+    assert ref["t"][0][0] == ("r0", "INTEGER")  # C1 beat the shape REAL
