@@ -4148,6 +4148,28 @@ def _sql_bpe_merges() -> str:
     return learn_bpe_sql("text", n_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer application (operators/bpe.py::encode_bpe): the learned
+    merges encode the corpus — per-doc word/char/BPE-token counts,
+    fertility (tokens per word, the standard tokenizer fitness metric)
+    and an md5 digest of the full subword sequence in token order, so
+    the oracle verifies the actual encoding, not just its lengths.
+    Encoding runs once per DISTINCT word (the learning loop's final
+    symbol table), then one broadcast vocab join + one doc-keyed
+    aggregate over the corpus."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.bpe import encode_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return encode_bpe(spark, d, "text", id_col="doc_id", n_merges=8)
+
+
+def _sql_bpe_encode() -> str:
+    from csvs_to_sqlite_spark.operators.bpe import encode_bpe_sql
+
+    return encode_bpe_sql("text", n_merges=8)
+
+
 def q_event_anomaly(spark, sf_dir):
     """Time-series anomaly flags: daily event counts per type whose
     z-score vs that type's daily distribution is ≥ 2 in magnitude — the
@@ -4784,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "fuzzy_link": q_fuzzy_link,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "event_anomaly": q_event_anomaly,
         "random_projection": q_random_projection,
@@ -4928,6 +4951,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _sql_pit_join(),
         "fuzzy_link": _sql_fuzzy_link(),
         "bpe_merges": _sql_bpe_merges(),
+        "bpe_encode": _sql_bpe_encode(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "event_anomaly": SQL_EVENT_ANOMALY,
         "random_projection": _sql_random_projection(),

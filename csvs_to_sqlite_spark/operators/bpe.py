@@ -44,11 +44,12 @@ def _adjacent_pairs(syms_col: str):
     ).otherwise(F.expr("array()").cast("array<struct<s:string,t:string>>"))
 
 
-def learn_bpe(
-    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int = 8
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from a text column. Returns
-    (merge_rank, lhs, rhs, merged, pair_count) in learning order."""
+def _learn_core(
+    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int
+):
+    """Shared learning loop: returns (merges list, final symbol table).
+    The symbol table after round N IS the BPE-encoded vocabulary —
+    ``encode_bpe`` reuses it instead of re-applying merges."""
     toks = tokens_expr(F.col(text_col), distinct=False)
     words = (
         df.select(F.explode(toks).alias("w"))
@@ -97,14 +98,85 @@ def learn_bpe(
             merge_step(s_, t_, merged),
         )
         syms = syms.select("w", "cnt", apply_merge.alias("syms")).localCheckpoint()
+    return merges, syms
+
+
+def learn_bpe(
+    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a text column. Returns
+    (merge_rank, lhs, rhs, merged, pair_count) in learning order."""
+    merges, _ = _learn_core(spark, df, text_col, n_merges)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
-def learn_bpe_sql(
-    text_expr: str, n_merges: int = 8, table: str = "documents"
-) -> str:
-    """DuckDB twin: rounds unrolled as chained CTEs; each round's merge
-    application is a recursive walk carrying the fold accumulator."""
+def encode_bpe(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Apply the learned merges back to the corpus — the tokenizer-
+    application half of the BPE story (learn → encode → count). Returns
+    per-document (id, n_words, n_chars, n_tokens, fertility, enc_digest)
+    where ``fertility`` = BPE tokens per word (the standard tokenizer
+    fitness metric) and ``enc_digest`` = md5 over the document's full
+    subword sequence in token order (so the check verifies the actual
+    encoding, not just its lengths).
+
+    Scale shape: encoding happens ONCE per distinct word (the learning
+    loop's final symbol table is the encoded vocabulary — dimension-
+    sized), never per occurrence. The corpus is then touched twice: the
+    word-count scan inside learning and one posexplode → vocab equi-join
+    → per-doc aggregate. With ``broadcast_vocab`` the join is a broadcast
+    hash join (right for bench-scale vocabularies); at web-scale
+    vocabularies (~100M types) pass False and let AQE pick the shuffle
+    join — the fan-out is 1:1 either way.
+    """
+    _, syms = _learn_core(spark, df, text_col, n_merges)
+    vocab = syms.select(
+        "w",
+        F.size("syms").alias("n_sub"),
+        F.array_join("syms", " ").alias("enc"),
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    doc_words = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "w")
+    )
+    ordered_enc = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "enc"))),
+        lambda s: s["enc"],
+    )
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sub").alias("n_tokens"),
+            F.md5(F.array_join(ordered_enc, "\x01")).alias("enc_digest"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+            "enc_digest",
+        )
+    )
+
+
+def _sql_round_parts(text_expr: str, n_merges: int, table: str) -> list:
+    """The shared CTE chain: word counts → symbol table → per-round
+    (pair count, argmax, recursive merge walk). ``syms{n_merges}`` is the
+    encoded vocabulary."""
     toks = tokens_sql(text_expr, distinct=False)
     parts = [
         f"tok AS (SELECT unnest({toks}) AS w FROM {table})",
@@ -137,8 +209,52 @@ def learn_bpe_sql(
             f"syms{r} AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM walk{r}"
             f" WHERE pos = len(syms))"
         )
+    return parts
+
+
+def learn_bpe_sql(
+    text_expr: str, n_merges: int = 8, table: str = "documents"
+) -> str:
+    """DuckDB twin: rounds unrolled as chained CTEs; each round's merge
+    application is a recursive walk carrying the fold accumulator."""
+    parts = _sql_round_parts(text_expr, n_merges, table)
     union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, n_merges + 1))
     return (
         "WITH RECURSIVE " + ",\n".join(parts) + f"\nSELECT merge_rank, s AS lhs,"
         f" t AS rhs, merged, CAST(n AS BIGINT) AS pair_count FROM ({union})"
+    )
+
+
+def encode_bpe_sql(
+    text_expr: str,
+    n_merges: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`encode_bpe`: reuses the learning chain's
+    final symbol table as the encoded vocabulary, re-tokenizes the
+    corpus with positions, and mirrors the per-document fold — exact
+    integer sums, ONE double division for fertility, and an ordered
+    ``string_agg`` for the sequence digest."""
+    toks = tokens_sql(text_expr, distinct=False)
+    parts = _sql_round_parts(text_expr, n_merges, table)
+    parts.append(
+        f"vocab AS MATERIALIZED (SELECT w, len(syms) AS n_sub,"
+        f" array_to_string(syms, ' ') AS enc FROM syms{n_merges})"
+    )
+    parts.append(
+        f"doc_words AS (SELECT {id_col}, p.pos AS pos, p.w AS w FROM ("
+        f"SELECT {id_col}, unnest(list_transform(range(1, len(toks) + 1),"
+        f" i -> {{'pos': i, 'w': toks[i]}})) AS p"
+        f" FROM (SELECT {id_col}, {toks} AS toks FROM {table})))"
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + f"\n"
+        f"SELECT {id_col}, count(*) AS n_words,\n"
+        f"  CAST(sum(length(w)) AS BIGINT) AS n_chars,\n"
+        f"  CAST(sum(n_sub) AS BIGINT) AS n_tokens,\n"
+        f"  round(CAST(sum(n_sub) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)"
+        f" AS fertility,\n"
+        f"  md5(string_agg(enc, chr(1) ORDER BY pos)) AS enc_digest\n"
+        f"FROM doc_words JOIN vocab USING (w) GROUP BY {id_col}"
     )

@@ -324,3 +324,60 @@ def test_learn_bpe_matches_sennrich_reference(spark):
     assert got == want
     # the famous first merges: 'es' (tie with 'st' broken on lhs), then 'est'
     assert got[0][3] == "es" and got[1][3] == "est"
+
+
+def test_encode_bpe_matches_python_model(spark):
+    """Encoding the corpus with the learned merges must equal a pure-
+    Python greedy left-to-right merge application, including the
+    token-order sequence digest."""
+    import hashlib
+    from collections import Counter
+
+    from csvs_to_sqlite_spark.operators.bpe import encode_bpe
+
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest widest widest",
+        "newest newest newest widest low",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_tokens, r.fertility, r.enc_digest)
+        for r in encode_bpe(spark, docs, "text", n_merges=6).collect()
+    }
+
+    # python reference: learn on the word dictionary, then encode
+    words = [w for t in texts for w in t.split()]
+    vocab = {w: list(w) for w in set(words)}
+    counts_by_word = Counter(words)
+    for _ in range(6):
+        counts = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += counts_by_word[w]
+        if not counts:
+            break
+        (s, t), _n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == s and x == t:
+                    out[-1] = s + t
+                else:
+                    out.append(x)
+            vocab[w] = out
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        encs = [" ".join(vocab[w]) for w in toks]
+        n_tokens = sum(len(vocab[w]) for w in toks)
+        want[i] = (
+            len(toks),
+            sum(len(w) for w in toks),
+            n_tokens,
+            round(n_tokens / len(toks), 6),
+            hashlib.md5("\x01".join(encs).encode()).hexdigest(),
+        )
+    assert got == want
