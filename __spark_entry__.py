@@ -3382,6 +3382,33 @@ def q_gopher_rules(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in rules.items()])
 
 
+BLOCKLIST_TERMS = ("slow", "crash", "stale")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist gate (text.blocklist_hits): per-doc occurrence
+    and distinct-type counts of blocklisted words plus the keep boolean
+    — scan-stage only. The term list mixes present ('slow') and absent
+    ('crash', 'stale') words so both match paths are exercised."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    cols = text.blocklist_hits(F.col("text"), BLOCKLIST_TERMS)
+    return d.select("doc_id", "source", *[v.alias(k) for k, v in cols.items()])
+
+
+def q_weighted_topk_sample(spark, sf_dir):
+    """Exact-k weighted sampling without replacement (splits.
+    es_weighted_topk, Efraimidis-Spirakis A-ES): a 50-doc budget drawn
+    proportional to document length — scan-stage keys + TakeOrdered,
+    no global sort. Output is the selected set (id, source, n_chars);
+    no floats leave the operator."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return splits.es_weighted_topk(d, "doc_id", "n_chars", k=50).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_length_batches(spark, sf_dir):
     """Length-grouped batch assignment (packing.length_bucketed_batches,
     the HF group_by_length trainer pattern): log2-length buckets,
@@ -4765,6 +4792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "length_batches": q_length_batches,
         "gopher_rules": q_gopher_rules,
+        "blocklist_filter": q_blocklist_filter,
+        "weighted_topk_sample": q_weighted_topk_sample,
         "boilerplate_lines": q_boilerplate_lines,
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
@@ -4908,6 +4937,15 @@ def oracle_sql() -> dict[str, str]:
         "length_batches": packing.length_bucketed_batches_sql(batch_size=8),
         "gopher_rules": (
             "SELECT doc_id, " + text.gopher_rules_sql("text") + " FROM documents"
+        ),
+        "blocklist_filter": (
+            "SELECT doc_id, source, "
+            + text.blocklist_hits_sql("text", BLOCKLIST_TERMS)
+            + " FROM documents"
+        ),
+        "weighted_topk_sample": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            + splits.es_weighted_topk_sql("doc_id", "n_chars", k=50)
         ),
         "boilerplate_lines": dedup.boilerplate_line_filter_sql(
             max_freq=2,

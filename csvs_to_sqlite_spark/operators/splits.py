@@ -108,6 +108,49 @@ def weighted_sample_sql(
     return f"{bucket} < cast(({rate}) * 10000 AS BIGINT)"
 
 
+def es_weighted_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "es",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row gets key = u^(1/w) with a
+    deterministic md5-derived uniform u ∈ (0, 1], and the k largest keys
+    are the sample. Complements ``weighted_sample`` (per-GROUP Bernoulli
+    rates): here the weight is PER ROW and the sample size is exact —
+    the standard way to draw a fixed-budget subset biased toward
+    long/high-quality documents.
+
+    Determinism: u = (md5_60bit(id)+1)/2^60 is bit-identical across
+    engines; pow is the only float op and key gaps (~1/k) dwarf its
+    ≤1-ulp engine variance, so the selected SET is stable. Scale: the
+    key is scan-stage and selection is TakeOrdered (per-partition top-k
+    + driver merge of k·partitions rows) — no global sort, no shuffle
+    of the fact."""
+    h = md5_long(F.col(id_col).cast("string"), seed=seed, hex_chars=15)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__es_key")
+    )
+
+
+def es_weighted_topk_sql(
+    id_expr: str, weight_expr: str, k: int, seed: str = "es"
+) -> str:
+    """DuckDB rendering of the A-ES ORDER BY ... LIMIT k tail (caller
+    supplies the SELECT/FROM head)."""
+    h = md5_long_sql(f"cast({id_expr} as varchar)", seed=seed, hex_chars=15)
+    u = f"(CAST(({h} + 1) AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))"
+    key = f"power({u}, 1.0 / CAST({weight_expr} AS DOUBLE))"
+    return f"ORDER BY {key} DESC, {id_expr} ASC LIMIT {k}"
+
+
 def shard_assignment(id_col: Column, n_shards: int, seed: str = "shard") -> Column:
     """Pure column expression: deterministic shard id (0..n_shards-1) for a
     row — md5-based so the same document always lands in the same shard

@@ -328,3 +328,35 @@ def gopher_rules_sql(expr: str) -> str:
         " ELSE false END AS alpha_ok, "
         f"{n_stop} >= 2 AS stopword_ok"
     )
+
+
+def blocklist_hits(text: Column, terms: tuple[str, ...]) -> dict[str, Column]:
+    """C4-style blocklist filter (Raffel et al. 2020 drop any page
+    containing a "List of Dirty, Naughty …" word): token-level word-
+    boundary matching against a literal term list, as per-doc counts
+    plus the keep/drop boolean. ``n_bad`` counts occurrences,
+    ``n_bad_types`` distinct blocklisted words present. All scan-stage
+    array expressions over the shared whitespace tokenizer — zero
+    shuffle, and the broadcastless literal list lives in the plan, so at
+    100 TB the filter is free and pushes the kept-row reduction below
+    every downstream shuffle."""
+    toks = tokens_expr(text, distinct=False)
+    bad = F.array(*[F.lit(t) for t in terms])
+    hits = F.filter(toks, lambda t: F.array_contains(bad, t))
+    n_bad = F.size(hits).cast("long")
+    n_types = F.size(F.array_intersect(F.array_distinct(toks), bad)).cast("long")
+    return {"n_bad": n_bad, "n_bad_types": n_types, "is_clean": n_bad == 0}
+
+
+def blocklist_hits_sql(expr: str, terms: tuple[str, ...]) -> str:
+    """DuckDB SELECT-list fragment mirroring blocklist_hits."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(expr, distinct=False)
+    lst = "['" + "', '".join(terms) + "']"
+    n_bad = f"CAST(len(list_filter({toks}, t -> list_contains({lst}, t))) AS BIGINT)"
+    n_types = f"CAST(len(list_intersect(list_distinct({toks}), {lst})) AS BIGINT)"
+    return (
+        f"{n_bad} AS n_bad, {n_types} AS n_bad_types, "
+        f"{n_bad} = 0 AS is_clean"
+    )

@@ -941,3 +941,53 @@ def test_boilerplate_line_filter_drops_shared_lines(spark):
     # all-boilerplate doc: present with zero kept lines
     assert (out[5]["n_lines"], out[5]["n_kept"]) == (1, 0)
     assert out[5]["kept_md5"] == _hl.md5(b"").hexdigest()
+
+
+def test_es_weighted_topk_matches_python_model(spark):
+    """A-ES selection must equal the pure-Python key computation (same
+    md5-derived uniforms, same u**(1/w) keys)."""
+    import hashlib
+
+    from csvs_to_sqlite_spark.operators.splits import es_weighted_topk
+
+    rows = [(i, f"src{i % 3}", 10 + (i * 37) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = sorted(
+        r.doc_id for r in es_weighted_topk(df, "doc_id", "w", k=20).collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(f"es:{i}".encode()).hexdigest()[:15], 16)
+        return ((h + 1) / 2**60) ** (1.0 / w)
+
+    want = sorted(
+        sorted(rows, key=lambda r: (-key(r[0], r[2]), r[0]))[:20]
+    )
+    assert got == [r[0] for r in want]
+
+
+def test_es_weighted_topk_prefers_heavy_rows(spark):
+    """With weights 1 vs 1000 the heavy half must dominate the sample."""
+    from csvs_to_sqlite_spark.operators.splits import es_weighted_topk
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = [r.doc_id for r in es_weighted_topk(df, "doc_id", "w", k=20).collect()]
+    assert sum(1 for i in picked if i < 50) >= 18
+
+
+def test_blocklist_hits_counts_occurrences_and_types(spark):
+    from csvs_to_sqlite_spark.operators.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [(0, "bad bad ugly fine"), (1, "all clean here"), (2, "")],
+        "doc_id long, text string",
+    )
+    cols = blocklist_hits(F.col("text"), ("bad", "ugly", "absent"))
+    got = {
+        r.doc_id: (r.n_bad, r.n_bad_types, r.is_clean)
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+    assert got == {0: (3, 2, False), 1: (0, 0, True), 2: (0, 0, True)}

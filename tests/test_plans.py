@@ -216,3 +216,18 @@ def test_cms_sketch_is_broadcast_to_probes(spark):
     plan = explain_str(E.q_cms_heavy_hitters(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_topk_sample_is_take_ordered_scan_stage(spark):
+    """A-ES sampling: the key is a scan-stage expression and selection
+    compiles to TakeOrderedAndProject — no exchange, no global sort."""
+    plan = explain_str(E.q_weighted_topk_sample(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_blocklist_filter_is_scan_stage_only(spark):
+    """The blocklist is a plan literal: no join, no exchange."""
+    plan = explain_str(E.q_blocklist_filter(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
