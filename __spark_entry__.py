@@ -841,6 +841,49 @@ FROM bands a JOIN bands b
     )
 
 
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration (dedup.minhash_calibration): per
+    LSH candidate pair, signature-match count vs exact shingle
+    intersection/union and both Jaccard forms — the harness that
+    validates the k/bands budget against ground truth."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_calibration(d, "text", "doc_id")
+
+
+def _sql_minhash_calibration() -> str:
+    k = dedup.MINHASH_K
+    terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return (
+        "WITH sig AS (\n"
+        + _sql_minhash_sig()
+        + "\n), bands AS (\n"
+        + _sql_minhash_band_rows()
+        + "\n), pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "  FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),\n"
+        "m AS (SELECT p.id_a, p.id_b, CAST(" + terms + " AS BIGINT) AS n_match\n"
+        "  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a"
+        " JOIN sig sb ON sb.doc_id = p.id_b),\n"
+        + _SHINGLE_TOK_CTE
+        + ",\nsizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),\n"
+        "inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p\n"
+        "  JOIN tok ta ON ta.doc_id = p.id_a\n"
+        "  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token\n"
+        "  GROUP BY 1, 2)\n"
+        "SELECT m.id_a, m.id_b, m.n_match,\n"
+        "  CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter,\n"
+        "  CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS BIGINT) AS n_union,\n"
+        f"  round(m.n_match / CAST({k} AS DOUBLE), 6) AS est_jaccard,\n"
+        "  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6)"
+        " AS true_jaccard\n"
+        "FROM m LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b\n"
+        "JOIN sizes sa ON sa.doc_id = m.id_a JOIN sizes sb ON sb.doc_id = m.id_b"
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
@@ -4736,6 +4779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_calibration": q_minhash_calibration,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4880,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": SQL_JACCARD,
         "minhash_signatures": _sql_minhash_sig(),
         "minhash_lsh_pairs": _sql_minhash_pairs(),
+        "minhash_calibration": _sql_minhash_calibration(),
         "simhash_fingerprints": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "knn_bruteforce": SQL_KNN,

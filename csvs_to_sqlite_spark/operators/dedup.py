@@ -360,6 +360,75 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """Estimator-quality report for the MinHash/LSH index — the dedup
+    analog of the ANN recall harness: for every LSH candidate pair, the
+    matching-component count of the two signatures next to the EXACT
+    shingle intersection/union, plus both Jaccard forms. Each signature
+    component matches with probability J, so E[n_match/k] = true J —
+    this is the report that validates the k/bands budget against ground
+    truth before trusting the index at scale.
+
+    Scale: candidate pairs are LSH-bounded (never all-pairs); the exact
+    side restricts postings to candidate ids via (id, token)-keyed
+    equi-joins. Floats: exactly two int/int divisions, mirrored 1:1 in
+    the oracle."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n).persist()
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"s{i}").alias(f"__a{i}") for i in range(k)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"s{i}").alias(f"__b{i}") for i in range(k)]
+    )
+    match_sum = None
+    for i in range(k):
+        term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        match_sum = term if match_sum is None else match_sum + term
+    with_sig = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", match_sum.cast("long").alias("n_match"))
+    )
+    tok = token_posting(df, text_col, id_col, shingle_n).persist()
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ta = tok.select(F.col(id_col).alias("id_a"), "token")
+    tb = tok.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        with_sig.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        with_sig.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)).cast("long"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).alias("n_union"),
+            F.round(F.col("n_match") / F.lit(float(k)), 6).alias("est_jaccard"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("true_jaccard"),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,

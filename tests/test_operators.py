@@ -991,3 +991,22 @@ def test_blocklist_hits_counts_occurrences_and_types(spark):
         ).collect()
     }
     assert got == {0: (3, 2, False), 1: (0, 0, True), 2: (0, 0, True)}
+
+
+def test_minhash_calibration_identical_docs(spark):
+    """Identical docs must calibrate exactly: all k components match and
+    true Jaccard is 1; a disjoint doc never becomes a candidate."""
+    from csvs_to_sqlite_spark.operators.dedup import MINHASH_K, minhash_calibration
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(0, t), (1, t), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    rows = minhash_calibration(df, "text", "doc_id").collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    r = rows[0]
+    assert r.n_match == MINHASH_K
+    assert r.est_jaccard == 1.0
+    assert r.n_inter == r.n_union
+    assert r.true_jaccard == 1.0
