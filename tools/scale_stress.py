@@ -365,6 +365,41 @@ def main() -> None:
     }
     print(f"gopher_rules {n}x: {len(gn)} verdicts, {time.time()-t0:.1f}s")
     assert gn == g1, "gopher rules not per-row invariant under self-union"
+
+    # bpe_encode: self-union scales every word count xN uniformly, so the
+    # learned merges are identical and every copy encodes like its
+    # original — per-doc rows must be bit-identical up to the id offset
+    from csvs_to_sqlite_spark.operators.bpe import encode_bpe
+
+    be1 = {
+        r[0]: tuple(r)[1:]
+        for r in encode_bpe(spark, d1, "text", n_merges=8).collect()
+    }
+    t0 = time.time()
+    ben = {
+        r[0] % 10_000_000: tuple(r)[1:]
+        for r in encode_bpe(spark, dn, "text", n_merges=8).collect()
+    }
+    print(f"bpe_encode {n}x: {len(ben)} docs, {time.time()-t0:.1f}s")
+    assert ben == be1, "bpe_encode not invariant under self-union"
+
+    # blocklist is a per-row scan expression like gopher
+    bl_cols = text_ops.blocklist_hits(F.col("text"), ("slow", "crash", "stale"))
+    bl1 = {
+        r[0]: tuple(r)[1:]
+        for r in d1.select(
+            "doc_id", *[v.alias(k) for k, v in bl_cols.items()]
+        ).collect()
+    }
+    t0 = time.time()
+    bln = {
+        r[0] % 10_000_000: tuple(r)[1:]
+        for r in dn.select(
+            "doc_id", *[v.alias(k) for k, v in bl_cols.items()]
+        ).collect()
+    }
+    print(f"blocklist {n}x: {len(bln)} verdicts, {time.time()-t0:.1f}s")
+    assert bln == bl1, "blocklist not per-row invariant under self-union"
     print("ALL INVARIANTS HELD")
 
 
