@@ -22,10 +22,14 @@ dateparser's public surface:
 - ``date_order="DMY"`` flips ambiguous numeric dates to day-first
   (dateparser settings DATE_ORDER — locale-driven d/m/y control)
 
+Freshness phrases cover integral AND fractional sub-calendar
+quantities ("2 hours ago", "half an hour ago", "2.5 hours ago");
+calendar units (months/years) stay integral like relativedelta.
+
 Unsupported dateparser surface (documented in COVERAGE.md B10):
 non-Latin scripts, fuzzy language detection beyond month names,
-calendar systems (jalali/hijri), and "freshness" phrases with hour
-granularity ("2 hours ago" IS supported; "half an hour ago" is not).
+calendar systems (jalali/hijri), and fractional calendar units
+("half a year ago").
 """
 
 from __future__ import annotations
@@ -114,7 +118,8 @@ _RELATIVE_UNITS = {
     "year": "years", "years": "years",
 }
 _RELATIVE_RE = re.compile(
-    r"^\s*(?:(in)\s+)?(\d+|a|an|one)\s+(\w+)\s*(ago)?\s*$", re.I
+    r"^\s*(?:(in)\s+)?(\d+(?:\.\d+)?|half\s+an?|a|an|one)\s+(\w+)\s*(ago)?\s*$",
+    re.I,
 )
 
 
@@ -171,13 +176,22 @@ def _parse_relative(value: str, base: datetime) -> datetime | None:
     unit = _RELATIVE_UNITS.get(unit)
     if unit is None:
         return None
-    n = 1 if qty in ("a", "an", "one") else int(qty)
+    qty = re.sub(r"\s+", " ", qty.lower())
+    if qty in ("a", "an", "one"):
+        n: float = 1
+    elif qty in ("half a", "half an"):
+        # dateparser freshness: "half an hour ago" = 30 minutes back
+        n = 0.5
+    else:
+        n = float(qty) if "." in qty else int(qty)
     if ago:
         n = -n
-    if unit == "months":
-        return _shift_months(base, n)
-    if unit == "years":
-        return _shift_months(base, 12 * n)
+    if unit in ("months", "years"):
+        # calendar units stay integral (dateparser's relativedelta path)
+        if n != int(n):
+            return None
+        months = int(n) if unit == "months" else 12 * int(n)
+        return _shift_months(base, months)
     return base + timedelta(**{unit: n})
 
 

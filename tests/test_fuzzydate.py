@@ -84,6 +84,29 @@ def test_relative_dates():
     assert parse_datetime("2 hours ago", relative_base=BASE) == datetime(2024, 3, 15, 8, 30)
 
 
+def test_relative_fractional_freshness():
+    assert parse_datetime("half an hour ago", relative_base=BASE) == datetime(
+        2024, 3, 15, 10, 0
+    )
+    assert parse_datetime("in half an hour", relative_base=BASE) == datetime(
+        2024, 3, 15, 11, 0
+    )
+    assert parse_datetime("half a minute ago", relative_base=BASE) == datetime(
+        2024, 3, 15, 10, 29, 30
+    )
+    assert parse_datetime("2.5 hours ago", relative_base=BASE) == datetime(
+        2024, 3, 15, 8, 0
+    )
+    assert parse_datetime("half a day ago", relative_base=BASE) == datetime(
+        2024, 3, 14, 22, 30
+    )
+    # calendar units stay integral like relativedelta
+    with pytest.raises(UnparseableDate):
+        parse_datetime("half a year ago", relative_base=BASE)
+    with pytest.raises(UnparseableDate):
+        parse_datetime("1.5 months ago", relative_base=BASE)
+
+
 def test_relative_month_clamps_day():
     # Jan 31 minus 1 month clamps to Dec 31; Mar 31 minus 1 month -> Feb 29 (leap)
     assert parse_datetime(
