@@ -418,3 +418,26 @@ def test_temperature_mixture_matches_python_model(spark, sizes, budget):
     # join keeps them, but count(*) needs >=1 selected row)
     want = {g: v for g, v in want.items() if v[2] > 0}
     assert got == want
+
+
+def test_round4_operators_handle_empty_input(spark):
+    """The round-4 additions must also return empty (never throw) on an
+    empty corpus."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.bpe import encode_bpe, learn_bpe
+    from csvs_to_sqlite_spark.operators.dedup import minhash_calibration
+    from csvs_to_sqlite_spark.operators.splits import es_weighted_topk
+    from csvs_to_sqlite_spark.operators.text import blocklist_hits
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    assert learn_bpe(spark, empty, "text").count() == 0
+    assert encode_bpe(spark, empty, "text").count() == 0
+    assert minhash_calibration(empty, "text", "doc_id").count() == 0
+    assert es_weighted_topk(empty, "doc_id", "n_chars", k=5).count() == 0
+    cols = blocklist_hits(F.col("text"), ("bad",))
+    assert (
+        empty.select("doc_id", *[v.alias(k) for k, v in cols.items()]).count() == 0
+    )
