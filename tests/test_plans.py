@@ -231,3 +231,12 @@ def test_blocklist_filter_is_scan_stage_only(spark):
     plan = explain_str(E.q_blocklist_filter(spark, SF))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_bpe_encode_broadcast_vocab_single_doc_exchange(spark):
+    """Encoding joins the vocab by broadcast and aggregates per doc:
+    exactly one fact exchange (doc_id), no sort-merge join."""
+    plan = explain_str(E.q_bpe_encode(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
