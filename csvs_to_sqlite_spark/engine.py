@@ -32,7 +32,12 @@ from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
 from csvs_to_sqlite_spark.operators.shapes import apply_shape, parse_shape
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 from csvs_to_sqlite_spark.sinks.sqlite_sink import SQLiteSink, best_fts_version
-from csvs_to_sqlite_spark.sources.csv_source import LoadCsvError, csvs_from_paths, load_csv
+from csvs_to_sqlite_spark.sources.csv_source import (
+    LoadCsvError,
+    cleanup_decompressed_temps,
+    csvs_from_paths,
+    load_csv,
+)
 
 
 class BadParameter(ValueError):
@@ -139,123 +144,139 @@ def import_csvs(
     if _split:
         spark.conf.set("spark.sql.files.maxPartitionBytes", _split)
 
-    csvs = csvs_from_paths(paths)
-    result.n_csvs = len(csvs)
-    # C2 overrides scoping (reference cli.py:221 + utils.py:285-305): with
-    # no --shape the reference passes None and every created table gets a
-    # FRESH dict of its own C1 downcasts — two files whose same-named
-    # column infers differently must NOT cross-contaminate DDL. With
-    # --shape, apply_shape's returned dict is shared across all writes and
-    # get_create_table_sql mutates it in place, so shape-derived entries
-    # are global and write-time downcasts accumulate (and overwrite shape
-    # entries, utils.py:303) across created tables in write order.
-    shape_overrides: dict[str, str] = {}
-    shape_renames = (
-        {c.csv_name: c.db_name for c in parse_shape(shape)} if shape else {}
-    )
-    dim_specs, foreign_keys = parse_extract_columns(extract_column)
-    extract_cols = {s.resolved().column for s in dim_specs}
-    tables: list[Table] = []
-    table_nonnulls: list[dict[str, int]] = []
-    table_rowcounts: list[int] = []
-    spill_dirs: list[str] = []
-    for name, path in csvs.items():
-        try:
-            df, partition_counts, inferred_overrides, nonnull_counts, subnormal_cols = load_csv(
-                spark,
-                path,
-                separator,
-                skip_errors,
-                quoting,
-                shape,
-                just_strings,
-                _with_counts=True,
-            )
-            # string-parse cache (csv_source persists it so inference and
-            # the spill write share ONE CSV tokenization) — released after
-            # the spill lands
-            src_cache = getattr(df, "__source_cache__", None)
-            if shape:
-                # C1 downcasts are keyed by the write-time (db) column name
-                inferred_overrides = {
-                    shape_renames[k]: v
-                    for k, v in inferred_overrides.items()
-                    if k in shape_renames
-                }
-                nonnull_counts = {
-                    shape_renames[k]: v
-                    for k, v in nonnull_counts.items()
-                    if k in shape_renames
-                }
-                subnormal_cols = {
-                    shape_renames[k] for k in subnormal_cols if k in shape_renames
-                }
-            df, overrides = apply_shape(df, shape)
-            shape_overrides.update(overrides)
-            # B5-B8 constant columns (reference cli.py:202-220)
-            if filename_column:
-                df = df.withColumn(filename_column, F.lit(name))
-            for colname, value in fixed_columns or ():
-                df = df.withColumn(colname, F.lit(str(value)))
-            for colname, value in fixed_columns_int or ():
-                df = df.withColumn(colname, F.lit(int(value)).cast("long"))
-            for colname, value in fixed_columns_float or ():
-                df = df.withColumn(colname, F.lit(float(value)).cast("double"))
-                # an integral fixed float is a float64 column of one
-                # integer value, so the reference's C1 check downcasts it
-                if float(value).is_integer():
-                    inferred_overrides[colname] = "INTEGER"
-            df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
-            df = with_row_id(df, partition_counts=partition_counts)
-            # Spill the typed frame to parquet ONCE and treat that as the
-            # pipeline cache: every later action (dim extraction with
-            # column pruning, the driver-side row landing) reads the
-            # columnar spill instead of re-parsing the CSV or filling a
-            # separate memory cache, and the fact write needs no second
-            # Spark job. Columns being dimension-extracted are spilled as
-            # their CANONICAL string form (fmt_g for floats) so the
-            # driver-side {canonical: id} substitution hits exactly the
-            # keys the Spark-built dims carry — value canonicalization
-            # happens in one engine only, never twice.
-            # exact-%g subnormal handling only where the inference pass saw
-            # subnormals — the fact-sized canonicalization stays JVM-only in
-            # the overwhelmingly common case
-            n_file_rows = sum(partition_counts.values())
+    try:
+        csvs = csvs_from_paths(paths)
+        result.n_csvs = len(csvs)
+        # C2 overrides scoping (reference cli.py:221 + utils.py:285-305): with
+        # no --shape the reference passes None and every created table gets a
+        # FRESH dict of its own C1 downcasts — two files whose same-named
+        # column infers differently must NOT cross-contaminate DDL. With
+        # --shape, apply_shape's returned dict is shared across all writes and
+        # get_create_table_sql mutates it in place, so shape-derived entries
+        # are global and write-time downcasts accumulate (and overwrite shape
+        # entries, utils.py:303) across created tables in write order.
+        shape_overrides: dict[str, str] = {}
+        shape_renames = (
+            {c.csv_name: c.db_name for c in parse_shape(shape)} if shape else {}
+        )
+        dim_specs, foreign_keys = parse_extract_columns(extract_column)
+        extract_cols = {s.resolved().column for s in dim_specs}
+        tables: list[Table] = []
+        table_nonnulls: list[dict[str, int]] = []
+        table_rowcounts: list[int] = []
+        spill_dirs: list[str] = []
+        for name, path in csvs.items():
+            try:
+                df, partition_counts, inferred_overrides, nonnull_counts, subnormal_cols = load_csv(
+                    spark,
+                    path,
+                    separator,
+                    skip_errors,
+                    quoting,
+                    shape,
+                    just_strings,
+                    _with_counts=True,
+                )
+                # string-parse cache (csv_source persists it so inference and
+                # the spill write share ONE CSV tokenization) — released after
+                # the spill lands
+                src_cache = getattr(df, "__source_cache__", None)
+                if shape:
+                    # C1 downcasts are keyed by the write-time (db) column name
+                    inferred_overrides = {
+                        shape_renames[k]: v
+                        for k, v in inferred_overrides.items()
+                        if k in shape_renames
+                    }
+                    nonnull_counts = {
+                        shape_renames[k]: v
+                        for k, v in nonnull_counts.items()
+                        if k in shape_renames
+                    }
+                    subnormal_cols = {
+                        shape_renames[k] for k in subnormal_cols if k in shape_renames
+                    }
+                df, overrides = apply_shape(df, shape)
+                shape_overrides.update(overrides)
+                # B5-B8 constant columns (reference cli.py:202-220)
+                if filename_column:
+                    df = df.withColumn(filename_column, F.lit(name))
+                for colname, value in fixed_columns or ():
+                    df = df.withColumn(colname, F.lit(str(value)))
+                for colname, value in fixed_columns_int or ():
+                    df = df.withColumn(colname, F.lit(int(value)).cast("long"))
+                for colname, value in fixed_columns_float or ():
+                    df = df.withColumn(colname, F.lit(float(value)).cast("double"))
+                    # an integral fixed float is a float64 column of one
+                    # integer value, so the reference's C1 check downcasts it
+                    if float(value).is_integer():
+                        inferred_overrides[colname] = "INTEGER"
+                df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
+                df = with_row_id(df, partition_counts=partition_counts)
+                # Spill the typed frame to parquet ONCE and treat that as the
+                # pipeline cache: every later action (dim extraction with
+                # column pruning, the driver-side row landing) reads the
+                # columnar spill instead of re-parsing the CSV or filling a
+                # separate memory cache, and the fact write needs no second
+                # Spark job. Columns being dimension-extracted are spilled as
+                # their CANONICAL string form (fmt_g for floats) so the
+                # driver-side {canonical: id} substitution hits exactly the
+                # keys the Spark-built dims carry — value canonicalization
+                # happens in one engine only, never twice.
+                # exact-%g subnormal handling only where the inference pass saw
+                # subnormals — the fact-sized canonicalization stays JVM-only in
+                # the overwhelmingly common case
+                n_file_rows = sum(partition_counts.values())
 
-            def _canon(c):
-                dtype = df.schema[c].dataType
-                col = qcol(c)
-                # pandas float64-ness parity for dim labels: an int-string
-                # column WITH NA siblings is float64 in pandas (int64 can't
-                # hold NaN), so the reference's id_for_value renders its
-                # labels through %g ('9223372036854775807' + an NA sibling
-                # -> '9.22337e+18'). Our typed frame keeps long-with-nulls
-                # for exact fact values; the CANONICAL form must follow the
-                # pandas dtype (differential fuzz seed 99002 trial 32).
-                if isinstance(dtype, T.LongType) and (
-                    nonnull_counts.get(c, n_file_rows) < n_file_rows
-                ):
-                    col, dtype = col.cast("double"), T.DoubleType()
-                return canonical_value(
-                    col, dtype, exact_subnormals=(c in subnormal_cols)
-                ).alias(c)
+                def _canon(c):
+                    dtype = df.schema[c].dataType
+                    col = qcol(c)
+                    # pandas float64-ness parity for dim labels: an int-string
+                    # column WITH NA siblings is float64 in pandas (int64 can't
+                    # hold NaN), so the reference's id_for_value renders its
+                    # labels through %g ('9223372036854775807' + an NA sibling
+                    # -> '9.22337e+18'). Our typed frame keeps long-with-nulls
+                    # for exact fact values; the CANONICAL form must follow the
+                    # pandas dtype (differential fuzz seed 99002 trial 32).
+                    if isinstance(dtype, T.LongType) and (
+                        nonnull_counts.get(c, n_file_rows) < n_file_rows
+                    ):
+                        col, dtype = col.cast("double"), T.DoubleType()
+                    return canonical_value(
+                        col, dtype, exact_subnormals=(c in subnormal_cols)
+                    ).alias(c)
 
-            proj = [
-                _canon(c) if c in extract_cols else qcol(c) for c in df.columns
-            ]
-            spill = tempfile.mkdtemp(prefix="engine_spill_")
-            df.select(*proj).write.mode("overwrite").parquet(spill)
-            if src_cache is not None:
-                src_cache.unpersist()
-            cached = spark.read.parquet(spill)
-            spill_dirs.append(spill)
-            tables.append(Table(table or name, cached, overrides=inferred_overrides))
-            table_nonnulls.append(nonnull_counts)
-            table_rowcounts.append(sum(partition_counts.values()))
-        except LoadCsvError as e:
-            # A13 per-file isolation (reference cli.py:224-225)
-            result.messages.append(f"Could not load {path}: {e}")
+                proj = [
+                    _canon(c) if c in extract_cols else qcol(c) for c in df.columns
+                ]
+                spill = tempfile.mkdtemp(prefix="engine_spill_")
+                df.select(*proj).write.mode("overwrite").parquet(spill)
+                if src_cache is not None:
+                    src_cache.unpersist()
+                cached = spark.read.parquet(spill)
+                spill_dirs.append(spill)
+                tables.append(Table(table or name, cached, overrides=inferred_overrides))
+                table_nonnulls.append(nonnull_counts)
+                table_rowcounts.append(sum(partition_counts.values()))
+            except LoadCsvError as e:
+                # A13 per-file isolation (reference cli.py:224-225)
+                result.messages.append(f"Could not load {path}: {e}")
 
+    except BaseException:
+        # a non-LoadCsvError failure mid-load (Py4J/IO) must not
+        # leave the host session at 2m scan splits or leak spills/temps
+        cleanup_decompressed_temps()
+        for d in spill_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        if _split:
+            try:
+                if _old_split is None:
+                    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+                else:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes", _old_split)
+            except Exception:
+                pass
+        raise
     sink = SQLiteSink(dbname)
     try:
         dim_frames = {}
@@ -460,6 +481,7 @@ def import_csvs(
             sink.create_fact_fts(created_tables, list(fts), foreign_keys)
     finally:
         sink.close()
+        cleanup_decompressed_temps()
         for d in spill_dirs:
             shutil.rmtree(d, ignore_errors=True)
         if _split:

@@ -320,21 +320,34 @@ def _parse_fuzzy(value: str, date_order: str = "MDY") -> datetime:
                 month, day = day, month
         if yr < 100:
             yr += 2000 if yr < 70 else 1900
-        dt = datetime(yr, month, day, hour, minute, second)
+        try:
+            dt = datetime(yr, month, day, hour, minute, second)
+        except ValueError:
+            # out-of-range component ('0/0/0', '13.13.2020') — real
+            # dateparser returns None here, our contract is the typed error
+            raise UnparseableDate(value) from None
         return dt.replace(tzinfo=tzinfo) if tzinfo else dt
 
     for n in numbers:
         if n > 31 or (yr is None and len(str(n)) == 4):
+            if yr is not None:
+                # two year candidates ('32 May 2017'): dateparser refuses
+                raise UnparseableDate(value)
             yr = n
         elif day is None:
             day = n
         elif yr is None:
             yr = n
+        else:
+            raise UnparseableDate(value)  # third number has no slot
     if yr is not None and yr < 100:
         yr += 2000 if yr < 70 else 1900
     if month is None or yr is None:
         raise UnparseableDate(value)
     if day is None:
         day = 1
-    dt = datetime(yr, month, day, hour, minute, second)
+    try:
+        dt = datetime(yr, month, day, hour, minute, second)
+    except ValueError:
+        raise UnparseableDate(value) from None
     return dt.replace(tzinfo=tzinfo) if tzinfo else dt

@@ -233,8 +233,15 @@ def fuzzy_link(
             )
             .select("token")
         )
+        pre_lt, pre_rt = lt, rt
         lt = lt.join(F.broadcast(drop), "token", "left_anti").persist()
         rt = rt.join(F.broadcast(drop), "token", "left_anti").persist()
+        # the pre-cap postings' only remaining consumer is the (lazy)
+        # df-count branch feeding `drop`; dropping their cache costs at
+        # most one tokenize recompute and halves the session footprint
+        # (review finding: orphaned handles accumulated per call)
+        pre_lt.unpersist()
+        pre_rt.unpersist()
     elif max_df is not None:
         dfreq = (
             lt.select("token").unionAll(rt.select("token"))
@@ -243,8 +250,11 @@ def fuzzy_link(
         drop = dfreq.where(F.col("count") > max_df).select("token")
         # re-persist: the capped postings feed the blocking join AND the
         # per-side size aggregates (same discipline as the Jaccard path)
+        pre_lt, pre_rt = lt, rt
         lt = lt.join(F.broadcast(drop), "token", "left_anti").persist()
         rt = rt.join(F.broadcast(drop), "token", "left_anti").persist()
+        pre_lt.unpersist()
+        pre_rt.unpersist()
     inter = (
         lt.join(rt, "token")
         .groupBy("__l__", "__r__")
@@ -314,12 +324,15 @@ def minhash_bands(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     shingle_n: int | None = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, key) LSH band rows of the MinHash signature — the unit
     every banded join (self-join pairs, incremental new-vs-old filter)
-    builds on."""
+    builds on. Pass a precomputed ``sig`` to share one signature stage
+    across consumers (calibration does)."""
     rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
     band_cols = []
     for bi in range(bands):
         parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
@@ -380,8 +393,21 @@ def minhash_calibration(
     side restricts postings to candidate ids via (id, token)-keyed
     equi-joins. Floats: exactly two int/int divisions, mirrored 1:1 in
     the oracle."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
     sig = minhash_signatures(df, text_col, id_col, k, shingle_n).persist()
+    banded = minhash_bands(
+        df, text_col, id_col, k, bands, shingle_n, sig=sig
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
     sa = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"s{i}").alias(f"__a{i}") for i in range(k)]
     )

@@ -509,7 +509,20 @@ def extract_video_frames(
                         rows["mean_luma"].append(luma)
                         rows["frame_sha"].append(sha)
                     continue
-                frames = _parse_ppm_video(p)
+                try:
+                    frames = _parse_ppm_video(p)
+                except Exception:
+                    # truncated/malformed PV01 body: route through the
+                    # deterministic stand-in like any undecodable
+                    # container — one bad payload must never fail the job
+                    for idx, w, h, luma, sha in fake_video_frames(p, every_n):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["mean_luma"].append(luma)
+                        rows["frame_sha"].append(sha)
+                    continue
                 for idx in range(0, len(frames), every_n):
                     w, h, px = frames[idx]
                     luma_milli = px.astype(np.int64) @ np.array([299, 587, 114])

@@ -177,6 +177,27 @@ _PANDAS_NA_TOKENS = (
     "n/a", "nan", "null",
 )
 
+# full-size plaintext copies of compressed inputs; the engine releases
+# them once the typed spill has landed (standalone load_csv callers are
+# covered by the atexit backstop)
+_DECOMPRESSED_TEMPS: list[str] = []
+
+
+def cleanup_decompressed_temps() -> None:
+    """Delete the decompressed temp copies of compressed CSV inputs.
+    Safe to call any time no live Spark plan still scans them (the
+    engine calls it after spilling each source to typed parquet)."""
+    import contextlib
+
+    while _DECOMPRESSED_TEMPS:
+        with contextlib.suppress(OSError):
+            os.unlink(_DECOMPRESSED_TEMPS.pop())
+
+
+import atexit
+
+atexit.register(cleanup_decompressed_temps)
+
 
 def load_csv(
     spark: SparkSession,
@@ -225,6 +246,7 @@ def load_csv(
     if comp:
         import shutil
 
+        zf = None
         try:
             if comp == "gzip":
                 import gzip
@@ -244,14 +266,20 @@ def load_csv(
                 zf = zipfile.ZipFile(local_path)
                 members = zf.namelist()
                 if len(members) != 1:
+                    zf.close()
                     raise LoadCsvError(
                         f"Multiple files found in ZIP file. Only one file per "
                         f"ZIP: {members}"
                     )
                 src = zf.open(members[0])
             fd, plain = tempfile.mkstemp(suffix=".csv")
-            with src, os.fdopen(fd, "wb") as out:
-                shutil.copyfileobj(src, out)
+            try:
+                with src, os.fdopen(fd, "wb") as out:
+                    shutil.copyfileobj(src, out)
+            finally:
+                if zf is not None:
+                    zf.close()
+            _DECOMPRESSED_TEMPS.append(plain)
             local_path = plain
         except LoadCsvError:
             raise

@@ -388,3 +388,20 @@ def test_high_cardinality_dim_streams_without_collect(spark, tmp_path, monkeypat
     assert rows(db_streamed) == rows(db_default)
     # sanity: the dim really is above the forced threshold
     assert len(rows(db_default)[1]) > 10
+
+
+def test_scan_split_conf_restored_on_load_failure(spark, tmp_path, monkeypatch):
+    """A non-LoadCsvError failure mid-load must not leave the host
+    session at the ingest-scoped 2m scan splits (review finding)."""
+    import csvs_to_sqlite_spark.engine as eng
+
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n")
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated executor failure")
+
+    monkeypatch.setattr(eng, "load_csv", boom)
+    with pytest.raises(RuntimeError):
+        eng.import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "o.db"))
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes", None) == before

@@ -178,3 +178,13 @@ def test_weekday_relative():
     assert parse_datetime("next sun", relative_base=base) == datetime(2024, 3, 17, 10, 0)
     # bare weekday names stay date-part fillers, not relative phrases
     assert parse_datetime("Friday March 15 2024").date().isoformat() == "2024-03-15"
+
+
+def test_impossible_dates_raise_typed_error():
+    """Out-of-range components must raise UnparseableDate (the parser's
+    documented contract — real dateparser returns None), never a bare
+    ValueError, and never silently misparse ('32 May 2017' used to land
+    on 2017-05-01 by consuming 32 as a year)."""
+    for junk in ("32 May 2017", "0/0/0", "13.13.2020", "May 1 2 3"):
+        with pytest.raises(UnparseableDate):
+            parse_datetime(junk)

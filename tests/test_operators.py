@@ -1010,3 +1010,27 @@ def test_minhash_calibration_identical_docs(spark):
     assert r.est_jaccard == 1.0
     assert r.n_inter == r.n_union
     assert r.true_jaccard == 1.0
+
+
+def test_truncated_pv01_payload_does_not_fail_job(spark):
+    """A payload with a PV01 magic but truncated body must route through
+    the deterministic fallback, not kill the Spark job (review finding)."""
+    import hashlib
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_video_frames,
+        fake_video_frames,
+    )
+
+    bad = b"PV01" + b"\x03\x00\x00\x00" + b"P6\n8 8\n255\n" + b"\x00" * 10
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(bad))], "media_id long, kind string, payload binary"
+    )
+    got = sorted(
+        (r.frame_idx, r.width, r.height, r.mean_luma, r.frame_sha)
+        for r in extract_video_frames(df, every_n=2, fake=False).collect()
+    )
+    want = sorted(
+        (idx, w, h, luma, sha) for idx, w, h, luma, sha in fake_video_frames(bad, 2)
+    )
+    assert got == want

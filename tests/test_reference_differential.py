@@ -607,7 +607,18 @@ def test_differential_fuzz_dates(spark, tmp_path):
             w.writerow(["id", "when"])
             for i in range(n_rows):
                 w.writerow([i, rng.choice(datey)])
-        _run_ref_args(str(d), ["t.csv", "ref.db", "-dt", "when"])
+        try:
+            _run_ref_args(str(d), ["t.csv", "ref.db", "-dt", "when"])
+        except subprocess.CalledProcessError:
+            # unparseable draw ('not a date'): the real reference crashes
+            # (None.isoformat() — cli.py catches only LoadCsvError), so
+            # crash parity is the contract: our import must fail too
+            with pytest.raises(Exception):
+                import_csvs(
+                    spark, [str(d / "t.csv")], str(d / "ours.db"),
+                    datetime=["when"],
+                )
+            continue
         import_csvs(spark, [str(d / "t.csv")], str(d / "ours.db"), datetime=["when"])
         ref, ours = snapshot(str(d / "ref.db")), snapshot(str(d / "ours.db"))
         assert ref == ours, f"trial {trial}: {ref} != {ours}"

@@ -355,3 +355,17 @@ def test_pandas_header_names_matches_pandas():
         csv = ",".join(header) + "\n" + ",".join("1" * len(header)) + "\n"
         want = list(pd.read_csv(io.StringIO(csv)).columns)
         assert _pandas_header_names(header) == want, header
+
+
+def test_compressed_temp_copies_released_after_import(spark, tmp_path):
+    """Importing a compressed CSV must not leak the decompressed
+    plaintext temp copy (review finding: unbounded $TMPDIR growth)."""
+    import gzip
+
+    from csvs_to_sqlite_spark.engine import import_csvs
+    from csvs_to_sqlite_spark.sources import csv_source
+
+    with gzip.open(tmp_path / "t.csv.gz", "wb") as f:
+        f.write(b"a,b\n1,x\n2,y\n")
+    import_csvs(spark, [str(tmp_path / "t.csv.gz")], str(tmp_path / "o.db"))
+    assert csv_source._DECOMPRESSED_TEMPS == []

@@ -130,6 +130,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
+        finally:
+            # operators that persist() shared stages (postings,
+            # signatures) have no post-return unpersist hook — release
+            # them per query so a 140-entry sweep doesn't accumulate
+            # cached corpora until eviction
+            spark.catalog.clearCache()
         dt = time.time() - t0
         if name not in oracles:
             print(f"OK?  {name}: rows-only, {len(srows)} rows, {dt:.1f}s")

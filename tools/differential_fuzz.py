@@ -141,6 +141,22 @@ for seed in seeds:
                 w = csvmod.writer(f, delimiter=sep)
                 w.writerow(["c%d" % i for i in range(n_cols)])
                 w.writerows(second)
+        # compression axis (~1/6 of single-file trials): the same CSV
+        # bytes land gzip/bz2-compressed — pandas compression='infer'
+        # on the reference side, our driver-side decompress on ours
+        fname = "t.csv"
+        if second is None and rng.random() < 0.17:
+            import bz2 as bz2mod
+            import gzip as gzipmod
+
+            ext = rng.choice([".gz", ".bz2"])
+            raw = open(os.path.join(d, "t.csv"), "rb").read()
+            opener = gzipmod.open if ext == ".gz" else bz2mod.open
+            with opener(os.path.join(d, "t.csv" + ext), "wb") as f:
+                f.write(raw)
+            os.remove(os.path.join(d, "t.csv"))
+            fname = "t.csv" + ext
+            ref_args[0] = fname
         try:
             run_ref(d, ref_args)
             if second is not None:
@@ -157,7 +173,7 @@ for seed in seeds:
         )
         import_csvs(
             spark,
-            [os.path.join(d, "t.csv")],
+            [os.path.join(d, fname)],
             os.path.join(d, "ours.db"),
             **our_kwargs,
         )
