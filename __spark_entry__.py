@@ -3425,6 +3425,52 @@ def q_gopher_rules(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in rules.items()])
 
 
+def q_c4_line_rules(spark, sf_dir):
+    """C4 line-level cleaning (text.c4_line_rules, Raffel et al. 2020
+    §2.2): terminal-punctuation + min-words + javascript line filters,
+    lorem-ipsum / curly-brace / min-kept page gates — scan-stage only.
+    The synthetic corpus is single-line, so the query builds a
+    deterministic multi-line page per doc (raw text: never kept; text
+    + '.': kept; doc_id-conditioned lorem/brace/javascript/short
+    lines) to exercise every rule on both engines."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    line2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("lorem ipsum dolor sit amet consectetur."),
+    ).otherwise(F.lit("a fine second line for this document."))
+    line3 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("this { brace line is long enough to pass."),
+    ).otherwise(F.lit("short one."))
+    line4 = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.lit("enable javascript to view this page today."),
+    ).otherwise(F.lit("another perfectly reasonable closing sentence."))
+    multi = F.concat_ws(
+        "\n", F.col("text"), F.concat(F.col("text"), F.lit(".")), line2, line3, line4
+    )
+    cols = text.c4_line_rules(multi, min_words=5, min_kept=3)
+    return d.select("doc_id", "source", *[v.alias(k) for k, v in cols.items()])
+
+
+def _sql_c4_line_rules() -> str:
+    mtext = (
+        "concat_ws(chr(10), text, text || '.', "
+        "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet consectetur.'"
+        " ELSE 'a fine second line for this document.' END, "
+        "CASE WHEN doc_id % 11 = 0 THEN 'this { brace line is long enough to pass.'"
+        " ELSE 'short one.' END, "
+        "CASE WHEN doc_id % 13 = 0 THEN 'enable javascript to view this page today.'"
+        " ELSE 'another perfectly reasonable closing sentence.' END)"
+    )
+    return (
+        "SELECT doc_id, source, "
+        + text.c4_line_rules_sql("mtext", min_words=5, min_kept=3)
+        + f" FROM (SELECT doc_id, source, {mtext} AS mtext FROM documents)"
+    )
+
+
 BLOCKLIST_TERMS = ("slow", "crash", "stale")
 
 
@@ -4837,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "gopher_rules": q_gopher_rules,
         "blocklist_filter": q_blocklist_filter,
+        "c4_line_rules": q_c4_line_rules,
         "weighted_topk_sample": q_weighted_topk_sample,
         "boilerplate_lines": q_boilerplate_lines,
         "contamination_report": q_contamination_report,
@@ -4988,6 +5035,7 @@ def oracle_sql() -> dict[str, str]:
             + text.blocklist_hits_sql("text", BLOCKLIST_TERMS)
             + " FROM documents"
         ),
+        "c4_line_rules": _sql_c4_line_rules(),
         "weighted_topk_sample": (
             "SELECT doc_id, source, n_chars FROM documents "
             + splits.es_weighted_topk_sql("doc_id", "n_chars", k=50)

@@ -360,3 +360,64 @@ def blocklist_hits_sql(expr: str, terms: tuple[str, ...]) -> str:
         f"{n_bad} AS n_bad, {n_types} AS n_bad_types, "
         f"{n_bad} = 0 AS is_clean"
     )
+
+
+def c4_line_rules(
+    text: Column, min_words: int = 5, min_kept: int = 3
+) -> dict[str, Column]:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2): keep
+    only lines that end in a terminal punctuation mark and have at least
+    ``min_words`` words, drop lines mentioning javascript; gate the whole
+    page on curly braces (code), "lorem ipsum", and a minimum count of
+    surviving lines. Emits the counts, the kept-text reconstruction
+    digest, and the page verdict — all scan-stage array/string
+    expressions (patterns within RE2 ∩ Java-regex), zero shuffle."""
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+
+    def keep(l):
+        words = F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
+        return (
+            F.rtrim(l).rlike('[.!?"]$')
+            & (words >= min_words)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, keep)
+    kept_text = F.array_join(kept, "\n")
+    n_kept = F.size(kept).cast("long")
+    page_ok = (
+        ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+        & (n_kept >= min_kept)
+    )
+    return {
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept,
+        "kept_chars": F.length(kept_text).cast("long"),
+        "kept_digest": F.md5(kept_text),
+        "page_ok": page_ok,
+    }
+
+
+def c4_line_rules_sql(expr: str, min_words: int = 5, min_kept: int = 3) -> str:
+    """DuckDB SELECT-list fragment mirroring c4_line_rules."""
+    lines = f"string_split({expr}, chr(10))"
+    words = "len(list_filter(regexp_split_to_array(trim(l), '\\s+'), t -> t <> ''))"
+    keep = (
+        f"l -> regexp_matches(rtrim(l), '[.!?\"]$')"
+        f" AND {words} >= {min_words}"
+        f" AND NOT contains(lower(l), 'javascript')"
+    )
+    kept = f"list_filter({lines}, {keep})"
+    kept_text = f"array_to_string({kept}, chr(10))"
+    n_kept = f"len({kept})"
+    return (
+        f"CAST(len({lines}) AS BIGINT) AS n_lines, "
+        f"CAST({n_kept} AS BIGINT) AS n_kept_lines, "
+        f"CAST(length({kept_text}) AS BIGINT) AS kept_chars, "
+        f"md5({kept_text}) AS kept_digest, "
+        f"(NOT contains({expr}, '{{')"
+        f" AND NOT contains(lower({expr}), 'lorem ipsum')"
+        f" AND {n_kept} >= {min_kept}) AS page_ok"
+    )

@@ -1034,3 +1034,49 @@ def test_truncated_pv01_payload_does_not_fail_job(spark):
         (idx, w, h, luma, sha) for idx, w, h, luma, sha in fake_video_frames(bad, 2)
     )
     assert got == want
+
+
+def test_c4_line_rules_hand_computed(spark):
+    """Every C4 rule verified on a hand-built page: punctuation gate,
+    min-words gate, javascript line drop, lorem/brace/min-kept page
+    verdicts."""
+    import hashlib
+
+    from csvs_to_sqlite_spark.operators.text import c4_line_rules
+
+    good1 = "this line is long enough and ends well."
+    good2 = "another line that clearly passes every rule!"
+    good3 = 'a third keeper line ends with a quote."'
+    pages = [
+        (0, "\n".join(["no punctuation line here at all", good1, good2, good3])),
+        (1, "\n".join([good1, "too short.", good2, good3])),
+        (2, "\n".join([good1, "please enable javascript to continue now.", good2, good3])),
+        (3, "\n".join([good1, good2, "this page has lorem ipsum inside it."])),
+        (4, "\n".join([good1, good2, "a { brace appears in this long line."])),
+        (5, "\n".join([good1, good2])),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    cols = c4_line_rules(F.col("text"), min_words=5, min_kept=3)
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.kept_chars, r.kept_digest, r.page_ok)
+        for r in df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).collect()
+    }
+
+    def dig(*lines):
+        t = "\n".join(lines)
+        return len(t), hashlib.md5(t.encode()).hexdigest()
+
+    c0, d0 = dig(good1, good2, good3)
+    c1, d1 = dig(good1, good2, good3)
+    c2, d2 = dig(good1, good2, good3)
+    c3, d3 = dig(good1, good2, "this page has lorem ipsum inside it.")
+    c4_, d4 = dig(good1, good2, "a { brace appears in this long line.")
+    c5, d5 = dig(good1, good2)
+    assert got == {
+        0: (4, 3, c0, d0, True),
+        1: (4, 3, c1, d1, True),       # short line dropped, 3 keepers remain
+        2: (4, 3, c2, d2, True),       # javascript line dropped
+        3: (3, 3, c3, d3, False),      # lorem ipsum page gate
+        4: (3, 3, c4_, d4, False),     # curly brace page gate
+        5: (2, 2, c5, d5, False),      # fewer than min_kept survivors
+    }

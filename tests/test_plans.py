@@ -240,3 +240,10 @@ def test_bpe_encode_broadcast_vocab_single_doc_exchange(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_c4_line_rules_is_scan_stage_only(spark):
+    """All line filters are array expressions: no join, no exchange."""
+    plan = explain_str(E.q_c4_line_rules(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
