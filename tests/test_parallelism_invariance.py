@@ -130,3 +130,36 @@ def test_quantized_mean_quality_bitwise_invariant(spark, docs, parts):
     ref = rows_of(card(docs))
     got = rows_of(card(docs.repartition(parts)))
     assert got == ref
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_bpe_encode_partitioning_invariant(spark, docs, parts):
+    """Merge learning (TakeOrdered argmax with total tie-break) and the
+    per-word fold must give bit-identical encodings at any parallelism."""
+    from csvs_to_sqlite_spark.operators.bpe import encode_bpe
+
+    base = rows_of(encode_bpe(spark, docs, "text", n_merges=4))
+    got = rows_of(encode_bpe(spark, docs.repartition(parts), "text", n_merges=4))
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_weighted_topk_partitioning_invariant(spark, docs, parts):
+    base = rows_of(
+        splits.es_weighted_topk(docs, "doc_id", "n_chars", k=50).select(
+            "doc_id", "n_chars"
+        )
+    )
+    got = rows_of(
+        splits.es_weighted_topk(
+            docs.repartition(parts), "doc_id", "n_chars", k=50
+        ).select("doc_id", "n_chars")
+    )
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_minhash_calibration_partitioning_invariant(spark, docs, parts):
+    base = rows_of(dedup.minhash_calibration(docs, "text", "doc_id"))
+    got = rows_of(dedup.minhash_calibration(docs.repartition(parts), "text", "doc_id"))
+    assert got == base
