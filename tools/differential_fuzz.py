@@ -101,6 +101,8 @@ for seed in seeds:
         # values run through -dt on both sides (relative phrases
         # excluded: now()-anchored)
         date_col = rng.random() < 0.2
+        # -d (force_date: .date().isoformat()) vs -dt, 50/50
+        date_flag = rng.choice(["-d", "-dt"])
         shape = None
         if rng.random() < 0.2:
             shape = ",".join(
@@ -125,7 +127,7 @@ for seed in seeds:
             + (["--quoting", str(quoting)] if quoting else [])
             + (["-c", "r0" if shape else "c0"] if extract else [])
             + (["--shape", shape] if shape else [])
-            + (["-dt", "dt"] if date_col and not shape else [])
+            + ([date_flag, "dt"] if date_col and not shape else [])
         )
         # append axis (~1/4 of extract trials, no shape): a SECOND file
         # lands in the same db — fuzzes incremental dim growth (E4: new
@@ -169,7 +171,10 @@ for seed in seeds:
             quoting=quoting,
             extract_column=(["r0" if shape else "c0"] if extract else ()),
             shape=shape,
-            datetime=(["dt"] if date_col and not shape else ()),
+            datetime=(
+                ["dt"] if date_col and date_flag == "-dt" and not shape else ()
+            ),
+            date=(["dt"] if date_col and date_flag == "-d" and not shape else ()),
         )
         import_csvs(
             spark,
