@@ -3471,6 +3471,40 @@ def _sql_c4_line_rules() -> str:
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality-classifier inference (text.hashed_classifier,
+    fastText-style — Joulin et al. 2016): md5-hashed unigram+bigram
+    features, integer-milli weights embedded as literals, per-doc logit as
+    an exact integer fold. Scan-stage only — zero shuffles, zero joins;
+    the logit is associative-sum-free (one in-row fold), so the result is
+    identical under any partitioning."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", tokens_expr(F.col("text"), distinct=False).alias("toks")
+    )
+    cols = text.hashed_classifier(F.col("toks"), dim=128)
+    scored = base.select(
+        "doc_id",
+        "source",
+        cols["n_terms"].alias("n_terms"),
+        cols["logit_milli"].alias("logit_milli"),
+    )
+    return scored.withColumn("label_positive", F.col("logit_milli") > 0)
+
+
+def _sql_quality_classifier() -> str:
+    return (
+        "SELECT doc_id, source, "
+        + text.hashed_classifier_sql("toks", dim=128)
+        + " FROM (SELECT doc_id, source, "
+        + tokens_sql("text", distinct=False)
+        + " AS toks FROM documents)"
+    )
+
+
 BLOCKLIST_TERMS = ("slow", "crash", "stale")
 
 
@@ -4883,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "gopher_rules": q_gopher_rules,
         "blocklist_filter": q_blocklist_filter,
+        "quality_classifier": q_quality_classifier,
         "c4_line_rules": q_c4_line_rules,
         "weighted_topk_sample": q_weighted_topk_sample,
         "boilerplate_lines": q_boilerplate_lines,
@@ -5036,6 +5071,7 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents"
         ),
         "c4_line_rules": _sql_c4_line_rules(),
+        "quality_classifier": _sql_quality_classifier(),
         "weighted_topk_sample": (
             "SELECT doc_id, source, n_chars FROM documents "
             + splits.es_weighted_topk_sql("doc_id", "n_chars", k=50)

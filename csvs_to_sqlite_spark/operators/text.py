@@ -362,6 +362,90 @@ def blocklist_hits_sql(expr: str, terms: tuple[str, ...]) -> str:
     )
 
 
+# --- hashed linear quality classifier (fastText-style inference) -----------
+
+def classifier_weights(dim: int = 128, seed: str = "qw") -> list[int]:
+    """Deterministic integer-milli weight table for the hashed linear
+    classifier: weight of bucket b is ``md5(seed:b) % 2001 - 1000``
+    (uniform in [-1000, 1000] milli-units). Derived once in Python and
+    embedded as a literal array in BOTH engines, so the oracle shares the
+    exact model."""
+    from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+
+    return [py_md5_long(str(b), seed=seed) % 2001 - 1000 for b in range(dim)]
+
+
+def hashed_classifier(toks: Column, dim: int = 128) -> dict[str, Column]:
+    """fastText-style linear classifier INFERENCE over hashed unigram +
+    bigram features (Joulin et al. 2016): each term hashes to one of
+    ``dim`` buckets (md5), the doc logit is the tf-weighted sum of the
+    bucket weights. This is the shape of classifier-based quality
+    filtering in LLM corpus curation (GPT-3/LLaMA-style "quality
+    classifier" gates) — and because the weights are integer milli-units
+    the logit is an exact integer: associative, order-free under any
+    partitioning, and bit-checkable against the DuckDB twin.
+
+    Pure scan-stage column expressions (one aggregate fold per doc, no
+    explode, no shuffle): at 100 TB this scores every document in the
+    scan with zero data movement.
+
+    ``toks``: ALREADY-MATERIALIZED token-array column (behind a
+    projection boundary), same contract as dup_ngram_fraction — the
+    bigram transform indexes it per element."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long
+
+    weights = classifier_weights(dim)
+    w_arr = F.array(*[F.lit(w).cast("long") for w in weights])
+
+    def bigram_at(i: Column) -> Column:
+        return F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1), bigram_at),
+    ).otherwise(F.array().cast("array<string>"))
+    terms_col = F.concat(toks, bigrams)
+    logit = F.aggregate(
+        terms_col,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(w_arr, (md5_long(t, seed="qfeat") % dim).cast("int") + 1),
+    )
+    return {
+        "n_terms": F.size(terms_col).cast("long"),
+        "logit_milli": logit,
+        "label_positive": logit > 0,
+    }
+
+
+def hashed_classifier_sql(expr: str, dim: int = 128) -> str:
+    """DuckDB SELECT-list fragment mirroring hashed_classifier. Callers
+    must bind ``expr`` to an already-materialized token-list column named
+    by ``expr`` (a CTE), same contract as shingles_sql — the bigram
+    transform indexes it per element."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long_sql
+
+    weights = classifier_weights(dim)
+    w_arr = "[" + ", ".join(f"{w}::BIGINT" for w in weights) + "]"
+    bigrams = (
+        f"CASE WHEN len({expr}) >= 2 THEN "
+        f"list_transform(generate_series(1, len({expr}) - 1), "
+        f"i -> concat_ws(' ', {expr}[i], {expr}[i+1])) "
+        f"ELSE []::VARCHAR[] END"
+    )
+    terms = f"list_concat({expr}, {bigrams})"
+    bucket = f"({md5_long_sql('t', seed='qfeat')} % {dim})"
+    logit = (
+        f"CAST(coalesce(list_sum(list_transform({terms}, "
+        f"t -> ({w_arr})[{bucket} + 1])), 0) AS BIGINT)"
+    )
+    return (
+        f"CAST(len({terms}) AS BIGINT) AS n_terms, "
+        f"{logit} AS logit_milli, "
+        f"{logit} > 0 AS label_positive"
+    )
+
+
 def c4_line_rules(
     text: Column, min_words: int = 5, min_kept: int = 3
 ) -> dict[str, Column]:

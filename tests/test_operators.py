@@ -1080,3 +1080,36 @@ def test_c4_line_rules_hand_computed(spark):
         4: (3, 3, c4_, d4, False),     # curly brace page gate
         5: (2, 2, c5, d5, False),      # fewer than min_kept survivors
     }
+
+
+def test_hashed_classifier_matches_python_model(spark):
+    """The integer-milli logit must equal a pure-Python replica of the
+    hashed unigram+bigram linear model (same md5 buckets, same weights)."""
+    from csvs_to_sqlite_spark.functions.hashing import py_md5_long, tokens_expr
+    from csvs_to_sqlite_spark.operators.text import classifier_weights, hashed_classifier
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "hash join scan"),
+        (2, "single"),
+        (3, ""),
+        (4, "  Spaced   OUT   tokens  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = df.select(
+        "doc_id", tokens_expr(F.col("text"), distinct=False).alias("toks")
+    )
+    cols = hashed_classifier(F.col("toks"), dim=128)
+    got = {
+        r.doc_id: (r.n_terms, r.logit_milli, r.label_positive)
+        for r in base.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+
+    w = classifier_weights(128)
+    for doc_id, raw in docs:
+        toks = [t for t in raw.lower().strip().split()]
+        terms = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        logit = sum(w[py_md5_long(t, seed="qfeat") % 128] for t in terms)
+        assert got[doc_id] == (len(terms), logit, logit > 0), doc_id
