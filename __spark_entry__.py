@@ -4581,6 +4581,27 @@ FROM per_doc ORDER BY novelty ASC, doc_id ASC LIMIT 20
 """
 
 
+def q_hll_ndv(spark, sf_dir):
+    """HyperLogLog per-source distinct-token estimate
+    (sketch.hll_ndv, Flajolet et al. 2007). Fully deterministic: md5
+    60-bit hashes, integer max-registers, EXACT integer harmonic
+    numerator (each register contributes a power of two), one double
+    division. Shuffle state is ≤ 256 rows per group at any corpus size —
+    the 100 TB NDV tool; the exact-NDV column rides along so the
+    sketch's error is itself oracle-checked."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.sketch import hll_ndv
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_ndv(d, "text", "source")
+
+
+def _sql_hll_ndv() -> str:
+    from csvs_to_sqlite_spark.operators.sketch import hll_ndv_sql
+
+    return hll_ndv_sql("text", "source")
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters (operators/sketch.py, Cormode &
     Muthukrishnan 2005): top-20 tokens with exact counts, the CMS
@@ -4963,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_ndv": q_hll_ndv,
         "event_anomaly": q_event_anomaly,
         "random_projection": q_random_projection,
         "shingle_novelty": q_shingle_novelty,
@@ -5120,6 +5142,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
+        "hll_ndv": _sql_hll_ndv(),
         "event_anomaly": SQL_EVENT_ANOMALY,
         "random_projection": _sql_random_projection(),
         "shingle_novelty": _sql_shingle_novelty(),

@@ -122,6 +122,123 @@ SELECT t AS token, exact_n, cms_estimate,
 """
 
 
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_B = 8  # 2^8 = 256 registers
+HLL_FIELD = 52  # bits of the md5 hash left after the bucket index
+
+
+def _hll_alpha_c(m: int) -> float:
+    """alpha_m * m^2 * 2^53 — the whole estimator numerator as ONE Python
+    double literal embedded in both engines, so the only runtime float op
+    is a single division by the integer harmonic numerator."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m * float(2**53)
+
+
+def hll_ndv(df: DataFrame, text_col: str, group_col: str, b: int = HLL_B) -> DataFrame:
+    """HyperLogLog distinct-token estimate per group (Flajolet et al.
+    2007), fully deterministic and oracle-checkable: md5 supplies the
+    60-bit hash (low ``b`` bits → register index, high 52 bits → rank),
+    registers are an integer max-aggregate, and the harmonic mean is an
+    EXACT integer — each register contributes ``2^(53 - M_j)`` (a power
+    of two ≤ 2^53), so the numerator is an order-free long sum and the
+    estimate is one double division from integers. No libm, no float
+    accumulation: both engines produce identical bits.
+
+    Returns per group: ``(group, exact_ndv, m, n_zero_registers,
+    harmonic_num, hll_estimate, err_pct)`` — the exact NDV rides along so
+    the sketch's error is itself an oracle-checked quantity.
+
+    Scale: the shuffle state is ≤ m rows per group regardless of corpus
+    size (the 100 TB NDV tool); the exact-NDV branch exists for the
+    oracle and would be dropped at scale."""
+    m = 2**b
+    tok = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_expr(F.col(text_col), distinct=True)).alias("t"),
+        )
+        .distinct()
+    )
+    h = md5_long(F.col("t"), seed="hll", hex_chars=15)  # 60-bit
+    hashed = tok.select(
+        "grp",
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        F.shiftright(h, b).alias("w"),
+    )
+    rho = F.when(
+        F.col("w") > 0, F.lit(HLL_FIELD + 1) - F.length(F.bin(F.col("w")))
+    ).otherwise(F.lit(HLL_FIELD + 1))
+    regs = (
+        hashed.select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    per_grp = regs.groupBy("grp").agg(
+        F.count("*").alias("n_set"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - M)")).alias("num_present"),
+    )
+    exact = tok.groupBy("grp").agg(F.count("*").alias("exact_ndv"))
+    c = _hll_alpha_c(m)
+    est = F.round(F.lit(c) / F.col("harmonic_num"), 6)
+    joined = (
+        exact.join(F.broadcast(per_grp), "grp")
+        .withColumn("m", F.lit(m).cast("long"))
+        .withColumn("n_zero_registers", (F.lit(m) - F.col("n_set")).cast("long"))
+        .withColumn(
+            "harmonic_num",
+            F.col("num_present")
+            + F.col("n_zero_registers") * F.lit(2**53).cast("long"),
+        )
+        .withColumn("hll_estimate", est)
+        .withColumn(
+            "err_pct",
+            F.round((est - F.col("exact_ndv")) / F.col("exact_ndv") * 100, 6),
+        )
+    )
+    return joined.select(
+        F.col("grp").alias(group_col),
+        "exact_ndv",
+        "m",
+        "n_zero_registers",
+        "harmonic_num",
+        "hll_estimate",
+        "err_pct",
+    ).orderBy(group_col)
+
+
+def hll_ndv_sql(
+    text_expr: str, group_col: str, b: int = HLL_B, table: str = "documents"
+) -> str:
+    m = 2**b
+    c = _hll_alpha_c(m)
+    h = md5_long_sql("t", seed="hll", hex_chars=15)
+    toks = tokens_sql(text_expr, distinct=True)
+    est = f"round(CAST('{c!r}' AS DOUBLE) / harmonic_num, 6)"
+    return f"""
+WITH tok AS (SELECT DISTINCT {group_col} AS grp, unnest({toks}) AS t FROM {table}),
+hashed AS (SELECT grp, ({h} & {m - 1}) AS bucket, ({h} >> {b}) AS w FROM tok),
+regs AS (SELECT grp, bucket,
+                max(CASE WHEN w > 0 THEN {HLL_FIELD + 1} - length(bin(w))
+                         ELSE {HLL_FIELD + 1} END) AS M
+         FROM hashed GROUP BY grp, bucket),
+per_grp AS (SELECT grp, count(*) AS n_set,
+                   sum((1::BIGINT << (53 - M))) AS num_present
+            FROM regs GROUP BY grp),
+exact AS (SELECT grp, count(*) AS exact_ndv FROM tok GROUP BY grp),
+j AS (SELECT grp, exact_ndv, CAST({m} AS BIGINT) AS m,
+             CAST({m} - n_set AS BIGINT) AS n_zero_registers,
+             CAST(num_present + ({m} - n_set) * (1::BIGINT << 53) AS BIGINT)
+               AS harmonic_num
+      FROM exact JOIN per_grp USING (grp))
+SELECT grp AS {group_col}, exact_ndv, m, n_zero_registers, harmonic_num,
+       {est} AS hll_estimate,
+       round(({est} - exact_ndv) / exact_ndv * 100, 6) AS err_pct
+FROM j ORDER BY {group_col}
+"""
+
+
 def _bloom_positions(key, m: int, n_hashes: int):
     return [
         (md5_long(key, seed=f"bloom{i}") % m).cast("long") for i in range(n_hashes)

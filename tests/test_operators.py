@@ -1113,3 +1113,38 @@ def test_hashed_classifier_matches_python_model(spark):
         terms = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         logit = sum(w[py_md5_long(t, seed="qfeat") % 128] for t in terms)
         assert got[doc_id] == (len(terms), logit, logit > 0), doc_id
+
+
+def test_hll_ndv_matches_python_model(spark):
+    """Registers, harmonic numerator, and estimate must equal a pure-
+    Python HLL replica (md5 60-bit hash, 256 registers)."""
+    from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+    from csvs_to_sqlite_spark.operators.sketch import _hll_alpha_c, hll_ndv
+
+    docs = [
+        (i, "g%d" % (i % 2), " ".join("tok%d" % (i * 17 + j) for j in range(25)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.source: r for r in hll_ndv(df, "text", "source").collect()}
+
+    m = 256
+    for g in ("g0", "g1"):
+        toks = set()
+        for _, src, txt in docs:
+            if src == g:
+                toks |= set(txt.split())
+        regs = {}
+        for t in toks:
+            h = py_md5_long(t, seed="hll", hex_chars=15)
+            bucket, w = h & (m - 1), h >> 8
+            rho = 53 - w.bit_length() if w > 0 else 53
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        num = sum(1 << (53 - M) for M in regs.values()) + (m - len(regs)) * (1 << 53)
+        r = got[g]
+        assert r.exact_ndv == len(toks)
+        assert r.n_zero_registers == m - len(regs)
+        assert r.harmonic_num == num
+        est = _hll_alpha_c(m) / num
+        # estimate within 10% of truth at this cardinality (sanity, not spec)
+        assert abs(est - len(toks)) / len(toks) < 0.10
