@@ -3032,6 +3032,103 @@ GROUP BY 1, 2
 """
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Association rules over (user, day) event baskets: every directed
+    rule a→b with basket support, confidence n_ab/n_a, and lift
+    conf/(n_b/N). Same bounded basket-keyed self-join as
+    event_cooccurrence (fan-out ≤ types-per-basket); item counts and the
+    basket total are type-cardinality aggregates broadcast into the
+    final projection — the fact table never shuffles twice. All floats
+    are single mirrored divisions of exact longs."""
+    prep_session(spark)
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    baskets = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "event_type").distinct()
+    ).persist()
+    n_total = baskets.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets_total")
+    )
+    items = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    directed = pairs.select(
+        F.col("type_a").alias("antecedent"),
+        F.col("type_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("type_b").alias("antecedent"),
+            F.col("type_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    out = (
+        directed.join(
+            F.broadcast(items.withColumnRenamed("event_type", "antecedent")), "antecedent"
+        )
+        .withColumnRenamed("n_item", "n_a")
+        .join(
+            F.broadcast(
+                items.select(
+                    F.col("event_type").alias("consequent"),
+                    F.col("n_item").alias("n_b"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    conf = F.col("n_ab") / F.col("n_a")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.round(F.col("n_ab") / F.col("n_baskets_total"), 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / (F.col("n_b") / F.col("n_baskets_total")), 6).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
+SQL_ASSOC = """
+WITH baskets AS (SELECT DISTINCT user_id, cast(ts AS date) AS day, event_type
+                 FROM events),
+tot AS (SELECT count(*) AS n_baskets_total
+        FROM (SELECT DISTINCT user_id, day FROM baskets)),
+items AS (SELECT event_type, count(*) AS n_item FROM baskets GROUP BY 1),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS n_ab
+          FROM baskets a JOIN baskets b
+            ON a.user_id = b.user_id AND a.day = b.day
+           AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+directed AS (SELECT type_a AS antecedent, type_b AS consequent, n_ab FROM pairs
+             UNION ALL
+             SELECT type_b, type_a, n_ab FROM pairs)
+SELECT antecedent, consequent, n_ab,
+       round(n_ab / n_baskets_total, 6) AS support,
+       round(n_ab / ia.n_item, 6) AS confidence,
+       round((n_ab / ia.n_item) / (ic.n_item / n_baskets_total), 6) AS lift
+FROM directed
+JOIN items ia ON ia.event_type = antecedent
+JOIN items ic ON ic.event_type = consequent
+CROSS JOIN tot
+ORDER BY antecedent, consequent
+"""
+
+
 def q_interarrival_stats(spark, sf_dir):
     """Event-stream health: per event type, the median and p95
     inter-arrival gap in seconds (lag window per type partition, then a
@@ -4957,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_outliers": q_price_outliers,
         "interarrival_stats": q_interarrival_stats,
         "event_cooccurrence": q_event_cooccurrence,
+        "assoc_rules": q_assoc_rules,
         "length_histogram": q_length_histogram,
         "argmax_per_group": q_argmax_per_group,
         "embedding_health": q_embedding_health,
@@ -5118,6 +5216,7 @@ def oracle_sql() -> dict[str, str]:
         "price_outliers": SQL_PRICE_OUTLIERS,
         "interarrival_stats": SQL_INTERARRIVAL,
         "event_cooccurrence": SQL_COOCCURRENCE,
+        "assoc_rules": SQL_ASSOC,
         "length_histogram": SQL_LENGTH_HIST,
         "argmax_per_group": SQL_ARGMAX,
         "embedding_health": SQL_EMBEDDING_HEALTH,

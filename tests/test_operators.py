@@ -1148,3 +1148,56 @@ def test_hll_ndv_matches_python_model(spark):
         est = _hll_alpha_c(m) / num
         # estimate within 10% of truth at this cardinality (sanity, not spec)
         assert abs(est - len(toks)) / len(toks) < 0.10
+
+
+def test_assoc_rules_hand_computed(spark, tmp_path):
+    """3 baskets: {a,b}, {a,b}, {a}: rule a->b conf 2/3, lift (2/3)/(2/3)=1;
+    b->a conf 1, lift 1/(1) ... computed by hand below."""
+    import datetime
+
+    import __spark_entry__ as E
+
+    rows = [
+        # (user, ts, type) -> baskets keyed (user, day)
+        (1, "2024-01-01 10:00:00", "a"),
+        (1, "2024-01-01 11:00:00", "b"),
+        (2, "2024-01-01 10:00:00", "a"),
+        (2, "2024-01-01 12:00:00", "b"),
+        (3, "2024-01-01 10:00:00", "a"),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [pd.Timestamp(r[1]) for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("ns")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {
+        (r.antecedent, r.consequent): (r.n_ab, r.support, r.confidence, r.lift)
+        for r in E.q_assoc_rules(spark, str(tmp_path)).collect()
+    }
+    # N=3 baskets; n_a=3, n_b=2, n_ab=2
+    assert out[("a", "b")] == (2, round(2 / 3, 6), round(2 / 3, 6), round((2 / 3) / (2 / 3), 6))
+    assert out[("b", "a")] == (2, round(2 / 3, 6), 1.0, round(1.0 / (3 / 3), 6))
