@@ -1116,6 +1116,18 @@ WHERE rnk <= 5
     )
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified rerank (similarity.mmr_rerank, Carbonell &
+    Goldstein 1998): distributed cosine top-25 retrieval (broadcast
+    query, corpus never shuffles), then the inherently-sequential greedy
+    over the BOUNDED candidate set on the driver with engine-exact
+    HALF_UP rounding. Oracle = the greedy unrolled as one MATERIALIZED
+    CTE per selection round."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, query_id=0, n_candidates=25, k=10)
+
+
 def q_semdedup_prune(spark, sf_dir):
     """SemDeDup over the embeddings table (similarity.semdedup_prune):
     k-means cells (same seeded Lloyd rounds as knn_ivf), then within
@@ -4984,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "semdedup_prune": q_semdedup_prune,
+        "mmr_rerank": q_mmr_rerank,
         "ann_recall_eval": q_ann_recall_eval,
         "dataset_card": q_dataset_card,
         "hard_negatives": q_hard_negatives,
@@ -5133,6 +5146,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
         "semdedup_prune": _sql_semdedup(),
+        "mmr_rerank": similarity.mmr_rerank_sql(query_id=0, n_candidates=25, k=10),
         "ann_recall_eval": _sql_ann_recall(),
         "dataset_card": _sql_dataset_card(),
         "hard_negatives": SQL_HARD_NEG,

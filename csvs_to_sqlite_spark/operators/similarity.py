@@ -600,3 +600,150 @@ def quantize_embeddings(
         " END)"
     )
     return base.select(id_col, "vmin", "vmax", q.alias("q"))
+
+
+# --- MMR diversified reranking ---------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_ONE_MINUS_LAMBDA = 0.3  # independent literal, NOT 1-0.7 (ulp-different)
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark/DuckDB round(double, nd): HALF_UP on the SHORTEST decimal
+    repr (java BigDecimal.valueOf semantics) — Python's round() is
+    half-even and diverges on exact .5 digits."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int = 0,
+    n_candidates: int = 25,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    retrieve the cosine top-``n_candidates`` for the query vector
+    distributedly, then greedily select ``k`` results maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` (tie → lower id).
+
+    Scale split: relevance scoring + top-N is the distributed part (the
+    corpus never shuffles — broadcast query, TakeOrdered); the greedy is
+    inherently sequential over the BOUNDED candidate set, so the N
+    relevances and N·(N−1) pairwise sims are collected (bounded by the
+    user's n_candidates, never corpus size) and folded on the driver
+    with the engines' HALF_UP double rounding. Returns
+    (sel_rank, vec_id, relevance, mmr_score)."""
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = base.where(F.col("vid") == query_id).select(F.col("v").alias("qv"))
+    rel = F.round(
+        _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6
+    )
+    cand = (
+        base.where(F.col("vid") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vid", "v", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vid").asc())
+        .limit(n_candidates)
+        .persist()
+    )
+    a = cand.select(F.col("vid").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("vid").alias("ib"), F.col("v").alias("vb"))
+    s = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    sims = {
+        (r.ia, r.ib): r.s
+        for r in a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select("ia", "ib", s.alias("s"))
+        .collect()
+    }
+    rels = {r.vid: r.rel for r in cand.select("vid", "rel").collect()}
+    cand.unpersist()
+
+    def sim(x: int, y: int) -> float:
+        return sims[(x, y) if x < y else (y, x)]
+
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, min(k, len(rels)) + 1):
+        best = None
+        for vid in sorted(rels):
+            if vid in chosen:
+                continue
+            maxsim = max((sim(vid, sv) for sv in chosen), default=0.0)
+            score = _round_half_up(
+                MMR_LAMBDA * rels[vid] - MMR_ONE_MINUS_LAMBDA * maxsim, 6
+            )
+            if best is None or score > best[0] or (score == best[0] and vid < best[1]):
+                best = (score, vid)
+        selected.append((rank, best[1], rels[best[1]], best[0]))
+        chosen.append(best[1])
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        selected, "sel_rank long, vec_id long, relevance double, mmr_score double"
+    )
+
+
+def mmr_rerank_sql(
+    query_id: int = 0,
+    n_candidates: int = 25,
+    k: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of mmr_rerank: the greedy is unrolled as one
+    MATERIALIZED CTE per selection round (the MATERIALIZED keyword is
+    load-bearing — inlined CTEs re-evaluate the whole upstream chain per
+    reference, exponential over k rounds)."""
+    cos = (
+        "round(list_sum(list_transform(list_zip(qv, v), p -> p[1]*p[2])) / "
+        "(sqrt(list_sum(list_transform(qv, x -> x*x))) * "
+        "sqrt(list_sum(list_transform(v, x -> x*x)))), 6)"
+    )
+    sim = (
+        "round(list_sum(list_transform(list_zip(va, vb), p -> p[1]*p[2])) / "
+        "(sqrt(list_sum(list_transform(va, x -> x*x))) * "
+        "sqrt(list_sum(list_transform(vb, x -> x*x)))), 6)"
+    )
+    parts = [
+        f"WITH base AS MATERIALIZED (SELECT vec_id AS vid, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}),",
+        f"q AS (SELECT v AS qv FROM base WHERE vid = {query_id}),",
+        f"cand AS MATERIALIZED (SELECT vid, v, {cos} AS rel "
+        f"FROM base, q WHERE vid <> {query_id} "
+        f"ORDER BY rel DESC, vid ASC LIMIT {n_candidates}),",
+        "sims AS MATERIALIZED (SELECT a.vid AS ia, b.vid AS ib, "
+        f"{sim.replace('va', 'a.v').replace('vb', 'b.v')} AS s "
+        "FROM cand a JOIN cand b ON a.vid < b.vid),",
+        "sel1 AS MATERIALIZED (SELECT 1 AS sel_rank, vid, rel, "
+        "round(0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0, 6) AS mmr "
+        "FROM cand ORDER BY round(0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0, 6) DESC, "
+        "vid ASC LIMIT 1),",
+        "selu1 AS MATERIALIZED (SELECT * FROM sel1),",
+    ]
+    for r in range(2, k + 1):
+        prev = f"selu{r - 1}"
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT {r} AS sel_rank, c.vid, c.rel, "
+            f"round(0.7::DOUBLE * c.rel - 0.3::DOUBLE * "
+            f"(SELECT max(s.s) FROM sims s JOIN {prev} p "
+            f"ON (s.ia = c.vid AND s.ib = p.vid) OR (s.ib = c.vid AND s.ia = p.vid)"
+            f"), 6) AS mmr "
+            f"FROM cand c WHERE c.vid NOT IN (SELECT vid FROM {prev}) "
+            f"ORDER BY mmr DESC, c.vid ASC LIMIT 1),"
+        )
+        parts.append(
+            f"selu{r} AS MATERIALIZED "
+            f"(SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r}),"
+        )
+    parts.append(
+        f"final AS (SELECT * FROM selu{k}) "
+        "SELECT sel_rank, vid AS vec_id, rel AS relevance, mmr AS mmr_score "
+        "FROM final ORDER BY sel_rank"
+    )
+    return "\n".join(parts)

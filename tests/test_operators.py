@@ -1201,3 +1201,30 @@ def test_assoc_rules_hand_computed(spark, tmp_path):
     # N=3 baskets; n_a=3, n_b=2, n_ab=2
     assert out[("a", "b")] == (2, round(2 / 3, 6), round(2 / 3, 6), round((2 / 3) / (2 / 3), 6))
     assert out[("b", "a")] == (2, round(2 / 3, 6), 1.0, round(1.0 / (3 / 3), 6))
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    """b is an exact duplicate of top pick a: pure relevance would rank
+    it tied-second, but the MMR penalty (sim=1) must push the opposed c
+    ahead. All three share the same relevance, so round 1 is a pure
+    vid tie-break."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),    # query
+        (1, [0.6, 0.8, 0.0]),    # a
+        (2, [0.6, 0.8, 0.0]),    # b: exact dup of a
+        (3, [0.6, -0.8, 0.0]),   # c: same relevance, opposed
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = similarity.mmr_rerank(df, query_id=0, n_candidates=3, k=3).collect()
+    order = [r.vec_id for r in sorted(rows, key=lambda r: r.sel_rank)]
+    assert order == [1, 3, 2]
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[1].relevance == by_id[2].relevance == by_id[3].relevance
+    from csvs_to_sqlite_spark.operators.similarity import _round_half_up
+
+    # round 1: 0.7*rel; round 2 (c): sim(c, a) < 0 so the penalty ADDS;
+    # round 3 (b): sim(b, a) = 1, full 0.3 penalty
+    rel = by_id[1].relevance
+    assert by_id[1].mmr_score == _round_half_up(0.7 * rel, 6)
+    assert by_id[2].mmr_score == _round_half_up(0.7 * rel - 0.3 * 1.0, 6)
+    assert by_id[3].mmr_score > by_id[1].mmr_score  # negative sim bonus
