@@ -1116,6 +1116,18 @@ WHERE rnk <= 5
     )
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization codes (similarity.pq_encode, Jégou et al.
+    2011): 8 subspaces × 16-centroid codebooks (seeded, one quantized
+    Lloyd round), per-vector code word + reconstruction error. The
+    codebook is an (m·k)-row broadcast; the corpus shuffles only through
+    the constant-state (s, cell, pos) mean aggregate and the vid-keyed
+    code collect."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb)
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversified rerank (similarity.mmr_rerank, Carbonell &
     Goldstein 1998): distributed cosine top-25 retrieval (broadcast
@@ -4997,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "semdedup_prune": q_semdedup_prune,
         "mmr_rerank": q_mmr_rerank,
+        "pq_encode": q_pq_encode,
         "ann_recall_eval": q_ann_recall_eval,
         "dataset_card": q_dataset_card,
         "hard_negatives": q_hard_negatives,
@@ -5147,6 +5160,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _sql_knn_ivf(),
         "semdedup_prune": _sql_semdedup(),
         "mmr_rerank": similarity.mmr_rerank_sql(query_id=0, n_candidates=25, k=10),
+        "pq_encode": similarity.pq_encode_sql(),
         "ann_recall_eval": _sql_ann_recall(),
         "dataset_card": _sql_dataset_card(),
         "hard_negatives": SQL_HARD_NEG,

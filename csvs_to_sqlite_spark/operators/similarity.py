@@ -747,3 +747,181 @@ def mmr_rerank_sql(
         "FROM final ORDER BY sel_rank"
     )
     return "\n".join(parts)
+
+
+# --- product quantization ---------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_DSUB = 8     # dims per subspace (m * d_sub = 64)
+PQ_K = 16       # centroids per subspace codebook
+PQ_ITERS = 1    # Lloyd rounds per codebook (fixed, deterministic)
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    d_sub: int = PQ_DSUB,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    vector into ``m`` subvectors, learn a ``k``-centroid codebook per
+    subspace (seeded with the first ``k`` ids, fixed Lloyd rounds,
+    EMB_Q-quantized means — the kmeans_centroids determinism recipe with
+    L2 assignment), and emit each vector's code word + reconstruction
+    error. PQ compresses 64 floats to ``m`` bytes — the memory layout
+    ANN indexes use at 100 TB.
+
+    Plan shape: ONE exploded (vid, subspace, subvector) frame feeds every
+    stage; codebooks are (m·k)-row broadcasts; means are a (s, cell,
+    pos)-keyed aggregate with constant state; the final code word is a
+    per-vid collect of exactly ``m`` rows. The corpus never shuffles
+    except the bounded (s,cell,pos) mean aggregate and the vid-keyed
+    code collect. All distances fold per-row in mirrored order; sums
+    across rows are integer-quantized — bit-stable under any
+    partitioning."""
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    subs = (
+        base.select(
+            "vid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("v", s * d_sub + 1, d_sub).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("vid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+        .persist()
+    )
+    cents = subs.where(F.col("vid") < k).select(
+        "s", F.col("vid").alias("cid"), F.col("sv").alias("cv")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        j = subs.join(F.broadcast(c), "s").select(
+            "vid", "s", "sv", "cid", d2.alias("d2")
+        )
+        w = Window.partitionBy("vid", "s").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "s", "sv", F.col("cid").alias("cell"), "d2")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        expl = assigned.select("s", "cell", F.posexplode("sv").alias("pos", "x"))
+        qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
+        means = expl.groupBy("s", "cell", "pos").agg(
+            F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), 6).alias("mu")
+        )
+        cents = (
+            means.groupBy("s", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select(
+                "s",
+                F.col("cell").alias("cid"),
+                F.transform("pm", lambda t: t["mu"]).alias("cv"),
+            )
+        )
+    final = assign(cents).select(
+        "vid", "s", F.col("cell").alias("code"), F.round(F.col("d2"), 6).alias("err")
+    )
+    agg = final.groupBy("vid").agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "err"))).alias("a")
+    )
+    codes = F.concat_ws("-", F.transform("a", lambda t: t["code"].cast("string")))
+    errsum = F.round(
+        F.aggregate(
+            F.transform("a", lambda t: t["err"]), F.lit(0.0), lambda acc, x: acc + x
+        ),
+        6,
+    )
+    return agg.select(
+        F.col("vid").alias(id_col), codes.alias("codes"), errsum.alias("recon_err")
+    ).orderBy(id_col)
+
+
+def pq_encode_sql(
+    m: int = PQ_M,
+    d_sub: int = PQ_DSUB,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of pq_encode: one CTE chain per subspace (seed →
+    assign → quantized means → reassign), MATERIALIZED where re-read."""
+    dist = "list_sum(list_transform(list_zip(sv, cv), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    parts = [
+        "WITH base AS MATERIALIZED (SELECT vec_id AS vid, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}),"
+    ]
+    code_tables = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, s * d_sub + d_sub
+        parts.append(
+            f"sub{s} AS MATERIALIZED (SELECT vid, list_slice(v, {lo}, {hi}) AS sv"
+            f" FROM base),"
+        )
+        cent = f"seed{s}"
+        parts.append(
+            f"seed{s} AS (SELECT vid AS cid, sv AS cv FROM sub{s} WHERE vid < {k}),"
+        )
+        for it in range(iters):
+            parts.append(
+                f"a{s}_{it} AS MATERIALIZED (SELECT vid, sv, cell, d2 FROM ("
+                f"SELECT vid, sv, cid AS cell, d2, row_number() OVER ("
+                f"PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rn "
+                f"FROM (SELECT vid, sv, cid, {dist} AS d2 FROM sub{s}, {cent})"
+                f") WHERE rn = 1),"
+            )
+            parts.append(
+                f"m{s}_{it} AS (SELECT cell, pos, "
+                f"round((sum(CAST(round(x * {EMB_Q}) AS BIGINT)) / "
+                f"CAST({EMB_Q} AS DOUBLE)) / count(x), 6) AS mu "
+                f"FROM (SELECT cell, i AS pos, sv[i] AS x "
+                f"FROM a{s}_{it}, generate_series(1, {d_sub}) t(i)) "
+                f"GROUP BY cell, pos),"
+            )
+            parts.append(
+                f"cent{s}_{it} AS (SELECT cell AS cid, list(mu ORDER BY pos) AS cv "
+                f"FROM m{s}_{it} GROUP BY cell),"
+            )
+            cent = f"cent{s}_{it}"
+        parts.append(
+            f"code{s} AS MATERIALIZED (SELECT vid, cell AS code, round(d2, 6) AS err"
+            f" FROM (SELECT vid, cid AS cell, d2, row_number() OVER ("
+            f"PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rn "
+            f"FROM (SELECT vid, cid, {dist} AS d2 FROM sub{s}, {cent})"
+            f") WHERE rn = 1),"
+        )
+        code_tables.append(f"code{s}")
+    joins = " ".join(
+        f"JOIN {t} c{i} ON c{i}.vid = base.vid" for i, t in enumerate(code_tables)
+    )
+    code_cols = ", ".join(f"c{i}.code" for i in range(m))
+    err_list = "[" + ", ".join(f"c{i}.err" for i in range(m)) + "]"
+    parts.append(
+        f"final AS (SELECT base.vid AS vec_id, "
+        f"concat_ws('-', {code_cols}) AS codes, "
+        f"round(list_sum({err_list}), 6) AS recon_err FROM base {joins}) "
+        "SELECT vec_id, codes, recon_err FROM final ORDER BY vec_id"
+    )
+    return "\n".join(parts)

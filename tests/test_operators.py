@@ -1228,3 +1228,26 @@ def test_mmr_rerank_demotes_near_duplicates(spark):
     assert by_id[1].mmr_score == _round_half_up(0.7 * rel, 6)
     assert by_id[2].mmr_score == _round_half_up(0.7 * rel - 0.3 * 1.0, 6)
     assert by_id[3].mmr_score > by_id[1].mmr_score  # negative sim bonus
+
+
+def test_pq_encode_self_codebook_perfect_reconstruction(spark):
+    """With k >= n every vector seeds its own singleton centroid, so each
+    encodes to itself with zero reconstruction error; a duplicate of
+    vector 0 must share its code word."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(4)]
+    vecs.append((4, list(vecs[0][1])))  # exact duplicate of vector 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = {
+        r.vec_id: r
+        for r in similarity.pq_encode(df, m=4, d_sub=4, k=4, iters=1).collect()
+    }
+    assert len(rows) == 5
+    for i in range(4):
+        assert rows[i].recon_err == 0.0
+    assert rows[4].codes == rows[0].codes
+    assert rows[4].recon_err == 0.0
+    # 4 subspaces -> 4 dash-separated code digits
+    assert all(len(r.codes.split("-")) == 4 for r in rows.values())
