@@ -247,3 +247,60 @@ def test_c4_line_rules_is_scan_stage_only(spark):
     plan = explain_str(E.q_c4_line_rules(spark, SF))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_quality_classifier_is_scan_stage_only(spark):
+    plan = explain_str(E.q_quality_classifier(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_hll_ndv_register_aggregate_and_broadcast(spark):
+    # the sketch side joins the exact-NDV side via broadcast; shuffles are
+    # keyed (grp, bucket) / (grp) — constant state per group
+    plan = explain_str(E.q_hll_ndv(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_assoc_rules_item_counts_broadcast(spark):
+    # only the basket self-join may shuffle; item/total lookups broadcast
+    plan = explain_str(E.q_assoc_rules(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals cross join
+
+
+def test_pq_encode_codebook_broadcast(spark):
+    # codebooks (m*k rows) broadcast to the exploded subspace frame; the
+    # corpus side must never sort-merge against them
+    plan = explain_str(E.q_pq_encode(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mmr_candidate_retrieval_take_ordered(spark):
+    # the distributed part (top-N retrieval) must be TakeOrdered, and the
+    # query vector broadcast — asserted on the candidate sub-plan the
+    # final (tiny, driver-built) result derives from
+    from pyspark.sql import functions as F
+    from csvs_to_sqlite_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("vid"), _as_double(F.col("embedding")).alias("v"))
+    q = base.where(F.col("vid") == 0).select(F.col("v").alias("qv"))
+    rel = F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)
+    cand = (
+        base.where(F.col("vid") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vid", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vid").asc())
+        .limit(25)
+    )
+    plan = explain_str(cand)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
