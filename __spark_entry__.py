@@ -427,6 +427,108 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): two fact tables joined on
+    orderkey + a selective dim filter, revenue top-10. The customer dim
+    broadcasts; lineitem↔orders is the one keyed shuffle; revenue is an
+    order-free integer-cent sum; top-10 is TakeOrdered (no global sort)."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    cutoff = "1996-03-15"
+    j = (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(
+            o.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+       {sql_qsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1996-03-15'
+  AND l_shipdate > '1996-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the six-table star-ish
+    join with the c_nationkey = s_nationkey co-location constraint.
+    lineitem↔orders is the only fact shuffle; supplier, customer,
+    nation, region all broadcast; revenue per nation is an integer-cent
+    sum."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       {sql_qsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 def q_rollup_returnflag(spark, sf_dir):
     """E6: rollup with subtotal rows."""
     prep_session(spark)
@@ -785,6 +887,78 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
 """
 )
+
+
+def q_dedup_ensemble(spark, sf_dir):
+    """Near-dup method consensus: one row per candidate pair flagged by
+    ANY of the four dedup families (exact md5, MinHash-LSH bands,
+    SimHash pigeonhole, shingle-Jaccard inverted index), with per-method
+    membership booleans and the agreement count. The production pattern:
+    cheap methods vote, disagreement triggers review — and the report
+    itself measures each index's recall against the others. One
+    pair-keyed aggregate over the tagged union; every family is
+    bucketed/banded (no all-pairs anywhere)."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    hx = d.select("doc_id", F.md5("text").alias("h"))
+    a, b = hx.alias("a"), hx.alias("b")
+    exact = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    mm = dedup.minhash_lsh_pairs(d, "text", "doc_id").select("id_a", "id_b")
+    ms = dedup.simhash_pairs(d, "text", "doc_id").select("id_a", "id_b")
+    mj = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    tagged = (
+        exact.withColumn("m", F.lit("exact"))
+        .unionByName(mm.withColumn("m", F.lit("minhash")))
+        .unionByName(ms.withColumn("m", F.lit("simhash")))
+        .unionByName(mj.withColumn("m", F.lit("jaccard")))
+    )
+    flags = {
+        name: F.max(F.when(F.col("m") == name, 1).otherwise(0))
+        for name in ("exact", "minhash", "simhash", "jaccard")
+    }
+    agg = tagged.groupBy("id_a", "id_b").agg(
+        *[v.alias(f"__{k}") for k, v in flags.items()]
+    )
+    n_methods = sum(F.col(f"__{k}") for k in flags).cast("long")
+    return agg.select(
+        "id_a",
+        "id_b",
+        (F.col("__exact") == 1).alias("in_exact"),
+        (F.col("__minhash") == 1).alias("in_minhash"),
+        (F.col("__simhash") == 1).alias("in_simhash"),
+        (F.col("__jaccard") == 1).alias("in_jaccard"),
+        n_methods.alias("n_methods"),
+    )
+
+
+def _sql_dedup_ensemble() -> str:
+    return f"""
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+tagged AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'exact' AS m
+  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT id_a, id_b, 'minhash' AS m FROM ({_sql_minhash_pairs()})
+  UNION ALL
+  SELECT id_a, id_b, 'simhash' AS m FROM ({_sql_simhash_pairs()})
+  UNION ALL
+  SELECT id_a, id_b, 'jaccard' AS m FROM ({SQL_JACCARD})
+)
+SELECT id_a, id_b,
+       max(CASE WHEN m = 'exact' THEN 1 ELSE 0 END) = 1 AS in_exact,
+       max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) = 1 AS in_minhash,
+       max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END) = 1 AS in_simhash,
+       max(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) = 1 AS in_jaccard,
+       CAST(max(CASE WHEN m = 'exact' THEN 1 ELSE 0 END)
+          + max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END)
+          + max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END)
+          + max(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) AS BIGINT) AS n_methods
+FROM tagged GROUP BY id_a, id_b
+"""
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -4985,6 +5159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_iso_format": q_date_iso_format,
         "agg_pricing_summary": q_agg_pricing_summary,
         "rollup_returnflag": q_rollup_returnflag,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "topk_per_group": q_topk_per_group,
         "running_revenue": q_running_revenue,
         "window_functions": q_window_functions,
@@ -4999,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_inference": q_csv_roundtrip_inference,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_ensemble": q_dedup_ensemble,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_calibration": q_minhash_calibration,
@@ -5136,6 +5313,8 @@ def oracle_sql() -> dict[str, str]:
         "date_iso_format": SQL_DATE,
         "agg_pricing_summary": SQL_Q1,
         "rollup_returnflag": SQL_ROLLUP,
+        "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q5": SQL_TPCH_Q5,
         "topk_per_group": SQL_TOPK,
         "running_revenue": SQL_RUNNING,
         "window_functions": SQL_WINDOW_FNS,
@@ -5150,6 +5329,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_inference": SQL_ROUNDTRIP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard_pairs": SQL_JACCARD,
+        "dedup_ensemble": _sql_dedup_ensemble(),
         "minhash_signatures": _sql_minhash_sig(),
         "minhash_lsh_pairs": _sql_minhash_pairs(),
         "minhash_calibration": _sql_minhash_calibration(),

@@ -1251,3 +1251,30 @@ def test_pq_encode_self_codebook_perfect_reconstruction(spark):
     assert rows[4].recon_err == 0.0
     # 4 subspaces -> 4 dash-separated code digits
     assert all(len(r.codes.split("-")) == 4 for r in rows.values())
+
+
+def test_dedup_ensemble_consensus_flags(spark, tmp_path):
+    """Exact duplicates must be flagged by every method (n_methods=4);
+    an unrelated doc never appears in any pair."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [t, t, "completely different words nothing shared here at all ok"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t)] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    import __spark_entry__ as E
+
+    rows = E.q_dedup_ensemble(spark, str(tmp_path)).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    r = rows[0]
+    assert (r.in_exact, r.in_minhash, r.in_simhash, r.in_jaccard) == (True,) * 4
+    assert r.n_methods == 4

@@ -304,3 +304,20 @@ def test_mmr_candidate_retrieval_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_tpch_q3_take_ordered_broadcast_dim(spark):
+    plan = explain_str(E.q_tpch_q3(spark, SF))
+    assert "TakeOrderedAndProject" in plan     # top-10 never global-sorts
+    assert "BroadcastHashJoin" in plan         # customer dim broadcasts
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_single_fact_shuffle(spark):
+    plan = explain_str(E.q_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan         # supplier/customer/nation/region
+    assert "CartesianProduct" not in plan
+    # at most the lineitem<->orders pair may hash-shuffle; dims must not
+    assert plan.count("Exchange hashpartitioning(s_suppkey") == 0
+    assert plan.count("Exchange hashpartitioning(c_custkey") == 0
+    assert plan.count("Exchange hashpartitioning(n_nationkey") == 0
