@@ -3800,6 +3800,74 @@ def _sql_quality_classifier() -> str:
     )
 
 
+def q_classifier_eval(spark, sf_dir):
+    """Confusion matrix of the hashed linear classifier against the
+    heuristic quality gate (quality_score ≥ 0.5) as pseudo-truth — the
+    model-vs-heuristic agreement check a curation pipeline runs before
+    trusting a learned filter. One scan + one 1-row aggregate; the three
+    rates are guarded mirrored divisions of exact longs."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        tokens_expr(F.col("text"), distinct=False).alias("toks"),
+        (text.quality_score(F.col("text")) >= 0.5).alias("truth"),
+    )
+    cols = text.hashed_classifier(F.col("toks"), dim=128)
+    s = base.select("truth", (cols["logit_milli"] > 0).alias("pred"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    agg = s.agg(
+        F.count("*").alias("n"),
+        cnt(F.col("pred") & F.col("truth")).alias("tp"),
+        cnt(F.col("pred") & ~F.col("truth")).alias("fp"),
+        cnt(~F.col("pred") & F.col("truth")).alias("fn"),
+        cnt(~F.col("pred") & ~F.col("truth")).alias("tn"),
+    )
+    rate = lambda num, den: F.when(den > 0, F.round(num / den, 6))
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 6).alias("accuracy"),
+        rate(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
+        rate(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
+    )
+
+
+def _sql_classifier_eval() -> str:
+    # the identical quality expression SQL_QUALITY uses, over the bound toks
+    quality = (
+        "round((least(len(toks) / 50.0, 1.0)"
+        " + least(round(len(list_filter(toks, t -> t IN ('" + _STOPS + "')))"
+        " / greatest(len(toks), 1), 6) * 5.0, 1.0)"
+        " + len(list_distinct(toks)) / greatest(len(toks), 1)) / 3.0, 6)"
+    )
+    return (
+        "WITH scored AS (SELECT "
+        + text.hashed_classifier_sql("toks", dim=128)
+        + ", " + quality + " AS quality FROM (SELECT "
+        + tokens_sql("text", distinct=False)
+        + " AS toks FROM documents)),\n"
+        "s AS (SELECT (logit_milli > 0) AS pred, (quality >= 0.5) AS truth"
+        " FROM scored),\n"
+        "agg AS (SELECT count(*) AS n,\n"
+        "  CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,\n"
+        "  CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,\n"
+        "  CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,\n"
+        "  CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn\n"
+        "  FROM s)\n"
+        "SELECT n, tp, fp, fn, tn,\n"
+        "  round((tp + tn) / n, 6) AS accuracy,\n"
+        "  CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision_,\n"
+        "  CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall_\n"
+        "FROM agg"
+    )
+
+
 BLOCKLIST_TERMS = ("slow", "crash", "stale")
 
 
@@ -5239,6 +5307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "blocklist_filter": q_blocklist_filter,
         "quality_classifier": q_quality_classifier,
+        "classifier_eval": q_classifier_eval,
         "c4_line_rules": q_c4_line_rules,
         "weighted_topk_sample": q_weighted_topk_sample,
         "boilerplate_lines": q_boilerplate_lines,
@@ -5400,6 +5469,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "c4_line_rules": _sql_c4_line_rules(),
         "quality_classifier": _sql_quality_classifier(),
+        "classifier_eval": _sql_classifier_eval(),
         "weighted_topk_sample": (
             "SELECT doc_id, source, n_chars FROM documents "
             + splits.es_weighted_topk_sql("doc_id", "n_chars", k=50)

@@ -163,3 +163,28 @@ def test_minhash_calibration_partitioning_invariant(spark, docs, parts):
     base = rows_of(dedup.minhash_calibration(docs, "text", "doc_id"))
     got = rows_of(dedup.minhash_calibration(docs.repartition(parts), "text", "doc_id"))
     assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_hll_ndv_bitwise_invariant(spark, docs, parts):
+    from csvs_to_sqlite_spark.operators.sketch import hll_ndv
+
+    base = rows_of(hll_ndv(docs, "text", "source"))
+    got = rows_of(hll_ndv(docs.repartition(parts), "text", "source"))
+    assert got == base  # register max-agg + integer numerator: order-free
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_pq_encode_bitwise_invariant(spark, emb, parts):
+    base = rows_of(similarity.pq_encode(emb))
+    got = rows_of(similarity.pq_encode(emb.repartition(parts)))
+    assert got == base  # quantized Lloyd means + per-row double folds
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_mmr_rerank_invariant(spark, emb, parts):
+    base = rows_of(similarity.mmr_rerank(emb, query_id=0, n_candidates=25, k=10))
+    got = rows_of(
+        similarity.mmr_rerank(emb.repartition(parts), query_id=0, n_candidates=25, k=10)
+    )
+    assert got == base
