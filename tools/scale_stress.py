@@ -400,6 +400,54 @@ def main() -> None:
     }
     print(f"blocklist {n}x: {len(bln)} verdicts, {time.time()-t0:.1f}s")
     assert bln == bl1, "blocklist not per-row invariant under self-union"
+
+    # --- hll_ndv: the distinct (source, token) set is unchanged under
+    # self-union, so the ENTIRE report (registers, numerator, estimate)
+    # must be identical at 1x and Nx
+    from csvs_to_sqlite_spark.operators.sketch import hll_ndv
+
+    h1 = sorted(tuple(r) for r in hll_ndv(d1, "text", "source").collect())
+    t0 = time.time()
+    hn = sorted(tuple(r) for r in hll_ndv(dn, "text", "source").collect())
+    print(f"hll_ndv {n}x: {len(hn)} groups, {time.time()-t0:.1f}s", flush=True)
+    assert h1 == hn, "hll_ndv not self-union invariant"
+
+    # --- quality_classifier: per-row scan op; the (n_terms, logit) value
+    # histogram must scale exactly xN
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+    from csvs_to_sqlite_spark.operators.text import hashed_classifier
+
+    def clf_hist(frame):
+        base = frame.select(tokens_expr(F.col("text"), distinct=False).alias("toks"))
+        cols = hashed_classifier(F.col("toks"), dim=128)
+        return {
+            (r.n_terms, r.logit_milli): r.c
+            for r in base.select(cols["n_terms"].alias("n_terms"),
+                                 cols["logit_milli"].alias("logit_milli"))
+            .groupBy("n_terms", "logit_milli").agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    ch1 = clf_hist(d1)
+    t0 = time.time()
+    chn = clf_hist(dn)
+    print(f"classifier {n}x: {len(chn)} hist cells, {time.time()-t0:.1f}s", flush=True)
+    assert chn == {k: v * n for k, v in ch1.items()}, "classifier hist not xN"
+
+    # --- pq_encode: within the Nx run, every synthetic copy must encode
+    # to its original's exact code word and error (assignment depends
+    # only on vector values and the shared codebook)
+    from csvs_to_sqlite_spark.operators.similarity import pq_encode
+
+    t0 = time.time()
+    pq_n = {r.vec_id: (r.codes, r.recon_err) for r in pq_encode(en).collect()}
+    print(f"pq_encode {n}x: {len(pq_n)} vectors, {time.time()-t0:.1f}s", flush=True)
+    for vid, val in list(pq_n.items()):
+        if vid >= 10_000_000:
+            assert pq_n[vid % 10_000_000] == val, f"copy {vid} diverged from original"
+    x1 = n_exchanges(pq_encode(e1))
+    xn = n_exchanges(pq_encode(en))
+    assert xn <= x1, f"pq_encode plan grew exchanges at {n}x ({x1} -> {xn})"
     print("ALL INVARIANTS HELD")
 
 
