@@ -1302,6 +1302,94 @@ def q_pq_encode(spark, sf_dir):
     return similarity.pq_encode(emb)
 
 
+def q_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivfpq_topk): coarse k-means cells route
+    each query to its 2 nearest inverted lists; candidates are scored by
+    ADC — the query's exact subvectors against each candidate's PQ code
+    via a broadcast (|q|·m·k)-row lookup table. The production 100 TB
+    index layout: candidate raw vectors are never touched, scores are
+    exact integer micro-unit sums (order-free), ranking compares longs."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        kmeans_iters=IVF_KMEANS_ITERS,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def _sql_knn_ivfpq() -> str:
+    """Twin of q_knn_ivfpq: the shared Lloyd-round CTEs give the coarse
+    cells (corpus home cell, query n_probe cells); the shared PQ CTEs
+    give per-subspace codes + final codebooks; the ADC lookup table and
+    integer micro-unit score sum mirror the Spark op exactly."""
+    parts = _sql_kmeans_parts(IVF_CENTROIDS, IVF_KMEANS_ITERS)
+    final = f"cents{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""corpus AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT b.vec_id, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c)
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""probed AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT b.vec_id, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c WHERE b.vec_id < 10)
+  WHERE rn <= {IVF_PROBE})"""
+    )
+    parts.append("pqb AS MATERIALIZED (SELECT vec_id AS vid, v FROM base)")
+    pq_parts, code_tables, cent_tables = similarity._pq_sql_parts(base="pqb")
+    parts += pq_parts
+    parts.append(
+        "codes_long AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT vid, {s} AS s, code FROM {t}" for s, t in enumerate(code_tables)
+        )
+        + ")"
+    )
+    dist = "list_sum(list_transform(list_zip(sv, cv), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    lut_selects = []
+    for s, cent in enumerate(cent_tables):
+        lo, hi = s * similarity.PQ_DSUB + 1, (s + 1) * similarity.PQ_DSUB
+        lut_selects.append(
+            f"SELECT query_id, {s} AS s, cid AS code, "
+            f"CAST(round({dist} * {similarity.ADC_Q}) AS BIGINT) AS d2u "
+            f"FROM (SELECT vec_id AS query_id, list_slice(v, {lo}, {hi}) AS sv "
+            f"FROM base WHERE vec_id < 10) CROSS JOIN {cent}"
+        )
+    parts.append("lut AS MATERIALIZED (" + " UNION ALL ".join(lut_selects) + ")")
+    parts.append(
+        """scored AS (
+  SELECT p.query_id, c.neighbor_id, sum(l.d2u) AS adu
+  FROM corpus c JOIN probed p USING (cell)
+  JOIN codes_long cl ON cl.vid = c.neighbor_id
+  JOIN lut l ON l.query_id = p.query_id AND l.s = cl.s AND l.code = cl.code
+  WHERE p.query_id <> c.neighbor_id
+  GROUP BY p.query_id, c.neighbor_id)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, round(adu / CAST({similarity.ADC_Q} AS DOUBLE), 6) AS adist, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adu ASC, neighbor_id) AS rnk FROM scored)
+WHERE rnk <= 5
+"""
+    )
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversified rerank (similarity.mmr_rerank, Carbonell &
     Goldstein 1998): distributed cosine top-25 retrieval (broadcast
@@ -1390,6 +1478,143 @@ SELECT b.query_id, count(a.neighbor_id) AS hits,
 FROM brute b LEFT JOIN approx a
   ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
 GROUP BY b.query_id
+"""
+
+
+def q_ann_recall_matrix(spark, sf_dir):
+    """Index-quality matrix: recall@5 against exact brute force for ALL
+    THREE approximate tiers (hyperplane LSH, multi-probe IVF, IVF-PQ
+    ADC) per query — the side-by-side every index-selection decision
+    needs. The brute-force truth is computed ONCE and reused; each
+    approximate result is a 5-row-per-query broadcast join."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    tiers = {
+        "lsh": similarity.lsh_topk(emb, queries, k=5, n_planes=4, dim=64),
+        "ivf": similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=IVF_CENTROIDS,
+            n_probe=IVF_PROBE, kmeans_iters=IVF_KMEANS_ITERS,
+        ),
+        "ivfpq": similarity.ivfpq_topk(
+            emb, queries, k=5, n_centroids=IVF_CENTROIDS,
+            n_probe=IVF_PROBE, kmeans_iters=IVF_KMEANS_ITERS,
+        ),
+    }
+    outs = []
+    for name, approx in tiers.items():
+        a = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        hits = F.coalesce(F.sum("hit"), F.lit(0))
+        outs.append(
+            brute.join(a, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                hits.cast("long").alias("hits"),
+                F.round(hits / 5.0, 6).alias("recall"),
+            )
+            .select(F.lit(name).alias("index_name"), "query_id", "hits", "recall")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_ann_recall_matrix() -> str:
+    """Twin of q_ann_recall_matrix: the three index twins run as nested
+    CTEs (each carries its own WITH scope) against one brute CTE."""
+    arms = []
+    for name, sub in (
+        ("lsh", _sql_knn_lsh()),
+        ("ivf", _sql_knn_ivf()),
+        ("ivfpq", _sql_knn_ivfpq()),
+    ):
+        arms.append(
+            f"""SELECT '{name}' AS index_name, b.query_id,
+       count(a.neighbor_id) AS hits,
+       round(count(a.neighbor_id) / 5.0, 6) AS recall
+FROM brute b LEFT JOIN ({sub}) a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id"""
+        )
+    return (
+        f"WITH brute AS ({SQL_KNN})\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
+ZORDER_BITS = 8
+ZORDER_PREFIX = 8  # bucket = top ZORDER_PREFIX bits of the 2*BITS-bit address
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout audit over lineitem's (partkey, suppkey):
+    range-quantize both keys to 8 bits, interleave into a 16-bit z
+    address (pure scan-stage integer exprs), bucket by the top 8 z bits,
+    and report each bucket's row count + per-dimension bounding box. The
+    z-prefix property bounds every bucket to a 16×16 quantized rectangle
+    (area ≤ 256 of 65536) — the file-stat locality that lets a 100 TB
+    scan prune on EITHER key column, where a lexicographic sort prunes
+    only on its leading column. Cost: one 1-row stats broadcast + one
+    bucket-keyed aggregate."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.partitioning import (
+        range_quantize,
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    j = li.crossJoin(F.broadcast(stats))
+    pq = range_quantize(F.col("l_partkey"), F.col("pmin"), F.col("pmax"), ZORDER_BITS)
+    sq = range_quantize(F.col("l_suppkey"), F.col("smin"), F.col("smax"), ZORDER_BITS)
+    z = zorder_key([pq, sq], ZORDER_BITS)
+    quant = j.select(pq.alias("pq"), sq.alias("sq"), z.alias("zv"))
+    bucket = F.shiftright(F.col("zv"), 2 * ZORDER_BITS - ZORDER_PREFIX)
+    return (
+        quant.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("pq").alias("pq_min"),
+            F.max("pq").alias("pq_max"),
+            F.min("sq").alias("sq_min"),
+            F.max("sq").alias("sq_max"),
+            (
+                (F.max("pq") - F.min("pq") + 1) * (F.max("sq") - F.min("sq") + 1)
+            ).alias("area"),
+        )
+    )
+
+
+def _sql_zorder_layout() -> str:
+    from csvs_to_sqlite_spark.operators.partitioning import (
+        range_quantize_sql,
+        zorder_key_sql,
+    )
+
+    pq = range_quantize_sql("l_partkey", "pmin", "pmax", ZORDER_BITS)
+    sq = range_quantize_sql("l_suppkey", "smin", "smax", ZORDER_BITS)
+    zv = zorder_key_sql(["pq", "sq"], ZORDER_BITS)
+    shift = 1 << (2 * ZORDER_BITS - ZORDER_PREFIX)
+    return f"""
+WITH stats AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+quant AS (
+  SELECT {pq} AS pq, {sq} AS sq FROM lineitem, stats),
+zed AS (SELECT pq, sq, {zv} AS zv FROM quant)
+SELECT zv // {shift} AS bucket, count(*) AS n_rows,
+       min(pq) AS pq_min, max(pq) AS pq_max,
+       min(sq) AS sq_min, max(sq) AS sq_max,
+       (max(pq) - min(pq) + 1) * (max(sq) - min(sq) + 1) AS area
+FROM zed GROUP BY 1
 """
 
 
@@ -5252,10 +5477,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivfpq": q_knn_ivfpq,
         "semdedup_prune": q_semdedup_prune,
         "mmr_rerank": q_mmr_rerank,
         "pq_encode": q_pq_encode,
         "ann_recall_eval": q_ann_recall_eval,
+        "ann_recall_matrix": q_ann_recall_matrix,
+        "zorder_layout": q_zorder_layout,
         "dataset_card": q_dataset_card,
         "hard_negatives": q_hard_negatives,
         "centroid_classifier_eval": q_centroid_classifier_eval,
@@ -5407,10 +5635,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": SQL_KNN,
         "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
+        "knn_ivfpq": _sql_knn_ivfpq(),
         "semdedup_prune": _sql_semdedup(),
         "mmr_rerank": similarity.mmr_rerank_sql(query_id=0, n_candidates=25, k=10),
         "pq_encode": similarity.pq_encode_sql(),
         "ann_recall_eval": _sql_ann_recall(),
+        "ann_recall_matrix": _sql_ann_recall_matrix(),
+        "zorder_layout": _sql_zorder_layout(),
         "dataset_card": _sql_dataset_card(),
         "hard_negatives": SQL_HARD_NEG,
         "centroid_classifier_eval": SQL_CENTROID_EVAL,

@@ -54,3 +54,53 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt__"], how)
     return out.drop("__salt__")
+
+
+def zorder_key(cols: list[F.Column], bits: int = 8) -> F.Column:
+    """Morton (Z-order) address over ``len(cols)`` pre-quantized integer
+    columns: bit b of column i lands at position b·n + i. Pure integer
+    column expressions — scan-stage, no shuffle, whole-stage codegen.
+
+    Z-ordering is the data-layout lever for multi-column range scans at
+    100 TB (Delta/Iceberg OPTIMIZE ZORDER): sorting or bucketing files by
+    this address makes every z-prefix bucket cover a narrow hyper-
+    rectangle of the key space, so a predicate on ANY indexed column
+    prunes most buckets (min/max file stats), where a lexicographic sort
+    only prunes on its leading column."""
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            z = z + (F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+                     * F.lit(1 << (b * n + i))).cast("long")
+    return z
+
+
+def zorder_key_sql(exprs: list[str], bits: int = 8) -> str:
+    """DuckDB twin of zorder_key — same bit placement via integer
+    division/modulo (exact at any width ≤ 62 bits total)."""
+    n = len(exprs)
+    terms = []
+    for b in range(bits):
+        for i, e in enumerate(exprs):
+            terms.append(
+                f"(((CAST({e} AS BIGINT) // {1 << b}) % 2) * {1 << (b * n + i)})"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def range_quantize(col: F.Column, vmin: F.Column, vmax: F.Column, bits: int = 8) -> F.Column:
+    """Scale a value into [0, 2^bits) by its column range (min/max come
+    from a 1-row broadcast aggregate). Integer-exact: (x - min) * 2^bits
+    // (max - min + 1) in long arithmetic."""
+    span = (vmax - vmin + 1).cast("long")
+    return F.floor(
+        ((col.cast("long") - vmin.cast("long")) * F.lit(1 << bits)) / span
+    ).cast("long")
+
+
+def range_quantize_sql(expr: str, vmin: str, vmax: str, bits: int = 8) -> str:
+    return (
+        f"CAST(floor(((CAST({expr} AS BIGINT) - CAST({vmin} AS BIGINT)) * {1 << bits})"
+        f" / CAST(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT) + 1 AS DOUBLE)) AS BIGINT)"
+    )

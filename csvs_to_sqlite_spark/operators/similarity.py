@@ -757,6 +757,76 @@ PQ_K = 16       # centroids per subspace codebook
 PQ_ITERS = 1    # Lloyd rounds per codebook (fixed, deterministic)
 
 
+def _pq_subspaces(base: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """Explode (vid, v) into the (vid, s, sv) subvector frame PQ stages
+    share. Scan-stage only — one explode of ``m`` sliced structs."""
+    return base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * d_sub + 1, d_sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+
+
+def _pq_l2(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance, folded per-row in list order (mirrored by the
+    DuckDB twin's list_sum fold — bit-identical inputs give bit-identical
+    distances, which the rn=1 assignment ordering relies on)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest-codebook-centroid assignment per (vid, subspace): one
+    broadcast join + a (vid, s)-keyed top-1 window."""
+    j = subs.join(F.broadcast(books), "s").select(
+        "vid", "s", "sv", "cid", _pq_l2(F.col("sv"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy("vid", "s").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "s", "sv", F.col("cid").alias("cell"), "d2")
+    )
+
+
+def _pq_codebooks(subs: DataFrame, k: int, iters: int) -> DataFrame:
+    """Learn the per-subspace codebooks: seed with the first ``k`` ids,
+    run ``iters`` quantized Lloyd rounds (L2 assignment, EMB_Q-exact
+    integer mean sums, 6-dp rounded components). Returns (s, cid, cv)."""
+    cents = subs.where(F.col("vid") < k).select(
+        "s", F.col("vid").alias("cid"), F.col("sv").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, cents)
+        expl = assigned.select("s", "cell", F.posexplode("sv").alias("pos", "x"))
+        qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
+        means = expl.groupBy("s", "cell", "pos").agg(
+            F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), 6).alias("mu")
+        )
+        cents = (
+            means.groupBy("s", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select(
+                "s",
+                F.col("cell").alias("cid"),
+                F.transform("pm", lambda t: t["mu"]).alias("cv"),
+            )
+        )
+    return cents
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -785,63 +855,9 @@ def pq_encode(
     base = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
-    subs = (
-        base.select(
-            "vid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.slice("v", s * d_sub + 1, d_sub).alias("sv"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .select("vid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
-        .persist()
-    )
-    cents = subs.where(F.col("vid") < k).select(
-        "s", F.col("vid").alias("cid"), F.col("sv").alias("cv")
-    )
-
-    def assign(c: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        j = subs.join(F.broadcast(c), "s").select(
-            "vid", "s", "sv", "cid", d2.alias("d2")
-        )
-        w = Window.partitionBy("vid", "s").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
-        return (
-            j.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "s", "sv", F.col("cid").alias("cell"), "d2")
-        )
-
-    for _ in range(iters):
-        assigned = assign(cents)
-        expl = assigned.select("s", "cell", F.posexplode("sv").alias("pos", "x"))
-        qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
-        means = expl.groupBy("s", "cell", "pos").agg(
-            F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), 6).alias("mu")
-        )
-        cents = (
-            means.groupBy("s", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
-            .select(
-                "s",
-                F.col("cell").alias("cid"),
-                F.transform("pm", lambda t: t["mu"]).alias("cv"),
-            )
-        )
-    final = assign(cents).select(
+    subs = _pq_subspaces(base, m, d_sub).persist()
+    cents = _pq_codebooks(subs, k, iters)
+    final = _pq_assign(subs, cents).select(
         "vid", "s", F.col("cell").alias("code"), F.round(F.col("d2"), 6).alias("err")
     )
     agg = final.groupBy("vid").agg(
@@ -859,6 +875,66 @@ def pq_encode(
     ).orderBy(id_col)
 
 
+def _pq_sql_parts(
+    m: int = PQ_M,
+    d_sub: int = PQ_DSUB,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    base: str = "base",
+) -> tuple[list[str], list[str], list[str]]:
+    """CTE fragments (no WITH, no trailing commas) unrolling the PQ
+    codebook learning + final assignment over an existing ``base(vid, v)``
+    CTE. Returns (parts, code_tables, final_cent_tables): ``code{s}`` is
+    (vid, code, err) per subspace; the final codebooks are (cid, cv).
+    Shared by pq_encode_sql and the IVF-PQ oracle so the Spark constants
+    and the SQL stay in lockstep."""
+    dist = "list_sum(list_transform(list_zip(sv, cv), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    parts: list[str] = []
+    code_tables: list[str] = []
+    cent_tables: list[str] = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, s * d_sub + d_sub
+        parts.append(
+            f"sub{s} AS MATERIALIZED (SELECT vid, list_slice(v, {lo}, {hi}) AS sv"
+            f" FROM {base})"
+        )
+        cent = f"seed{s}"
+        parts.append(
+            f"seed{s} AS (SELECT vid AS cid, sv AS cv FROM sub{s} WHERE vid < {k})"
+        )
+        for it in range(iters):
+            parts.append(
+                f"a{s}_{it} AS MATERIALIZED (SELECT vid, sv, cell, d2 FROM ("
+                f"SELECT vid, sv, cid AS cell, d2, row_number() OVER ("
+                f"PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rn "
+                f"FROM (SELECT vid, sv, cid, {dist} AS d2 FROM sub{s}, {cent})"
+                f") WHERE rn = 1)"
+            )
+            parts.append(
+                f"m{s}_{it} AS (SELECT cell, pos, "
+                f"round((sum(CAST(round(x * {EMB_Q}) AS BIGINT)) / "
+                f"CAST({EMB_Q} AS DOUBLE)) / count(x), 6) AS mu "
+                f"FROM (SELECT cell, i AS pos, sv[i] AS x "
+                f"FROM a{s}_{it}, generate_series(1, {d_sub}) t(i)) "
+                f"GROUP BY cell, pos)"
+            )
+            parts.append(
+                f"cent{s}_{it} AS MATERIALIZED (SELECT cell AS cid, "
+                f"list(mu ORDER BY pos) AS cv FROM m{s}_{it} GROUP BY cell)"
+            )
+            cent = f"cent{s}_{it}"
+        parts.append(
+            f"code{s} AS MATERIALIZED (SELECT vid, cell AS code, round(d2, 6) AS err"
+            f" FROM (SELECT vid, cid AS cell, d2, row_number() OVER ("
+            f"PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rn "
+            f"FROM (SELECT vid, cid, {dist} AS d2 FROM sub{s}, {cent})"
+            f") WHERE rn = 1)"
+        )
+        code_tables.append(f"code{s}")
+        cent_tables.append(cent)
+    return parts, code_tables, cent_tables
+
+
 def pq_encode_sql(
     m: int = PQ_M,
     d_sub: int = PQ_DSUB,
@@ -868,51 +944,12 @@ def pq_encode_sql(
 ) -> str:
     """DuckDB twin of pq_encode: one CTE chain per subspace (seed →
     assign → quantized means → reassign), MATERIALIZED where re-read."""
-    dist = "list_sum(list_transform(list_zip(sv, cv), p -> (p[1]-p[2])*(p[1]-p[2])))"
     parts = [
-        "WITH base AS MATERIALIZED (SELECT vec_id AS vid, "
-        f"list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}),"
+        "base AS MATERIALIZED (SELECT vec_id AS vid, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS v FROM {table})"
     ]
-    code_tables = []
-    for s in range(m):
-        lo, hi = s * d_sub + 1, s * d_sub + d_sub
-        parts.append(
-            f"sub{s} AS MATERIALIZED (SELECT vid, list_slice(v, {lo}, {hi}) AS sv"
-            f" FROM base),"
-        )
-        cent = f"seed{s}"
-        parts.append(
-            f"seed{s} AS (SELECT vid AS cid, sv AS cv FROM sub{s} WHERE vid < {k}),"
-        )
-        for it in range(iters):
-            parts.append(
-                f"a{s}_{it} AS MATERIALIZED (SELECT vid, sv, cell, d2 FROM ("
-                f"SELECT vid, sv, cid AS cell, d2, row_number() OVER ("
-                f"PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rn "
-                f"FROM (SELECT vid, sv, cid, {dist} AS d2 FROM sub{s}, {cent})"
-                f") WHERE rn = 1),"
-            )
-            parts.append(
-                f"m{s}_{it} AS (SELECT cell, pos, "
-                f"round((sum(CAST(round(x * {EMB_Q}) AS BIGINT)) / "
-                f"CAST({EMB_Q} AS DOUBLE)) / count(x), 6) AS mu "
-                f"FROM (SELECT cell, i AS pos, sv[i] AS x "
-                f"FROM a{s}_{it}, generate_series(1, {d_sub}) t(i)) "
-                f"GROUP BY cell, pos),"
-            )
-            parts.append(
-                f"cent{s}_{it} AS (SELECT cell AS cid, list(mu ORDER BY pos) AS cv "
-                f"FROM m{s}_{it} GROUP BY cell),"
-            )
-            cent = f"cent{s}_{it}"
-        parts.append(
-            f"code{s} AS MATERIALIZED (SELECT vid, cell AS code, round(d2, 6) AS err"
-            f" FROM (SELECT vid, cid AS cell, d2, row_number() OVER ("
-            f"PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rn "
-            f"FROM (SELECT vid, cid, {dist} AS d2 FROM sub{s}, {cent})"
-            f") WHERE rn = 1),"
-        )
-        code_tables.append(f"code{s}")
+    pq_parts, code_tables, _ = _pq_sql_parts(m, d_sub, k, iters)
+    parts += pq_parts
     joins = " ".join(
         f"JOIN {t} c{i} ON c{i}.vid = base.vid" for i, t in enumerate(code_tables)
     )
@@ -921,7 +958,102 @@ def pq_encode_sql(
     parts.append(
         f"final AS (SELECT base.vid AS vec_id, "
         f"concat_ws('-', {code_cols}) AS codes, "
-        f"round(list_sum({err_list}), 6) AS recon_err FROM base {joins}) "
-        "SELECT vec_id, codes, recon_err FROM final ORDER BY vec_id"
+        f"round(list_sum({err_list}), 6) AS recon_err FROM base {joins})"
     )
-    return "\n".join(parts)
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT vec_id, codes, recon_err FROM final ORDER BY vec_id"
+    )
+
+
+# ADC distance quantum: per-subspace squared-L2 terms are bit-identical
+# across engines (same fold order, same 6-dp codebooks), so scaling to
+# micro-units and rounding yields exact longs whose sums are order-free.
+ADC_Q = 1_000_000
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
+    m: int = PQ_M,
+    d_sub: int = PQ_DSUB,
+    pq_k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011, the production index layout at
+    100 TB): coarse k-means cells route each query to its ``n_probe``
+    nearest inverted lists; candidates inside probed cells are scored by
+    asymmetric distance computation (ADC) — the query's exact subvectors
+    against each candidate's PQ code — via an (|queries|·m·k)-row
+    lookup table, never touching candidate raw vectors.
+
+    Plan shape: centroids and codebooks are broadcast; the corpus
+    shuffles once for the (vid, s) code assignment and once keyed vid
+    for the candidate join; the LUT join is a broadcast; the final
+    (query, neighbor) score is an integer sum of micro-unit longs —
+    associative, so bit-stable under any partitioning. Ranking compares
+    the exact longs (no float order wobble).
+
+    Returns (query_id, neighbor_id, adist, rank): ADC squared-L2
+    distance (rounded for display; ranked on the exact integer),
+    ascending.
+    """
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    coarse = kmeans_centroids(base, "vid", n_centroids, kmeans_iters)
+    cells = assign_cells(
+        base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
+        coarse,
+        "neighbor_id",
+        "nv",
+    ).select("neighbor_id", "cell")
+
+    subs = _pq_subspaces(base, m, d_sub).persist()
+    books = _pq_codebooks(subs, pq_k, pq_iters)
+    codes = _pq_assign(subs, books).select("vid", "s", F.col("cell").alias("code"))
+
+    q = query.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probed = assign_cells(q, coarse, "query_id", "qv", n_probe=n_probe).select(
+        "query_id", "cell"
+    )
+    qsubs = _pq_subspaces(
+        q.select(F.col("query_id").alias("vid"), F.col("qv").alias("v")), m, d_sub
+    ).select(F.col("vid").alias("query_id"), "s", "sv")
+    lut = qsubs.join(F.broadcast(books), "s").select(
+        "query_id",
+        "s",
+        F.col("cid").alias("code"),
+        F.round(_pq_l2(F.col("sv"), F.col("cv")) * F.lit(ADC_Q))
+        .cast("long")
+        .alias("d2u"),
+    )
+
+    cand = cells.join(F.broadcast(probed), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = (
+        cand.join(codes, cand["neighbor_id"] == codes["vid"])
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2u").alias("adu"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adu").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adu") / F.lit(float(ADC_Q)), 6).alias("adist"),
+            "rank",
+        )
+    )

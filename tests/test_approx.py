@@ -166,3 +166,28 @@ def test_random_projection_matrix_is_engine_stable():
     # roughly balanced signs (md5 uniformity)
     flat = [s for row in rp_signs(16, 64) for s in row]
     assert 0.4 < (flat.count(1.0) / len(flat)) < 0.6
+
+def test_ivfpq_adc_finds_exact_duplicate(spark):
+    """An exact copy of a query vector achieves the minimal possible ADC
+    distance (its codes are the argmin codewords for the query itself),
+    so it must surface in the query's top-5 with the rank-1 distance —
+    the deterministic smoke test for the IVF-PQ scoring path."""
+    from csvs_to_sqlite_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900001).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.unionByName(dup)
+    out = similarity.ivfpq_topk(corpus, corpus.where(F.col("vec_id") < 10), k=5)
+    rows = [r for r in out.collect() if r["query_id"] == 0]
+    assert len(rows) == 5
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert all(
+        by_rank[i]["adist"] <= by_rank[i + 1]["adist"] for i in range(4)
+    )
+    dup_rows = [r for r in rows if r["neighbor_id"] == 900001]
+    assert dup_rows and dup_rows[0]["adist"] == by_rank[0]["adist"]

@@ -188,3 +188,11 @@ def test_mmr_rerank_invariant(spark, emb, parts):
         similarity.mmr_rerank(emb.repartition(parts), query_id=0, n_candidates=25, k=10)
     )
     assert got == base
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_ivfpq_topk_bitwise_invariant(spark, emb, parts):
+    q = emb.where(F.col("vec_id") < 10)
+    base = rows_of(similarity.ivfpq_topk(emb, q, k=5))
+    e2 = emb.repartition(parts)
+    got = rows_of(similarity.ivfpq_topk(e2, e2.where(F.col("vec_id") < 10), k=5))
+    assert got == base  # integer micro-unit ADC sums: order-free ranking

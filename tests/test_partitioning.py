@@ -66,3 +66,58 @@ def test_stateful_user_totals_matches_batch(spark):
     got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in out.collect()}
     want = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()}
     assert got == want
+
+
+def test_zorder_bucket_locality(spark):
+    """Every top-8-bit z bucket must cover at most a 16x16 quantized
+    rectangle, and a single 16-wide strip predicate on EITHER dimension
+    must touch at most 16 of the 256 buckets + boundary slack — the
+    pruning property that makes z-order better than a lexicographic sort
+    for the non-leading column."""
+    import __spark_entry__ as E
+
+    rows = E.q_zorder_layout(spark, SF).collect()
+    assert 0 < len(rows) <= 256
+    assert all(0 <= r["bucket"] < 256 for r in rows)
+    assert all(r["area"] <= 256 for r in rows)
+    # strip predicate on pq (the leading-ish dim) and on sq (non-leading)
+    for lo in (0, 64, 240):
+        touched_p = [r for r in rows if not (r["pq_max"] < lo or r["pq_min"] > lo + 15)]
+        touched_s = [r for r in rows if not (r["sq_max"] < lo or r["sq_min"] > lo + 15)]
+        assert len(touched_p) <= 32
+        assert len(touched_s) <= 32
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert sum(r["n_rows"] for r in rows) == li.count()
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    from pyspark.sql import functions as F
+    from csvs_to_sqlite_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key([F.col("x"), F.col("y")], 8).alias("z")).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y)
+
+
+def test_zorder_plan_scan_stage(spark):
+    """The z address must be computed scan-stage: the only joins are the
+    broadcast 1-row stats cross join; no sort-merge anywhere."""
+    import __spark_entry__ as E
+
+    plan = E.q_zorder_layout(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

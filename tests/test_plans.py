@@ -321,3 +321,12 @@ def test_tpch_q5_single_fact_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(s_suppkey") == 0
     assert plan.count("Exchange hashpartitioning(c_custkey") == 0
     assert plan.count("Exchange hashpartitioning(n_nationkey") == 0
+
+def test_ivfpq_codebook_and_lut_broadcast(spark):
+    # centroids, codebooks, probed cells, and the ADC lookup table are
+    # all broadcast; the only corpus-keyed shuffles are the (vid, s)
+    # code-assignment window and the candidate join — never a cartesian
+    # against the corpus
+    plan = explain_str(E.q_knn_ivfpq(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
