@@ -1545,6 +1545,128 @@ GROUP BY b.query_id"""
     )
 
 
+def q_decayed_engagement(spark, sf_dir):
+    """Recency-weighted engagement score per user: each event
+    contributes value · 2^(-days_old) (one-day half-life, anchored at
+    the corpus' last day). Powers of two make the decay EXACT in binary:
+    the per-event term is value_cents · 2^(40 - dt) — an exact integer —
+    summed in decimal(38,0) (order-free), with one mirrored double
+    rescale at the end. No libm pow/exp anywhere, so the score is
+    bit-stable under any partitioning AND across engines. Plan: one
+    1-row anchor broadcast + one user-keyed aggregate."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("anchor"))
+    j = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("anchor"), F.to_date("ts")).alias("dt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dt = F.col("dt")
+    # shiftleft's bit count must be a column here, so spell it in SQL
+    w = F.expr(
+        "CASE WHEN dt <= 40 THEN shiftleft(CAST(1 AS BIGINT), CAST(40 - dt AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    term = (F.col("cents") * w).cast("decimal(38,0)")
+    return j.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(dt).cast("long").alias("days_since_last"),
+        F.round(
+            (F.sum(term).cast("double") / F.lit(float(1 << 40))) / 100.0, 6
+        ).alias("decayed_value"),
+    )
+
+
+SQL_DECAYED_ENGAGEMENT = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+terms AS (
+  SELECT user_id,
+         date_diff('day', CAST(ts AS DATE), anchor) AS dt,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events, anchor)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(dt) AS BIGINT) AS days_since_last,
+       round((CAST(sum(CAST(cents * (CASE WHEN dt <= 40
+                 THEN (CAST(1 AS BIGINT) << (40 - dt)) ELSE 0 END) AS HUGEINT))
+              AS DOUBLE) / 1099511627776.0) / 100.0, 6) AS decayed_value
+FROM terms GROUP BY user_id
+"""
+
+
+COMPACT_SHARDS = 16
+COMPACT_BINS = 12
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-files compaction planner: the document corpus' (source,
+    shard) export files are binned into ~12 merge groups by a
+    deterministic size-descending next-fit — bin = cum_bytes_before //
+    target — the plan a table-maintenance job (OPTIMIZE/compact) would
+    execute. All integer math; the only global window runs over the
+    FILE INVENTORY (n_sources × n_shards rows, bounded — same contract
+    as user_growth), never over documents."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.splits import shard_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    files = (
+        d.select(
+            "source",
+            shard_assignment(F.col("doc_id"), COMPACT_SHARDS, "compact").alias("shard"),
+            F.length("text").cast("long").alias("b"),
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("b").alias("bytes"),
+        )
+    )
+    total = files.agg(F.sum("bytes").alias("total_bytes"))
+    j = files.crossJoin(F.broadcast(total))
+    win = (
+        Window.orderBy(F.col("bytes").desc(), F.col("source"), F.col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("bytes").over(win), F.lit(0).cast("long"))
+    target = F.expr(f"(total_bytes + {COMPACT_BINS - 1}) DIV {COMPACT_BINS}")
+    planned = j.select(
+        "source",
+        "shard",
+        "n_docs",
+        "bytes",
+        cum_before.alias("cum_before"),
+        target.alias("target"),
+    )
+    # exact long integer division (no double quotient in the plan path)
+    return planned.select(
+        "source",
+        "shard",
+        "n_docs",
+        "bytes",
+        F.expr("cum_before DIV target").cast("long").alias("bin"),
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH files AS (
+  SELECT source, {{shard_expr}} AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT sum(bytes) AS total_bytes FROM files),
+planned AS (
+  SELECT source, shard, n_docs, bytes,
+         coalesce(sum(bytes) OVER (ORDER BY bytes DESC, source, shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         CAST((total_bytes + {COMPACT_BINS - 1}) / {COMPACT_BINS} AS BIGINT) AS target
+  FROM files, tot)
+SELECT source, shard, n_docs, bytes,
+       CAST(cum_before // target AS BIGINT) AS bin
+FROM planned
+"""
+
+
 ZORDER_BITS = 8
 ZORDER_PREFIX = 8  # bucket = top ZORDER_PREFIX bits of the 2*BITS-bit address
 
@@ -5584,6 +5706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_ndv": q_hll_ndv,
         "event_anomaly": q_event_anomaly,
+        "decayed_engagement": q_decayed_engagement,
+        "compaction_plan": q_compaction_plan,
         "random_projection": q_random_projection,
         "shingle_novelty": q_shingle_novelty,
         "charwords": q_charwords,
@@ -5752,6 +5876,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "hll_ndv": _sql_hll_ndv(),
         "event_anomaly": SQL_EVENT_ANOMALY,
+        "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
+        "compaction_plan": SQL_COMPACTION_PLAN.format(
+            shard_expr=splits.shard_assignment_sql("doc_id", COMPACT_SHARDS, "compact")
+        ),
         "random_projection": _sql_random_projection(),
         "shingle_novelty": _sql_shingle_novelty(),
         "charwords": SQL_CHARWORDS,

@@ -1278,3 +1278,52 @@ def test_dedup_ensemble_consensus_flags(spark, tmp_path):
     r = rows[0]
     assert (r.in_exact, r.in_minhash, r.in_simhash, r.in_jaccard) == (True,) * 4
     assert r.n_methods == 4
+
+
+def test_decayed_engagement_matches_python_int_model(spark):
+    """The power-of-two decay must equal a pure-Python arbitrary-precision
+    replica EXACTLY (third engine besides Spark/DuckDB) — the whole point
+    of value_cents * 2^(40-dt) is that no engine can drift."""
+    import __spark_entry__ as E
+    from csvs_to_sqlite_spark.streaming.windows import load_events
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_events(spark, f"{sf}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    ).collect()
+    anchor = max(r["d"] for r in rows)
+    per_user = {}
+    for r in rows:
+        dt = (anchor - r["d"]).days
+        cents = int(round(r["value"] * 100))  # banker's vs half-up: values
+        # are x.xx money with float noise, so round() and F.round agree
+        acc = per_user.setdefault(r["user_id"], [0, 0, 10**9])
+        acc[0] += 1
+        acc[1] += cents * (1 << (40 - dt)) if dt <= 40 else 0
+        acc[2] = min(acc[2], dt)
+    got = {r["user_id"]: r for r in E.q_decayed_engagement(spark, sf).collect()}
+    assert set(got) == set(per_user)
+    for uid, (n, s, mindt) in per_user.items():
+        r = got[uid]
+        assert r["n_events"] == n and r["days_since_last"] == mindt
+        expect = round((float(s) / float(1 << 40)) / 100.0, 6)
+        assert r["decayed_value"] == expect
+
+
+def test_compaction_plan_bin_bounds(spark):
+    """Next-fit-by-cumsum invariants: bins are 0..<=11, every bin's bytes
+    stay under target + its largest file, totals are conserved."""
+    import __spark_entry__ as E
+
+    rows = E.q_compaction_plan(spark, "/root/testdata/sf0.01").collect()
+    total = sum(r["bytes"] for r in rows)
+    target = (total + E.COMPACT_BINS - 1) // E.COMPACT_BINS
+    bins = {}
+    for r in rows:
+        assert 0 <= r["bin"] < E.COMPACT_BINS
+        b = bins.setdefault(r["bin"], [0, 0])
+        b[0] += r["bytes"]
+        b[1] = max(b[1], r["bytes"])
+    assert sum(b[0] for b in bins.values()) == total
+    for bb, (bytes_, maxf) in bins.items():
+        assert bytes_ <= target + maxf
