@@ -1598,18 +1598,11 @@ COMPACT_SHARDS = 16
 COMPACT_BINS = 12
 
 
-def q_compaction_plan(spark, sf_dir):
-    """Small-files compaction planner: the document corpus' (source,
-    shard) export files are binned into ~12 merge groups by a
-    deterministic size-descending next-fit — bin = cum_bytes_before //
-    target — the plan a table-maintenance job (OPTIMIZE/compact) would
-    execute. All integer math; the only global window runs over the
-    FILE INVENTORY (n_sources × n_shards rows, bounded — same contract
-    as user_growth), never over documents."""
-    prep_session(spark)
+def compaction_plan_frame(d):
+    """Frame-level body of q_compaction_plan (shared with the scale-
+    stress harness)."""
     from csvs_to_sqlite_spark.operators.splits import shard_assignment
 
-    d = _t(spark, sf_dir, "documents")
     files = (
         d.select(
             "source",
@@ -1648,6 +1641,18 @@ def q_compaction_plan(spark, sf_dir):
     )
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-files compaction planner: the document corpus' (source,
+    shard) export files are binned into ~12 merge groups by a
+    deterministic size-descending next-fit — bin = cum_bytes_before //
+    target — the plan a table-maintenance job (OPTIMIZE/compact) would
+    execute. All integer math; the only global window runs over the
+    FILE INVENTORY (n_sources × n_shards rows, bounded — same contract
+    as user_growth), never over documents."""
+    prep_session(spark)
+    return compaction_plan_frame(_t(spark, sf_dir, "documents"))
+
+
 SQL_COMPACTION_PLAN = f"""
 WITH files AS (
   SELECT source, {{shard_expr}} AS shard,
@@ -1682,12 +1687,19 @@ def q_zorder_layout(spark, sf_dir):
     only on its leading column. Cost: one 1-row stats broadcast + one
     bucket-keyed aggregate."""
     prep_session(spark)
+    return zorder_layout_frame(
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    )
+
+
+def zorder_layout_frame(li):
+    """Frame-level body of q_zorder_layout (shared with the scale-stress
+    harness)."""
     from csvs_to_sqlite_spark.operators.partitioning import (
         range_quantize,
         zorder_key,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     stats = li.agg(
         F.min("l_partkey").alias("pmin"),
         F.max("l_partkey").alias("pmax"),

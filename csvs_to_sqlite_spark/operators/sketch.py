@@ -358,3 +358,130 @@ SELECT CAST((SELECT count(*) FROM ph) AS BIGINT) AS n_probes,
        CAST((SELECT n_missed FROM missed) AS BIGINT) AS n_missed
 FROM agg
 """
+
+
+# --- KMV (K-minimum-values) distinct sketch with set operations ------------
+
+KMV_K = 64
+KMV_HEX = 15          # 60-bit hash: collision-free at these scales, and
+KMV_SCALE = 1 << 60   # exactly representable as double (power of two)
+
+
+def kmv_pair_report(
+    df: DataFrame, text_col: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV/Theta-style distinct sketch per group + pairwise set-operation
+    estimates (Beyer et al. 2007; the mergeable-summaries family): each
+    group keeps its K smallest distinct 60-bit md5 hashes; NDV_est =
+    (K-1)/u_K, the union sketch is the K smallest of the merged sets, and
+    Jaccard_est = |both-present ∩ union-sketch| / |union sketch| — giving
+    intersection estimates no single-pass exact method can provide at
+    100 TB. All hash values are md5-deterministic, so every estimate is
+    EXACTLY reproducible in the DuckDB twin (like cms/bloom/hll).
+
+    Plan: one distinct (group, hash) aggregate, one group-keyed top-K
+    window, then all pair math runs on K-bounded arrays (n_groups² rows).
+    """
+    from csvs_to_sqlite_spark.functions.hashing import md5_long
+
+    h = md5_long(F.col(text_col), seed="kmv", hex_chars=KMV_HEX)
+    d = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("arr"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+
+    def est(cnt: F.Column, kth: F.Column) -> F.Column:
+        return F.round(
+            F.when(cnt < k, cnt.cast("double")).otherwise(
+                F.lit(float(k - 1)) / (kth.cast("double") / F.lit(float(KMV_SCALE)))
+            ),
+            6,
+        )
+
+    a = sk.select(
+        F.col("g").alias("group_a"), F.col("arr").alias("arr_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = sk.select(
+        F.col("g").alias("group_b"), F.col("arr").alias("arr_b"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("group_a") < F.col("group_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("arr_a"), F.col("arr_b"))), 1, k
+    )
+    usize = F.least(F.lit(k), F.size(merged)).cast("long")
+    inter_n = F.size(
+        F.array_intersect(F.array_intersect(merged, F.col("arr_a")), F.col("arr_b"))
+    ).cast("long")
+    union_all_n = F.size(F.array_union(F.col("arr_a"), F.col("arr_b")))
+    out = pairs.select(
+        "group_a",
+        "group_b",
+        est(F.col("cnt_a"), F.element_at("arr_a", F.col("cnt_a").cast("int"))).alias(
+            "ndv_a_est"
+        ),
+        est(F.col("cnt_b"), F.element_at("arr_b", F.col("cnt_b").cast("int"))).alias(
+            "ndv_b_est"
+        ),
+        est(union_all_n.cast("long"), F.element_at(merged, usize.cast("int"))).alias(
+            "union_est"
+        ),
+        usize.alias("union_sketch_n"),
+        inter_n.alias("inter_sketch_n"),
+        F.round(inter_n / usize, 6).alias("jaccard_est"),
+    )
+    return out.withColumn(
+        "inter_est",
+        F.round(
+            F.col("jaccard_est") * F.col("union_est"), 6
+        ),
+    )
+
+
+def kmv_pair_sql(
+    text_expr: str, group_expr: str, k: int = KMV_K, table: str = "documents"
+) -> str:
+    """DuckDB twin of kmv_pair_report — identical hash values, identical
+    estimator arithmetic (the only doubles are the final mirrored
+    divisions)."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(text_expr, seed="kmv", hex_chars=KMV_HEX)
+
+    def est(cnt: str, kth: str) -> str:
+        return (
+            f"round(CASE WHEN {cnt} < {k} THEN CAST({cnt} AS DOUBLE) "
+            f"ELSE {float(k - 1)} / (CAST({kth} AS DOUBLE) / {float(KMV_SCALE)}) END, 6)"
+        )
+
+    merged = f"list_slice(list_sort(list_distinct(list_concat(a.arr, b.arr))), 1, {k})"
+    return f"""
+WITH d AS (SELECT DISTINCT {group_expr} AS g, {h} AS h FROM {table}),
+ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
+sk AS (SELECT g, list_sort(list(h)) AS arr, CAST(count(*) AS BIGINT) AS cnt
+       FROM ranked WHERE rn <= {k} GROUP BY g),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         {est('a.cnt', 'a.arr[CAST(a.cnt AS INT)]')} AS ndv_a_est,
+         {est('b.cnt', 'b.arr[CAST(b.cnt AS INT)]')} AS ndv_b_est,
+         {merged} AS merged,
+         CAST(len(list_distinct(list_concat(a.arr, b.arr))) AS BIGINT) AS union_all_n,
+         CAST(len(list_intersect(list_intersect({merged}, a.arr), b.arr)) AS BIGINT)
+           AS inter_sketch_n
+  FROM sk a, sk b WHERE a.g < b.g),
+scored AS (
+  SELECT group_a, group_b, ndv_a_est, ndv_b_est,
+         {est('union_all_n', 'merged[CAST(least(' + str(k) + ', len(merged)) AS INT)]')}
+           AS union_est,
+         CAST(least({k}, len(merged)) AS BIGINT) AS union_sketch_n,
+         inter_sketch_n,
+         round(inter_sketch_n / CAST(least({k}, len(merged)) AS BIGINT), 6) AS jaccard_est
+  FROM pairs)
+SELECT *, round(jaccard_est * union_est, 6) AS inter_est FROM scored
+"""

@@ -448,6 +448,63 @@ def main() -> None:
     x1 = n_exchanges(pq_encode(e1))
     xn = n_exchanges(pq_encode(en))
     assert xn <= x1, f"pq_encode plan grew exchanges at {n}x ({x1} -> {xn})"
+
+    # --- zorder_layout: partkey/suppkey are untouched by self-union, so
+    # the min/max range, every quantized pair, and every bucket bounding
+    # box are identical at Nx — only n_rows scales exactly xN
+    import __spark_entry__ as E
+
+    li1 = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    ).localCheckpoint()
+    lin = multiply(li1, "l_orderkey", n)
+    z1 = {r["bucket"]: tuple(r) for r in E.zorder_layout_frame(li1).collect()}
+    t0 = time.time()
+    zn = {r["bucket"]: tuple(r) for r in E.zorder_layout_frame(lin).collect()}
+    print(f"zorder {n}x: {len(zn)} buckets, {time.time()-t0:.1f}s", flush=True)
+    assert set(zn) == set(z1)
+    for b, row1 in z1.items():
+        bkt, n_rows, pmin, pmax, smin, smax, area = row1
+        assert zn[b] == (bkt, n_rows * n, pmin, pmax, smin, smax, area), (
+            f"zorder bucket {b} not xN-invariant: {row1} vs {zn[b]}"
+        )
+    assert n_exchanges(E.zorder_layout_frame(lin)) <= n_exchanges(
+        E.zorder_layout_frame(li1)
+    ), "zorder plan grew exchanges"
+
+    # --- compaction_plan: shard membership shifts with the new doc ids,
+    # but the next-fit bounds must hold at ANY scale: bins 0..<12, every
+    # bin <= target + its largest file, bytes conserved
+    t0 = time.time()
+    plan = E.compaction_plan_frame(dn).collect()
+    print(f"compaction {n}x: {len(plan)} files, {time.time()-t0:.1f}s", flush=True)
+    total = sum(r["bytes"] for r in plan)
+    target = (total + E.COMPACT_BINS - 1) // E.COMPACT_BINS
+    bins = {}
+    for r in plan:
+        assert 0 <= r["bin"] < E.COMPACT_BINS
+        b = bins.setdefault(r["bin"], [0, 0])
+        b[0] += r["bytes"]
+        b[1] = max(b[1], r["bytes"])
+    assert sum(b[0] for b in bins.values()) == total
+    for bytes_, maxf in bins.values():
+        assert bytes_ <= target + maxf, "compaction bin overflow beyond bound"
+
+    # --- ivfpq: the ADC index must keep returning exactly 5 ranked rows
+    # per query on the Nx corpus with a flat plan shape
+    from csvs_to_sqlite_spark.operators.similarity import ivfpq_topk
+
+    t0 = time.time()
+    pq_res = ivfpq_topk(en, en.where(F.col("vec_id") < 10), k=5).collect()
+    print(f"ivfpq {n}x: {len(pq_res)} result rows, {time.time()-t0:.1f}s", flush=True)
+    per_q = {}
+    for r in pq_res:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == set(range(10))
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    assert n_exchanges(ivfpq_topk(en, en.where(F.col("vec_id") < 10), k=5)) <= \
+        n_exchanges(ivfpq_topk(e1, e1.where(F.col("vec_id") < 10), k=5)), \
+        "ivfpq plan grew exchanges"
     print("ALL INVARIANTS HELD")
 
 
