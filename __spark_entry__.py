@@ -5324,6 +5324,27 @@ def _sql_hll_ndv() -> str:
     return hll_ndv_sql("text", "source")
 
 
+def q_kmv_sketch(spark, sf_dir):
+    """KMV/Theta distinct sketches per source + pairwise union /
+    intersection / Jaccard estimates (sketch.kmv_pair_report, Beyer et
+    al. 2007). The set-operation tier the sketch family was missing:
+    HLL gives per-group NDV, KMV's mergeable K-min summaries also give
+    cross-group intersections. md5-deterministic, so every estimate is
+    exactly reproduced by the DuckDB twin. Plan: one distinct aggregate,
+    one group-keyed top-K window, pair math on K-bounded arrays."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.sketch import kmv_pair_report
+
+    d = _t(spark, sf_dir, "documents")
+    return kmv_pair_report(d, "text", "source")
+
+
+def _sql_kmv_sketch() -> str:
+    from csvs_to_sqlite_spark.operators.sketch import kmv_pair_sql
+
+    return kmv_pair_sql("text", "source")
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters (operators/sketch.py, Cormode &
     Muthukrishnan 2005): top-20 tokens with exact counts, the CMS
@@ -5717,6 +5738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_ndv": q_hll_ndv,
+        "kmv_sketch": q_kmv_sketch,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
         "compaction_plan": q_compaction_plan,
@@ -5887,6 +5909,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _sql_bpe_encode(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "hll_ndv": _sql_hll_ndv(),
+        "kmv_sketch": _sql_kmv_sketch(),
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
         "compaction_plan": SQL_COMPACTION_PLAN.format(

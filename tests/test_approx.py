@@ -191,3 +191,48 @@ def test_ivfpq_adc_finds_exact_duplicate(spark):
     )
     dup_rows = [r for r in rows if r["neighbor_id"] == 900001]
     assert dup_rows and dup_rows[0]["adist"] == by_rank[0]["adist"]
+
+def test_kmv_estimates_track_exact_sets(spark):
+    """KMV NDV/union/Jaccard estimates vs exact sets computed in Python
+    over the same md5 universe — relative error must stay within the
+    theoretical ~1/sqrt(K-1) scale (K=64 → ~12.6%; allow 3 sigma)."""
+    from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+    from csvs_to_sqlite_spark.operators.sketch import kmv_pair_report
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {}
+    for r in docs.select("source", "text").collect():
+        exact.setdefault(r["source"], set()).add(py_md5_long(r["text"], seed="kmv", hex_chars=15))
+    rows = kmv_pair_report(docs, "text", "source").collect()
+    assert len(rows) == len(exact) * (len(exact) - 1) // 2
+    for r in rows:
+        a, b = exact[r["group_a"]], exact[r["group_b"]]
+        for est, true in (
+            (r["ndv_a_est"], len(a)),
+            (r["ndv_b_est"], len(b)),
+            (r["union_est"], len(a | b)),
+        ):
+            if true >= 64:
+                assert abs(est - true) / true < 0.38, (r["group_a"], r["group_b"], est, true)
+            else:
+                assert est == float(true)
+        true_j = len(a & b) / len(a | b)
+        assert abs(r["jaccard_est"] - true_j) <= 0.15
+        assert abs(r["inter_est"] - r["jaccard_est"] * r["union_est"]) < 1e-6
+
+
+def test_kmv_small_group_is_exact(spark):
+    """Groups with fewer than K distinct values must report EXACT counts
+    (the sketch holds everything)."""
+    from csvs_to_sqlite_spark.operators.sketch import kmv_pair_report
+
+    df = spark.createDataFrame(
+        [("a", f"t{i}") for i in range(10)] + [("b", f"t{i}") for i in range(5, 20)],
+        "source string, text string",
+    )
+    r = kmv_pair_report(df, "text", "source").collect()[0]
+    assert r["ndv_a_est"] == 10.0 and r["ndv_b_est"] == 15.0
+    assert r["union_est"] == 20.0
+    assert r["jaccard_est"] == round(5 / 20, 6)
+    assert r["inter_est"] == round(r["jaccard_est"] * 20.0, 6)

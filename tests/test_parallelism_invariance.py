@@ -196,3 +196,11 @@ def test_ivfpq_topk_bitwise_invariant(spark, emb, parts):
     e2 = emb.repartition(parts)
     got = rows_of(similarity.ivfpq_topk(e2, e2.where(F.col("vec_id") < 10), k=5))
     assert got == base  # integer micro-unit ADC sums: order-free ranking
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_kmv_sketch_bitwise_invariant(spark, docs, parts):
+    from csvs_to_sqlite_spark.operators.sketch import kmv_pair_report
+
+    base = rows_of(kmv_pair_report(docs, "text", "source"))
+    got = rows_of(kmv_pair_report(docs.repartition(parts), "text", "source"))
+    assert got == base  # K-min sets depend only on hash values
