@@ -1390,6 +1390,104 @@ WHERE rnk <= 5
     )
 
 
+def q_knn_ivfpq_residual(spark, sf_dir):
+    """IVFADC — residual IVF-PQ (similarity.ivfpq_residual_topk, Jégou
+    et al. 2011 §III): PQ codebooks learned on v − coarse_centroid(v),
+    ADC lookup tables built per (query, probed cell). The codebooks only
+    cover within-cell spread, so the same byte budget yields tighter
+    codes than raw-vector PQ."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivfpq_residual_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        kmeans_iters=IVF_KMEANS_ITERS,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def _sql_knn_ivfpq_residual() -> str:
+    """Twin of q_knn_ivfpq_residual: Lloyd CTEs → per-vector residuals →
+    the shared PQ CTE chain over the residual base → per-(query, cell)
+    ADC lookup → integer micro-unit score sum."""
+    parts = _sql_kmeans_parts(IVF_CENTROIDS, IVF_KMEANS_ITERS)
+    final = f"cents{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c)
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""rb AS MATERIALIZED (
+  SELECT c.vec_id AS vid, c.cell,
+         list_transform(list_zip(c.v, ct.cv), z -> z[1] - z[2]) AS v
+  FROM cells c JOIN {final} ct ON ct.centroid_id = c.cell)"""
+    )
+    pq_parts, code_tables, cent_tables = similarity._pq_sql_parts(base="rb")
+    parts += pq_parts
+    parts.append(
+        "codes_long AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT vid, {s} AS s, code FROM {t}" for s, t in enumerate(code_tables)
+        )
+        + ")"
+    )
+    parts.append(
+        f"""probed AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c WHERE b.vec_id < 10)
+  WHERE rn <= {IVF_PROBE})"""
+    )
+    parts.append(
+        f"""qres AS (
+  SELECT query_id, pr.cell,
+         list_transform(list_zip(qv, ct.cv), z -> z[1] - z[2]) AS rv
+  FROM probed pr JOIN {final} ct ON ct.centroid_id = pr.cell)"""
+    )
+    dist = "list_sum(list_transform(list_zip(sv, cv), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    lut_selects = []
+    for s, cent in enumerate(cent_tables):
+        lo, hi = s * similarity.PQ_DSUB + 1, (s + 1) * similarity.PQ_DSUB
+        lut_selects.append(
+            f"SELECT query_id, cell, {s} AS s, cid AS code, "
+            f"CAST(round({dist} * {similarity.ADC_Q}) AS BIGINT) AS d2u "
+            f"FROM (SELECT query_id, cell, list_slice(rv, {lo}, {hi}) AS sv "
+            f"FROM qres) CROSS JOIN {cent}"
+        )
+    parts.append("lut AS MATERIALIZED (" + " UNION ALL ".join(lut_selects) + ")")
+    parts.append(
+        """scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, sum(l.d2u) AS adu
+  FROM cells c JOIN probed p USING (cell)
+  JOIN codes_long cl ON cl.vid = c.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.cell = c.cell
+            AND l.s = cl.s AND l.code = cl.code
+  WHERE p.query_id <> c.vec_id
+  GROUP BY p.query_id, c.vec_id)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, round(adu / CAST({similarity.ADC_Q} AS DOUBLE), 6) AS adist, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adu ASC, neighbor_id) AS rnk FROM scored)
+WHERE rnk <= 5
+"""
+    )
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversified rerank (similarity.mmr_rerank, Carbonell &
     Goldstein 1998): distributed cosine top-25 retrieval (broadcast
@@ -5633,6 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "semdedup_prune": q_semdedup_prune,
         "mmr_rerank": q_mmr_rerank,
         "pq_encode": q_pq_encode,
@@ -5794,6 +5893,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
         "knn_ivfpq": _sql_knn_ivfpq(),
+        "knn_ivfpq_residual": _sql_knn_ivfpq_residual(),
         "semdedup_prune": _sql_semdedup(),
         "mmr_rerank": similarity.mmr_rerank_sql(query_id=0, n_candidates=25, k=10),
         "pq_encode": similarity.pq_encode_sql(),

@@ -1057,3 +1057,104 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
+    m: int = PQ_M,
+    d_sub: int = PQ_DSUB,
+    pq_k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVFADC, the textbook IVF-PQ of Jégou et al. 2011 §III: PQ encodes
+    the RESIDUAL v − coarse_centroid(v), not the raw vector, so the
+    codebooks only have to cover the within-cell spread — tighter codes
+    at the same budget. The ADC lookup table is therefore built per
+    (query, probed cell): d2(query_residual_in_cell, codeword). Same
+    plan shape as ivfpq_topk with the LUT |q|·n_probe× larger (still a
+    broadcast) and the candidate join keyed (cell) with the score join
+    keyed (query, cell, s, code). Ranking compares exact micro-unit
+    longs."""
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    coarse = kmeans_centroids(base, "vid", n_centroids, kmeans_iters)
+    cvs = coarse.select(F.col("centroid_id").alias("cell"), F.col("cv").alias("ctr"))
+
+    cells = assign_cells(
+        base.select(F.col("vid").alias("nid"), F.col("v").alias("nv")),
+        coarse,
+        "nid",
+        "nv",
+    )
+    res = cells.join(F.broadcast(cvs), "cell").select(
+        F.col("nid").alias("vid"),
+        F.col("cell"),
+        F.zip_with("nv", "ctr", lambda x, y: x - y).alias("v"),
+    )
+    subs = _pq_subspaces(res.select("vid", "v"), m, d_sub).persist()
+    books = _pq_codebooks(subs, pq_k, pq_iters)
+    codes = _pq_assign(subs, books).select("vid", "s", F.col("cell").alias("code"))
+    corpus = res.select(F.col("vid").alias("neighbor_id"), "cell")
+
+    q = query.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probed = assign_cells(q, coarse, "query_id", "qv", n_probe=n_probe)
+    qres = probed.join(F.broadcast(cvs), "cell").select(
+        "query_id",
+        "cell",
+        F.zip_with("qv", "ctr", lambda x, y: x - y).alias("rv"),
+    )
+    qsubs = qres.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("rv", s * d_sub + 1, d_sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", "cell", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    lut = qsubs.join(F.broadcast(books), "s").select(
+        "query_id",
+        "cell",
+        "s",
+        F.col("cid").alias("code"),
+        F.round(_pq_l2(F.col("sv"), F.col("cv")) * F.lit(ADC_Q))
+        .cast("long")
+        .alias("d2u"),
+    )
+
+    cand = corpus.join(
+        F.broadcast(probed.select("query_id", "cell")), "cell"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        cand.join(codes, cand["neighbor_id"] == codes["vid"])
+        .join(F.broadcast(lut), ["query_id", "cell", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2u").alias("adu"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adu").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adu") / F.lit(float(ADC_Q)), 6).alias("adist"),
+            "rank",
+        )
+    )

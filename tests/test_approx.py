@@ -167,13 +167,23 @@ def test_random_projection_matrix_is_engine_stable():
     flat = [s for row in rp_signs(16, 64) for s in row]
     assert 0.4 < (flat.count(1.0) / len(flat)) < 0.6
 
-def test_ivfpq_adc_finds_exact_duplicate(spark):
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["raw", "residual"])
+def test_ivfpq_adc_finds_exact_duplicate(spark, variant):
     """An exact copy of a query vector achieves the minimal possible ADC
-    distance (its codes are the argmin codewords for the query itself),
-    so it must surface in the query's top-5 with the rank-1 distance —
-    the deterministic smoke test for the IVF-PQ scoring path."""
+    distance (its codes are the argmin codewords for the query itself —
+    for the residual variant, the copy shares the query's home cell so
+    the residuals are identical too), so it must surface in the query's
+    top-5 with the rank-1 distance — the deterministic smoke test for
+    both IVF-PQ scoring paths."""
     from csvs_to_sqlite_spark.operators import similarity
 
+    fn = (
+        similarity.ivfpq_topk if variant == "raw"
+        else similarity.ivfpq_residual_topk
+    )
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
         "vec_id", "embedding"
     )
@@ -181,7 +191,7 @@ def test_ivfpq_adc_finds_exact_duplicate(spark):
         (F.col("vec_id") + 900001).alias("vec_id"), F.col("embedding")
     )
     corpus = emb.unionByName(dup)
-    out = similarity.ivfpq_topk(corpus, corpus.where(F.col("vec_id") < 10), k=5)
+    out = fn(corpus, corpus.where(F.col("vec_id") < 10), k=5)
     rows = [r for r in out.collect() if r["query_id"] == 0]
     assert len(rows) == 5
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]

@@ -204,3 +204,13 @@ def test_kmv_sketch_bitwise_invariant(spark, docs, parts):
     base = rows_of(kmv_pair_report(docs, "text", "source"))
     got = rows_of(kmv_pair_report(docs.repartition(parts), "text", "source"))
     assert got == base  # K-min sets depend only on hash values
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_ivfpq_residual_bitwise_invariant(spark, emb, parts):
+    q = emb.where(F.col("vec_id") < 10)
+    base = rows_of(similarity.ivfpq_residual_topk(emb, q, k=5))
+    e2 = emb.repartition(parts)
+    got = rows_of(
+        similarity.ivfpq_residual_topk(e2, e2.where(F.col("vec_id") < 10), k=5)
+    )
+    assert got == base
