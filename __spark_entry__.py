@@ -42,6 +42,7 @@ from csvs_to_sqlite_spark.streaming.windows import (
     windowed_event_counts,
 )
 from csvs_to_sqlite_spark.functions.hashing import md5_long_sql, shingles_sql, tokens_sql
+from csvs_to_sqlite_spark.functions import qmath
 
 # shared oracle CTE: per-doc shingle posting list (tokens bound once)
 _SHINGLE_TOK_CTE = (
@@ -77,36 +78,80 @@ def _qcol(col, q):
     return F.round(col * F.lit(q)).cast("long")
 
 
+def _pow10_div(q, dp):
+    """q expressed as D·10^dp. Returns D (int) when q = 10^p with
+    p >= dp (the tie-prone case needing integer rounding); "exact" when
+    q = 10^p with p < dp (the quotient already has <= dp decimals — no
+    tie possible, one plain mirrored division suffices); None when q is
+    not a power of ten (binary quantum, legacy path)."""
+    d, p = q, 0
+    while d % 10 == 0:
+        d //= 10
+        p += 1
+    if d != 1:
+        return None  # binary quantum (EMB_Q): handled by the legacy path
+    return q // 10 ** dp if p >= dp else "exact"
+
+
 def qsum(col, q, dp):
-    """Order-free sum of a fixed-dp double column, rounded to dp digits."""
-    return F.round(F.sum(_qcol(col, q)) / F.lit(float(q)), dp)
+    """Order-free sum of a fixed-dp double column, rounded to dp digits.
+
+    The final rounding is done in INTEGER space (qmath.qround_long):
+    round()-on-double diverges between Spark (shortest-repr HALF_UP) and
+    DuckDB/CPython (exact-value) exactly at short-decimal ties like
+    3078435950/10000 — the tpch_q10 hash-fail class."""
+    D = _pow10_div(q, dp)
+    assert D is not None, f"qsum expects a power-of-ten quantum, got {q}"
+    if D == "exact":  # quotient already has <= dp decimals: tie-free
+        return F.sum(_qcol(col, q)).cast("double") / F.lit(float(q))
+    return qmath.qround_long(F.sum(_qcol(col, q)), D, dp)
 
 
 def qavg(col, q, dp):
     """Order-free mean of a fixed-dp double column, rounded to dp digits.
 
-    Division sequence is (sum/q)/n — the DuckDB twin must mirror it exactly
-    (double division is deterministic given identical operands, but
-    (s/q)/n and s/(q*n) differ in the last ULP).
-    """
-    return F.round((F.sum(_qcol(col, q)) / F.lit(float(q))) / F.count(col), dp)
+    Power-of-ten quanta round in integer space (exact ties — see qsum).
+    Binary quanta (EMB_Q) keep the legacy mirrored (s/q)/n double path:
+    a tie there needs the exact rational to terminate within dp+1
+    decimal digits, which requires a 2^(40-dp')-divisible sum —
+    astronomically rare, and the path is shared with the kmeans/PQ CTE
+    chains frozen into many oracles."""
+    D = _pow10_div(q, dp)
+    if D is None:
+        return F.round((F.sum(_qcol(col, q)) / F.lit(float(q))) / F.count(col), dp)
+    if D == "exact":
+        # dividing by the count reintroduces arbitrary digits, so the
+        # integer path still applies — express s/(q·n) to dp decimals as
+        # half_up(s·10^(dp-p) / n) / 10^dp with the numerator pre-scaled
+        scale = 10 ** dp // q
+        return qmath.qdiv_count(F.sum(_qcol(col, q)) * F.lit(scale), F.count(col), 1, dp)
+    return qmath.qdiv_count(F.sum(_qcol(col, q)), F.count(col), D, dp)
 
 
 def sql_qsum(expr, q, dp):
-    # CAST(q AS DOUBLE), not a q.0 literal: Spark SQL (and DuckDB) parse
-    # `100.0` as DECIMAL, which silently switches the division to decimal
-    # arithmetic — the DataFrame API's F.lit(float) is a double
-    return (
-        f"round(sum(CAST(round(({expr}) * {q}) AS BIGINT))"
-        f" / CAST({q} AS DOUBLE), {dp})"
-    )
+    num = f"sum(CAST(round(({expr}) * {q}) AS BIGINT))"
+    D = _pow10_div(q, dp)
+    assert D is not None, f"sql_qsum expects a power-of-ten quantum, got {q}"
+    if D == "exact":
+        return f"(CAST({num} AS DOUBLE) / CAST({q} AS DOUBLE))"
+    return qmath.sql_qround(num, D, dp)
 
 
 def sql_qavg(expr, q, dp):
-    return (
-        f"round((sum(CAST(round(({expr}) * {q}) AS BIGINT)) / CAST({q} AS DOUBLE))"
-        f" / count({expr}), {dp})"
-    )
+    num = f"sum(CAST(round(({expr}) * {q}) AS BIGINT))"
+    D = _pow10_div(q, dp)
+    if D is None:
+        # legacy mirrored double path (EMB_Q) — CAST(q AS DOUBLE), not a
+        # q.0 literal: `100.0` parses as DECIMAL and silently switches
+        # the division to decimal arithmetic
+        return (
+            f"round(({num} / CAST({q} AS DOUBLE))"
+            f" / count({expr}), {dp})"
+        )
+    if D == "exact":
+        scale = 10 ** dp // q
+        return qmath.sql_qdiv_count(f"({num} * {scale})", f"count({expr})", 1, dp)
+    return qmath.sql_qdiv_count(num, f"count({expr})", D, dp)
 
 
 # quantum for embedding components: 2^40 is EXACT for float32-origin values
@@ -407,7 +452,7 @@ def q_agg_pricing_summary(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             qsum(F.col("l_extendedprice"), 100, 2).alias("sum_base_price"),
             qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            qavg(F.col("l_quantity"), 100, 4).alias("avg_qty"),
             qavg(F.col("l_discount"), 100, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -419,7 +464,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        {sql_qsum("l_extendedprice", 100, 2)} AS sum_base_price,
        {sql_qsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       {sql_qavg("l_quantity", 100, 4)} AS avg_qty,
        {sql_qavg("l_discount", 100, 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -526,6 +571,102 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): one quarter of orders
+    joined to returned lineitems, revenue per customer, top-20. The
+    customer and nation dims broadcast; lineitem↔orders is the only
+    keyed shuffle; revenue is an order-free integer-cent sum; top-20 is
+    TakeOrdered."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_qsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    self-aggregate of the fact feeds the main join. The big-order key
+    set is produced by one orderkey-keyed aggregate whose HAVING
+    compares EXACT integer centi-quantities (no float threshold
+    wobble); orders join it on the same key (AQE broadcasts the
+    filtered side), customer broadcasts."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"))
+        .where(F.col("qty_c") > 180 * 100)
+        .select(F.col("l_orderkey").alias("bigkey"))
+    )
+    j = (
+        li.join(big, F.col("l_orderkey") == F.col("bigkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+        )
+        .agg(qsum(F.col("l_quantity"), 100, 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_totalprice, {sql_qsum("l_quantity", 100, 2)} AS sum_qty
+FROM lineitem
+JOIN (SELECT l_orderkey AS bigkey FROM lineitem GROUP BY 1
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 18000) big
+  ON l_orderkey = bigkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
 """
 
 
@@ -880,11 +1021,11 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM tokc a JOIN tokc b ON a.token = b.token AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
-SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+SELECT id_a, id_b, (CAST((CASE WHEN ((i * 1000000)) < 0 THEN -CAST(round(((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) - ((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) % ((((sa.sz + sb.sz - i)) * 1) * 2))) / CAST(((((sa.sz + sb.sz - i)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) - ((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) % ((((sa.sz + sb.sz - i)) * 1) * 2))) / CAST(((((sa.sz + sb.sz - i)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
+WHERE (CAST((CASE WHEN ((i * 1000000)) < 0 THEN -CAST(round(((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) - ((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) % ((((sa.sz + sb.sz - i)) * 1) * 2))) / CAST(((((sa.sz + sb.sz - i)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) - ((abs((i * 1000000)) * 2 + (((sa.sz + sb.sz - i)) * 1)) % ((((sa.sz + sb.sz - i)) * 1) * 2))) / CAST(((((sa.sz + sb.sz - i)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
 """
 )
 
@@ -1051,7 +1192,7 @@ def _sql_minhash_calibration() -> str:
         "  CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter,\n"
         "  CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS BIGINT) AS n_union,\n"
         f"  round(m.n_match / CAST({k} AS DOUBLE), 6) AS est_jaccard,\n"
-        "  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6)"
+        "  (CAST((CASE WHEN ((coalesce(i.i, 0) * 1000000)) < 0 THEN -CAST(round(((abs((coalesce(i.i, 0) * 1000000)) * 2 + (((sa.sz + sb.sz - coalesce(i.i, 0))) * 1)) - ((abs((coalesce(i.i, 0) * 1000000)) * 2 + (((sa.sz + sb.sz - coalesce(i.i, 0))) * 1)) % ((((sa.sz + sb.sz - coalesce(i.i, 0))) * 1) * 2))) / CAST(((((sa.sz + sb.sz - coalesce(i.i, 0))) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((coalesce(i.i, 0) * 1000000)) * 2 + (((sa.sz + sb.sz - coalesce(i.i, 0))) * 1)) - ((abs((coalesce(i.i, 0) * 1000000)) * 2 + (((sa.sz + sb.sz - coalesce(i.i, 0))) * 1)) % ((((sa.sz + sb.sz - coalesce(i.i, 0))) * 1) * 2))) / CAST(((((sa.sz + sb.sz - coalesce(i.i, 0))) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE))"
         " AS true_jaccard\n"
         "FROM m LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b\n"
         "JOIN sizes sa ON sa.doc_id = m.id_a JOIN sizes sb ON sb.doc_id = m.id_b"
@@ -1874,9 +2015,16 @@ def q_dataset_card(spark, sf_dir):
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.sum("n_tok").alias("total_tokens"),
-        F.round(F.avg("n_tok"), 6).alias("mean_tokens"),
+        qavg(F.col("n_tok").cast("double"), 1, 6).alias("mean_tokens"),
         F.countDistinct("h").cast("long").alias("distinct_texts"),
-        F.round(1 - F.countDistinct("h") / F.count("*"), 6).alias("dup_rate"),
+        # integer half-up (qmath): (n - distinct)/n can terminate at
+        # exactly 7 decimal digits, where round()-on-double ties diverge
+        qmath.qdiv_count(
+            (F.count("*") - F.countDistinct("h")) * F.lit(1_000_000),
+            F.count("*"),
+            1,
+            6,
+        ).alias("dup_rate"),
         # quality is 6-dp per doc: quantize to micro-units so the mean is
         # an exact integer sum — bit-stable under any partitioning (the
         # r3 driver hash-fail class)
@@ -1897,9 +2045,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        sum(n_tok) AS total_tokens,
-       round(avg(n_tok), 6) AS mean_tokens,
+       {sql_qavg("n_tok", 1, 6)} AS mean_tokens,
        CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
-       round(1 - count(DISTINCT h) / count(*), 6) AS dup_rate,
+       {qmath.sql_qdiv_count("((count(*) - count(DISTINCT h)) * 1000000)", "count(*)", 1, 6)} AS dup_rate,
        {sql_qavg("q", 1000000, 6)} AS mean_quality
 FROM base
 """
@@ -2009,9 +2157,11 @@ def q_centroid_classifier_eval(spark, sf_dir):
     return assigned.groupBy("label").agg(
         F.count("*").cast("long").alias("n"),
         F.sum((F.col("c_label") == F.col("label")).cast("int")).cast("long").alias("hits"),
-        F.round(
-            F.sum((F.col("c_label") == F.col("label")).cast("int"))
-            / F.count("*"),
+        qmath.qdiv_count(
+            F.sum((F.col("c_label") == F.col("label")).cast("int")).cast("long")
+            * F.lit(1_000_000),
+            F.count("*"),
+            1,
             6,
         ).alias("accuracy"),
     )
@@ -2039,7 +2189,7 @@ assigned AS (
   WHERE rn = 1)
 SELECT label, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-       round(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+       {qmath.sql_qdiv_count("(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) * 1000000)", "count(*)", 1, 6)} AS accuracy
 FROM assigned GROUP BY label
 """
 
@@ -2477,13 +2627,12 @@ def q_range_join(spark, sf_dir):
     )
 
 
-SQL_RANGE_JOIN = """
+SQL_RANGE_JOIN = f"""
 WITH bands AS (
   SELECT i AS bucket, i*10.0 AS lo, (i+1)*10.0 AS hi, 'band_' || i AS band
   FROM generate_series(0, 9) AS t(i))
 SELECT band, count(*) AS n,
-       round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
-             / count(value), 4) AS avg_value
+       {sql_qavg("value", 100, 4)} AS avg_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY 1
 """
@@ -2584,8 +2733,9 @@ px AS (
   JOIN LATERAL (SELECT unnest(range(0, fr.w)) AS x) x ON true),
 feat AS (
   SELECT i, f, w, h,
-         round((CAST(sum(299 * r + 587 * gg + 114 * b) AS DOUBLE)
-                / count(*)) / 255000.0, 6) AS mean_luma,
+         CAST((2 * sum(299 * r + 587 * gg + 114 * b) * 1000000
+                + count(*) * 255000)
+               // (2 * count(*) * 255000) AS DOUBLE) / 1000000.0 AS mean_luma,
          string_agg(printf('%02x%02x%02x', r, gg, b), '' ORDER BY y, x)
            AS raster_hex
   FROM px GROUP BY i, f, w, h)
@@ -2710,7 +2860,8 @@ feat AS (
            AS pcm_hex
   FROM pcm GROUP BY i)
 SELECT CAST(g.i AS BIGINT) AS media_id,
-       round(f.n / CAST(g.rate AS DOUBLE), 6) AS duration_s,
+       CAST((2 * f.n * 1000000 + g.rate) // (2 * g.rate) AS DOUBLE)
+         / 1000000.0 AS duration_s,
        CAST(g.rate AS INTEGER) AS sample_rate,
        f.rms,
        sha256({hdr} || f.pcm_hex) AS payload_sha
@@ -2749,8 +2900,9 @@ px AS (
   JOIN LATERAL (SELECT unnest(range(0, g.w)) AS x) x ON true),
 feat AS (
   SELECT i, w, h,
-         round((CAST(sum(299 * r + 587 * gg + 114 * b) AS DOUBLE)
-                / count(*)) / 255000.0, 6) AS mean_luma,
+         CAST((2 * sum(299 * r + 587 * gg + 114 * b) * 1000000
+                + count(*) * 255000)
+               // (2 * count(*) * 255000) AS DOUBLE) / 1000000.0 AS mean_luma,
          string_agg(printf('%02x%02x%02x', r, gg, b), '' ORDER BY y, x)
            AS raster_hex
   FROM px GROUP BY i, w, h)
@@ -3466,15 +3618,17 @@ def q_dup_rate_by_source(spark, sf_dir):
     return per_text.groupBy("source").agg(
         F.sum("c").alias("n_docs"),
         F.count("*").alias("n_unique"),
-        F.round((F.sum("c") - F.count("*")) / F.sum("c"), 6).alias("dup_rate"),
+        qmath.qdiv_count(
+            (F.sum("c") - F.count("*")) * F.lit(1_000_000), F.sum("c"), 1, 6
+        ).alias("dup_rate"),
     )
 
 
-SQL_DUP_RATE = """
+SQL_DUP_RATE = f"""
 WITH per_text AS (SELECT source, md5(text) AS h, count(*) AS c
                   FROM documents GROUP BY 1, 2)
 SELECT source, cast(sum(c) AS bigint) AS n_docs, count(*) AS n_unique,
-       round((sum(c) - count(*)) / cast(sum(c) AS double), 6) AS dup_rate
+       {qmath.sql_qdiv_count("((sum(c) - count(*)) * 1000000)", "sum(c)", 1, 6)} AS dup_rate
 FROM per_text GROUP BY source
 """
 
@@ -3570,7 +3724,7 @@ def q_embedding_health(spark, sf_dir):
     )
 
 
-SQL_EMBEDDING_HEALTH = """
+SQL_EMBEDDING_HEALTH = f"""
 WITH per_vec AS (
   SELECT label, len(embedding) AS dim,
          round(sqrt(list_sum(list_transform(embedding,
@@ -3579,8 +3733,7 @@ WITH per_vec AS (
 SELECT label, count(*) AS n_vecs,
        cast(min(dim) AS bigint) AS dim_min, cast(max(dim) AS bigint) AS dim_max,
        cast(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS bigint) AS n_zero_vecs,
-       round((sum(CAST(round(norm * 10000) AS BIGINT)) / 10000.0)
-             / count(norm), 4) AS mean_norm
+       {sql_qavg("norm", 10000, 4)} AS mean_norm
 FROM per_vec GROUP BY label
 """
 
@@ -3746,18 +3899,27 @@ def q_assoc_rules(spark, sf_dir):
         )
         .crossJoin(F.broadcast(n_total))
     )
-    conf = F.col("n_ab") / F.col("n_a")
+    M = F.lit(1_000_000)
     return out.select(
         "antecedent",
         "consequent",
         "n_ab",
-        F.round(F.col("n_ab") / F.col("n_baskets_total"), 6).alias("support"),
-        F.round(conf, 6).alias("confidence"),
-        F.round(conf / (F.col("n_b") / F.col("n_baskets_total")), 6).alias("lift"),
+        # single-division integer ratios, rounded in integer space (qmath):
+        # lift is expressed as the exact rational (n_ab·total)/(n_a·n_b)
+        qmath.qdiv_count(F.col("n_ab") * M, F.col("n_baskets_total"), 1, 6).alias(
+            "support"
+        ),
+        qmath.qdiv_count(F.col("n_ab") * M, F.col("n_a"), 1, 6).alias("confidence"),
+        qmath.qdiv_count(
+            F.col("n_ab") * F.col("n_baskets_total") * M,
+            F.col("n_a") * F.col("n_b"),
+            1,
+            6,
+        ).alias("lift"),
     ).orderBy("antecedent", "consequent")
 
 
-SQL_ASSOC = """
+SQL_ASSOC = f"""
 WITH baskets AS (SELECT DISTINCT user_id, cast(ts AS date) AS day, event_type
                  FROM events),
 tot AS (SELECT count(*) AS n_baskets_total
@@ -3773,9 +3935,9 @@ directed AS (SELECT type_a AS antecedent, type_b AS consequent, n_ab FROM pairs
              UNION ALL
              SELECT type_b, type_a, n_ab FROM pairs)
 SELECT antecedent, consequent, n_ab,
-       round(n_ab / n_baskets_total, 6) AS support,
-       round(n_ab / ia.n_item, 6) AS confidence,
-       round((n_ab / ia.n_item) / (ic.n_item / n_baskets_total), 6) AS lift
+       (CAST((CASE WHEN ((n_ab * 1000000)) < 0 THEN -CAST(round(((abs((n_ab * 1000000)) * 2 + ((n_baskets_total) * 1)) - ((abs((n_ab * 1000000)) * 2 + ((n_baskets_total) * 1)) % (((n_baskets_total) * 1) * 2))) / CAST((((n_baskets_total) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((n_ab * 1000000)) * 2 + ((n_baskets_total) * 1)) - ((abs((n_ab * 1000000)) * 2 + ((n_baskets_total) * 1)) % (((n_baskets_total) * 1) * 2))) / CAST((((n_baskets_total) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS support,
+       (CAST((CASE WHEN ((n_ab * 1000000)) < 0 THEN -CAST(round(((abs((n_ab * 1000000)) * 2 + ((ia.n_item) * 1)) - ((abs((n_ab * 1000000)) * 2 + ((ia.n_item) * 1)) % (((ia.n_item) * 1) * 2))) / CAST((((ia.n_item) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((n_ab * 1000000)) * 2 + ((ia.n_item) * 1)) - ((abs((n_ab * 1000000)) * 2 + ((ia.n_item) * 1)) % (((ia.n_item) * 1) * 2))) / CAST((((ia.n_item) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS confidence,
+       (CAST((CASE WHEN ((n_ab * n_baskets_total * 1000000)) < 0 THEN -CAST(round(((abs((n_ab * n_baskets_total * 1000000)) * 2 + (((ia.n_item * ic.n_item)) * 1)) - ((abs((n_ab * n_baskets_total * 1000000)) * 2 + (((ia.n_item * ic.n_item)) * 1)) % ((((ia.n_item * ic.n_item)) * 1) * 2))) / CAST(((((ia.n_item * ic.n_item)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((n_ab * n_baskets_total * 1000000)) * 2 + (((ia.n_item * ic.n_item)) * 1)) - ((abs((n_ab * n_baskets_total * 1000000)) * 2 + (((ia.n_item * ic.n_item)) * 1)) % ((((ia.n_item * ic.n_item)) * 1) * 2))) / CAST(((((ia.n_item * ic.n_item)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS lift
 FROM directed
 JOIN items ia ON ia.event_type = antecedent
 JOIN items ic ON ic.event_type = consequent
@@ -3938,7 +4100,7 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
-SQL_MERGE_UPSERT = """
+SQL_MERGE_UPSERT = f"""
 WITH base AS (SELECT o_orderkey, o_totalprice, 1 AS version FROM orders),
 updates AS (SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice,
                    2 AS version
@@ -3949,7 +4111,7 @@ merged AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
            FROM unioned)
 SELECT count(*) AS n_rows,
        cast(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS bigint) AS n_updated,
-       round(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) / 10000.0, 2)
+       {sql_qsum("o_totalprice", 10000, 2)}
          AS total_revenue
 FROM merged WHERE rn = 1
 """
@@ -4282,14 +4444,18 @@ def q_classifier_eval(spark, sf_dir):
         cnt(~F.col("pred") & F.col("truth")).alias("fn"),
         cnt(~F.col("pred") & ~F.col("truth")).alias("tn"),
     )
-    rate = lambda num, den: F.when(den > 0, F.round(num / den, 6))
+    rate = lambda num, den: F.when(
+        den > 0, qmath.qdiv_count(num.cast("long") * F.lit(1_000_000), den, 1, 6)
+    )
     return agg.select(
         "n",
         "tp",
         "fp",
         "fn",
         "tn",
-        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 6).alias("accuracy"),
+        qmath.qdiv_count(
+            (F.col("tp") + F.col("tn")) * F.lit(1_000_000), F.col("n"), 1, 6
+        ).alias("accuracy"),
         rate(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
         rate(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
     )
@@ -4318,9 +4484,9 @@ def _sql_classifier_eval() -> str:
         "  CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn\n"
         "  FROM s)\n"
         "SELECT n, tp, fp, fn, tn,\n"
-        "  round((tp + tn) / n, 6) AS accuracy,\n"
-        "  CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision_,\n"
-        "  CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall_\n"
+        "  (CAST((CASE WHEN (((tp + tn) * 1000000)) < 0 THEN -CAST(round(((abs(((tp + tn) * 1000000)) * 2 + ((n) * 1)) - ((abs(((tp + tn) * 1000000)) * 2 + ((n) * 1)) % (((n) * 1) * 2))) / CAST((((n) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs(((tp + tn) * 1000000)) * 2 + ((n) * 1)) - ((abs(((tp + tn) * 1000000)) * 2 + ((n) * 1)) % (((n) * 1) * 2))) / CAST((((n) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS accuracy,\n"
+        "  CASE WHEN tp + fp > 0 THEN (CAST((CASE WHEN ((tp * 1000000)) < 0 THEN -CAST(round(((abs((tp * 1000000)) * 2 + (((tp + fp)) * 1)) - ((abs((tp * 1000000)) * 2 + (((tp + fp)) * 1)) % ((((tp + fp)) * 1) * 2))) / CAST(((((tp + fp)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((tp * 1000000)) * 2 + (((tp + fp)) * 1)) - ((abs((tp * 1000000)) * 2 + (((tp + fp)) * 1)) % ((((tp + fp)) * 1) * 2))) / CAST(((((tp + fp)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) END AS precision_,\n"
+        "  CASE WHEN tp + fn > 0 THEN (CAST((CASE WHEN ((tp * 1000000)) < 0 THEN -CAST(round(((abs((tp * 1000000)) * 2 + (((tp + fn)) * 1)) - ((abs((tp * 1000000)) * 2 + (((tp + fn)) * 1)) % ((((tp + fn)) * 1) * 2))) / CAST(((((tp + fn)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((tp * 1000000)) * 2 + (((tp + fn)) * 1)) - ((abs((tp * 1000000)) * 2 + (((tp + fn)) * 1)) % ((((tp + fn)) * 1) * 2))) / CAST(((((tp + fn)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) END AS recall_\n"
         "FROM agg"
     )
 
@@ -4511,7 +4677,7 @@ def _sql_skew_report() -> str:
         "WITH c AS (SELECT cast(l_partkey AS varchar) AS key, count(*) AS n\n"
         "           FROM lineitem GROUP BY 1),\n"
         "t AS (SELECT count(*) AS total FROM lineitem)\n"
-        "SELECT key, n, round(n / cast(t.total AS double), 6) AS share\n"
+        "SELECT key, n, (CAST((CASE WHEN ((n * 1000000)) < 0 THEN -CAST(round(((abs((n * 1000000)) * 2 + ((t.total) * 1)) - ((abs((n * 1000000)) * 2 + ((t.total) * 1)) % (((t.total) * 1) * 2))) / CAST((((t.total) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((n * 1000000)) * 2 + ((t.total) * 1)) - ((abs((n * 1000000)) * 2 + ((t.total) * 1)) % (((t.total) * 1) * 2))) / CAST((((t.total) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS share\n"
         "FROM c CROSS JOIN t ORDER BY n DESC, key ASC LIMIT 10"
     )
 
@@ -4533,8 +4699,12 @@ def q_contamination_report(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.coalesce(F.col("is_bad"), F.lit(0))).alias("n_contaminated"),
-            F.round(
-                F.sum(F.coalesce(F.col("is_bad"), F.lit(0))) / F.count("*"), 6
+            qmath.qdiv_count(
+                F.sum(F.coalesce(F.col("is_bad"), F.lit(0))).cast("long")
+                * F.lit(1_000_000),
+                F.count("*"),
+                1,
+                6,
             ).alias("rate"),
         )
     )
@@ -4554,8 +4724,9 @@ def _sql_contamination_report() -> str:
         "        WHERE doc_id % 50 <> 0)\n"
         "SELECT source, count(*) AS n_docs,\n"
         "  cast(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END) AS bigint) AS n_contaminated,\n"
-        "  round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END)\n"
-        "        / cast(count(*) AS double), 6) AS rate\n"
+        "  " + qmath.sql_qdiv_count(
+            "(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END)"
+            " * 1000000)", "count(*)", 1, 6) + " AS rate\n"
         "FROM documents WHERE doc_id % 50 <> 0 GROUP BY source"
     )
 
@@ -4584,7 +4755,7 @@ model AS (SELECT bigram, ln((c12 + 0.5) / (c1 + 0.5 * v.v)) AS logp
           FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
           CROSS JOIN v)
 SELECT doc_id, count(*) AS n_bigrams,
-       round((sum(CAST(round(logp * 1e12) AS BIGINT)) / 1e12) / count(*), 6)
+       {qmath.sql_qdiv_count("sum(CAST(round(logp * 1e12) AS BIGINT))", "count(*)", 1000000, 6)}
          AS lm_score
 FROM big JOIN model USING (bigram) GROUP BY doc_id
 """
@@ -4797,10 +4968,10 @@ u AS (SELECT doc_id, token,
                  OVER (PARTITION BY doc_id) / 1e12) AS u
       FROM w)
 SELECT a.doc_id AS a, b.doc_id AS b,
-       round(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT)) / 1e12, 6) AS cosine
+       (CAST((CASE WHEN (sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) < 0 THEN -CAST(round(((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) - ((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) % 1000000)) / CAST(1000000 AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) - ((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) % 1000000)) / CAST(1000000 AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS cosine
 FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-HAVING round(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT)) / 1e12, 6) >= 0.9
+HAVING (CAST((CASE WHEN (sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) < 0 THEN -CAST(round(((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) - ((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) % 1000000)) / CAST(1000000 AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) - ((abs(sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))) + 500000) % 1000000)) / CAST(1000000 AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.9
 """
 
 
@@ -4932,7 +5103,7 @@ WITH tokd AS (SELECT source, {_TOKENS} AS toks FROM documents),
 tok AS (SELECT source, unnest(toks) AS token FROM tokd),
 cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token)
 SELECT source, cast(sum(c) AS bigint) AS n_tokens, count(*) AS n_types,
-       round(count(*) / cast(sum(c) AS double), 6) AS type_token_ratio,
+       (CAST((CASE WHEN ((count(*) * 1000000)) < 0 THEN -CAST(round(((abs((count(*) * 1000000)) * 2 + ((sum(c)) * 1)) - ((abs((count(*) * 1000000)) * 2 + ((sum(c)) * 1)) % (((sum(c)) * 1) * 2))) / CAST((((sum(c)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((count(*) * 1000000)) * 2 + ((sum(c)) * 1)) - ((abs((count(*) * 1000000)) * 2 + ((sum(c)) * 1)) % (((sum(c)) * 1) * 2))) / CAST((((sum(c)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS type_token_ratio,
        round(ln(cast(sum(c) AS double))
              - (sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) / 1e6)
                / cast(sum(c) AS double), 6) AS entropy
@@ -5263,7 +5434,9 @@ def q_retention_cohorts(spark, sf_dir):
             F.col("day_offset").cast("long").alias("day_offset"),
             "n_active",
             "cohort_size",
-            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+            qmath.qdiv_count(
+                F.col("n_active") * F.lit(1_000_000), F.col("cohort_size"), 1, 6
+            ).alias("retention"),
         )
     )
 
@@ -5279,7 +5452,7 @@ cells AS (SELECT cohort, date_diff('day', cohort, day) AS day_offset,
           GROUP BY cohort, date_diff('day', cohort, day))
 SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
        CAST(day_offset AS BIGINT) AS day_offset, n_active, cohort_size,
-       round(n_active / cohort_size, 6) AS retention
+       (CAST((CASE WHEN ((n_active * 1000000)) < 0 THEN -CAST(round(((abs((n_active * 1000000)) * 2 + ((cohort_size) * 1)) - ((abs((n_active * 1000000)) * 2 + ((cohort_size) * 1)) % (((cohort_size) * 1) * 2))) / CAST((((cohort_size) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((n_active * 1000000)) * 2 + ((cohort_size) * 1)) - ((abs((n_active * 1000000)) * 2 + ((cohort_size) * 1)) % (((cohort_size) * 1) * 2))) / CAST((((cohort_size) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS retention
 FROM cells JOIN sizes USING (cohort)
 """
 
@@ -5372,7 +5545,9 @@ def q_shingle_novelty(spark, sf_dir):
             "doc_id",
             "n_shingles",
             "n_unique",
-            F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
+            qmath.qdiv_count(
+                F.col("n_unique") * F.lit(1_000_000), F.col("n_shingles"), 1, 6
+            ).alias("novelty"),
         )
         .orderBy(F.col("novelty").asc(), F.col("doc_id").asc())
         .limit(20)
@@ -5396,7 +5571,7 @@ per_doc AS (SELECT doc_id, count(*) AS n_shingles,
                      AS n_unique
             FROM sh JOIN dfreq USING (token) GROUP BY doc_id)
 SELECT doc_id, n_shingles, n_unique,
-       round(n_unique / n_shingles, 6) AS novelty
+       (CAST((CASE WHEN ((n_unique * 1000000)) < 0 THEN -CAST(round(((abs((n_unique * 1000000)) * 2 + ((n_shingles) * 1)) - ((abs((n_unique * 1000000)) * 2 + ((n_shingles) * 1)) % (((n_shingles) * 1) * 2))) / CAST((((n_shingles) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((n_unique * 1000000)) * 2 + ((n_shingles) * 1)) - ((abs((n_unique * 1000000)) * 2 + ((n_shingles) * 1)) % (((n_shingles) * 1) * 2))) / CAST((((n_shingles) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS novelty
 FROM per_doc ORDER BY novelty ASC, doc_id ASC LIMIT 20
 """
 
@@ -5547,9 +5722,9 @@ inter AS (SELECT l, r, count(*) AS inter FROM lt JOIN rt USING (token)
 ls AS (SELECT l, count(*) AS sz_l FROM lt GROUP BY l),
 rs AS (SELECT r, count(*) AS sz_r FROM rt GROUP BY r),
 scored AS (
-  SELECT l, r, round(inter / (sz_l + sz_r - inter), 6) AS jaccard
+  SELECT l, r, (CAST((CASE WHEN ((inter * 1000000)) < 0 THEN -CAST(round(((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) - ((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) % ((((sz_l + sz_r - inter)) * 1) * 2))) / CAST(((((sz_l + sz_r - inter)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) - ((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) % ((((sz_l + sz_r - inter)) * 1) * 2))) / CAST(((((sz_l + sz_r - inter)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
   FROM inter JOIN ls USING (l) JOIN rs USING (r)
-  WHERE round(inter / (sz_l + sz_r - inter), 6) >= 0.3),
+  WHERE (CAST((CASE WHEN ((inter * 1000000)) < 0 THEN -CAST(round(((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) - ((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) % ((((sz_l + sz_r - inter)) * 1) * 2))) / CAST(((((sz_l + sz_r - inter)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) - ((abs((inter * 1000000)) * 2 + (((sz_l + sz_r - inter)) * 1)) % ((((sz_l + sz_r - inter)) * 1) * 2))) / CAST(((((sz_l + sz_r - inter)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.3),
 best AS (SELECT *, row_number() OVER (PARTITION BY l
                ORDER BY jaccard DESC, r ASC) AS rk FROM scored)
 SELECT l AS doc_id, r AS match_id, jaccard FROM best WHERE rk = 1
@@ -5707,6 +5882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_returnflag": q_rollup_returnflag,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "topk_per_group": q_topk_per_group,
         "running_revenue": q_running_revenue,
         "window_functions": q_window_functions,
@@ -5869,6 +6046,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_returnflag": SQL_ROLLUP,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,
+        "tpch_q10": SQL_TPCH_Q10,
+        "tpch_q18": SQL_TPCH_Q18,
         "topk_per_group": SQL_TOPK,
         "running_revenue": SQL_RUNNING,
         "window_functions": SQL_WINDOW_FNS,

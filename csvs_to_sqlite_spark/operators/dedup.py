@@ -29,6 +29,8 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvs_to_sqlite_spark.functions import qmath
+
 logger = logging.getLogger("csvs_to_sqlite_spark.dedup")
 
 from csvs_to_sqlite_spark.functions.hashing import (
@@ -170,7 +172,12 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+            qmath.qdiv_count(
+                F.col("inter") * F.lit(1_000_000),
+                (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("long"),
+                1,
+                6,
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -267,8 +274,11 @@ def fuzzy_link(
         .join(rs, "__r__")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_l") + F.col("sz_r") - F.col("inter")), 6
+            qmath.qdiv_count(
+                F.col("inter") * F.lit(1_000_000),
+                (F.col("sz_l") + F.col("sz_r") - F.col("inter")).cast("long"),
+                1,
+                6,
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -446,9 +456,10 @@ def minhash_calibration(
             "n_inter",
             (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).alias("n_union"),
             F.round(F.col("n_match") / F.lit(float(k)), 6).alias("est_jaccard"),
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+            qmath.qdiv_count(
+                F.col("n_inter") * F.lit(1_000_000),
+                (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("long"),
+                1,
                 6,
             ).alias("true_jaccard"),
         )

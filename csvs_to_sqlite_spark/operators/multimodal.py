@@ -23,6 +23,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from csvs_to_sqlite_spark.functions.qmath import py_half_up
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -149,8 +151,10 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
             luma_milli = px.astype(np.int64) * 1000
         else:
             luma_milli = px.astype(np.int64) @ np.array([299, 587, 114])
-        mean_milli = float(int(luma_milli.sum())) / luma_milli.size
-        return width, height, round(mean_milli / 255000.0, 6)
+        # exact integer half-up (qmath.py_half_up): round()-on-double
+        # ties diverge between engines when the rational terminates early
+        u = py_half_up(int(luma_milli.sum()) * 1_000_000, luma_milli.size * 255_000)
+        return width, height, u / 1e6
     raise NotImplementedError(
         "only PPM/PGM/BMP decode without codecs; jpeg/png need PIL"
     )
@@ -300,7 +304,7 @@ def decode_audio(payload: bytes) -> tuple[float, int, float]:
 
         sample_rate, n_channels, samples = _parse_wav(payload)
         n_frames = len(samples) // max(n_channels, 1)
-        duration = round(n_frames / sample_rate, 6)
+        duration = py_half_up(n_frames * 1_000_000, sample_rate) / 1e6
         if len(samples):
             # exact-integer RMS: samples are pcm/32768 (dyadic, exact), so
             # pcm² sums in int64 with no float-order dependence; one
@@ -526,13 +530,18 @@ def extract_video_frames(
                 for idx in range(0, len(frames), every_n):
                     w, h, px = frames[idx]
                     luma_milli = px.astype(np.int64) @ np.array([299, 587, 114])
-                    mean_milli = float(int(luma_milli.sum())) / luma_milli.size
                     frame_bytes = encode_ppm(px)
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
                     rows["width"].append(w)
                     rows["height"].append(h)
-                    rows["mean_luma"].append(round(mean_milli / 255000.0, 6))
+                    rows["mean_luma"].append(
+                        py_half_up(
+                            int(luma_milli.sum()) * 1_000_000,
+                            luma_milli.size * 255_000,
+                        )
+                        / 1e6
+                    )
                     rows["frame_sha"].append(
                         hashlib.sha256(frame_bytes.hex().encode()).hexdigest()
                     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvs_to_sqlite_spark.functions import qmath
+
 
 def _branch(
     df: DataFrame, cols: list[str], numeric: bool, approx: bool
@@ -116,6 +118,8 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         .select(
             "key",
             "n",
-            F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+            qmath.qdiv_count(
+                F.col("n") * F.lit(1_000_000), F.lit(int(total)).cast("long"), 1, 6
+            ).alias("share"),
         )
     )

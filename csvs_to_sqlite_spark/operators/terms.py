@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from csvs_to_sqlite_spark.functions import qmath
 from csvs_to_sqlite_spark.functions.hashing import md5_long, tokens_expr
 
 
@@ -135,7 +136,9 @@ def corpus_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
         .agg(
             n.alias("n_tokens"),
             F.count("*").alias("n_types"),
-            F.round(F.count("*") / n, 6).alias("type_token_ratio"),
+            qmath.qdiv_count(
+                F.count("*") * F.lit(1_000_000), n.cast("long"), 1, 6
+            ).alias("type_token_ratio"),
             # Σ c·ln(c) quantized to 1e-6 units: exact long sum (order-free
             # under any shuffle), and integer rounding also absorbs last-ulp
             # libm ln() differences between engines
@@ -230,9 +233,9 @@ def tfidf_cosine_pairs(
         # becomes an exact integer sum — order-free, bit-stable under any
         # shuffle order (drift ≤ 5e-13·|shared tokens|, invisible at 6 dp)
         .agg(
-            F.round(
-                F.sum(F.round(F.col("ua") * F.col("ub") * 1e12).cast("long"))
-                / F.lit(1e12),
+            qmath.qround_long(
+                F.sum(F.round(F.col("ua") * F.col("ub") * 1e12).cast("long")),
+                1_000_000,
                 6,
             ).alias("cosine")
         )
@@ -296,10 +299,13 @@ def lm_score(
         .agg(
             F.count("*").alias("n_bigrams"),
             # quantized mean of logp (see tfidf cosine note): exact long
-            # sum ⇒ identical bits under any partitioning
-            F.round(
-                (F.sum(F.round(F.col("logp") * 1e12).cast("long")) / F.lit(1e12))
-                / F.count("*"),
+            # sum ⇒ identical bits under any partitioning; the final
+            # rounding happens in integer space (qmath) — round()-on-
+            # double ties diverge between Spark and DuckDB
+            qmath.qdiv_count(
+                F.sum(F.round(F.col("logp") * 1e12).cast("long")),
+                F.count("*"),
+                1_000_000,
                 6,
             ).alias("lm_score"),
         )
@@ -686,8 +692,11 @@ def vocab_overlap(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
             "group_a",
             "group_b",
             "n_common",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            qmath.qdiv_count(
+                F.col("n_common") * F.lit(1_000_000),
+                (F.col("na") + F.col("nb") - F.col("n_common")).cast("long"),
+                1,
+                6,
             ).alias("jaccard"),
         )
     )
@@ -709,7 +718,7 @@ inter AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
           FROM vt a JOIN vt b ON a.token = b.token AND a.g < b.g
           GROUP BY a.g, b.g)
 SELECT group_a, group_b, n_common,
-       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+       (CAST((CASE WHEN ((n_common * 1000000)) < 0 THEN -CAST(round(((abs((n_common * 1000000)) * 2 + (((sa.n + sb.n - n_common)) * 1)) - ((abs((n_common * 1000000)) * 2 + (((sa.n + sb.n - n_common)) * 1)) % ((((sa.n + sb.n - n_common)) * 1) * 2))) / CAST(((((sa.n + sb.n - n_common)) * 1) * 2) AS DOUBLE)) AS BIGINT) ELSE CAST(round(((abs((n_common * 1000000)) * 2 + (((sa.n + sb.n - n_common)) * 1)) - ((abs((n_common * 1000000)) * 2 + (((sa.n + sb.n - n_common)) * 1)) % ((((sa.n + sb.n - n_common)) * 1) * 2))) / CAST(((((sa.n + sb.n - n_common)) * 1) * 2) AS DOUBLE)) AS BIGINT) END) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.g = group_a
 JOIN sizes sb ON sb.g = group_b
