@@ -1729,18 +1729,26 @@ def q_ann_recall_matrix(spark, sf_dir):
     prep_session(spark)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
+    # no persist: brute is read by three cheap broadcast joins, and a
+    # persisted frame would outlive the query (review finding); the
+    # coarse k-means centroids ARE shared — ivf and ivfpq would
+    # otherwise each rerun the most expensive stage on identical inputs
     brute = similarity.cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
-    ).persist()
+    )
+    base = emb.select(F.col("vec_id"), similarity._as_double(F.col("embedding")).alias("v"))
+    coarse = similarity.kmeans_centroids(
+        base, "vec_id", IVF_CENTROIDS, IVF_KMEANS_ITERS
+    )
     tiers = {
         "lsh": similarity.lsh_topk(emb, queries, k=5, n_planes=4, dim=64),
         "ivf": similarity.ivf_topk(
             emb, queries, k=5, n_centroids=IVF_CENTROIDS,
-            n_probe=IVF_PROBE, kmeans_iters=IVF_KMEANS_ITERS,
+            n_probe=IVF_PROBE, kmeans_iters=IVF_KMEANS_ITERS, coarse=coarse,
         ),
         "ivfpq": similarity.ivfpq_topk(
             emb, queries, k=5, n_centroids=IVF_CENTROIDS,
-            n_probe=IVF_PROBE, kmeans_iters=IVF_KMEANS_ITERS,
+            n_probe=IVF_PROBE, kmeans_iters=IVF_KMEANS_ITERS, coarse=coarse,
         ),
     }
     outs = []
@@ -1807,7 +1815,10 @@ def q_decayed_engagement(spark, sf_dir):
         "CASE WHEN dt <= 40 THEN shiftleft(CAST(1 AS BIGINT), CAST(40 - dt AS INT)) "
         "ELSE CAST(0 AS BIGINT) END"
     )
-    term = (F.col("cents") * w).cast("decimal(38,0)")
+    # widen BEFORE the product: cents * 2^40 overflows int64 for events
+    # >= $83,886.08 on the anchor day (silent wrap in Spark under ansi
+    # off, Out of Range error in DuckDB)
+    term = F.col("cents").cast("decimal(38,0)") * w
     return j.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),
         F.min(dt).cast("long").alias("days_since_last"),
@@ -1826,8 +1837,8 @@ terms AS (
   FROM events, anchor)
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(min(dt) AS BIGINT) AS days_since_last,
-       round((CAST(sum(CAST(cents * (CASE WHEN dt <= 40
-                 THEN (CAST(1 AS BIGINT) << (40 - dt)) ELSE 0 END) AS HUGEINT))
+       round((CAST(sum(CAST(cents AS HUGEINT) * (CASE WHEN dt <= 40
+                 THEN (CAST(1 AS BIGINT) << (40 - dt)) ELSE 0 END))
               AS DOUBLE) / 1099511627776.0) / 100.0, 6) AS decayed_value
 FROM terms GROUP BY user_id
 """
@@ -1903,7 +1914,7 @@ planned AS (
   SELECT source, shard, n_docs, bytes,
          coalesce(sum(bytes) OVER (ORDER BY bytes DESC, source, shard
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
-         CAST((total_bytes + {COMPACT_BINS - 1}) / {COMPACT_BINS} AS BIGINT) AS target
+         CAST((total_bytes + {COMPACT_BINS - 1}) // {COMPACT_BINS} AS BIGINT) AS target
   FROM files, tot)
 SELECT source, shard, n_docs, bytes,
        CAST(cum_before // target AS BIGINT) AS bin

@@ -91,16 +91,22 @@ def zorder_key_sql(exprs: list[str], bits: int = 8) -> str:
 
 def range_quantize(col: F.Column, vmin: F.Column, vmax: F.Column, bits: int = 8) -> F.Column:
     """Scale a value into [0, 2^bits) by its column range (min/max come
-    from a 1-row broadcast aggregate). Integer-exact: (x - min) * 2^bits
-    // (max - min + 1) in long arithmetic."""
+    from a 1-row broadcast aggregate). The division runs in double
+    (mirrored by the DuckDB twin — identical operands, identical bits);
+    for spans beyond ~2^52 the rounded quotient can reach exactly
+    2^bits at x = vmax, which would bleed into the neighboring
+    dimension's Morton bit positions, so the result is clamped to
+    2^bits - 1 (both engines)."""
     span = (vmax - vmin + 1).cast("long")
-    return F.floor(
+    q = F.floor(
         ((col.cast("long") - vmin.cast("long")) * F.lit(1 << bits)) / span
     ).cast("long")
+    return F.least(q, F.lit((1 << bits) - 1))
 
 
 def range_quantize_sql(expr: str, vmin: str, vmax: str, bits: int = 8) -> str:
-    return (
+    q = (
         f"CAST(floor(((CAST({expr} AS BIGINT) - CAST({vmin} AS BIGINT)) * {1 << bits})"
         f" / CAST(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT) + 1 AS DOUBLE)) AS BIGINT)"
     )
+    return f"least({q}, {(1 << bits) - 1})"

@@ -192,6 +192,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     kmeans_iters: int = 2,
+    coarse: DataFrame | None = None,
 ) -> DataFrame:
     """IVF(-flat) ANN: corpus partitioned into k-means centroid cells
     (deterministic seeded Lloyd rounds, see ``kmeans_centroids``); each
@@ -200,7 +201,11 @@ def ivf_topk(
     query's probed cells are distinct, so no candidate dedupe is needed.
     """
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    centroids = kmeans_centroids(base, id_col, n_centroids, kmeans_iters)
+    centroids = (
+        coarse
+        if coarse is not None
+        else kmeans_centroids(base, id_col, n_centroids, kmeans_iters)
+    )
     corpus = assign_cells(
         base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2")),
         centroids,
@@ -757,11 +762,16 @@ PQ_K = 16       # centroids per subspace codebook
 PQ_ITERS = 1    # Lloyd rounds per codebook (fixed, deterministic)
 
 
-def _pq_subspaces(base: DataFrame, m: int, d_sub: int) -> DataFrame:
-    """Explode (vid, v) into the (vid, s, sv) subvector frame PQ stages
-    share. Scan-stage only — one explode of ``m`` sliced structs."""
+def _pq_subspaces(
+    base: DataFrame, m: int, d_sub: int, keys: tuple = ("vid",)
+) -> DataFrame:
+    """Explode (*keys, v) into the (*keys, s, sv) subvector frame PQ
+    stages share. Scan-stage only — one explode of ``m`` sliced structs.
+    ``keys`` lets the query side carry extra grouping columns (e.g. the
+    probed cell for residual ADC) through the same slicing code, so the
+    corpus-side codes and query-side LUT can never desynchronize."""
     return base.select(
-        "vid",
+        *keys,
         F.explode(
             F.array(
                 *[
@@ -773,7 +783,7 @@ def _pq_subspaces(base: DataFrame, m: int, d_sub: int) -> DataFrame:
                 ]
             )
         ).alias("e"),
-    ).select("vid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    ).select(*keys, F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
 
 
 def _pq_l2(a: F.Column, b: F.Column) -> F.Column:
@@ -985,6 +995,7 @@ def ivfpq_topk(
     d_sub: int = PQ_DSUB,
     pq_k: int = PQ_K,
     pq_iters: int = PQ_ITERS,
+    coarse: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011, the production index layout at
     100 TB): coarse k-means cells route each query to its ``n_probe``
@@ -1005,7 +1016,8 @@ def ivfpq_topk(
     ascending.
     """
     base = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
-    coarse = kmeans_centroids(base, "vid", n_centroids, kmeans_iters)
+    if coarse is None:
+        coarse = kmeans_centroids(base, "vid", n_centroids, kmeans_iters)
     cells = assign_cells(
         base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
         coarse,
@@ -1111,21 +1123,12 @@ def ivfpq_residual_topk(
         "cell",
         F.zip_with("qv", "ctr", lambda x, y: x - y).alias("rv"),
     )
-    qsubs = qres.select(
-        "query_id",
-        "cell",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("rv", s * d_sub + 1, d_sub).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("query_id", "cell", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    qsubs = _pq_subspaces(
+        qres.select("query_id", "cell", F.col("rv").alias("v")),
+        m,
+        d_sub,
+        keys=("query_id", "cell"),
+    )
     lut = qsubs.join(F.broadcast(books), "s").select(
         "query_id",
         "cell",

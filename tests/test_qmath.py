@@ -87,3 +87,69 @@ def test_spark_round_divergence_documented(spark):
     s = spark_val(spark, F.round(F.lit(3078435950).cast("long") / F.lit(10000.0), 2))
     d = duck_val("round(CAST(3078435950 AS BIGINT) / CAST(10000 AS DOUBLE), 2)")
     assert s == 307843.6 and d == 307843.59  # they really do differ
+
+
+# Oracle strings that embed a machine-expanded qmath.sql_qdiv_count text
+# (their enclosing strings mix f-strings and concatenation, so they paste
+# the expansion rather than interpolate). This table keeps them honest:
+# if qmath's SQL form ever changes, each pasted site must be regenerated,
+# and this test turns silent Spark/oracle drift into a loud failure.
+PASTED_QDIV_SITES = [
+    ("dedup_jaccard_pairs", "(i * 1000000)", "(sa.sz + sb.sz - i)", 1, 6),
+    ("minhash_calibration", "(coalesce(i.i, 0) * 1000000)",
+     "(sa.sz + sb.sz - coalesce(i.i, 0))", 1, 6),
+    ("assoc_rules", "(n_ab * 1000000)", "n_baskets_total", 1, 6),
+    ("assoc_rules", "(n_ab * 1000000)", "ia.n_item", 1, 6),
+    ("assoc_rules", "(n_ab * n_baskets_total * 1000000)",
+     "(ia.n_item * ic.n_item)", 1, 6),
+    ("classifier_eval", "((tp + tn) * 1000000)", "n", 1, 6),
+    ("classifier_eval", "(tp * 1000000)", "(tp + fp)", 1, 6),
+    ("classifier_eval", "(tp * 1000000)", "(tp + fn)", 1, 6),
+    ("skew_report", "(n * 1000000)", "t.total", 1, 6),
+    ("corpus_stats", "(count(*) * 1000000)", "sum(c)", 1, 6),
+    ("retention_cohorts", "(n_active * 1000000)", "cohort_size", 1, 6),
+    ("shingle_novelty", "(n_unique * 1000000)", "n_shingles", 1, 6),
+    ("fuzzy_link", "(inter * 1000000)", "(sz_l + sz_r - inter)", 1, 6),
+    ("vocab_overlap", "(n_common * 1000000)", "(sa.n + sb.n - n_common)", 1, 6),
+    ("centroid_classifier_eval",
+     "(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) * 1000000)",
+     "count(*)", 1, 6),
+    ("contamination_report",
+     "(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END)"
+     " * 1000000)", "count(*)", 1, 6),
+]
+
+
+def test_pasted_qdiv_expansions_match_current_helper():
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    for name, num, cnt, div, dp in PASTED_QDIV_SITES:
+        expansion = qmath.sql_qdiv_count(num, cnt, div, dp)
+        assert expansion in oracles[name], (
+            f"{name}: pasted sql_qdiv_count expansion is stale — "
+            f"regenerate it from qmath.sql_qdiv_count({num!r}, {cnt!r}, {div}, {dp})"
+        )
+
+
+def test_decayed_engagement_term_survives_large_values(spark):
+    """cents * 2^40 overflows int64 for cents >= 2^23 ($83,886.08 on the
+    anchor day). The term must widen BEFORE multiplying (decimal(38,0)
+    in Spark, HUGEINT in DuckDB) — a silent int64 wrap produced a
+    corrupt negative score while the oracle raised (review finding)."""
+    from pyspark.sql import functions as F
+
+    cents = 1 << 23
+    row = (
+        spark.range(1)
+        .select(
+            (F.lit(cents).cast("decimal(38,0)")
+             * F.expr("shiftleft(CAST(1 AS BIGINT), 40)")).alias("term")
+        )
+        .collect()[0]
+    )
+    assert int(row["term"]) == cents << 40  # exact, positive
+    got = duckdb.sql(
+        f"SELECT CAST({cents} AS HUGEINT) * (CAST(1 AS BIGINT) << 40) AS t"
+    ).fetchone()[0]
+    assert int(got) == cents << 40
