@@ -1942,9 +1942,9 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
-def zorder_layout_frame(li):
-    """Frame-level body of q_zorder_layout (shared with the scale-stress
-    harness)."""
+def zorder_quant_frame(li):
+    """(pq, sq, zv) quantized frame shared by the layout audit and the
+    pruning report."""
     from csvs_to_sqlite_spark.operators.partitioning import (
         range_quantize,
         zorder_key,
@@ -1960,7 +1960,13 @@ def zorder_layout_frame(li):
     pq = range_quantize(F.col("l_partkey"), F.col("pmin"), F.col("pmax"), ZORDER_BITS)
     sq = range_quantize(F.col("l_suppkey"), F.col("smin"), F.col("smax"), ZORDER_BITS)
     z = zorder_key([pq, sq], ZORDER_BITS)
-    quant = j.select(pq.alias("pq"), sq.alias("sq"), z.alias("zv"))
+    return j.select(pq.alias("pq"), sq.alias("sq"), z.alias("zv"))
+
+
+def zorder_layout_frame(li):
+    """Frame-level body of q_zorder_layout (shared with the scale-stress
+    harness)."""
+    quant = zorder_quant_frame(li)
     bucket = F.shiftright(F.col("zv"), 2 * ZORDER_BITS - ZORDER_PREFIX)
     return (
         quant.groupBy(bucket.alias("bucket"))
@@ -1999,6 +2005,248 @@ SELECT zv // {shift} AS bucket, count(*) AS n_rows,
        min(sq) AS sq_min, max(sq) AS sq_max,
        (max(pq) - min(pq) + 1) * (max(sq) - min(sq) + 1) AS area
 FROM zed GROUP BY 1
+"""
+
+
+MRL_DIMS = (64, 32, 16, 8)
+
+
+def q_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-representation truncation eval (Kusupati et al. 2022):
+    how much does cosine similarity drift when embeddings are truncated
+    to prefix dims 32/16/8 (vs the full 64)? Per prefix dim: pair count,
+    mean and max absolute cosine deviation over a bounded query×corpus
+    pair set — the check run before shipping truncated indexes. Queries
+    broadcast; deviations are micro-unit integers so the means are
+    exact (qmath)."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.select(
+        F.col("vec_id"), similarity._as_double(F.col("embedding")).alias("v")
+    )
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = base.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("qid") != F.col("cid"))
+
+    def cos_at(d):
+        a, b = F.slice("qv", 1, d), F.slice("cv", 1, d)
+        return F.round(
+            similarity._dot(a, b) / (similarity._norm(a) * similarity._norm(b)), 6
+        )
+
+    full = cos_at(MRL_DIMS[0])
+    rows = pairs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.round(F.abs(cos_at(d) - full) * 1e6).cast("long").alias("dev_u"),
+                    )
+                    for d in MRL_DIMS[1:]
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.dim").cast("long").alias("dim"), F.col("e.dev_u").alias("dev_u"))
+    return rows.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        qmath.qdiv_count(F.sum("dev_u"), F.count("*"), 1, 6).alias("mean_abs_dev"),
+        (F.max("dev_u").cast("double") / F.lit(1e6)).alias("max_abs_dev"),
+    )
+
+
+def _sql_matryoshka_eval() -> str:
+    def cos_at(d, qv="qv", cv="cv"):
+        a, b = f"list_slice({qv}, 1, {d})", f"list_slice({cv}, 1, {d})"
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2])) /"
+            f" (sqrt(list_sum(list_transform({a}, x -> x*x))) *"
+            f" sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
+        )
+
+    arms = " UNION ALL ".join(
+        f"SELECT {d} AS dim, CAST(round(abs({cos_at(d)} - {cos_at(MRL_DIMS[0])}) * 1e6)"
+        f" AS BIGINT) AS dev_u FROM pairs"
+        for d in MRL_DIMS[1:]
+    )
+    mean = qmath.sql_qdiv_count("sum(dev_u)", "count(*)", 1, 6)
+    return f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.v AS qv, c.v AS cv
+  FROM base q, base c
+  WHERE q.vec_id < 5 AND c.vec_id < 200 AND q.vec_id <> c.vec_id),
+devs AS ({arms})
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_pairs,
+       {mean} AS mean_abs_dev,
+       CAST(max(dev_u) AS DOUBLE) / 1e6 AS max_abs_dev
+FROM devs GROUP BY dim
+"""
+
+
+CURRICULUM_EPOCHS = 4
+
+
+def q_curriculum_schedule(spark, sf_dir):
+    """Curriculum mixture schedule: docs ranked into quality terciles;
+    over 4 epochs the sampling weight anneals linearly from uniform
+    (epoch 0) to token-mass-proportional (epoch 3) — the staged training
+    schedule a curriculum-learning pipeline feeds its sampler. Weight =
+    [(E-1-e)·total + (E-1)·e·3·tokens_t/3] over (3·(E-1)·total), kept as
+    ONE exact integer ratio (qmath) so every cell is bit-stable. The
+    global ntile window ranks documents, bounded by corpus row count
+    (same contract as customer_deciles)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(tokens_expr(F.col("text"), distinct=False)).cast("long").alias("n_tok"),
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    ter = scored.withColumn("tercile", F.ntile(3).over(w).cast("long"))
+    per_t = ter.groupBy("tercile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+    )
+    total = per_t.agg(F.sum("tokens").alias("total_tokens"))
+    j = per_t.crossJoin(F.broadcast(total))
+    E = CURRICULUM_EPOCHS
+    out = j.select(
+        "tercile",
+        "n_docs",
+        "tokens",
+        F.explode(F.array(*[F.lit(e) for e in range(E)])).alias("epoch"),
+        "total_tokens",
+    )
+    e_col = F.col("epoch")
+    num = (
+        (F.lit(E - 1) - e_col) * F.col("total_tokens")
+        + F.lit(3) * e_col * F.col("tokens")
+    ) * F.lit(1_000_000)
+    den = F.col("total_tokens") * F.lit(3 * (E - 1))
+    return out.select(
+        e_col.cast("long").alias("epoch"),
+        "tercile",
+        "n_docs",
+        "tokens",
+        qmath.qdiv_count(num, den, 1, 6).alias("weight"),
+    )
+
+
+def _sql_curriculum_schedule() -> str:
+    quality = SQL_QUALITY.strip().rstrip(";")
+    toks = tokens_sql("text", distinct=False)
+    E = CURRICULUM_EPOCHS
+    wexpr = qmath.sql_qdiv_count(
+        f"((({E - 1} - epoch) * total_tokens + 3 * epoch * tokens) * 1000000)",
+        f"(total_tokens * {3 * (E - 1)})",
+        1,
+        6,
+    )
+    return f"""
+WITH q AS ({quality}),
+scored AS (SELECT d.doc_id, CAST(len({toks}) AS BIGINT) AS n_tok, q.quality AS qs
+           FROM documents d JOIN q USING (doc_id)),
+ter AS (SELECT *, ntile(3) OVER (ORDER BY qs DESC, doc_id ASC) AS tercile
+        FROM scored),
+per_t AS (SELECT CAST(tercile AS BIGINT) AS tercile,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 sum(n_tok) AS tokens
+          FROM ter GROUP BY 1),
+tot AS (SELECT sum(tokens) AS total_tokens FROM per_t),
+grid AS (SELECT * FROM per_t, tot, (SELECT unnest(range(0, {E})) AS epoch))
+SELECT CAST(epoch AS BIGINT) AS epoch, tercile, n_docs, tokens,
+       {wexpr} AS weight
+FROM grid
+"""
+
+
+ZPRUNE_LO = 96
+ZPRUNE_HI = 111  # one 16-wide strip in the 256-level quantized space
+
+
+def q_zorder_pruning(spark, sf_dir):
+    """The payoff of z-ordering, quantified: for the SAME 16-wide strip
+    predicate on each key, how many of the 256 files does min/max
+    file-stat pruning touch under (a) a Z-order layout vs (b) a
+    lexicographic (pq, sq) sort? Lexicographic prunes the leading key
+    perfectly but touches EVERY file for a strip on the non-leading key;
+    z-order touches ~16 files for either key. One scan + two bounded
+    bucket aggregates; every output is an exact integer."""
+    prep_session(spark)
+    quant = zorder_quant_frame(
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    )
+    zrep = (
+        quant.groupBy(
+            F.shiftright(F.col("zv"), 2 * ZORDER_BITS - ZORDER_PREFIX).alias("b")
+        )
+        .agg(
+            F.min("pq").alias("pq_min"), F.max("pq").alias("pq_max"),
+            F.min("sq").alias("sq_min"), F.max("sq").alias("sq_max"),
+        )
+        .select(F.lit("zorder").alias("layout"), "pq_min", "pq_max", "sq_min", "sq_max")
+    )
+    lrep = (
+        quant.groupBy(F.col("pq").alias("b"))
+        .agg(
+            F.min("pq").alias("pq_min"), F.max("pq").alias("pq_max"),
+            F.min("sq").alias("sq_min"), F.max("sq").alias("sq_max"),
+        )
+        .select(F.lit("lexicographic").alias("layout"), "pq_min", "pq_max", "sq_min", "sq_max")
+    )
+    files = zrep.unionByName(lrep)
+    lo, hi = F.lit(ZPRUNE_LO), F.lit(ZPRUNE_HI)
+    touch_p = (~((F.col("pq_max") < lo) | (F.col("pq_min") > hi))).cast("int")
+    touch_s = (~((F.col("sq_max") < lo) | (F.col("sq_min") > hi))).cast("int")
+    return files.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(touch_p).cast("long").alias("touched_partkey_strip"),
+        F.sum(touch_s).cast("long").alias("touched_suppkey_strip"),
+    )
+
+
+def _sql_zorder_pruning() -> str:
+    from csvs_to_sqlite_spark.operators.partitioning import (
+        range_quantize_sql,
+        zorder_key_sql,
+    )
+
+    pq = range_quantize_sql("l_partkey", "pmin", "pmax", ZORDER_BITS)
+    sq = range_quantize_sql("l_suppkey", "smin", "smax", ZORDER_BITS)
+    zv = zorder_key_sql(["pq", "sq"], ZORDER_BITS)
+    shift = 1 << (2 * ZORDER_BITS - ZORDER_PREFIX)
+    lo, hi = ZPRUNE_LO, ZPRUNE_HI
+    return f"""
+WITH stats AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+quant AS (SELECT {pq} AS pq, {sq} AS sq FROM lineitem, stats),
+zed AS (SELECT pq, sq, {zv} AS zv FROM quant),
+files AS (
+  SELECT 'zorder' AS layout, zv // {shift} AS b,
+         min(pq) AS pq_min, max(pq) AS pq_max,
+         min(sq) AS sq_min, max(sq) AS sq_max
+  FROM zed GROUP BY 2
+  UNION ALL
+  SELECT 'lexicographic' AS layout, pq AS b,
+         min(pq) AS pq_min, max(pq) AS pq_max,
+         min(sq) AS sq_min, max(sq) AS sq_max
+  FROM zed GROUP BY 2)
+SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN pq_max < {lo} OR pq_min > {hi} THEN 0 ELSE 1 END) AS BIGINT)
+         AS touched_partkey_strip,
+       CAST(sum(CASE WHEN sq_max < {lo} OR sq_min > {hi} THEN 0 ELSE 1 END) AS BIGINT)
+         AS touched_suppkey_strip
+FROM files GROUP BY layout
 """
 
 
@@ -5926,6 +6174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": q_ann_recall_eval,
         "ann_recall_matrix": q_ann_recall_matrix,
         "zorder_layout": q_zorder_layout,
+        "zorder_pruning": q_zorder_pruning,
+        "matryoshka_eval": q_matryoshka_eval,
+        "curriculum_schedule": q_curriculum_schedule,
         "dataset_card": q_dataset_card,
         "hard_negatives": q_hard_negatives,
         "centroid_classifier_eval": q_centroid_classifier_eval,
@@ -6090,6 +6341,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_eval": _sql_ann_recall(),
         "ann_recall_matrix": _sql_ann_recall_matrix(),
         "zorder_layout": _sql_zorder_layout(),
+        "zorder_pruning": _sql_zorder_pruning(),
+        "matryoshka_eval": _sql_matryoshka_eval(),
+        "curriculum_schedule": _sql_curriculum_schedule(),
         "dataset_card": _sql_dataset_card(),
         "hard_negatives": SQL_HARD_NEG,
         "centroid_classifier_eval": SQL_CENTROID_EVAL,

@@ -246,3 +246,33 @@ def test_kmv_small_group_is_exact(spark):
     assert r["union_est"] == 20.0
     assert r["jaccard_est"] == round(5 / 20, 6)
     assert r["inter_est"] == round(r["jaccard_est"] * 20.0, 6)
+
+def test_matryoshka_deviation_monotone_in_prefix_dim(spark):
+    """Longer prefixes must approximate the full-dim cosine strictly
+    better on average."""
+    import __spark_entry__ as E
+
+    rows = {r["dim"]: r for r in E.q_matryoshka_eval(spark, SF).collect()}
+    assert set(rows) == {8, 16, 32}
+    assert rows[8]["mean_abs_dev"] > rows[16]["mean_abs_dev"] > rows[32]["mean_abs_dev"]
+    for r in rows.values():
+        assert 0 <= r["mean_abs_dev"] <= r["max_abs_dev"] <= 2.0
+
+
+def test_curriculum_schedule_anneals_and_normalizes(spark):
+    """Each epoch's tercile weights must sum to 1 (within rounding), the
+    first epoch must be uniform, and the last epoch token-proportional."""
+    import __spark_entry__ as E
+
+    rows = E.q_curriculum_schedule(spark, SF).collect()
+    total = sum(r["tokens"] for r in rows if r["epoch"] == 0)
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1, 2, 3}
+    for e, rs in by_epoch.items():
+        assert abs(sum(r["weight"] for r in rs) - 1.0) < 3e-6
+    for r in by_epoch[0]:
+        assert abs(r["weight"] - 1 / 3) < 1e-6
+    for r in by_epoch[3]:
+        assert abs(r["weight"] - r["tokens"] / total) < 1e-6

@@ -121,3 +121,17 @@ def test_zorder_plan_scan_stage(spark):
     plan = E.q_zorder_layout(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_zorder_pruning_beats_lexicographic_on_nonleading_key(spark):
+    """The quantified payoff: for the same strip predicate, the
+    lexicographic layout must touch EVERY file on the non-leading key
+    while z-order touches a bounded fraction on BOTH keys."""
+    import __spark_entry__ as E
+
+    rows = {r["layout"]: r for r in E.q_zorder_pruning(spark, SF).collect()}
+    z, lex = rows["zorder"], rows["lexicographic"]
+    assert lex["touched_suppkey_strip"] == lex["n_files"]  # full scan
+    assert lex["touched_partkey_strip"] <= lex["n_files"] // 8
+    assert z["touched_partkey_strip"] <= z["n_files"] // 8
+    assert z["touched_suppkey_strip"] <= z["n_files"] // 8
