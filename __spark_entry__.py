@@ -2250,6 +2250,80 @@ FROM files GROUP BY layout
 """
 
 
+MH_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_minhash_threshold_curve(spark, sf_dir):
+    """Operating-point curve for the MinHash estimator: at each dedup
+    threshold, how many LSH candidate pairs does the estimate keep, and
+    what are its precision/recall against exact Jaccard? The sweep a
+    pipeline runs once to pick its threshold before a 100 TB dedup.
+    Reuses the calibration frame (bounded: LSH candidates only); each
+    threshold row is a conditional count — one tiny aggregate."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    cal = dedup.minhash_calibration(d, "text", "doc_id").select(
+        "est_jaccard", "true_jaccard"
+    )
+    grid = cal.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(t,) for t in MH_THRESHOLDS], "threshold double"
+            )
+        )
+    )
+    est_hit = (F.col("est_jaccard") >= F.col("threshold")).cast("int")
+    true_hit = (F.col("true_jaccard") >= F.col("threshold")).cast("int")
+    agg = grid.groupBy("threshold").agg(
+        F.sum(est_hit).cast("long").alias("n_kept"),
+        F.sum(est_hit * true_hit).cast("long").alias("tp"),
+        F.sum(est_hit * (1 - true_hit)).cast("long").alias("fp"),
+        F.sum((1 - est_hit) * true_hit).cast("long").alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        qmath.qdiv_count(
+            F.col("tp") * F.lit(1_000_000), F.col("tp") + F.col("fp"), 1, 6
+        ),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        qmath.qdiv_count(
+            F.col("tp") * F.lit(1_000_000), F.col("tp") + F.col("fn"), 1, 6
+        ),
+    )
+    return agg.select(
+        "threshold", "n_kept", "tp", "fp", "fn",
+        prec.alias("precision_"), rec.alias("recall_"),
+    )
+
+
+def _sql_minhash_threshold_curve() -> str:
+    cal = _sql_minhash_calibration()
+    ts = ", ".join(f"{t}::DOUBLE" for t in MH_THRESHOLDS)
+    prec = qmath.sql_qdiv_count("(tp * 1000000)", "(tp + fp)", 1, 6)
+    rec = qmath.sql_qdiv_count("(tp * 1000000)", "(tp + fn)", 1, 6)
+    return f"""
+WITH cal AS ({cal}),
+grid AS (SELECT est_jaccard, true_jaccard, threshold
+         FROM cal, (SELECT unnest([{ts}]) AS threshold)),
+agg AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN est_jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN est_jaccard >= threshold AND true_jaccard >= threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN est_jaccard >= threshold AND true_jaccard < threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN est_jaccard < threshold AND true_jaccard >= threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM grid GROUP BY threshold)
+SELECT threshold, n_kept, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN {prec} END AS precision_,
+       CASE WHEN tp + fn > 0 THEN {rec} END AS recall_
+FROM agg
+"""
+
+
 def q_dataset_card(spark, sf_dir):
     """One-row dataset card — the release-notes summary a corpus ships
     with: doc/source/lang counts, token totals, exact-dup rate, and the
@@ -6161,6 +6235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_calibration": q_minhash_calibration,
+        "minhash_threshold_curve": q_minhash_threshold_curve,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
@@ -6328,6 +6403,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_sig(),
         "minhash_lsh_pairs": _sql_minhash_pairs(),
         "minhash_calibration": _sql_minhash_calibration(),
+        "minhash_threshold_curve": _sql_minhash_threshold_curve(),
         "simhash_fingerprints": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "knn_bruteforce": SQL_KNN,
