@@ -979,9 +979,11 @@ SQL_TPCH_Q12 = """
 SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
             WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'NORMAL'
             ELSE 'SLOW' END AS ship_speed,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT)
          AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -1125,6 +1127,7 @@ def q_tpch_q11(spark, sf_dir):
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(vol_c).alias("value_c"))
+        .persist()  # feeds both the per-part output and the global total
     )
     total = g.agg(F.sum("value_c").alias("total_c"))
     return (
@@ -1208,7 +1211,11 @@ def q_tpch_q15(spark, sf_dir):
     vol_c = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
-    rev = li.groupBy("l_suppkey").agg(F.sum(vol_c).alias("rev_c"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(vol_c).alias("rev_c"))
+        .persist()  # feeds both the max scalar and the final select
+    )
     mx = rev.agg(F.max("rev_c").alias("max_c"))
     return (
         rev.crossJoin(F.broadcast(mx))
@@ -1298,8 +1305,9 @@ def q_tpch_q17(spark, sf_dir):
     is cross-multiplied into exact integers (qty·5·n < sum_qty) so no
     float threshold wobble; the per-part stats ride one partkey
     aggregate joined back broadcast (brand prunes part to ~70 keys).
-    avg_yearly divides by 7 — a non-decimal denominator, so mirrored
-    double round() is tie-free (see functions/qmath.py)."""
+    avg_yearly = round(sum_cents/100/7, 2) goes through
+    qmath.qdiv_count — exact integer half-up of sum_c/7, then one
+    mirrored /100 — so no per-query tie-freeness proof is needed."""
     prep_session(spark)
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
@@ -1313,13 +1321,11 @@ def q_tpch_q17(spark, sf_dir):
     )
     ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     return j.agg(
-        F.round((F.sum(ext_c).cast("double") / F.lit(100.0)) / F.lit(7), 2).alias(
-            "avg_yearly"
-        )
+        qmath.qdiv_count(F.sum(ext_c), F.lit(7), 1, 2).alias("avg_yearly")
     )
 
 
-SQL_TPCH_Q17 = """
+SQL_TPCH_Q17 = f"""
 WITH lp AS (
   SELECT l_partkey, l_quantity, l_extendedprice
   FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1330,8 +1336,7 @@ stats AS (
          count(*) AS n_q
   FROM lp GROUP BY 1
 )
-SELECT round((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
-              / CAST(100 AS DOUBLE)) / 7, 2) AS avg_yearly
+SELECT {qmath.sql_qdiv_count("sum(CAST(round(l_extendedprice * 100) AS BIGINT))", "7", 1, 2)} AS avg_yearly
 FROM lp JOIN stats ON l_partkey = sk
 WHERE CAST(round(l_quantity) AS BIGINT) * 5 * n_q < sum_q
 """

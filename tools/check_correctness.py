@@ -53,7 +53,11 @@ _SPARK_FAMILY = {
     "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
 }
 _DUCK_FAMILY = {
-    "BIGINT": "int", "INTEGER": "int", "HUGEINT": "int", "SMALLINT": "int",
+    # HUGEINT is deliberately NOT collapsed into "int": a raw DuckDB
+    # sum(INTEGER) output is HUGEINT, which survives as a non-int64 type
+    # through Arrow in the driver's stricter gate (the tpch_q12 class).
+    # Oracles must CAST such sums to BIGINT explicitly.
+    "BIGINT": "int", "INTEGER": "int", "HUGEINT": "hugeint", "SMALLINT": "int",
     "TINYINT": "int", "UBIGINT": "int", "UINTEGER": "int",
     "DOUBLE": "float", "FLOAT": "float",
     "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
