@@ -6845,6 +6845,38 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Hash-threshold quantile sketch (sketch.quantile_sketch_report):
+    per-returnflag p25/p50/p75/p90 of lineitem extended price (cents)
+    estimated from a deterministic 1/8 md5 sample, with the exact order
+    statistic and the error riding along. The sample predicate is a
+    SCAN-STAGE filter — at 100 TB the estimator sorts 1/8 of the data
+    (or any mod the error budget affords) while the exact side here
+    certifies what that skips. Type-1 (lower) order statistics: every
+    output value is an exact integer from the input domain — zero float
+    arithmetic, hence bit-identical in the DuckDB twin."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.sketch import quantile_sketch_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("rid"),
+    )
+    return quantile_sketch_report(li, "cents", "l_returnflag", "rid")
+
+
+def _sql_quantile_sketch() -> str:
+    from csvs_to_sqlite_spark.operators.sketch import quantile_sketch_sql
+
+    return quantile_sketch_sql(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "l_returnflag",
+        "concat(l_orderkey, '-', l_linenumber)",
+        "lineitem",
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters (operators/sketch.py, Cormode &
     Muthukrishnan 2005): top-20 tokens with exact counts, the CMS
@@ -7263,6 +7295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_ndv": q_hll_ndv,
         "kmv_sketch": q_kmv_sketch,
+        "quantile_sketch": q_quantile_sketch,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
         "compaction_plan": q_compaction_plan,
@@ -7458,6 +7491,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "hll_ndv": _sql_hll_ndv(),
         "kmv_sketch": _sql_kmv_sketch(),
+        "quantile_sketch": _sql_quantile_sketch(),
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
         "compaction_plan": SQL_COMPACTION_PLAN.format(

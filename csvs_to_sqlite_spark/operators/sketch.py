@@ -486,3 +486,122 @@ scored AS (
   FROM pairs)
 SELECT *, round(jaccard_est * union_est, 6) AS inter_est FROM scored
 """
+
+
+# --- hash-threshold quantile sketch ----------------------------------------
+
+
+def quantile_sketch_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    qs: tuple[int, ...] = (25, 50, 75, 90),
+    sample_mod: int = 8,
+) -> DataFrame:
+    """Per-group quantile estimates from a deterministic hash sample,
+    with the exact quantile and the error riding along (the same
+    estimate-plus-measured-error contract as cms/bloom/hll/kmv).
+
+    The estimator is bottom-sampling by hash predicate: a row enters the
+    sample iff ``md5(id) % sample_mod == 0`` — a SCAN-STAGE filter, no
+    shuffle, no coordination, and deterministic, so the sample (and
+    therefore the estimate) is bit-identical in Spark, DuckDB and
+    Python. Quantiles are type-1 (lower) order statistics — index
+    ``(q·(n-1)) div 100`` of the (value, hash)-sorted rows — so every
+    output is an exact integer from the input domain: no interpolation,
+    no float arithmetic anywhere.
+
+    Plan shape: the production path sorts ONLY the sample (a per-group
+    window over ~n/sample_mod rows); the exact side — a per-group sort
+    of the full fact — exists to certify the estimator and is what the
+    sketch lets a 100 TB job skip. ``value_col`` must be integer-typed
+    (quantize money to cents first); ``id_col`` must be a unique string
+    key (it seeds both the sample predicate and the sort tiebreak).
+
+    Returns one row per (group, q): (group, q, n_rows, n_sample,
+    exact_v, est_v, err) with err = est_v - exact_v (NULL when the
+    sample is empty)."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        md5_long(F.col(id_col), seed="qsk", hex_chars=15).alias("h"),
+    )
+
+    def order_stats(frame: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("h").asc())
+        n = f"n_{prefix}"
+        ranked = frame.withColumn("rn", F.row_number().over(w)).join(
+            frame.groupBy("g").agg(F.count("*").cast("long").alias(n)), "g"
+        )
+        return (
+            ranked.select(
+                "g",
+                "v",
+                "rn",
+                n,
+                F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
+            )
+            .where(F.col("rn") - 1 == F.expr(f"(q * ({n} - 1)) div 100"))
+            .select("g", "q", n, F.col("v").alias(f"{prefix}_v"))
+        )
+
+    exact = order_stats(base, "rows")
+    sample = order_stats(
+        base.where(F.col("h") % F.lit(sample_mod) == 0), "sample"
+    )
+    return (
+        exact.join(sample, ["g", "q"], "left")
+        .select(
+            F.col("g").alias("grp"),
+            F.col("q").cast("long").alias("q"),
+            F.col("n_rows"),
+            F.coalesce("n_sample", F.lit(0)).cast("long").alias("n_sample"),
+            F.col("rows_v").alias("exact_v"),
+            F.col("sample_v").alias("est_v"),
+            (F.col("sample_v") - F.col("rows_v")).alias("err"),
+        )
+        .orderBy("grp", "q")
+    )
+
+
+def quantile_sketch_sql(
+    value_expr: str,
+    group_expr: str,
+    id_expr: str,
+    table: str,
+    qs: tuple[int, ...] = (25, 50, 75, 90),
+    sample_mod: int = 8,
+) -> str:
+    """DuckDB twin of quantile_sketch_report — identical hash sample,
+    identical order statistics, integer-only arithmetic."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(id_expr, seed="qsk", hex_chars=15)
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH base AS (SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS v,
+                     {h} AS h FROM {table}),
+qv(q) AS (VALUES {qvals}),
+ex_ranked AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+                     CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_rows
+              FROM base),
+exact AS (SELECT g, q, n_rows, v AS exact_v
+          FROM ex_ranked CROSS JOIN qv
+          WHERE rn - 1 = (q * (n_rows - 1)) // 100),
+samp AS (SELECT g, v, h FROM base WHERE h % {sample_mod} = 0),
+sa_ranked AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+                     CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_sample
+              FROM samp),
+est AS (SELECT g, q, n_sample, v AS est_v
+        FROM sa_ranked CROSS JOIN qv
+        WHERE rn - 1 = (q * (n_sample - 1)) // 100)
+SELECT exact.g AS grp, CAST(exact.q AS BIGINT) AS q, exact.n_rows,
+       CAST(coalesce(est.n_sample, 0) AS BIGINT) AS n_sample,
+       exact.exact_v, est.est_v,
+       est.est_v - exact.exact_v AS err
+FROM exact LEFT JOIN est ON exact.g = est.g AND exact.q = est.q
+ORDER BY grp, q
+"""

@@ -276,3 +276,36 @@ def test_curriculum_schedule_anneals_and_normalizes(spark):
         assert abs(r["weight"] - 1 / 3) < 1e-6
     for r in by_epoch[3]:
         assert abs(r["weight"] - r["tokens"] / total) < 1e-6
+
+
+def test_quantile_sketch_exact_side_is_true_order_statistic(spark):
+    """Exact column must equal the type-1 order statistic of the true
+    sorted values; the estimate must come from the hash sample and sit
+    within the sample's span."""
+    from csvs_to_sqlite_spark.operators.sketch import quantile_sketch_report
+
+    vals = [(i % 7) * 100 + i for i in range(500)]
+    df = spark.createDataFrame(
+        [("g1", v, f"id{i}") for i, v in enumerate(vals)], "g string, v long, i string"
+    )
+    out = quantile_sketch_report(df, "v", "g", "i", qs=(50, 90)).collect()
+    by_q = {r["q"]: r for r in out}
+    s = sorted(vals)
+    for q in (50, 90):
+        r = by_q[q]
+        assert r["n_rows"] == 500
+        assert r["exact_v"] == s[(q * 499) // 100]
+        assert 0 < r["n_sample"] < 500          # 1/8 hash sample, nonempty
+        assert s[0] <= r["est_v"] <= s[-1]
+        assert r["err"] == r["est_v"] - r["exact_v"]
+
+
+def test_quantile_sketch_sample_is_deterministic(spark):
+    from csvs_to_sqlite_spark.operators.sketch import quantile_sketch_report
+
+    df = spark.createDataFrame(
+        [("g", i * 3, f"k{i}") for i in range(300)], "g string, v long, i string"
+    )
+    a = quantile_sketch_report(df, "v", "g", "i").collect()
+    b = quantile_sketch_report(df.repartition(7), "v", "g", "i").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
