@@ -3053,7 +3053,7 @@ ter AS (SELECT *, ntile(3) OVER (ORDER BY qs DESC, doc_id ASC) AS tercile
         FROM scored),
 per_t AS (SELECT CAST(tercile AS BIGINT) AS tercile,
                  CAST(count(*) AS BIGINT) AS n_docs,
-                 sum(n_tok) AS tokens
+                 CAST(sum(n_tok) AS BIGINT) AS tokens
           FROM ter GROUP BY 1),
 tot AS (SELECT sum(tokens) AS total_tokens FROM per_t),
 grid AS (SELECT * FROM per_t, tot, (SELECT unnest(range(0, {E})) AS epoch))
@@ -3271,7 +3271,7 @@ base AS (SELECT d.doc_id, d.source, d.lang,
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-       sum(n_tok) AS total_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        {sql_qavg("n_tok", 1, 6)} AS mean_tokens,
        CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
        {qmath.sql_qdiv_count("((count(*) - count(DISTINCT h)) * 1000000)", "count(*)", 1, 6)} AS dup_rate,
@@ -5795,7 +5795,7 @@ s AS (SELECT l.doc_id, l.n_bigrams, l.lm_score, d.source
 b AS (SELECT *, ntile(3) OVER (PARTITION BY source
         ORDER BY lm_score DESC, doc_id ASC) AS bucket FROM s)
 SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
-       sum(n_bigrams) AS total_bigrams,
+       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
        {sql_qavg("lm_score", 1000000, 6)} AS mean_lm
 FROM b GROUP BY source, bucket
 """

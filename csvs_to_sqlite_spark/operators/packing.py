@@ -73,8 +73,8 @@ def pack_sequences_sql(
         "t -> t <> '')) AS n_tokens "
         f"FROM {table}),\n"
         "laid AS (SELECT doc_id, group_id, n_tokens, "
-        "sum(n_tokens) OVER (PARTITION BY group_id ORDER BY doc_id) - n_tokens "
-        "AS start_offset FROM toked)\n"
+        "CAST(sum(n_tokens) OVER (PARTITION BY group_id ORDER BY doc_id) "
+        "- n_tokens AS BIGINT) AS start_offset FROM toked)\n"
         f"SELECT doc_id, group_id, n_tokens, start_offset, "
         f"cast(floor(start_offset / {budget}) AS BIGINT) AS pack_id FROM laid"
     )
@@ -211,7 +211,8 @@ def length_bucketed_batches_sql(batch_size: int = 8, table: str = "documents") -
         "ORDER BY n_tokens ASC, doc_id ASC) - 1) "
         f"// {batch_size} AS BIGINT) AS batch_id FROM nz)\n"
         "SELECT bucket, batch_id, count(*) AS n_docs, "
-        "max(n_tokens) AS max_len, sum(n_tokens) AS sum_len, "
-        "count(*) * max(n_tokens) - sum(n_tokens) AS padding_waste "
+        "max(n_tokens) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS sum_len, "
+        "CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) "
+        "AS padding_waste "
         "FROM laid GROUP BY bucket, batch_id"
     )
