@@ -6845,6 +6845,31 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_salted_distinct(spark, sf_dir):
+    """Skew-safe exact count-distinct
+    (partitioning.salted_distinct_count): distinct users per event_type,
+    where event_type is the classic hot low-cardinality key. The salt is
+    derived from the VALUE (md5(user) % 16) so each distinct user lands
+    in exactly one (type, salt) bucket: phase 1 holds 1/16 of a hot
+    type's distinct-set per reducer, phase 2 sums 16 bounded partials —
+    the 100 TB answer to one executor owning a 10B-value hash set. The
+    oracle is the plain GROUP BY count(*)/count(DISTINCT user_id) the
+    two-phase plan provably equals."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.partitioning import salted_distinct_count
+
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    return salted_distinct_count(e, "event_type", "user_id", n_salt=16)
+
+
+SQL_SALTED_DISTINCT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Hash-threshold quantile sketch (sketch.quantile_sketch_report):
     per-returnflag p25/p50/p75/p90 of lineitem extended price (cents)
@@ -7296,6 +7321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv": q_hll_ndv,
         "kmv_sketch": q_kmv_sketch,
         "quantile_sketch": q_quantile_sketch,
+        "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
         "compaction_plan": q_compaction_plan,
@@ -7492,6 +7518,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_ndv": _sql_hll_ndv(),
         "kmv_sketch": _sql_kmv_sketch(),
         "quantile_sketch": _sql_quantile_sketch(),
+        "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
         "compaction_plan": SQL_COMPACTION_PLAN.format(

@@ -110,3 +110,46 @@ def range_quantize_sql(expr: str, vmin: str, vmax: str, bits: int = 8) -> str:
         f" / CAST(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT) + 1 AS DOUBLE)) AS BIGINT)"
     )
     return f"least({q}, {(1 << bits) - 1})"
+
+
+def salted_distinct_count(
+    df: DataFrame, key: str, val: str, n_salt: int = 16
+) -> DataFrame:
+    """Skew-safe exact count-distinct: two-phase aggregation with a salt
+    DERIVED FROM THE VALUE, so each distinct value lands in exactly one
+    (key, salt) bucket and the per-salt distinct counts sum exactly.
+
+    Why: count(DISTINCT val) keyed by a low-cardinality hot key is the
+    aggregation Spark's map-side partial combine can NOT bound — the
+    distinct state itself is per-key and lands on one reducer. Salting
+    by md5(val) % n_salt splits a hot key's distinct-set n_salt ways:
+    phase 1 aggregates on (key, salt) (each reducer holds 1/n_salt of
+    the hot key's values), phase 2 combines n_salt bounded partials per
+    key. count(*) rides along (plain sum of partials). At 100 TB this
+    is the difference between one executor holding a 10B-value hash set
+    and 16 executors holding ~600M each.
+
+    Returns (key, n_rows, n_distinct) — provably equal to the plain
+    ``GROUP BY key`` with count(*)/count(DISTINCT val), which is exactly
+    what the DuckDB oracle runs."""
+    from csvs_to_sqlite_spark.functions.hashing import md5_long
+
+    salt = (md5_long(F.col(val).cast("string"), seed="dsalt") % n_salt).alias(
+        "__salt__"
+    )
+    phase1 = (
+        df.select(F.col(key), F.col(val), salt)
+        .groupBy(key, "__salt__")
+        .agg(
+            F.count("*").alias("part_rows"),
+            F.count_distinct(F.col(val)).alias("part_distinct"),
+        )
+    )
+    return (
+        phase1.groupBy(key)
+        .agg(
+            F.sum("part_rows").cast("long").alias("n_rows"),
+            F.sum("part_distinct").cast("long").alias("n_distinct"),
+        )
+        .orderBy(key)
+    )

@@ -330,3 +330,24 @@ def test_ivfpq_codebook_and_lut_broadcast(spark):
     plan = explain_str(E.q_knn_ivfpq(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_distinct_two_phase_exchanges(spark):
+    # phase 1 must shuffle on (event_type, salt) — the hot key's distinct
+    # state split n_salt ways — and phase 2 on event_type alone; the salt
+    # must appear in an exchange key, proving the skew split is real
+    plan = explain_str(E.q_salted_distinct(spark, SF))
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt__" in k and "event_type" in k for k in keys), keys
+    assert any("__salt__" not in k and "event_type" in k for k in keys), keys
+
+
+def test_quantile_sketch_sample_filter_is_scan_stage(spark):
+    # the sample predicate must sit under the window sort (a Filter on
+    # the md5 hash, not a post-shuffle filter) so the production path
+    # sorts only the 1/8 sample
+    plan = explain_str(E.q_quantile_sketch(spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
