@@ -6845,6 +6845,33 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (text.readability, Kincaid et al. 1975) — the classic curation
+    signal complementing quality_score/gopher: exact integer word /
+    sentence / vowel-group counts from Java∩RE2-portable regexes, and
+    the two scores as mirrored double arithmetic (no round() — the qmath
+    tie class needs a round on a quotient and there is none).
+    Scan-stage only: zero joins, zero shuffles at any corpus size."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.text import readability
+
+    d = _t(spark, sf_dir, "documents")
+    cols = readability(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+def _sql_readability() -> str:
+    from csvs_to_sqlite_spark.operators.text import readability_sql
+
+    return (
+        f"SELECT doc_id, {readability_sql('text')} "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def q_salted_distinct(spark, sf_dir):
     """Skew-safe exact count-distinct
     (partitioning.salted_distinct_count): distinct users per event_type,
@@ -7321,6 +7348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv": q_hll_ndv,
         "kmv_sketch": q_kmv_sketch,
         "quantile_sketch": q_quantile_sketch,
+        "readability": q_readability,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
@@ -7518,6 +7546,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_ndv": _sql_hll_ndv(),
         "kmv_sketch": _sql_kmv_sketch(),
         "quantile_sketch": _sql_quantile_sketch(),
+        "readability": _sql_readability(),
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,

@@ -505,3 +505,78 @@ def c4_line_rules_sql(expr: str, min_words: int = 5, min_kept: int = 3) -> str:
         f" AND NOT contains(lower({expr}), 'lorem ipsum')"
         f" AND {n_kept} >= {min_kept}) AS page_ok"
     )
+
+
+# --- readability (Flesch reading ease / Flesch-Kincaid grade) ---------------
+
+
+def readability(text: Column) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade (Kincaid et al. 1975)
+    from the classic cheap proxies: whitespace words, ``[.!?]+`` runs as
+    sentences (min 1), per-word vowel-group count (min 1) as syllables.
+    All counts are exact integers from Java∩RE2-portable regexes; the
+    two scores are plain double arithmetic on those integers — division,
+    multiplication, subtraction mirror 1:1 in the DuckDB twin and IEEE
+    semantics make them bit-identical, with no round() anywhere (the
+    qmath tie class needs a round on a quotient; there is none).
+    Scan-stage only: zero joins, zero shuffles, whole-stage codegen."""
+    toks = tokens_expr(text, distinct=False)
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(F.regexp_count(text, F.lit("[.!?]+")), F.lit(1)).cast("long")
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1)).cast("long"),
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = F.when(
+        n_words > 0, n_syll.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+    )
+    fk_grade = F.when(
+        n_words > 0,
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sent,
+        "n_syllables": n_syll,
+        "flesch": flesch,
+        "fk_grade": fk_grade,
+    }
+
+
+def readability_sql(expr: str) -> str:
+    """DuckDB SELECT-list fragment mirroring readability (lowercasing is
+    inside tokens_sql; syllable regex runs on the lowercased tokens in
+    BOTH engines)."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(expr, distinct=False)
+    n_words = f"CAST(len({toks}) AS BIGINT)"
+    n_sent = f"CAST(greatest(len(regexp_extract_all({expr}, '[.!?]+')), 1) AS BIGINT)"
+    n_syll = (
+        f"CAST(coalesce(list_sum(list_transform({toks}, "
+        f"t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))), 0) AS BIGINT)"
+    )
+    wps = f"(CAST({n_words} AS DOUBLE) / CAST({n_sent} AS DOUBLE))"
+    spw = (
+        f"(CASE WHEN {n_words} > 0 THEN CAST({n_syll} AS DOUBLE) /"
+        f" CAST({n_words} AS DOUBLE) ELSE 0.0 END)"
+    )
+    flesch = (
+        f"(CASE WHEN {n_words} > 0 THEN"
+        f" 206.835 - 1.015 * {wps} - 84.6 * {spw} ELSE NULL END)"
+    )
+    fk = (
+        f"(CASE WHEN {n_words} > 0 THEN"
+        f" 0.39 * {wps} + 11.8 * {spw} - 15.59 ELSE NULL END)"
+    )
+    return (
+        f"{n_words} AS n_words, {n_sent} AS n_sentences, "
+        f"{n_syll} AS n_syllables, {flesch} AS flesch, {fk} AS fk_grade"
+    )

@@ -1327,3 +1327,33 @@ def test_compaction_plan_bin_bounds(spark):
     assert sum(b[0] for b in bins.values()) == total
     for bb, (bytes_, maxf) in bins.items():
         assert bytes_ <= target + maxf
+
+
+def test_readability_hand_computed(spark):
+    from csvs_to_sqlite_spark.operators.text import readability
+
+    from pyspark.sql import functions as F
+
+    # "the cat sat. it ran!" -> 5 words, 2 sentences, syllables:
+    # the(1) cat(1) sat(1) it(1) ran(1) = 5
+    df = spark.createDataFrame([("the cat sat. it ran!",), ("",)], ["text"])
+    cols = readability(F.col("text"))
+    out = df.select(*[c.alias(n) for n, c in cols.items()]).collect()
+    r = out[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+    wps, spw = 5 / 2, 5 / 5
+    assert r["flesch"] == 206.835 - 1.015 * wps - 84.6 * spw
+    assert r["fk_grade"] == 0.39 * wps + 11.8 * spw - 15.59
+    empty = out[1]
+    assert empty["n_words"] == 0 and empty["flesch"] is None
+
+
+def test_readability_syllable_floor(spark):
+    # consonant-only "words" still count one syllable ("tsk tsk hmm")
+    from csvs_to_sqlite_spark.operators.text import readability
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("tsk tsk hmm",)], ["text"])
+    r = df.select(readability(F.col("text"))["n_syllables"].alias("s")).first()
+    assert r["s"] == 3

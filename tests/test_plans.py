@@ -351,3 +351,9 @@ def test_quantile_sketch_sample_filter_is_scan_stage(spark):
     plan = explain_str(E.q_quantile_sketch(spark, SF))
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_readability_is_scan_stage_only(spark):
+    plan = explain_str(E.q_readability(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
