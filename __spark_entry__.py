@@ -6845,6 +6845,109 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_filter_funnel(spark, sf_dir):
+    """Curation filter funnel: the five quality gates (language-ID
+    known, Gopher rules, C4 page gate, blocklist, quality >= 0.5)
+    applied in pipeline order, reporting per stage how many docs pass it
+    in isolation and how many survive cumulatively — the ablation table
+    every corpus release publishes (what did each filter cost?).
+
+    Plan: ONE corpus scan computing all five scan-stage flags, ONE 1-row
+    conditional aggregate, inlined to five rows. No joins, no shuffle
+    beyond the single global aggregate — at 100 TB the funnel costs the
+    same as any one of its member filters."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    g = text.gopher_rules(t)
+    gopher_pass = (
+        g["word_count_ok"]
+        & g["mean_len_ok"]
+        & g["symbol_ok"]
+        & g["ellipsis_ok"]
+        & g["bullet_ok"]
+        & g["alpha_ok"]
+        & g["stopword_ok"]
+    )
+    stages = [
+        ("langid_known", text.lang_id(t) != "und"),
+        ("gopher", gopher_pass),
+        ("c4_page", text.c4_line_rules(t)["page_ok"]),
+        ("blocklist", text.blocklist_hits(t, BLOCKLIST_TERMS)["is_clean"]),
+        ("quality", text.quality_score(t) >= 0.5),
+    ]
+    flagged = d.select(*[f.alias(n) for n, f in stages])
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    cum = None
+    for name, _ in stages:
+        flag = F.col(name)
+        cum = flag if cum is None else (cum & flag)
+        aggs.append(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"p_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"s_{name}")
+        )
+    one = flagged.agg(*aggs)
+    rows = []
+    prev_survive = F.col("n_docs")
+    for i, (name, _) in enumerate(stages):
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                prev_survive.alias("n_in"),
+                F.col(f"p_{name}").alias("n_pass_alone"),
+                F.col(f"s_{name}").alias("n_survive"),
+            )
+        )
+        prev_survive = F.col(f"s_{name}")
+    return one.select(F.inline(F.array(*rows))).orderBy("stage_idx")
+
+
+def _sql_filter_funnel() -> str:
+    quality = SQL_QUALITY.strip().rstrip(";")
+    langid = _sql_langid().strip().rstrip(";")
+    names = ["langid_known", "gopher", "c4_page", "blocklist", "quality"]
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN {n} THEN 1 ELSE 0 END) AS BIGINT) AS p_{n}, "
+        + "CAST(sum(CASE WHEN "
+        + " AND ".join(names[: i + 1])
+        + f" THEN 1 ELSE 0 END) AS BIGINT) AS s_{n}"
+        for i, n in enumerate(names)
+    )
+    selects = []
+    prev = "n_docs"
+    for i, n in enumerate(names):
+        selects.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS stage_idx, '{n}' AS stage, "
+            f"{prev} AS n_in, p_{n} AS n_pass_alone, s_{n} AS n_survive FROM agg"
+        )
+        prev = f"s_{n}"
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH q AS ({quality}),
+lid AS ({langid}),
+gop AS (SELECT doc_id, {text.gopher_rules_sql("text")} FROM documents),
+c4 AS (SELECT doc_id, {text.c4_line_rules_sql("text")} FROM documents),
+bl AS (SELECT doc_id, {text.blocklist_hits_sql("text", BLOCKLIST_TERMS)} FROM documents),
+flags AS (SELECT d.doc_id,
+                 lid.predicted_lang <> 'und' AS langid_known,
+                 (gop.word_count_ok AND gop.mean_len_ok AND gop.symbol_ok
+                  AND gop.ellipsis_ok AND gop.bullet_ok AND gop.alpha_ok
+                  AND gop.stopword_ok) AS gopher,
+                 c4.page_ok AS c4_page,
+                 bl.is_clean AS blocklist,
+                 q.quality >= 0.5 AS quality
+          FROM documents d
+          JOIN lid USING (doc_id) JOIN gop USING (doc_id)
+          JOIN c4 USING (doc_id) JOIN bl USING (doc_id)
+          JOIN q USING (doc_id)),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, {sums} FROM flags)
+SELECT * FROM ({union}) ORDER BY stage_idx
+"""
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading ease + Flesch-Kincaid grade per document
     (text.readability, Kincaid et al. 1975) — the classic curation
@@ -7349,6 +7452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sketch": q_kmv_sketch,
         "quantile_sketch": q_quantile_sketch,
         "readability": q_readability,
+        "filter_funnel": q_filter_funnel,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
@@ -7547,6 +7651,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_sketch": _sql_kmv_sketch(),
         "quantile_sketch": _sql_quantile_sketch(),
         "readability": _sql_readability(),
+        "filter_funnel": _sql_filter_funnel(),
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,

@@ -1357,3 +1357,17 @@ def test_readability_syllable_floor(spark):
     df = spark.createDataFrame([("tsk tsk hmm",)], ["text"])
     r = df.select(readability(F.col("text"))["n_syllables"].alias("s")).first()
     assert r["s"] == 3
+
+
+def test_filter_funnel_survivors_monotone(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_filter_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert [r["stage_idx"] for r in rows] == [1, 2, 3, 4, 5]
+    # cumulative survivors never increase, n_in chains from prior survive
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_survive"]
+        assert cur["n_survive"] <= cur["n_in"]
+    # and each stage's survivors cannot exceed its isolated pass count
+    for r in rows:
+        assert r["n_survive"] <= r["n_pass_alone"]

@@ -357,3 +357,11 @@ def test_readability_is_scan_stage_only(spark):
     plan = explain_str(E.q_readability(spark, SF))
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_filter_funnel_single_scan_no_joins(spark):
+    # all five gates are scan-stage flags feeding ONE 1-row aggregate:
+    # the funnel must contain no join and only the global-agg exchange
+    plan = explain_str(E.q_filter_funnel(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
