@@ -6845,6 +6845,27 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_source_cosine(spark, sf_dir):
+    """Pairwise source-to-source cosine over unigram COUNT vectors
+    (terms.source_unigram_cosine) — the weighted companion to
+    vocab_overlap's set Jaccard for 'did I scrape the same site twice'.
+    Dot products and squared norms are exact integer sums off one
+    (source, token) aggregate; the token-keyed self-join's fan-out is
+    bounded by sources-per-token; cosine is sqrt-based double math (the
+    provably-safe qmath class), bit-identical in the DuckDB twin."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.terms import source_unigram_cosine
+
+    d = _t(spark, sf_dir, "documents")
+    return source_unigram_cosine(d, "text", "source")
+
+
+def _sql_source_cosine() -> str:
+    from csvs_to_sqlite_spark.operators.terms import source_unigram_cosine_sql
+
+    return source_unigram_cosine_sql("text", "source")
+
+
 def q_filter_funnel(spark, sf_dir):
     """Curation filter funnel: the five quality gates (language-ID
     known, Gopher rules, C4 page gate, blocklist, quality >= 0.5)
@@ -7453,6 +7474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "readability": q_readability,
         "filter_funnel": q_filter_funnel,
+        "source_cosine": q_source_cosine,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
@@ -7652,6 +7674,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": _sql_quantile_sketch(),
         "readability": _sql_readability(),
         "filter_funnel": _sql_filter_funnel(),
+        "source_cosine": _sql_source_cosine(),
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,

@@ -757,3 +757,91 @@ def update_vocab(
         .select("token", (F.col("m") + F.col("rn")).alias("tok_id"))
     )
     return vocab.select("token", "tok_id").unionByName(newly)
+
+
+def source_unigram_cosine(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Pairwise cosine similarity between groups' unigram COUNT vectors —
+    the weighted companion to vocab_overlap's set Jaccard (two crawls of
+    the same site score near 1 even when their vocabularies differ in
+    the tail, because the head dominates the dot product).
+
+    Plan shape: ONE (group, token) count aggregate; squared norms are a
+    group-cardinality aggregate broadcast back; dot products come from a
+    token-keyed self-equi-join whose fan-out per token is bounded by the
+    number of groups containing it — never corpus-quadratic. The dot
+    product and both squared norms are EXACT integer sums; cosine =
+    dot / (sqrt(na2)·sqrt(nb2)) is sqrt-based double arithmetic (IEEE
+    sqrt is correctly rounded, so the DuckDB twin is bit-identical — the
+    provably-safe class of functions/qmath.py, no round() needed).
+    Returns (group_a, group_b, dot, cosine) for group_a < group_b."""
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    tf = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("token"))
+        .groupBy("g", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    norms = tf.groupBy("g").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a = tf.select(F.col("g").alias("group_a"), "token", F.col("c").alias("ca"))
+    b = tf.select(F.col("g").alias("group_b"), "token", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "token")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("g").alias("group_a"), F.col("n2").alias("na2"))
+            ),
+            "group_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("g").alias("group_b"), F.col("n2").alias("nb2"))
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cosine"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+def source_unigram_cosine_sql(
+    text_expr: str, group_expr: str, table: str = "documents"
+) -> str:
+    """DuckDB twin of source_unigram_cosine (identical integer sums,
+    identical sqrt/division sequence)."""
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(text_expr, distinct=False)
+    return f"""
+WITH tf AS (SELECT {group_expr} AS g, t.token AS token,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM {table}, unnest({toks}) AS t(token)
+            GROUP BY 1, 2),
+norms AS (SELECT g, CAST(sum(c * c) AS BIGINT) AS n2 FROM tf GROUP BY g),
+dots AS (SELECT a.g AS group_a, b.g AS group_b,
+                CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         FROM tf a JOIN tf b ON a.token = b.token AND a.g < b.g
+         GROUP BY 1, 2)
+SELECT group_a, group_b, dot,
+       CAST(dot AS DOUBLE) /
+         (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.g = group_a
+JOIN norms nb ON nb.g = group_b
+ORDER BY group_a, group_b
+"""

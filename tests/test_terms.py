@@ -381,3 +381,25 @@ def test_encode_bpe_matches_python_model(spark):
             hashlib.md5("\x01".join(encs).encode()).hexdigest(),
         )
     assert got == want
+
+
+def test_source_unigram_cosine_hand_computed(spark):
+    from csvs_to_sqlite_spark.operators.terms import source_unigram_cosine
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a a b"),     # counts {a:2, b:1}, |v|² = 5
+            ("s2", "a b b"),     # counts {a:1, b:2}, |v|² = 5
+            ("s3", "c"),         # orthogonal
+        ],
+        ["source", "text"],
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in source_unigram_cosine(df, "text", "source").collect()
+    }
+    r12 = out[("s1", "s2")]
+    assert r12["dot"] == 2 * 1 + 1 * 2 == 4
+    assert r12["cosine"] == 4 / ((5**0.5) * (5**0.5))
+    # orthogonal sources share no token → no pair row at all
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
