@@ -6845,6 +6845,62 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_langid_margin(spark, sf_dir):
+    """Language-ID confidence margin: top-1 minus top-2 marker score per
+    document, plus the ambiguity flag (margin <= 1) and agreement with
+    the labeled lang — the router a multilingual pipeline uses to decide
+    which docs need a heavier language model. All scores are exact
+    integer marker counts (scan-stage array expressions, zero shuffle);
+    the top-2 come from one sorted literal-array expression."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = text.lang_scores(t)
+    arr = F.sort_array(
+        F.array(*[c.cast("long") for c in scores.values()]), asc=False
+    )
+    top, second = F.element_at(arr, 1), F.element_at(arr, 2)
+    pred = text.lang_id(t)
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        top.alias("top_score"),
+        second.alias("second_score"),
+        (top - second).alias("margin"),
+        ((top - second) <= 1).alias("is_ambiguous"),
+        (pred == F.col("lang")).alias("is_correct"),
+    ).orderBy("doc_id")
+
+
+def _sql_langid_margin() -> str:
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        m = "', '".join(markers)
+        score_cols.append(
+            f"CAST(len(list_filter({_TOKENS}, t -> t IN ('{m}'))) AS BIGINT)"
+            f" AS sc_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    expr = "'und'"
+    best = "0"
+    for lang in langs:
+        expr = f"CASE WHEN sc_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, sc_{lang})"
+    arr = "list_sort([" + ", ".join(f"sc_{l}" for l in langs) + "], 'DESC')"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents),
+ranked AS (SELECT doc_id, lang, {expr} AS predicted_lang,
+                  {arr}[1] AS top_score, {arr}[2] AS second_score
+           FROM scored)
+SELECT doc_id, lang, predicted_lang, top_score, second_score,
+       top_score - second_score AS margin,
+       (top_score - second_score) <= 1 AS is_ambiguous,
+       predicted_lang = lang AS is_correct
+FROM ranked ORDER BY doc_id
+"""
+
+
 def q_source_cosine(spark, sf_dir):
     """Pairwise source-to-source cosine over unigram COUNT vectors
     (terms.source_unigram_cosine) — the weighted companion to
@@ -7475,6 +7531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "filter_funnel": q_filter_funnel,
         "source_cosine": q_source_cosine,
+        "langid_margin": q_langid_margin,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
@@ -7675,6 +7732,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _sql_readability(),
         "filter_funnel": _sql_filter_funnel(),
         "source_cosine": _sql_source_cosine(),
+        "langid_margin": _sql_langid_margin(),
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
