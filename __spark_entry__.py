@@ -6845,6 +6845,86 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct texts appear in BOTH (and how many doc-level copies that
+    represents) — 'which crawls copy from which', the provenance
+    companion to dup_rate_by_source. Plan: one (source, md5(text))
+    aggregate (text never shuffles, only its 16-byte hash), then a
+    hash-keyed self-equi-join whose fan-out per text is bounded by
+    sources-per-text — never corpus-quadratic. All exact integers.
+
+    The synthetic corpus has zero exact duplicates, so the query plants
+    both classes deterministically (mirrored in the oracle): every 5th
+    doc is re-attributed to a 'mirror-crawl' source (cross-source
+    copies) and every 11th doc is duplicated in place (within-source
+    diagonal copies)."""
+    prep_session(spark)
+    base = _t(spark, sf_dir, "documents")
+    d = base.unionByName(
+        base.where(F.col("doc_id") % 5 == 0).withColumn(
+            "source", F.lit("mirror-crawl")
+        )
+    ).unionByName(base.where(F.col("doc_id") % 11 == 0))
+    per = (
+        d.select("source", F.md5("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = per.select(F.col("source").alias("source_a"), "h", F.col("c").alias("ca"))
+    b = per.select(F.col("source").alias("source_b"), "h", F.col("c").alias("cb"))
+    cross = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_texts"),
+            F.sum(F.col("ca") + F.col("cb")).cast("long").alias("n_copies"),
+        )
+    )
+    # diagonal: within-source duplicate families (c >= 2) — nonzero on
+    # any real corpus even when no text crosses source boundaries
+    diag = (
+        per.where(F.col("c") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(
+            F.count("*").cast("long").alias("n_shared_texts"),
+            F.sum("c").cast("long").alias("n_copies"),
+        )
+        .select(
+            "source_a",
+            F.col("source_a").alias("source_b"),
+            "n_shared_texts",
+            "n_copies",
+        )
+    )
+    return cross.unionByName(diag).orderBy("source_a", "source_b")
+
+
+SQL_DUP_MATRIX = """
+WITH aug AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror-crawl' AS source, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id % 11 = 0),
+per AS (SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS c
+        FROM aug GROUP BY 1, 2),
+cross_m AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_texts,
+         CAST(sum(a.c + b.c) AS BIGINT) AS n_copies
+  FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2),
+diag AS (
+  SELECT source AS source_a, source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_texts,
+         CAST(sum(c) AS BIGINT) AS n_copies
+  FROM per WHERE c >= 2 GROUP BY 1, 2)
+SELECT * FROM cross_m UNION ALL SELECT * FROM diag ORDER BY source_a, source_b
+"""
+
+
 def q_langid_margin(spark, sf_dir):
     """Language-ID confidence margin: top-1 minus top-2 marker score per
     document, plus the ambiguity flag (margin <= 1) and agreement with
@@ -7532,6 +7612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "source_cosine": q_source_cosine,
         "langid_margin": q_langid_margin,
+        "dup_matrix": q_dup_matrix,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
@@ -7733,6 +7814,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": _sql_filter_funnel(),
         "source_cosine": _sql_source_cosine(),
         "langid_margin": _sql_langid_margin(),
+        "dup_matrix": SQL_DUP_MATRIX,
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
