@@ -6845,6 +6845,136 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean of event value per type — the robust-stats
+    companion to winsorize (drop the tails instead of clipping them).
+    Values are exact integer cents; the trim bounds are integer rank
+    arithmetic (lo = n·10/100 dropped from each side) off ONE per-type
+    rank window; both means go through qmath.qdiv_count so the division
+    is tie-exact across engines."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.select("event_type", cents.alias("c"), "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").asc(), F.col("event_id").asc()
+    )
+    ranked = base.withColumn("rn", F.row_number().over(w)).join(
+        base.groupBy("event_type").agg(F.count("*").cast("long").alias("n")),
+        "event_type",
+    )
+    lo = F.expr("(n * 10) div 100")
+    kept = ranked.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    stats = kept.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("c").alias("sum_kept"),
+    )
+    full = base.groupBy("event_type").agg(F.sum("c").alias("sum_all"))
+    return (
+        stats.join(F.broadcast(full), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "n_kept",
+            qmath.qdiv_count(
+                F.col("sum_all") * 1_000_000, F.col("n"), 100, 6
+            ).alias("mean_value"),
+            qmath.qdiv_count(
+                F.col("sum_kept") * 1_000_000, F.col("n_kept"), 100, 6
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_trimmed_mean() -> str:
+    mean_all = qmath.sql_qdiv_count("(sum_all * 1000000)", "n", 100, 6)
+    mean_kept = qmath.sql_qdiv_count("(sum_kept * 1000000)", "n_kept", 100, 6)
+    return f"""
+WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                     event_id FROM events),
+ranked AS (SELECT event_type, c, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c, event_id) AS rn,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM base),
+kept AS (SELECT event_type, n, c FROM ranked
+         WHERE rn > (n * 10) // 100
+           AND rn <= n - (n * 10) // 100),
+stats AS (SELECT event_type, max(n) AS n,
+                 CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(c) AS BIGINT) AS sum_kept
+          FROM kept GROUP BY event_type),
+full_s AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS sum_all
+           FROM base GROUP BY event_type)
+SELECT event_type, n, n_kept,
+       {mean_all} AS mean_value,
+       {mean_kept} AS trimmed_mean
+FROM stats JOIN full_s USING (event_type) ORDER BY event_type
+"""
+
+
+def q_weekly_trend(spark, sf_dir):
+    """Week-over-week event-volume trend per type: weekly counts keyed
+    by an epoch-Monday week index (integer day arithmetic — no locale /
+    ISO-week engine differences), lag window per type for the previous
+    week, delta and percent change via qmath (tie-exact). The lag window
+    sees the (type × week)-cardinality rollup, never the fact stream."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    day = F.to_date("ts")
+    widx = F.floor(
+        F.datediff(day, F.to_date(F.lit("1970-01-05"))) / 7
+    ).cast("long")
+    weekly = (
+        e.groupBy("event_type", widx.alias("widx"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("widx")
+    out = weekly.withColumn("prev_n", F.lag("n").over(w))
+    return out.select(
+        "event_type",
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("1970-01-05")), (F.col("widx") * 7).cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("week_start"),
+        "n",
+        "prev_n",
+        (F.col("n") - F.col("prev_n")).alias("delta"),
+        F.when(
+            F.col("prev_n").isNotNull(),
+            qmath.qdiv_count(
+                (F.col("n") - F.col("prev_n")) * 1_000_000, F.col("prev_n"), 1, 6
+            ),
+        ).alias("pct_change"),
+    ).orderBy("event_type", "week_start")
+
+
+def _sql_weekly_trend() -> str:
+    pct = qmath.sql_qdiv_count("((n - prev_n) * 1000000)", "prev_n", 1, 6)
+    return f"""
+WITH weekly AS (
+  SELECT event_type,
+         CAST(floor((CAST(ts AS DATE) - DATE '1970-01-05') / 7) AS BIGINT)
+           AS widx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, widx, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY widx) AS prev_n
+  FROM weekly)
+SELECT event_type,
+       strftime(DATE '1970-01-05' + CAST(widx * 7 AS INT), '%Y-%m-%d')
+         AS week_start,
+       n, prev_n, n - prev_n AS delta,
+       CASE WHEN prev_n IS NOT NULL THEN {pct} ELSE NULL END AS pct_change
+FROM lagged ORDER BY event_type, week_start
+"""
+
+
 def q_dup_matrix(spark, sf_dir):
     """Cross-source duplication matrix: for every source pair, how many
     distinct texts appear in BOTH (and how many doc-level copies that
@@ -7613,6 +7743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cosine": q_source_cosine,
         "langid_margin": q_langid_margin,
         "dup_matrix": q_dup_matrix,
+        "trimmed_mean": q_trimmed_mean,
+        "weekly_trend": q_weekly_trend,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
         "decayed_engagement": q_decayed_engagement,
@@ -7815,6 +7947,8 @@ def oracle_sql() -> dict[str, str]:
         "source_cosine": _sql_source_cosine(),
         "langid_margin": _sql_langid_margin(),
         "dup_matrix": SQL_DUP_MATRIX,
+        "trimmed_mean": _sql_trimmed_mean(),
+        "weekly_trend": _sql_weekly_trend(),
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,
         "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
