@@ -6923,6 +6923,10 @@ def q_weekly_trend(spark, sf_dir):
     sees the (type × week)-cardinality rollup, never the fact stream."""
     prep_session(spark)
     e = load_events(spark, f"{sf_dir}/events.parquet")
+    return weekly_trend_frame(e)
+
+
+def weekly_trend_frame(e):
     day = F.to_date("ts")
     widx = F.floor(
         F.datediff(day, F.to_date(F.lit("1970-01-05"))) / 7

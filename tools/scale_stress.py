@@ -505,6 +505,71 @@ def main() -> None:
     assert n_exchanges(ivfpq_topk(en, en.where(F.col("vec_id") < 10), k=5)) <= \
         n_exchanges(ivfpq_topk(e1, e1.where(F.col("vec_id") < 10), k=5)), \
         "ivfpq plan grew exchanges"
+    # --- source_cosine: sources/texts untouched by self-union, so counts
+    # scale xN, dots EXACTLY xN^2 and the cosine is scale-invariant
+    from csvs_to_sqlite_spark.operators.terms import source_unigram_cosine
+
+    sc1 = {
+        (r["group_a"], r["group_b"]): (r["dot"], r["cosine"])
+        for r in source_unigram_cosine(d1, "text", "source").collect()
+    }
+    t0 = time.time()
+    scn = {
+        (r["group_a"], r["group_b"]): (r["dot"], r["cosine"])
+        for r in source_unigram_cosine(dn, "text", "source").collect()
+    }
+    print(f"source_cosine {n}x: {len(scn)} pairs, {time.time()-t0:.1f}s", flush=True)
+    assert set(scn) == set(sc1), "source pair set changed under self-union"
+    for k, (dot1, cos1) in sc1.items():
+        dotn, cosn = scn[k]
+        assert dotn == dot1 * n * n, f"dot not xN^2 for {k}"
+        # sqrt(N^2 x) vs N sqrt(x) can differ in the last ulp
+        assert abs(cosn - cos1) < 1e-12, f"cosine drifted for {k}"
+    assert n_exchanges(source_unigram_cosine(dn, "text", "source")) <= n_exchanges(
+        source_unigram_cosine(d1, "text", "source")
+    ), "source_cosine plan grew exchanges"
+
+    # --- salted_distinct: user ids untouched, so n_distinct is invariant
+    # and n_rows scales exactly xN; plan must not grow exchanges
+    from csvs_to_sqlite_spark.operators.partitioning import salted_distinct_count
+    from csvs_to_sqlite_spark.streaming.windows import load_events
+
+    ev1 = load_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id", "ts"
+    ).localCheckpoint()
+    evn = multiply(ev1, "event_id", n)
+    sd1 = {r["event_type"]: (r["n_rows"], r["n_distinct"])
+           for r in salted_distinct_count(ev1, "event_type", "user_id").collect()}
+    t0 = time.time()
+    sdn = {r["event_type"]: (r["n_rows"], r["n_distinct"])
+           for r in salted_distinct_count(evn, "event_type", "user_id").collect()}
+    print(f"salted_distinct {n}x: {len(sdn)} types, {time.time()-t0:.1f}s", flush=True)
+    for k, (rows1, dist1) in sd1.items():
+        assert sdn[k] == (rows1 * n, dist1), f"salted_distinct law broken for {k}"
+    assert n_exchanges(
+        salted_distinct_count(evn, "event_type", "user_id")
+    ) <= n_exchanges(
+        salted_distinct_count(ev1, "event_type", "user_id")
+    ), "salted_distinct plan grew exchanges"
+
+    # --- weekly_trend: weekly counts/deltas scale exactly xN and the
+    # percent change is an exact half-up of a ratio — scale-INVARIANT
+    import __spark_entry__ as EE
+
+    wt1 = {(r["event_type"], r["week_start"]): tuple(r)[2:]
+           for r in EE.weekly_trend_frame(ev1).collect()}
+    t0 = time.time()
+    wtn = {(r["event_type"], r["week_start"]): tuple(r)[2:]
+           for r in EE.weekly_trend_frame(evn).collect()}
+    print(f"weekly_trend {n}x: {len(wtn)} rows, {time.time()-t0:.1f}s", flush=True)
+    assert set(wtn) == set(wt1)
+    for k, (c1, p1, dl1, pc1) in wt1.items():
+        cn, pn, dln, pcn = wtn[k]
+        assert cn == c1 * n
+        assert (pn, dln) == ((p1 * n if p1 is not None else None),
+                             (dl1 * n if dl1 is not None else None))
+        assert pcn == pc1, f"pct_change not scale-invariant for {k}"
+
     print("ALL INVARIANTS HELD")
 
 
