@@ -6845,6 +6845,105 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_corpus_drift_psi(spark, sf_dir):
+    """Population-stability-index drift report between two corpus
+    snapshots' document-length distributions — the retrain/recrawl alarm
+    (PSI > 0.2 = significant drift). Snapshot B is a deterministic
+    mutation of the corpus (every 4th doc's text doubled, every 3rd doc
+    dropped — a simulated recrawl), mirrored in the oracle.
+
+    Buckets are integer log2 lengths (binary-string length — no float
+    log anywhere, same trick as length_batches). Counts are exact
+    integers; shares go through qmath; each bucket's
+    (pa−pb)·ln(pa/pb) term is quantized to 1e-9 units and summed as
+    longs (order-free; integer rounding absorbs last-ulp libm ln
+    differences — the corpus_stats entropy precedent). Plan: two scans,
+    two ~12-row bucket aggregates, 1-row totals broadcast — trivially
+    100 TB-shaped."""
+    prep_session(spark)
+    base = _t(spark, sf_dir, "documents")
+    snap_b = base.where(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")),
+    )
+
+    def buckets(df, cname):
+        b = (F.length(F.bin(F.length("text"))) - 1).cast("long")
+        return df.groupBy(b.alias("bucket")).agg(
+            F.count("*").cast("long").alias(cname)
+        )
+
+    a = buckets(base, "n_a")
+    bb = buckets(snap_b, "n_b")
+    tot = (
+        a.agg(F.sum("n_a").cast("long").alias("na"))
+        .crossJoin(bb.agg(F.sum("n_b").cast("long").alias("nb")))
+    )
+    j = a.join(bb, "bucket").crossJoin(F.broadcast(tot))
+    pa = F.col("n_a").cast("double") / F.col("na").cast("double")
+    pb = F.col("n_b").cast("double") / F.col("nb").cast("double")
+    term_q = F.round((pa - pb) * F.log(pa / pb) * 1e9).cast("long")
+    rows = j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        qmath.qdiv_count(F.col("n_a") * 1_000_000, F.col("na"), 1, 6).alias(
+            "share_a"
+        ),
+        qmath.qdiv_count(F.col("n_b") * 1_000_000, F.col("nb"), 1, 6).alias(
+            "share_b"
+        ),
+        term_q.alias("psi_term_nano"),
+    )
+    total = rows.agg(F.sum("psi_term_nano").cast("long").alias("t"))
+    return (
+        rows.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            "share_a",
+            "share_b",
+            (F.col("psi_term_nano").cast("double") / F.lit(1e9)).alias("psi_term"),
+            (F.col("t").cast("double") / F.lit(1e9)).alias("psi_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_corpus_drift_psi() -> str:
+    share_a = qmath.sql_qdiv_count("(n_a * 1000000)", "na", 1, 6)
+    share_b = qmath.sql_qdiv_count("(n_b * 1000000)", "nb", 1, 6)
+    return f"""
+WITH snap_b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 3 <> 0),
+a AS (SELECT CAST(length(bin(length(text))) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a FROM documents GROUP BY 1),
+b AS (SELECT CAST(length(bin(length(text))) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b FROM snap_b GROUP BY 1),
+tot AS (SELECT (SELECT CAST(sum(n_a) AS BIGINT) FROM a) AS na,
+               (SELECT CAST(sum(n_b) AS BIGINT) FROM b) AS nb),
+j AS (SELECT bucket, n_a, n_b, na, nb,
+             CAST(round((CAST(n_a AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(n_b AS DOUBLE) / CAST(nb AS DOUBLE))
+                        * ln((CAST(n_a AS DOUBLE) / CAST(na AS DOUBLE))
+                             / (CAST(n_b AS DOUBLE) / CAST(nb AS DOUBLE)))
+                        * 1e9) AS BIGINT) AS psi_term_nano
+      FROM a JOIN b USING (bucket) CROSS JOIN tot),
+total AS (SELECT CAST(sum(psi_term_nano) AS BIGINT) AS t FROM j)
+SELECT bucket, n_a, n_b,
+       {share_a} AS share_a,
+       {share_b} AS share_b,
+       CAST(psi_term_nano AS DOUBLE) / 1e9 AS psi_term,
+       CAST(t AS DOUBLE) / 1e9 AS psi_total
+FROM j CROSS JOIN total ORDER BY bucket
+"""
+
+
 def q_trimmed_mean(spark, sf_dir):
     """10%-trimmed mean of event value per type — the robust-stats
     companion to winsorize (drop the tails instead of clipping them).
@@ -7748,6 +7847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_margin": q_langid_margin,
         "dup_matrix": q_dup_matrix,
         "trimmed_mean": q_trimmed_mean,
+        "corpus_drift_psi": q_corpus_drift_psi,
         "weekly_trend": q_weekly_trend,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
@@ -7952,6 +8052,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_margin": _sql_langid_margin(),
         "dup_matrix": SQL_DUP_MATRIX,
         "trimmed_mean": _sql_trimmed_mean(),
+        "corpus_drift_psi": _sql_corpus_drift_psi(),
         "weekly_trend": _sql_weekly_trend(),
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,

@@ -1371,3 +1371,16 @@ def test_filter_funnel_survivors_monotone(spark):
     # and each stage's survivors cannot exceed its isolated pass count
     for r in rows:
         assert r["n_survive"] <= r["n_pass_alone"]
+
+
+def test_corpus_drift_psi_detects_planted_drift(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_corpus_drift_psi(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no shared buckets"
+    total = rows[0]["psi_total"]
+    # every row repeats the same total, and the planted recrawl
+    # (text doubled for 1/4 of docs) must register real drift
+    assert all(r["psi_total"] == total for r in rows)
+    assert total > 0.01
+    assert abs(total - sum(r["psi_term"] for r in rows)) < 1e-6
