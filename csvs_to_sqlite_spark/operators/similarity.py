@@ -1161,3 +1161,81 @@ def ivfpq_residual_topk(
             "rank",
         )
     )
+
+
+# --- persistable IVF index (build once, query many) --------------------------
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    kmeans_iters: int = 2,
+) -> None:
+    """Persist the IVF index so queries stop paying the k-means build:
+    ``{path}/centroids`` (n_centroids rows) and ``{path}/cells`` — the
+    corpus vectors partitioned BY CELL on disk (``partitionBy("cell")``),
+    so the physical layout is the inverted file: probing a cell reads
+    only that cell's files (Spark partition pruning), which is the
+    on-disk contract real IVF services (FAISS on object storage) rely
+    on. Build is the same deterministic seeded Lloyd loop as the inline
+    path — an index written twice is byte-identical."""
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_centroids(base, id_col, n_centroids, kmeans_iters)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = assign_cells(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2")),
+        cents,
+        "neighbor_id",
+        "cv2",
+    )
+    assigned.select("cell", "neighbor_id", "cv2").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: load the (tiny, broadcast) centroid
+    table, assign each query its n_probe nearest cells, and join against
+    the cell-partitioned corpus. Returns exactly what the inline
+    ``ivf_topk`` returns for the same parameters (unit-asserted) — the
+    k-means cost is simply amortized away. With literal cell predicates
+    the partitioned layout prunes at the file level (plan-asserted in
+    tests)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    corpus = spark.read.parquet(f"{path}/cells")
+    q = assign_cells(
+        query.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        n_probe=n_probe,
+    )
+    cand = corpus.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2"))),
+        6,
+    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

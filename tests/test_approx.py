@@ -309,3 +309,44 @@ def test_quantile_sketch_sample_is_deterministic(spark):
     a = quantile_sketch_report(df, "v", "g", "i").collect()
     b = quantile_sketch_report(df.repartition(7), "v", "g", "i").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
+    """A persisted IVF index must answer queries bit-identically to the
+    inline ivf_topk with the same parameters, and its on-disk layout
+    must be cell-partitioned."""
+    import os
+
+    from csvs_to_sqlite_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_index_write,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, n_centroids=8, kmeans_iters=2)
+    inline = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    loaded = ivf_index_topk(spark, path, queries, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, inline))
+    cells = os.listdir(os.path.join(path, "cells"))
+    assert any(c.startswith("cell=") for c in cells)
+
+
+def test_ivf_index_cell_predicate_prunes_partitions(spark, tmp_path):
+    """A literal cell predicate on the persisted index must reach the
+    scan as a PartitionFilter (file-level pruning), not a post-scan
+    filter."""
+    from csvs_to_sqlite_spark.operators.similarity import ivf_index_write
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, n_centroids=8, kmeans_iters=2)
+    df = spark.read.parquet(f"{path}/cells").where("cell = 3")
+    jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    i = plan.index("PartitionFilters")
+    assert "cell" in plan[i : plan.index("\n", i)]
