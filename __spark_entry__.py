@@ -6845,6 +6845,113 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_value_hour_corr(spark, sf_dir):
+    """Pearson correlation between event value and hour-of-day per type —
+    the feature-leakage / seasonality audit. Everything up to the final
+    expression is EXACT integer arithmetic: x = cents, y = hour, the five
+    sums ride one map-side-combined aggregate in decimal(38,0) (n·Σx²
+    overflows int64 at real scales — the event_anomaly precedent), and
+    r = num / (sqrt(d1)·sqrt(d2)) is the sqrt-based safe float class —
+    bit-identical across engines with no round()."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    x = F.round(F.col("value") * 100).cast("long")
+    y = F.hour("ts").cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = e.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        (num / (F.sqrt(d1) * F.sqrt(d2))).alias("pearson_r"),
+    ).orderBy("event_type")
+
+
+SQL_VALUE_HOUR_CORR = """
+WITH base AS (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS x,
+                     CAST(hour(ts) AS BIGINT) AS y
+              FROM events),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM base GROUP BY event_type)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) /
+         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+FROM agg ORDER BY event_type
+"""
+
+
+def q_activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user event-count concentration per type —
+    the hot-key / whale-user inequality audit (0 = uniform, →1 = one
+    user dominates). Formula on ASCENDING-sorted counts c_1..c_m:
+    G = 2·Σ i·c_i / (m·Σc) − (m+1)/m. Σ i·c_i and all totals are exact
+    integers off one rank window over the (type, user) rollup (window
+    sees user-cardinality rows, never the fact stream); the final
+    expression is two mirrored divisions and one subtraction — no
+    round(), bit-identical across engines."""
+    prep_session(spark)
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").asc(), F.col("user_id").asc()
+    )
+    ranked = per_user.withColumn("i", F.row_number().over(w).cast("long"))
+    g = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("iweighted"),
+    )
+    m = F.col("m").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("iweighted").cast("double")
+        / (m * F.col("total").cast("double"))
+        - (m + F.lit(1.0)) / m
+    )
+    return g.select("event_type", "m", "total", gini.alias("gini")).orderBy(
+        "event_type"
+    )
+
+
+SQL_ACTIVITY_GINI = """
+WITH per_user AS (SELECT event_type, user_id,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+ranked AS (SELECT event_type, c,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                                          ORDER BY c, user_id) AS BIGINT) AS i
+           FROM per_user),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(i * c) AS BIGINT) AS iweighted
+      FROM ranked GROUP BY event_type)
+SELECT event_type, m, total,
+       2.0 * CAST(iweighted AS DOUBLE) /
+         (CAST(m AS DOUBLE) * CAST(total AS DOUBLE))
+       - (CAST(m AS DOUBLE) + 1.0) / CAST(m AS DOUBLE) AS gini
+FROM g ORDER BY event_type
+"""
+
+
 def q_corpus_drift_psi(spark, sf_dir):
     """Population-stability-index drift report between two corpus
     snapshots' document-length distributions — the retrain/recrawl alarm
@@ -7848,6 +7955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_matrix": q_dup_matrix,
         "trimmed_mean": q_trimmed_mean,
         "corpus_drift_psi": q_corpus_drift_psi,
+        "value_hour_corr": q_value_hour_corr,
+        "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
         "salted_distinct": q_salted_distinct,
         "event_anomaly": q_event_anomaly,
@@ -8053,6 +8162,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_matrix": SQL_DUP_MATRIX,
         "trimmed_mean": _sql_trimmed_mean(),
         "corpus_drift_psi": _sql_corpus_drift_psi(),
+        "value_hour_corr": SQL_VALUE_HOUR_CORR,
+        "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),
         "salted_distinct": SQL_SALTED_DISTINCT,
         "event_anomaly": SQL_EVENT_ANOMALY,

@@ -1384,3 +1384,54 @@ def test_corpus_drift_psi_detects_planted_drift(spark):
     assert all(r["psi_total"] == total for r in rows)
     assert total > 0.01
     assert abs(total - sum(r["psi_term"] for r in rows)) < 1e-6
+
+
+def test_activity_gini_extremes(spark):
+    """Uniform counts → G = (m-1)/m - ... ~ 0-ish shifted by the discrete
+    formula; verify against a direct Python computation on both a uniform
+    and a one-whale distribution."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    import datetime
+
+    def gini_py(counts):
+        cs = sorted(counts)
+        m, tot = len(cs), sum(cs)
+        iw = sum((i + 1) * c for i, c in enumerate(cs))
+        return 2.0 * iw / (m * tot) - (m + 1.0) / m
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # uniform: 10 users x 3 events of type 'u'; whale: user 0 has 91
+    # events, users 1..9 have 1 each of type 'w'
+    for u in range(10):
+        for _ in range(3):
+            rows.append((eid, base, u, "u", 1.0, "{}")); eid += 1
+    for u in range(10):
+        for _ in range(91 if u == 0 else 1):
+            rows.append((eid, base, u, "w", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    per_user = df.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    # same expression pipeline as q_activity_gini, applied to the fixture
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("c").asc(), F.col("user_id").asc())
+    ranked = per_user.withColumn("i", F.row_number().over(w).cast("long"))
+    g = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("iweighted"),
+    )
+    m = F.col("m").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("iweighted").cast("double")
+        / (m * F.col("total").cast("double"))
+        - (m + F.lit(1.0)) / m
+    )
+    got = {r["event_type"]: r["gini"] for r in g.select("event_type", gini.alias("gini")).collect()}
+    assert got["u"] == gini_py([3] * 10) == 0.0
+    assert got["w"] == gini_py([91] + [1] * 9)
+    assert got["w"] > 0.7
