@@ -6845,6 +6845,71 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_source_lang_mi(spark, sf_dir):
+    """Mutual information between source and lang — the metadata-
+    dependence audit (MI ≈ 0 means language is balanced across sources;
+    high MI flags sources that are single-language silos, which breaks
+    language-stratified splits). One (source, lang) count aggregate +
+    two marginal rollups broadcast back; each cell's
+    p_ij·ln(p_ij·N²/(n_i·n_j)) term is quantized to 1e-9-unit longs and
+    summed order-free (the PSI/entropy precedent). All counts exact."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    mi_src = cells.groupBy("source").agg(F.sum("nij").cast("long").alias("ni"))
+    mi_lang = cells.groupBy("lang").agg(F.sum("nij").cast("long").alias("nj"))
+    total = cells.agg(F.sum("nij").cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(mi_src), "source")
+        .join(F.broadcast(mi_lang), "lang")
+        .crossJoin(F.broadcast(total))
+    )
+    pij = F.col("nij").cast("double") / F.col("n").cast("double")
+    ratio = (
+        F.col("nij").cast("double") * F.col("n").cast("double")
+    ) / (F.col("ni").cast("double") * F.col("nj").cast("double"))
+    term_q = F.round(pij * F.log(ratio) * 1e9).cast("long")
+    rows = j.select(
+        "source", "lang", "nij", "ni", "nj", term_q.alias("mi_term_nano")
+    )
+    tot_mi = rows.agg(F.sum("mi_term_nano").cast("long").alias("t"))
+    return (
+        rows.crossJoin(F.broadcast(tot_mi))
+        .select(
+            "source",
+            "lang",
+            "nij",
+            "ni",
+            "nj",
+            (F.col("mi_term_nano").cast("double") / F.lit(1e9)).alias("mi_term"),
+            (F.col("t").cast("double") / F.lit(1e9)).alias("mi_total"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_SOURCE_LANG_MI = """
+WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nij
+               FROM documents GROUP BY 1, 2),
+ms AS (SELECT source, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+ml AS (SELECT lang, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+j AS (SELECT source, lang, nij, ni, nj,
+             CAST(round((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE))
+                             / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+                        * 1e9) AS BIGINT) AS mi_term_nano
+      FROM cells JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot),
+tm AS (SELECT CAST(sum(mi_term_nano) AS BIGINT) AS t FROM j)
+SELECT source, lang, nij, ni, nj,
+       CAST(mi_term_nano AS DOUBLE) / 1e9 AS mi_term,
+       CAST(t AS DOUBLE) / 1e9 AS mi_total
+FROM j CROSS JOIN tm ORDER BY source, lang
+"""
+
+
 def q_value_hour_corr(spark, sf_dir):
     """Pearson correlation between event value and hour-of-day per type —
     the feature-leakage / seasonality audit. Everything up to the final
@@ -7956,6 +8021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "corpus_drift_psi": q_corpus_drift_psi,
         "value_hour_corr": q_value_hour_corr,
+        "source_lang_mi": q_source_lang_mi,
         "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
         "salted_distinct": q_salted_distinct,
@@ -8163,6 +8229,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean": _sql_trimmed_mean(),
         "corpus_drift_psi": _sql_corpus_drift_psi(),
         "value_hour_corr": SQL_VALUE_HOUR_CORR,
+        "source_lang_mi": SQL_SOURCE_LANG_MI,
         "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),
         "salted_distinct": SQL_SALTED_DISTINCT,
