@@ -365,3 +365,11 @@ def test_filter_funnel_single_scan_no_joins(spark):
     plan = explain_str(E.q_filter_funnel(spark, SF))
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_weekly_trend_and_gini_windows_entity_partitioned(spark):
+    # the lag/rank windows must be keyed by event_type — never a global
+    # single-partition window over the fact stream
+    for df in (E.q_weekly_trend(spark, SF), E.q_activity_gini(spark, SF)):
+        plan = explain_str(df)
+        assert "hashpartitioning(event_type" in plan, plan[:2000]
