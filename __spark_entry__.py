@@ -6845,6 +6845,132 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_totalprice_conformance(spark, sf_dir):
+    """Derived-VALUE conformance audit across tables: does
+    o_totalprice equal the sum of its lineitems'
+    extendedprice·(1+tax)·(1−discount)? (The TPC-H invariant — the
+    cross-table generalization of derived_column_conformance.) All
+    arithmetic is exact: 2-dp money/rates become integer cents /
+    percent-cents, each line's charge is the exact integer
+    e_c·(100+t_c)·(100−d_c) in 1e-4-cent units, summed per order and
+    diffed against o_totalprice scaled to the same units. One
+    orderkey-keyed aggregate + one fact-fact join (the Q3 shuffle
+    shape); output is a 1-row summary of exact/over/under counts and
+    the worst absolute drift."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    e_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    t_c = F.round(F.col("l_tax") * 100).cast("long")
+    d_c = F.round(F.col("l_discount") * 100).cast("long")
+    per_order = (
+        li.select(
+            "l_orderkey",
+            (e_c * (F.lit(100) + t_c) * (F.lit(100) - d_c)).alias("charge_u"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("charge_u").cast("long").alias("sum_u"))
+    )
+    tp_u = (F.round(F.col("o_totalprice") * 100).cast("long") * 10000).alias(
+        "tp_u"
+    )
+    j = per_order.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), tp_u), "l_orderkey"
+    )
+    diff = F.col("sum_u") - F.col("tp_u")
+    return j.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(diff == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.sum(F.when(diff > 0, 1).otherwise(0)).cast("long").alias("n_over"),
+        F.sum(F.when(diff < 0, 1).otherwise(0)).cast("long").alias("n_under"),
+        F.max(F.abs(diff)).cast("long").alias("max_abs_diff_u"),
+    )
+
+
+SQL_TOTALPRICE_CONFORMANCE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS sum_u
+  FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT sum_u,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 10000 AS tp_u
+      FROM per_order JOIN orders ON l_orderkey = o_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN sum_u - tp_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(sum(CASE WHEN sum_u - tp_u > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over,
+       CAST(sum(CASE WHEN sum_u - tp_u < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_under,
+       CAST(max(abs(sum_u - tp_u)) AS BIGINT) AS max_abs_diff_u
+FROM j
+"""
+
+
+def _benford_shares_milli() -> list[tuple[int, float]]:
+    """Benford expected shares as 6-dp literals computed ONCE in Python
+    and inlined into BOTH engines' plans (the classifier_weights shared-
+    literal pattern — no engine-side log10, so no libm drift)."""
+    import math
+
+    return [(d, round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)]
+
+
+def q_digit_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of extended prices — the
+    classic fabricated-data / truncation-artifact screen. The digit is
+    the leading character of the exact integer cents (string head — no
+    float log anywhere); counts are exact, shares go through qmath, and
+    the Benford expectation enters both engines as shared 6-dp literals.
+    One map-side-combined 9-group aggregate: free at any scale."""
+    prep_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    digit = F.substring(c.cast("string"), 1, 1).cast("long")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("t"))
+    exp_map = F.create_map(
+        *[x for d, s in _benford_shares_milli() for x in (F.lit(d), F.lit(s))]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            qmath.qdiv_count(F.col("n") * 1_000_000, F.col("t"), 1, 6).alias(
+                "share"
+            ),
+            exp_map[F.col("digit")].alias("benford_share"),
+        )
+        .withColumn("delta", F.col("share") - F.col("benford_share"))
+        .orderBy("digit")
+    )
+
+
+def _sql_digit_benford() -> str:
+    share = qmath.sql_qdiv_count("(n * 1000000)", "t", 1, 6)
+    cases = " ".join(
+        f"WHEN {d} THEN {s}" for d, s in _benford_shares_milli()
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+SELECT digit, n, {share} AS share,
+       CAST(CASE digit {cases} END AS DOUBLE) AS benford_share,
+       {share} - CAST(CASE digit {cases} END AS DOUBLE) AS delta
+FROM counts CROSS JOIN tot ORDER BY digit
+"""
+
+
 def q_source_lang_mi(spark, sf_dir):
     """Mutual information between source and lang — the metadata-
     dependence audit (MI ≈ 0 means language is balanced across sources;
@@ -8022,6 +8148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_psi": q_corpus_drift_psi,
         "value_hour_corr": q_value_hour_corr,
         "source_lang_mi": q_source_lang_mi,
+        "totalprice_conformance": q_totalprice_conformance,
+        "digit_benford": q_digit_benford,
         "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
         "salted_distinct": q_salted_distinct,
@@ -8230,6 +8358,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift_psi": _sql_corpus_drift_psi(),
         "value_hour_corr": SQL_VALUE_HOUR_CORR,
         "source_lang_mi": SQL_SOURCE_LANG_MI,
+        "totalprice_conformance": SQL_TOTALPRICE_CONFORMANCE,
+        "digit_benford": _sql_digit_benford(),
         "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),
         "salted_distinct": SQL_SALTED_DISTINCT,
