@@ -350,3 +350,35 @@ def test_ivf_index_cell_predicate_prunes_partitions(spark, tmp_path):
     plan = df._jdf.queryExecution().explainString(jmode)
     i = plan.index("PartitionFilters")
     assert "cell" in plan[i : plan.index("\n", i)]
+
+
+def test_quantile_sketch_matches_python_model(spark):
+    """Hypothesis-style cross-check vs a pure-Python replica of both the
+    hash sample and the order-statistic index, over several synthetic
+    distributions."""
+    from csvs_to_sqlite_spark.functions.hashing import py_md5_long
+    from csvs_to_sqlite_spark.operators.sketch import quantile_sketch_report
+
+    for seed, vals in [
+        ("a", [i * i for i in range(200)]),
+        ("b", [7] * 50 + list(range(100))),
+        ("c", [-(i % 13) * 10 for i in range(150)]),
+    ]:
+        rows = [(f"g", v, f"{seed}{i}") for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, v long, i string")
+        got = {
+            r["q"]: r
+            for r in quantile_sketch_report(df, "v", "g", "i", qs=(50, 90)).collect()
+        }
+        keyed = sorted(
+            (v, py_md5_long(i, seed="qsk", hex_chars=15)) for _, v, i in rows
+        )
+        sample = sorted(
+            (v, h) for v, h in keyed if h % 8 == 0
+        )
+        for q in (50, 90):
+            r = got[q]
+            assert r["exact_v"] == keyed[(q * (len(keyed) - 1)) // 100][0]
+            if sample:
+                assert r["est_v"] == sample[(q * (len(sample) - 1)) // 100][0]
+                assert r["n_sample"] == len(sample)

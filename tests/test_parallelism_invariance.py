@@ -214,3 +214,23 @@ def test_ivfpq_residual_bitwise_invariant(spark, emb, parts):
         similarity.ivfpq_residual_topk(e2, e2.where(F.col("vec_id") < 10), k=5)
     )
     assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_source_cosine_bitwise_invariant(spark, docs, parts):
+    from csvs_to_sqlite_spark.operators.terms import source_unigram_cosine
+
+    out = rows_of(source_unigram_cosine(docs.repartition(parts), "text", "source"))
+    base = rows_of(source_unigram_cosine(docs, "text", "source"))
+    assert out == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_salted_distinct_bitwise_invariant(spark, parts):
+    from csvs_to_sqlite_spark.operators.partitioning import salted_distinct_count
+    from csvs_to_sqlite_spark.streaming.windows import load_events
+
+    e = load_events(spark, f"{SF}/events.parquet")
+    base = rows_of(salted_distinct_count(e, "event_type", "user_id"))
+    out = rows_of(salted_distinct_count(e.repartition(parts), "event_type", "user_id"))
+    assert out == base
