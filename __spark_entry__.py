@@ -6845,6 +6845,83 @@ def _sql_kmv_sketch() -> str:
     return kmv_pair_sql("text", "source")
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash (aHash) image near-dup pairs — the multimodal
+    member of the dedup family: REAL numpy PPM decode → Rec.601 luma →
+    8×8 nearest-neighbor sample → 64-bit average hash as 8 byte-bands,
+    paired via a (band_idx, band_value) self-equi-join (pigeonhole:
+    hamming ≤ 7 always shares one of 8 bands — the SimHash scaling
+    shape, never O(n²)). Every quantity is an exact integer (mean
+    comparison as 64·luma > total — no division), so the DuckDB twin
+    re-derives the hashes from the md5-seeded gradient closed forms and
+    matches bit-for-bit. Exact-copy images are planted (every 4th image
+    re-appears under media_id+1000) and must pair at hamming 0."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        image_ahash_pairs,
+        synth_ppm_media,
+    )
+
+    m = synth_ppm_media(spark, 64)
+    aug = m.unionByName(
+        m.where(F.col("media_id") % 4 == 0).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
+    return image_ahash_pairs(aug, max_hamming=7)
+
+
+def _sql_image_phash_dedup() -> str:
+    """Closed-form twin of q_image_phash_dedup: geometry/gradient
+    coefficients from md5 bytes (the _sql_image_features technique),
+    sampled 8×8 luma via the same (o·src)//8 index maps, bands as exact
+    integer bit sums, all-pairs hamming ≤ 7 (equivalent to the banded
+    join by the pigeonhole guarantee)."""
+    b0, b1, b2, b3, b4 = (_sql_hexbyte(k) for k in range(5))
+    return f"""
+WITH ids AS (
+  SELECT unnest(range(0, 64)) AS i
+  UNION ALL
+  SELECT 1000 + unnest(range(0, 64, 4)) AS i),
+seed AS (
+  SELECT i, md5('ppm' || (CASE WHEN i >= 1000 THEN i - 1000 ELSE i END)) AS hh
+  FROM ids),
+geom AS (
+  SELECT i, 8 + {b0} % 9 AS w, 8 + {b1} % 9 AS h,
+         1 + {b2} % 5 AS ca, 1 + {b3} % 5 AS cb, {b4} AS cc
+  FROM seed),
+samp AS (
+  SELECT g.i, oy.oy, ox.ox,
+         (ox.ox * g.w) // 8 AS sx, (oy.oy * g.h) // 8 AS sy
+  FROM geom g
+  JOIN LATERAL (SELECT unnest(range(0, 8)) AS oy) oy ON true
+  JOIN LATERAL (SELECT unnest(range(0, 8)) AS ox) ox ON true),
+lum AS (
+  SELECT s.i, s.oy, s.ox,
+         299 * ((s.sx * g.ca + s.sy) % 256)
+         + 587 * ((s.sy * g.cb + s.sx) % 256)
+         + 114 * ((s.sx + s.sy + g.cc) % 256) AS luma
+  FROM samp s JOIN geom g ON s.i = g.i),
+tot AS (SELECT i, sum(luma) AS total FROM lum GROUP BY i),
+bands AS (
+  SELECT l.i, l.oy,
+         CAST(sum(CASE WHEN 64 * l.luma > t.total
+                       THEN 1 << l.ox ELSE 0 END) AS BIGINT) AS val
+  FROM lum l JOIN tot t ON l.i = t.i
+  GROUP BY l.i, l.oy),
+hashes AS (
+  SELECT i, list(val ORDER BY oy) AS bands FROM bands GROUP BY i),
+pairs AS (
+  SELECT a.i AS id_a, b.i AS id_b,
+         CAST(list_sum(list_transform(range(1, 9),
+              j -> bit_count(xor(a.bands[j], b.bands[j])))) AS BIGINT)
+           AS hamming
+  FROM hashes a JOIN hashes b ON a.i < b.i)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, hamming
+FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b
+"""
+
+
 def q_totalprice_conformance(spark, sf_dir):
     """Derived-VALUE conformance audit across tables: does
     o_totalprice equal the sum of its lineitems'
@@ -8149,6 +8226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_hour_corr": q_value_hour_corr,
         "source_lang_mi": q_source_lang_mi,
         "totalprice_conformance": q_totalprice_conformance,
+        "image_phash_dedup": q_image_phash_dedup,
         "digit_benford": q_digit_benford,
         "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
@@ -8359,6 +8437,7 @@ def oracle_sql() -> dict[str, str]:
         "value_hour_corr": SQL_VALUE_HOUR_CORR,
         "source_lang_mi": SQL_SOURCE_LANG_MI,
         "totalprice_conformance": SQL_TOTALPRICE_CONFORMANCE,
+        "image_phash_dedup": _sql_image_phash_dedup(),
         "digit_benford": _sql_digit_benford(),
         "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),

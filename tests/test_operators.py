@@ -1435,3 +1435,38 @@ def test_activity_gini_extremes(spark):
     assert got["u"] == gini_py([3] * 10) == 0.0
     assert got["w"] == gini_py([91] + [1] * 9)
     assert got["w"] > 0.7
+
+
+def test_image_ahash_exact_copy_pairs_at_hamming_zero(spark):
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        ahash_bands,
+        image_ahash_pairs,
+        synth_ppm_media,
+    )
+
+    m = synth_ppm_media(spark, 8)
+    aug = m.unionByName(
+        m.where(F.col("media_id") == 3).withColumn(
+            "media_id", F.col("media_id") + 100
+        )
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_ahash_pairs(aug, max_hamming=7).collect()}
+    assert pairs.get((3, 103)) == 0
+    # brightness invariance: +8 on every channel (no wrap) keeps the hash
+    import numpy as np
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        _parse_pnm,
+        encode_ppm,
+    )
+
+    payload = m.where("media_id = 1").collect()[0]["payload"]
+    w, h, px = _parse_pnm(payload)
+    lifted = encode_ppm(np.clip(px.astype(np.int64) + 8, 0, 255)[
+        :, :, :
+    ].astype(np.uint8)) if (px.astype(np.int64) + 8).max() <= 255 else None
+    if lifted is not None:
+        assert ahash_bands(payload) == ahash_bands(lifted)
