@@ -6922,6 +6922,83 @@ FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b
 """
 
 
+def q_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio near-dup pairs over a 64-bit windowed-energy fingerprint —
+    the second modality of the perceptual-dedup family (multimodal.py
+    audio_energy_bands / band_hash_pairs): REAL RIFF/PCM decode, 64
+    equal windows via the (k·64)//n index map, exact integer Σv² window
+    energies, bit w set when 64·E_w > total — no division, no floats.
+    Same pigeonhole-complete (band_idx, value) posting-list join as the
+    image aHash path. Exact-copy clips are planted (every 4th clip under
+    media_id+1000) and must pair at hamming 0; the DuckDB twin
+    re-derives every fingerprint from the md5-seeded sine closed forms."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        synth_wav_media,
+    )
+
+    m = synth_wav_media(spark, 64)
+    aug = m.unionByName(
+        m.where(F.col("media_id") % 4 == 0).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
+    return audio_fingerprint_pairs(aug, max_hamming=7)
+
+
+def _sql_audio_fingerprint_dedup() -> str:
+    b0, b1, b2 = (_sql_hexbyte(k) for k in range(3))
+    return f"""
+WITH ids AS (
+  SELECT unnest(range(0, 64)) AS i
+  UNION ALL
+  SELECT 1000 + unnest(range(0, 64, 4)) AS i),
+seed AS (
+  SELECT i, md5('wav' || (CASE WHEN i >= 1000 THEN i - 1000 ELSE i END)) AS hh
+  FROM ids),
+geom AS (
+  SELECT i, ([8000, 16000, 22050, 44100])[1 + {b0} % 4] AS rate,
+         110.0 * (1 + {b1} % 8) AS freq,
+         0.05 + ({b2} % 10) / 100.0 AS dur
+  FROM seed),
+g2 AS (SELECT i, rate, freq,
+              CAST(trunc(rate * dur) AS BIGINT) AS n FROM geom),
+pcm AS (
+  SELECT g.i, k.k, g.n,
+         CAST(trunc((0.5 * sin(((2 * pi()) * g.freq)
+                               * (k.k / CAST(g.rate AS DOUBLE))))
+                    * 32767.0) AS BIGINT) AS v
+  FROM g2 g JOIN LATERAL (SELECT unnest(range(0, g.n)) AS k) k ON true),
+energies AS (
+  SELECT i, (k * 64) // n AS w, CAST(sum(v * v) AS BIGINT) AS e
+  FROM pcm GROUP BY i, (k * 64) // n),
+tot AS (SELECT i, CAST(sum(e) AS BIGINT) AS total FROM energies GROUP BY i),
+grid AS (
+  SELECT s.i, j.j, x.x FROM seed s
+  JOIN LATERAL (SELECT unnest(range(0, 8)) AS j) j ON true
+  JOIN LATERAL (SELECT unnest(range(0, 8)) AS x) x ON true),
+bands AS (
+  SELECT g.i, g.j,
+         CAST(sum(CASE WHEN 64 * coalesce(e.e, 0) > t.total
+                       THEN 1 << g.x ELSE 0 END) AS BIGINT) AS val
+  FROM grid g
+  JOIN tot t ON g.i = t.i
+  LEFT JOIN energies e ON e.i = g.i AND e.w = g.j * 8 + g.x
+  GROUP BY g.i, g.j),
+hashes AS (
+  SELECT i, list(val ORDER BY j) AS bands FROM bands GROUP BY i),
+pairs AS (
+  SELECT a.i AS id_a, b.i AS id_b,
+         CAST(list_sum(list_transform(range(1, 9),
+              j -> bit_count(xor(a.bands[j], b.bands[j])))) AS BIGINT)
+           AS hamming
+  FROM hashes a JOIN hashes b ON a.i < b.i)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, hamming
+FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b
+"""
+
+
 def q_totalprice_conformance(spark, sf_dir):
     """Derived-VALUE conformance audit across tables: does
     o_totalprice equal the sum of its lineitems'
@@ -8227,6 +8304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_mi": q_source_lang_mi,
         "totalprice_conformance": q_totalprice_conformance,
         "image_phash_dedup": q_image_phash_dedup,
+        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "digit_benford": q_digit_benford,
         "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
@@ -8438,6 +8516,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_mi": SQL_SOURCE_LANG_MI,
         "totalprice_conformance": SQL_TOTALPRICE_CONFORMANCE,
         "image_phash_dedup": _sql_image_phash_dedup(),
+        "audio_fingerprint_dedup": _sql_audio_fingerprint_dedup(),
         "digit_benford": _sql_digit_benford(),
         "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),

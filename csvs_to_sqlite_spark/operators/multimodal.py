@@ -658,7 +658,15 @@ def image_ahash_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
     all-pairs while scaling like the SimHash text path (posting lists
     keyed by band bytes, never O(n²)). Hamming distance is the exact
     integer Σ_j bit_count(a_j xor b_j). Returns (id_a, id_b, hamming)."""
-    hashes = image_ahash(df).persist()
+    return band_hash_pairs(image_ahash(df).persist(), max_hamming)
+
+
+def band_hash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Shared banded-signature pairing for (media_id, bands: array<long>)
+    frames: candidates from a (band_idx, value) self-equi-join (posting
+    lists keyed by band byte — never O(n²)), hamming as the exact
+    integer Σ_j bit_count(a_j xor b_j), complete for
+    ``max_hamming < n_bands`` by pigeonhole."""
     bands = hashes.select(
         "media_id",
         F.posexplode("bands").alias("band_idx", "val"),
@@ -691,3 +699,59 @@ def image_ahash_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def audio_energy_bands(payload: bytes) -> list[int]:
+    """64-bit audio energy fingerprint as 8 byte-bands: the clip's PCM
+    samples are split into 64 equal windows by the (k·64)//n index map,
+    each window's energy is the EXACT integer Σ v², and bit w is set
+    when 64·E_w > total energy (no division — the audio twin of
+    ahash_bands). Invariant to playback gain applied uniformly in the
+    integer domain only when proportions survive; robust to small edits
+    because a window flips only when its energy share crosses 1/64."""
+    import numpy as np
+
+    _rate, _nch, samples = _parse_wav(payload)
+    # _parse_wav normalizes by a power of two, so samples·32768 recovers
+    # the raw integer PCM values exactly (16-bit: v; 8-bit: (v−128)·256)
+    v = np.round(samples * 32768.0).astype(np.int64)
+    n = len(v)
+    if n == 0:
+        return [0] * 8
+    w = (np.arange(n) * 64) // n
+    e = np.zeros(64, dtype=np.int64)
+    np.add.at(e, w, v * v)
+    total = int(e.sum())
+    bits = 64 * e > total
+    return [
+        int(sum(1 << x for x in range(8) if bits[j * 8 + x])) for j in range(8)
+    ]
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-clip energy fingerprint via one Arrow-batched mapInPandas
+    stage (REAL RIFF/PCM decode)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "bands": [
+                        audio_energy_bands(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(batches, AHASH_SCHEMA)
+    )
+
+
+def audio_fingerprint_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Audio near-duplicate pairs over the energy fingerprint — same
+    banded posting-list join as the image path (band_hash_pairs)."""
+    return band_hash_pairs(audio_fingerprint(df).persist(), max_hamming)

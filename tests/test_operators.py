@@ -1470,3 +1470,22 @@ def test_image_ahash_exact_copy_pairs_at_hamming_zero(spark):
     ].astype(np.uint8)) if (px.astype(np.int64) + 8).max() <= 255 else None
     if lifted is not None:
         assert ahash_bands(payload) == ahash_bands(lifted)
+
+
+def test_audio_fingerprint_exact_copy_pairs_at_hamming_zero(spark):
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        synth_wav_media,
+    )
+
+    m = synth_wav_media(spark, 8)
+    aug = m.unionByName(
+        m.where(F.col("media_id") == 2).withColumn(
+            "media_id", F.col("media_id") + 100
+        )
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_fingerprint_pairs(aug, max_hamming=7).collect()}
+    assert pairs.get((2, 102)) == 0
