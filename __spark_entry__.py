@@ -6538,6 +6538,25 @@ def _sql_bpe_encode() -> str:
     return encode_bpe_sql("text", n_merges=8)
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer losslessness audit (bpe.bpe_roundtrip_report): every
+    vocabulary word's subword sequence must rejoin to the word exactly —
+    the oracle proves n_mismatch = 0 over the shared learning CTE chain,
+    occurrence-weighted. Dimension-sized: the corpus pays only the word
+    count scan learning already does."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.bpe import bpe_roundtrip_report
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_roundtrip_report(spark, d, "text", n_merges=8)
+
+
+def _sql_bpe_roundtrip() -> str:
+    from csvs_to_sqlite_spark.operators.bpe import bpe_roundtrip_sql
+
+    return bpe_roundtrip_sql("text", n_merges=8)
+
+
 def q_event_anomaly(spark, sf_dir):
     """Time-series anomaly flags: daily event counts per type whose
     z-score vs that type's daily distribution is ≥ 2 in magnitude — the
@@ -8305,6 +8324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "totalprice_conformance": q_totalprice_conformance,
         "image_phash_dedup": q_image_phash_dedup,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "bpe_roundtrip": q_bpe_roundtrip,
         "digit_benford": q_digit_benford,
         "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
@@ -8517,6 +8537,7 @@ def oracle_sql() -> dict[str, str]:
         "totalprice_conformance": SQL_TOTALPRICE_CONFORMANCE,
         "image_phash_dedup": _sql_image_phash_dedup(),
         "audio_fingerprint_dedup": _sql_audio_fingerprint_dedup(),
+        "bpe_roundtrip": _sql_bpe_roundtrip(),
         "digit_benford": _sql_digit_benford(),
         "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),

@@ -258,3 +258,48 @@ def encode_bpe_sql(
         f"  md5(string_agg(enc, chr(1) ORDER BY pos)) AS enc_digest\n"
         f"FROM doc_words JOIN vocab USING (w) GROUP BY {id_col}"
     )
+
+
+def bpe_roundtrip_report(
+    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """Tokenizer losslessness audit: BPE merges only ever concatenate
+    adjacent symbols, so rejoining every vocabulary word's subwords must
+    reproduce the word exactly — a broken merge fold (the classic
+    off-by-one in the leftmost-first walk) shows up here as a mismatch.
+    One row: vocabulary words checked, ok/mismatch counts, occurrence-
+    weighted ok count, and the deepest subword split. Runs on the
+    DIMENSION-sized symbol table — corpus cost is the one word-count
+    scan learning already pays."""
+    _, syms = _learn_core(spark, df, text_col, n_merges)
+    ok = F.array_join("syms", "") == F.col("w")
+    return syms.agg(
+        F.count("*").cast("long").alias("n_vocab_words"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_mismatch"),
+        F.sum(F.when(ok, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("occurrences_ok"),
+        F.sum("cnt").cast("long").alias("total_occurrences"),
+        F.max(F.size("syms")).cast("long").alias("max_subwords"),
+    )
+
+
+def bpe_roundtrip_sql(
+    text_expr: str, n_merges: int = 8, table: str = "documents"
+) -> str:
+    """DuckDB twin of bpe_roundtrip_report over the shared CTE chain."""
+    parts = _sql_round_parts(text_expr, n_merges, table)
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + f"\n"
+        f"SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,\n"
+        f"  CAST(sum(CASE WHEN array_to_string(syms, '') = w THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_ok,\n"
+        f"  CAST(sum(CASE WHEN array_to_string(syms, '') = w THEN 0 ELSE 1 END)"
+        f" AS BIGINT) AS n_mismatch,\n"
+        f"  CAST(sum(CASE WHEN array_to_string(syms, '') = w THEN cnt ELSE 0 END)"
+        f" AS BIGINT) AS occurrences_ok,\n"
+        f"  CAST(sum(cnt) AS BIGINT) AS total_occurrences,\n"
+        f"  CAST(max(len(syms)) AS BIGINT) AS max_subwords\n"
+        f"FROM syms{n_merges}"
+    )
