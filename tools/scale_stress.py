@@ -570,6 +570,27 @@ def main() -> None:
                              (dl1 * n if dl1 is not None else None))
         assert pcn == pc1, f"pct_change not scale-invariant for {k}"
 
+    # --- perceptual hashes: bands depend only on payload bytes, so every
+    # synthetic copy must hash identically to its original (hamming 0)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+        synth_ppm_media,
+        synth_wav_media,
+    )
+
+    for mk, hasher, label in (
+        (synth_ppm_media, image_ahash, "image_ahash"),
+        (synth_wav_media, audio_fingerprint, "audio_fp"),
+    ):
+        m1 = mk(spark, 16)
+        mn = multiply(m1, "media_id", n)
+        t0 = time.time()
+        hn = {r["media_id"]: list(r["bands"]) for r in hasher(mn).collect()}
+        print(f"{label} {n}x: {len(hn)} hashes, {time.time()-t0:.1f}s", flush=True)
+        for mid, bands in hn.items():
+            assert hn[mid % 10_000_000] == bands, f"{label} copy {mid} diverged"
+
     print("ALL INVARIANTS HELD")
 
 
