@@ -7018,6 +7018,82 @@ FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b
 """
 
 
+def q_video_fingerprint_dedup(spark, sf_dir):
+    """Video near-dup pairs — the third perceptual-dedup modality
+    (multimodal.video_fingerprint_bands): REAL PV01 frame decode,
+    per-frame aHash bit grids folded by MAJORITY VOTE across frames
+    (2·votes > n_frames — integer-only, robust to trimming a few
+    frames), paired via the shared band_hash_pairs posting-list join.
+    Every 4th clip is planted again under media_id+1000 and must pair at
+    hamming 0; the DuckDB twin re-derives every fingerprint from the
+    md5-seeded per-frame gradient closed forms."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        synth_ppm_video_media,
+        video_fingerprint_pairs,
+    )
+
+    m = synth_ppm_video_media(spark, 24)
+    aug = m.unionByName(
+        m.where(F.col("media_id") % 4 == 0).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
+    return video_fingerprint_pairs(aug, max_hamming=7)
+
+
+def _sql_video_fingerprint_dedup() -> str:
+    b0, b1, b2, b3, b4, b5 = (_sql_hexbyte(k) for k in range(6))
+    return f"""
+WITH ids AS (
+  SELECT unnest(range(0, 24)) AS i
+  UNION ALL
+  SELECT 1000 + unnest(range(0, 24, 4)) AS i),
+seed AS (
+  SELECT i, md5('vid' || (CASE WHEN i >= 1000 THEN i - 1000 ELSE i END)) AS hh
+  FROM ids),
+geom AS (
+  SELECT i, 8 + {b0} % 5 AS w, 8 + {b1} % 5 AS h,
+         1 + {b2} % 3 AS ca, 1 + {b3} % 3 AS cb, {b4} AS cc,
+         4 + {b5} % 5 AS nf
+  FROM seed),
+samp AS (
+  SELECT g.i, g.nf, f.f, oy.oy, ox.ox,
+         (ox.ox * g.w) // 8 AS sx, (oy.oy * g.h) // 8 AS sy
+  FROM geom g
+  JOIN LATERAL (SELECT unnest(range(0, g.nf)) AS f) f ON true
+  JOIN LATERAL (SELECT unnest(range(0, 8)) AS oy) oy ON true
+  JOIN LATERAL (SELECT unnest(range(0, 8)) AS ox) ox ON true),
+lum AS (
+  SELECT s.i, s.nf, s.f, s.oy, s.ox,
+         299 * ((s.sx * g.ca + s.sy + s.f) % 256)
+         + 587 * ((s.sy * g.cb + s.sx + s.f) % 256)
+         + 114 * ((s.sx + s.sy + g.cc + s.f) % 256) AS luma
+  FROM samp s JOIN geom g ON s.i = g.i),
+ftot AS (SELECT i, f, sum(luma) AS total FROM lum GROUP BY i, f),
+votes AS (
+  SELECT l.i, l.nf, l.oy, l.ox,
+         sum(CASE WHEN 64 * l.luma > t.total THEN 1 ELSE 0 END) AS v
+  FROM lum l JOIN ftot t ON l.i = t.i AND l.f = t.f
+  GROUP BY l.i, l.nf, l.oy, l.ox),
+bands AS (
+  SELECT i, oy,
+         CAST(sum(CASE WHEN 2 * v > nf THEN 1 << ox ELSE 0 END) AS BIGINT)
+           AS val
+  FROM votes GROUP BY i, oy),
+hashes AS (
+  SELECT i, list(val ORDER BY oy) AS bands FROM bands GROUP BY i),
+pairs AS (
+  SELECT a.i AS id_a, b.i AS id_b,
+         CAST(list_sum(list_transform(range(1, 9),
+              j -> bit_count(xor(a.bands[j], b.bands[j])))) AS BIGINT)
+           AS hamming
+  FROM hashes a JOIN hashes b ON a.i < b.i)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, hamming
+FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b
+"""
+
+
 def q_totalprice_conformance(spark, sf_dir):
     """Derived-VALUE conformance audit across tables: does
     o_totalprice equal the sum of its lineitems'
@@ -8325,6 +8401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
+        "video_fingerprint_dedup": q_video_fingerprint_dedup,
         "digit_benford": q_digit_benford,
         "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
@@ -8538,6 +8615,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": _sql_image_phash_dedup(),
         "audio_fingerprint_dedup": _sql_audio_fingerprint_dedup(),
         "bpe_roundtrip": _sql_bpe_roundtrip(),
+        "video_fingerprint_dedup": _sql_video_fingerprint_dedup(),
         "digit_benford": _sql_digit_benford(),
         "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),

@@ -755,3 +755,63 @@ def audio_fingerprint_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Audio near-duplicate pairs over the energy fingerprint — same
     banded posting-list join as the image path (band_hash_pairs)."""
     return band_hash_pairs(audio_fingerprint(df).persist(), max_hamming)
+
+
+def video_fingerprint_bands(payload: bytes) -> list[int]:
+    """64-bit video fingerprint: the per-frame aHash bit grids (same 8×8
+    sample and 64·luma > total rule as ahash_bands) folded by MAJORITY
+    VOTE across frames (bit set when set in more than half the frames —
+    2·votes > n_frames, integer-only). Majority folding makes the
+    signature robust to trimming or re-sampling a few frames while
+    exact re-encodes collide at hamming 0."""
+    import numpy as np
+
+    frames = _parse_ppm_video(payload)
+    if not frames:
+        return [0] * 8
+    votes = np.zeros((8, 8), dtype=np.int64)
+    for w, h, px in frames:
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        luma = (
+            299 * px[..., 0].astype(np.int64)
+            + 587 * px[..., 1].astype(np.int64)
+            + 114 * px[..., 2].astype(np.int64)
+        )
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(8) * w) // 8
+        s = luma[rows][:, cols]
+        votes += (64 * s > int(s.sum())).astype(np.int64)
+    maj = 2 * votes > len(frames)
+    return [
+        int(sum(1 << x for x in range(8) if maj[y, x])) for y in range(8)
+    ]
+
+
+def video_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-clip majority-vote fingerprint via one Arrow-batched
+    mapInPandas stage (REAL PV01 frame decode)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "bands": [
+                        video_fingerprint_bands(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(batches, AHASH_SCHEMA)
+    )
+
+
+def video_fingerprint_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Video near-duplicate pairs — same banded posting-list join as the
+    image/audio paths (band_hash_pairs)."""
+    return band_hash_pairs(video_fingerprint(df).persist(), max_hamming)

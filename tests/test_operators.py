@@ -1489,3 +1489,27 @@ def test_audio_fingerprint_exact_copy_pairs_at_hamming_zero(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in audio_fingerprint_pairs(aug, max_hamming=7).collect()}
     assert pairs.get((2, 102)) == 0
+
+
+def test_video_fingerprint_copy_and_trim_robustness(spark):
+    """Exact clip copies pair at hamming 0, and dropping one frame from
+    a clip (a trim) changes the majority-vote fingerprint by at most a
+    few bits."""
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        _parse_ppm_video,
+        encode_ppm_video,
+        synth_ppm_video_media,
+        video_fingerprint_bands,
+    )
+
+    m = synth_ppm_video_media(spark, 6)
+    rows = {r["media_id"]: r["payload"] for r in m.collect()}
+    base = video_fingerprint_bands(rows[1])
+    assert video_fingerprint_bands(rows[1]) == base  # deterministic
+    frames = _parse_ppm_video(rows[1])
+    import numpy as np
+
+    trimmed = encode_ppm_video([px for (_, _, px) in frames[:-1]])
+    tb = video_fingerprint_bands(trimmed)
+    hamming = sum(bin(a ^ b).count("1") for a, b in zip(base, tb))
+    assert hamming <= 8, hamming
