@@ -3806,6 +3806,49 @@ def _sql_dedup_clusters() -> str:
     )
 
 
+def q_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster size distribution — the release-notes view of
+    the dedup graph (how much of the corpus sits in 2-, 3-, k-member
+    duplicate families vs singletons, and the doc mass each size class
+    holds). Rides the existing connected-components operator: one
+    cluster-keyed count then one size-keyed rollup (both dimension-
+    cardinality); the oracle nests the converged recursive-CTE
+    components twin."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+    clusters = dedup.dedup_clusters(d, pairs, "doc_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            (F.count("*") * F.col("size")).cast("long").alias("n_docs"),
+        )
+        .orderBy("size")
+    )
+
+
+def _sql_cluster_size_histogram() -> str:
+    # the clusters twin is itself WITH RECURSIVE ending in a bare SELECT;
+    # lift that final SELECT into a `clusters` CTE and roll up sizes
+    clusters = _sql_dedup_clusters().strip().rstrip(";")
+    final = "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+    assert clusters.endswith(final)
+    ctes = clusters[: -len(final)].replace("WITH RECURSIVE ", "", 1)
+    return f"""
+WITH RECURSIVE {ctes.rstrip()},
+clusters AS ({final}),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+          FROM clusters GROUP BY cluster_id)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * size AS BIGINT) AS n_docs
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup: GROUPING SETS over
     (day) and (day, hour) buckets of event time."""
@@ -8402,6 +8445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
         "video_fingerprint_dedup": q_video_fingerprint_dedup,
+        "cluster_size_histogram": q_cluster_size_histogram,
         "digit_benford": q_digit_benford,
         "activity_gini": q_activity_gini,
         "weekly_trend": q_weekly_trend,
@@ -8616,6 +8660,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_dedup": _sql_audio_fingerprint_dedup(),
         "bpe_roundtrip": _sql_bpe_roundtrip(),
         "video_fingerprint_dedup": _sql_video_fingerprint_dedup(),
+        "cluster_size_histogram": _sql_cluster_size_histogram(),
         "digit_benford": _sql_digit_benford(),
         "activity_gini": SQL_ACTIVITY_GINI,
         "weekly_trend": _sql_weekly_trend(),
