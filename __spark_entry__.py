@@ -1127,7 +1127,10 @@ def q_tpch_q11(spark, sf_dir):
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(vol_c).alias("value_c"))
-        .persist()  # feeds both the per-part output and the global total
+        # feeds both the per-part output and the global total; localCheckpoint
+        # (not persist) so the blocks are ContextCleaner-released when the
+        # frame is GC'd — no cache accumulation in long-lived host sessions
+        .localCheckpoint(eager=False)
     )
     total = g.agg(F.sum("value_c").alias("total_c"))
     return (
@@ -1214,7 +1217,9 @@ def q_tpch_q15(spark, sf_dir):
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(vol_c).alias("rev_c"))
-        .persist()  # feeds both the max scalar and the final select
+        # feeds both the max scalar and the final select; localCheckpoint so
+        # blocks are GC-released (see tpch_q11)
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("rev_c").alias("max_c"))
     return (
@@ -3788,22 +3793,30 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(d, pairs, "doc_id")
 
 
-def _sql_dedup_clusters() -> str:
+# the converged-components twin's final SELECT, shared between
+# _sql_dedup_clusters and _sql_cluster_size_histogram so the histogram
+# builder composes rather than string-slicing the clusters SQL
+_SQL_CLUSTERS_FINAL = "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+
+
+def _sql_dedup_clusters_ctes() -> str:
     # True converged connected components via a recursive reachability CTE
     # (edges are symmetric, so min reachable id == component minimum) —
     # derived from the fixpoint semantics, not an unrolled iteration count.
     jaccard_pairs = SQL_JACCARD.strip().rstrip(";")
     return (
-        "WITH RECURSIVE "
         f"pairs AS ({jaccard_pairs}),\n"
         "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
         " UNION ALL SELECT id_b, id_a FROM pairs),\n"
         "reach(doc_id, r) AS ("
         " SELECT doc_id, doc_id FROM documents"
         " UNION"
-        " SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)\n"
-        "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+        " SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)"
     )
+
+
+def _sql_dedup_clusters() -> str:
+    return "WITH RECURSIVE " + _sql_dedup_clusters_ctes() + "\n" + _SQL_CLUSTERS_FINAL
 
 
 def q_cluster_size_histogram(spark, sf_dir):
@@ -3832,15 +3845,11 @@ def q_cluster_size_histogram(spark, sf_dir):
 
 
 def _sql_cluster_size_histogram() -> str:
-    # the clusters twin is itself WITH RECURSIVE ending in a bare SELECT;
-    # lift that final SELECT into a `clusters` CTE and roll up sizes
-    clusters = _sql_dedup_clusters().strip().rstrip(";")
-    final = "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
-    assert clusters.endswith(final)
-    ctes = clusters[: -len(final)].replace("WITH RECURSIVE ", "", 1)
+    # compose the clusters twin's CTEs + final SELECT (shared constants —
+    # no string slicing of the sibling oracle) and roll up sizes
     return f"""
-WITH RECURSIVE {ctes.rstrip()},
-clusters AS ({final}),
+WITH RECURSIVE {_sql_dedup_clusters_ctes()},
+clusters AS ({_SQL_CLUSTERS_FINAL}),
 sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
           FROM clusters GROUP BY cluster_id)
 SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,

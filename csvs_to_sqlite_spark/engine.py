@@ -79,27 +79,84 @@ def parse_extract_columns(extract_columns) -> tuple[list[DimSpec], dict[str, tup
     return specs, fks
 
 
-def _existing_dims(spark: SparkSession, db_path: str, specs: list[DimSpec]):
+def _existing_dims(
+    spark: SparkSession,
+    db_path: str,
+    specs: list[DimSpec],
+    collect_max: int | None = None,
+    spill_dirs: list[str] | None = None,
+):
     """E4: read already-present lookup tables from the output db so ids are
-    preserved and only misses get new numbers (reference utils.py:205-223)."""
-    out = {}
+    preserved and only misses get new numbers (reference utils.py:205-223).
+
+    Guardrail (mirrors write_dim's ``collect_max``): a dim whose row count
+    exceeds ``collect_max`` is NOT fetchall()'d through the driver — its
+    rows page through the cursor into a parquet spill (one page of driver
+    memory at a time) and come back as a parquet-backed DataFrame, so the
+    E4 anti-join in build_dims stays fully distributed. Returns
+    ``(dims, big_names)`` where ``big_names`` are the spilled (too big to
+    broadcast) dims."""
+    out: dict = {}
+    big: set[str] = set()
     if not os.path.exists(db_path):
-        return out
+        return out, big
     conn = sqlite3.connect(db_path)
     try:
         for spec in (s.resolved() for s in specs):
             try:
-                rows = conn.execute(
-                    f'select id, "{spec.value_column}" from [{spec.table}]'
-                ).fetchall()
+                n = conn.execute(f"select count(*) from [{spec.table}]").fetchone()[0]
             except sqlite3.OperationalError:
                 continue
+            if collect_max is not None and n > collect_max:
+                out[spec.table] = _page_dim_to_parquet(
+                    spark, conn, spec.table, spec.value_column, spill_dirs
+                )
+                big.add(spec.table)
+                continue
+            rows = conn.execute(
+                f'select id, "{spec.value_column}" from [{spec.table}]'
+            ).fetchall()
             out[spec.table] = spark.createDataFrame(
                 [(int(r[0]), r[1]) for r in rows], f"id long, {spec.value_column} string"
             )
     finally:
         conn.close()
-    return out
+    return out, big
+
+
+def _page_dim_to_parquet(
+    spark: SparkSession,
+    conn: sqlite3.Connection,
+    table: str,
+    value_column: str,
+    spill_dirs: list[str] | None,
+    page_rows: int = 200_000,
+):
+    """Stream a big existing dim into a parquet spill, one fetchmany page at
+    a time — the driver never holds more than one page."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="engine_dim_read_")
+    if spill_dirs is not None:
+        spill_dirs.append(d)
+    cur = conn.execute(f'select id, "{value_column}" from [{table}] order by id')
+    i = 0
+    while True:
+        rows = cur.fetchmany(page_rows)
+        if not rows:
+            break
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array((int(r[0]) for r in rows), pa.int64()),
+                    value_column: pa.array((r[1] for r in rows), pa.string()),
+                }
+            ),
+            os.path.join(d, f"part-{i:05d}.parquet"),
+        )
+        i += 1
+    return spark.read.parquet(d)
 
 
 def import_csvs(
@@ -282,7 +339,20 @@ def import_csvs(
         dim_frames = {}
         dim_maps: dict[str, dict] = {}
         if dim_specs:
-            existing = _existing_dims(spark, dbname, dim_specs)
+            # guardrail: above this cardinality a dim neither collects into
+            # a driver map (write side, write_dim) nor fetchall()s through
+            # the driver (read side, _existing_dims) — a near-unique -c
+            # column would otherwise make the driver hold O(cardinality)
+            dim_collect_max = int(
+                os.environ.get("SPARK_GRAFT_DIM_COLLECT_MAX", "500000")
+            )
+            existing, existing_big = _existing_dims(
+                spark,
+                dbname,
+                dim_specs,
+                collect_max=dim_collect_max,
+                spill_dirs=spill_dirs,
+            )
             # an extracted column with NO non-null values stays TEXT in the
             # reference: apply(id_for_value) over all-NaN yields an object
             # column of Nones, so to_sql derives TEXT, not INTEGER
@@ -307,16 +377,11 @@ def import_csvs(
                             # rendered fk ids as '1.0'; differential fuzz
                             # seed 12003)
                             t.overrides.pop(c, None)
-            tables, dim_frames = build_dims(tables, dim_specs, existing)
+            tables, dim_frames = build_dims(
+                tables, dim_specs, existing, no_broadcast=existing_big
+            )
             # dims are written BEFORE facts (reference utils.py:238-254)
             label_by_dim = {s.resolved().table: s.resolved().value_column for s in dim_specs}
-            # guardrail: above this cardinality the dim is NOT collected
-            # into a driver map — it streams to SQLite and the fact fks are
-            # rewritten with the Spark-side join (a near-unique -c column
-            # would otherwise make the driver hold O(column cardinality))
-            dim_collect_max = int(
-                os.environ.get("SPARK_GRAFT_DIM_COLLECT_MAX", "500000")
-            )
             # fetch every dim's rows in ONE Spark job: tag + union + a
             # per-dim limit guards each dim independently (a job round
             # trip per dim was ~0.3s each at bench scale)

@@ -129,13 +129,19 @@ def build_dims(
     tables: list[Table],
     specs: list[DimSpec],
     existing: dict[str, DataFrame] | None = None,
+    no_broadcast: set[str] | None = None,
 ) -> tuple[list[Table], dict[str, DataFrame]]:
     """Extract all dims, rewrite fact columns to integer fks.
 
     ``tables`` DataFrames must carry ROW_ID. Returns rewritten tables and
     {dim_table_name: DataFrame(id long, <value_column> string)} ordered by id.
+
+    ``no_broadcast`` names existing dims too big to broadcast (the engine's
+    ``dim_collect_max`` guardrail): their E4 anti-join runs as a shuffle
+    join so neither side funnels through one executor or the driver.
     """
     existing = existing or {}
+    no_broadcast = no_broadcast or set()
     specs = [s.resolved() for s in specs]
     by_dim: dict[str, list[tuple[int, DimSpec]]] = {}
     for c_idx, spec in enumerate(specs):
@@ -171,11 +177,15 @@ def build_dims(
         if prior is not None:
             # E4: number only genuinely-new values, starting at max(id)+1.
             start = (prior.agg(F.max("id")).collect()[0][0] or 0) + 1
-            firsts = firsts.join(
-                F.broadcast(prior.select(F.col(value_col).alias("value"))),
-                "value",
-                "left_anti",
-            )
+            prior_values = prior.select(F.col(value_col).alias("value"))
+            if dim_name in no_broadcast:
+                # prior exceeded the collect guardrail: pin the anti-join
+                # to sort-merge so neither stats drift nor AQE ever puts
+                # the huge dim on a broadcast
+                prior_values = prior_values.hint("merge")
+            else:
+                prior_values = F.broadcast(prior_values)
+            firsts = firsts.join(prior_values, "value", "left_anti")
         else:
             start = 1
         # Global dense rank over first_seen WITHOUT a single-partition

@@ -658,15 +658,40 @@ def image_ahash_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
     all-pairs while scaling like the SimHash text path (posting lists
     keyed by band bytes, never O(n²)). Hamming distance is the exact
     integer Σ_j bit_count(a_j xor b_j). Returns (id_a, id_b, hamming)."""
-    return band_hash_pairs(image_ahash(df).persist(), max_hamming)
+    return _pairs_with_scoped_persist(image_ahash(df), max_hamming)
 
 
-def band_hash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+def _pairs_with_scoped_persist(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """persist → banded pair join → eager localCheckpoint → unpersist:
+    the hash frame (used by the posting-list join AND both hamming join
+    sides) is cached only for the duration of the pair materialization,
+    so a long-lived host session running many perceptual-dedup queries
+    doesn't accumulate cached blocks. The checkpointed result is
+    pair-sized (threshold-bounded) and its blocks are released by the
+    ContextCleaner once the returned frame is garbage-collected."""
+    h = hashes.persist()
+    try:
+        return band_hash_pairs(h, max_hamming).localCheckpoint(eager=True)
+    finally:
+        h.unpersist()
+
+
+def band_hash_pairs(
+    hashes: DataFrame, max_hamming: int = 7, n_bands: int = 8
+) -> DataFrame:
     """Shared banded-signature pairing for (media_id, bands: array<long>)
     frames: candidates from a (band_idx, value) self-equi-join (posting
     lists keyed by band byte — never O(n²)), hamming as the exact
     integer Σ_j bit_count(a_j xor b_j), complete for
-    ``max_hamming < n_bands`` by pigeonhole."""
+    ``max_hamming < n_bands`` by pigeonhole — a pair differing in more
+    bits than that can differ in every band and share no posting list,
+    so looser thresholds must fail loudly rather than silently lose
+    pairs."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"band_hash_pairs is only complete for max_hamming < n_bands "
+            f"({n_bands}); got max_hamming={max_hamming}"
+        )
     bands = hashes.select(
         "media_id",
         F.posexplode("bands").alias("band_idx", "val"),
@@ -754,7 +779,7 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
 def audio_fingerprint_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Audio near-duplicate pairs over the energy fingerprint — same
     banded posting-list join as the image path (band_hash_pairs)."""
-    return band_hash_pairs(audio_fingerprint(df).persist(), max_hamming)
+    return _pairs_with_scoped_persist(audio_fingerprint(df), max_hamming)
 
 
 def video_fingerprint_bands(payload: bytes) -> list[int]:
@@ -814,4 +839,4 @@ def video_fingerprint(df: DataFrame) -> DataFrame:
 def video_fingerprint_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Video near-duplicate pairs — same banded posting-list join as the
     image/audio paths (band_hash_pairs)."""
-    return band_hash_pairs(video_fingerprint(df).persist(), max_hamming)
+    return _pairs_with_scoped_persist(video_fingerprint(df), max_hamming)

@@ -390,6 +390,63 @@ def test_high_cardinality_dim_streams_without_collect(spark, tmp_path, monkeypat
     assert len(rows(db_default)[1]) > 10
 
 
+def test_incremental_growth_across_big_dim_pages_not_fetchall(
+    spark, tmp_path, monkeypatch
+):
+    """E4 against a database whose dim exceeds the collect guardrail: the
+    existing dim must page into a parquet spill (never fetchall() through
+    the driver), the anti-join stays distributed, and ids/facts are
+    byte-identical to the driver-map path (reference utils.py:205-223)."""
+    import csv as _csv
+
+    import csvs_to_sqlite_spark.engine as eng
+
+    def write_csv(p, labels):
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["k", "label"])
+            for i, lab in enumerate(labels):
+                w.writerow([i, lab])
+
+    p1 = tmp_path / "r1.csv"
+    write_csv(p1, [f"v{i:03d}" for i in range(25)])
+    p2 = tmp_path / "r2.csv"
+    write_csv(p2, ["v003", "new_a", "v017", "new_b", "new_c"])
+
+    def run(dbname, threshold):
+        if threshold:
+            monkeypatch.setenv("SPARK_GRAFT_DIM_COLLECT_MAX", threshold)
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_DIM_COLLECT_MAX", raising=False)
+        db = str(tmp_path / dbname)
+        import_csvs(spark, [str(p1)], db, table="facts", extract_column=["label"])
+        import_csvs(spark, [str(p2)], db, table="facts", extract_column=["label"])
+        conn = sqlite3.connect(db)
+        try:
+            return (
+                conn.execute("select id, value from label order by id").fetchall(),
+                conn.execute("select k, label from facts order by rowid").fetchall(),
+            )
+        finally:
+            conn.close()
+
+    expected = run("default.db", None)
+    assert len(expected[0]) == 28  # 25 + 3 genuinely-new values
+
+    paged = []
+    real_page = eng._page_dim_to_parquet
+
+    def spy(*a, **k):
+        paged.append(a[2])
+        # tiny pages so the loop really iterates
+        k.setdefault("page_rows", 7)
+        return real_page(*a, **k)
+
+    monkeypatch.setattr(eng, "_page_dim_to_parquet", spy)
+    assert run("big.db", "10") == expected
+    assert paged == ["label"], "existing big dim must take the paged-parquet path"
+
+
 def test_scan_split_conf_restored_on_load_failure(spark, tmp_path, monkeypatch):
     """A non-LoadCsvError failure mid-load must not leave the host
     session at the ingest-scoped 2m scan splits (review finding)."""

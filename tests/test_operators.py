@@ -231,6 +231,38 @@ def test_incremental_dim_against_engine(spark, tmp_path):
     ]
 
 
+def test_big_prior_dim_anti_join_not_broadcast(spark):
+    """E4 guardrail plan shape: with ``no_broadcast`` naming the prior dim,
+    the anti-join must be a shuffle join (the prior is big by definition),
+    not a broadcast of the huge dim."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.dims import build_dims
+    from csvs_to_sqlite_spark.operators.rowid import ROW_ID
+    from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
+
+    prior = spark.range(1, 501).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("value")
+    )
+    new = spark.createDataFrame(
+        [(1, "v5"), (2, "brand_new")], "rid long, v string"
+    ).withColumnRenamed("rid", ROW_ID)
+
+    def dim_plan(no_broadcast):
+        _, dims = build_dims(
+            [Table("t", new)],
+            [DimSpec("v", "dim")],
+            existing={"dim": prior},
+            no_broadcast=no_broadcast,
+        )
+        return dims["dim"]._jdf.queryExecution().executedPlan().toString()
+
+    guarded = dim_plan({"dim"})
+    assert "BroadcastHashJoin" not in guarded and "LeftAnti" in guarded
+    # default path still broadcasts the (small) prior
+    assert "BroadcastHashJoin" in dim_plan(None)
+
+
 def test_lsh_near_dup_finds_clone(spark):
     import math
 
@@ -1455,7 +1487,10 @@ def test_image_ahash_exact_copy_pairs_at_hamming_zero(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in image_ahash_pairs(aug, max_hamming=7).collect()}
     assert pairs.get((3, 103)) == 0
-    # brightness invariance: +8 on every channel (no wrap) keeps the hash
+    # brightness invariance: +8 on every channel (no wrap) keeps the hash.
+    # Clip the synth gradient to 0..200 so the lift NEVER saturates and the
+    # invariance assertion always executes (a >247 channel in the md5-seeded
+    # image used to skip it silently).
     import numpy as np
 
     from csvs_to_sqlite_spark.operators.multimodal import (
@@ -1465,11 +1500,31 @@ def test_image_ahash_exact_copy_pairs_at_hamming_zero(spark):
 
     payload = m.where("media_id = 1").collect()[0]["payload"]
     w, h, px = _parse_pnm(payload)
-    lifted = encode_ppm(np.clip(px.astype(np.int64) + 8, 0, 255)[
-        :, :, :
-    ].astype(np.uint8)) if (px.astype(np.int64) + 8).max() <= 255 else None
-    if lifted is not None:
-        assert ahash_bands(payload) == ahash_bands(lifted)
+    low = np.clip(px, 0, 200).astype(np.uint8)
+    base = encode_ppm(low)
+    lifted = encode_ppm((low.astype(np.int64) + 8).astype(np.uint8))
+    assert (low.astype(np.int64) + 8).max() <= 255
+    assert ahash_bands(base) == ahash_bands(lifted)
+
+
+def test_band_hash_pairs_rejects_max_hamming_beyond_pigeonhole(spark):
+    """Pigeonhole over 8 byte-bands only guarantees completeness for
+    max_hamming < 8 — looser thresholds must fail loudly instead of
+    silently losing pairs that share no band (advice finding)."""
+    import pytest as _pytest
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        band_hash_pairs,
+        image_ahash,
+        image_ahash_pairs,
+        synth_ppm_media,
+    )
+
+    m = synth_ppm_media(spark, 2)
+    with _pytest.raises(ValueError, match="max_hamming < n_bands"):
+        image_ahash_pairs(m, max_hamming=8)
+    with _pytest.raises(ValueError, match="max_hamming < n_bands"):
+        band_hash_pairs(image_ahash(m), max_hamming=12)
 
 
 def test_audio_fingerprint_exact_copy_pairs_at_hamming_zero(spark):
