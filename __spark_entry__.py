@@ -2766,11 +2766,18 @@ def compaction_plan_frame(d):
     )
     total = files.agg(F.sum("bytes").alias("total_bytes"))
     j = files.crossJoin(F.broadcast(total))
-    win = (
-        Window.orderBy(F.col("bytes").desc(), F.col("source"), F.col("shard"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # exclusive running total in size-descending next-fit order via the
+    # two-phase distributed cumsum (rowid.global_cumsum) minus the row's
+    # own bytes — no single-partition window over the file inventory
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum
+
+    j = global_cumsum(
+        j,
+        [F.col("bytes").desc(), F.col("source"), F.col("shard")],
+        "bytes",
+        "__cum_incl__",
     )
-    cum_before = F.coalesce(F.sum("bytes").over(win), F.lit(0).cast("long"))
+    cum_before = F.col("__cum_incl__") - F.col("bytes")
     target = F.expr(f"(total_bytes + {COMPACT_BINS - 1}) DIV {COMPACT_BINS}")
     planned = j.select(
         "source",
@@ -2795,9 +2802,10 @@ def q_compaction_plan(spark, sf_dir):
     shard) export files are binned into ~12 merge groups by a
     deterministic size-descending next-fit — bin = cum_bytes_before //
     target — the plan a table-maintenance job (OPTIMIZE/compact) would
-    execute. All integer math; the only global window runs over the
-    FILE INVENTORY (n_sources × n_shards rows, bounded — same contract
-    as user_growth), never over documents."""
+    execute. All integer math; the running total over the file inventory
+    uses the two-phase distributed cumsum, so there is no
+    single-partition window anywhere — not even over the bounded
+    inventory."""
     prep_session(spark)
     return compaction_plan_frame(_t(spark, sf_dir, "documents"))
 
@@ -2998,10 +3006,12 @@ def q_curriculum_schedule(spark, sf_dir):
     schedule a curriculum-learning pipeline feeds its sampler. Weight =
     [(E-1-e)·total + (E-1)·e·3·tokens_t/3] over (3·(E-1)·total), kept as
     ONE exact integer ratio (qmath) so every cell is bit-stable. The
-    global ntile window ranks documents, bounded by corpus row count
-    (same contract as customer_deciles)."""
+    tercile comes from the two-phase global rank + exact ntile
+    arithmetic (rowid.global_rank / ntile_from_rank) — no
+    single-partition window over the doc-cardinality score frame."""
     prep_session(spark)
     from csvs_to_sqlite_spark.functions.hashing import tokens_expr
+    from csvs_to_sqlite_spark.operators.rowid import global_rank, ntile_from_rank
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
@@ -3009,8 +3019,11 @@ def q_curriculum_schedule(spark, sf_dir):
         F.size(tokens_expr(F.col("text"), distinct=False)).cast("long").alias("n_tok"),
         text.quality_score(F.col("text")).alias("q"),
     )
-    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
-    ter = scored.withColumn("tercile", F.ntile(3).over(w).cast("long"))
+    n = d.count()
+    ranked = global_rank(
+        scored, [F.col("q").desc(), F.col("doc_id").asc()], "__rnk__"
+    )
+    ter = ranked.withColumn("tercile", ntile_from_rank("__rnk__", n, 3))
     per_t = ter.groupBy("tercile").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").alias("tokens"),
@@ -3650,13 +3663,15 @@ def q_inverted_index(spark, sf_dir):
     )
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-20
     # + driver merge) — a global row_number() window here would instead
-    # sort the whole vocabulary in one task. The window below only ranks
-    # the 20 surviving rows.
+    # sort the whole vocabulary in one task. The 20 survivors are then
+    # ranked by the two-phase machinery (rowid.global_rank), so there is
+    # no single-partition WindowExec anywhere in the plan.
+    from csvs_to_sqlite_spark.operators.rowid import global_rank
+
     top = out.orderBy(F.col("df").desc(), F.col("token").asc()).limit(20)
-    w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
-    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
-        "token", "df", "first_doc", "rnk"
-    )
+    return global_rank(
+        top, [F.col("df").desc(), F.col("token").asc()], "rnk"
+    ).select("token", "df", "first_doc", "rnk")
 
 
 SQL_INVERTED = (
@@ -5887,17 +5902,25 @@ FROM orders
 
 def q_customer_deciles(spark, sf_dir):
     """ntile bucketing: customers ranked into revenue deciles (per-decile
-    totals + id digests). ntile over a global ORDER BY is fine here
-    because the input is the already-aggregated per-customer rollup —
-    dim-sized, not fact-sized; the fact table never sees the window."""
+    totals + id digests). No global window even though the input is only
+    the per-customer rollup: the rank comes from the two-phase machinery
+    (range-partition + per-partition offsets, rowid.global_rank) and the
+    decile from exact integer ntile arithmetic over that rank + the total
+    count — bit-identical to ntile(10) OVER (ORDER BY …) at any
+    cardinality, with no single-partition WindowExec."""
     prep_session(spark)
+    from csvs_to_sqlite_spark.operators.rowid import global_rank, ntile_from_rank
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         qsum(F.col("o_totalprice"), 100, 4).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    n = per_cust.count()
+    ranked = global_rank(
+        per_cust, [F.col("revenue").desc(), F.col("o_custkey").asc()], "__rnk__"
+    )
     return (
-        per_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn("decile", ntile_from_rank("__rnk__", n, 10))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -6679,19 +6702,22 @@ SELECT * FROM scored WHERE abs(z_score) >= 2.0
 def q_user_growth(spark, sf_dir):
     """Cumulative-distinct growth curve: per day, how many users were
     seen for the FIRST time, and the running total of distinct users to
-    date — computed from one per-user min(ts) aggregate + one per-day
-    count + a running sum over the DAY-cardinality rollup (the window
-    sees ~#days rows, never the fact stream; same contract as
-    customer_deciles)."""
+    date — one per-user min(ts) aggregate, one per-day count, then the
+    two-phase distributed cumsum over the day-cardinality rollup (no
+    single-partition window; the fact stream never sees any window)."""
     prep_session(spark)
     e = load_events(spark, f"{sf_dir}/events.parquet")
     firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
     per_day = firsts.groupBy("first_day").agg(F.count("*").alias("n_new_users"))
-    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
-    return per_day.select(
+    # running distinct-user total via the two-phase distributed cumsum
+    # (rowid.global_cumsum) — no single-partition window over the
+    # day-cardinality rollup
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum
+
+    return global_cumsum(per_day, ["first_day"], "n_new_users", "cum_users").select(
         F.date_format("first_day", "yyyy-MM-dd").alias("day"),
         "n_new_users",
-        F.sum("n_new_users").over(w).alias("cum_users"),
+        "cum_users",
     )
 
 

@@ -76,15 +76,78 @@ def with_row_id(
     return out.drop("__mid__")
 
 
-def row_id_from_order(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    """ROW_ID via row_number() over an explicit total-order key.
+def global_rank(df: DataFrame, order_cols, rank_col: str = "rnk") -> DataFrame:
+    """Global 1-based row_number by ``order_cols`` WITHOUT a
+    single-partition window: range-partition by the keys, sort within
+    partitions, then per-partition offset row ids (the same two-phase
+    machinery as dim numbering — two tiny metadata jobs, scales to any
+    cardinality). ``order_cols`` may carry ``.desc()`` / ``.asc()``; the
+    key list must be a total order for the rank to be deterministic."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ordered = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    return with_row_id(ordered).withColumnRenamed(ROW_ID, rank_col)
 
-    Preferred at scale when the data carries its own order (e.g. TPC-H
-    (l_orderkey, l_linenumber)): no RDD round-trip, stays in codegen.
-    A single unpartitioned window is a bottleneck at 100 TB — callers
-    needing global ids at that scale should use with_row_id (zipWithIndex)
-    or a two-phase rank (per-partition rank + offset). For dim numbering
-    (small distinct sets) this is the right tool.
-    """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(ROW_ID, F.row_number().over(w).cast("long"))
+
+def ntile_from_rank(rank_col: str, n_rows: int, n_buckets: int):
+    """The exact SQL ``ntile(n_buckets)`` bucket as a scan-stage expression
+    over a precomputed global rank: with n rows the first ``n mod b``
+    buckets hold ``n div b + 1`` rows, the rest ``n div b`` — integer
+    ``div`` arithmetic only, so it is bit-identical to the window
+    function without ever funneling rows through one partition."""
+    q, rem = divmod(n_rows, n_buckets)
+    if q == 0:
+        return F.col(rank_col).cast("long")
+    cut = rem * (q + 1)
+    return (
+        F.when(
+            F.col(rank_col) <= cut,
+            F.expr(f"({rank_col} - 1) div {q + 1} + 1"),
+        )
+        .otherwise(F.expr(f"{rem} + ({rank_col} - 1 - {cut}) div {q} + 1"))
+        .cast("long")
+    )
+
+
+def global_cumsum(
+    df: DataFrame, order_cols, value_col: str, out_col: str = "cum"
+) -> DataFrame:
+    """Inclusive running total of ``value_col`` in ``order_cols`` order
+    WITHOUT a single-partition window: range-partition by the keys,
+    localCheckpoint to pin the partitioning (the per-partition totals job
+    and the final pass must see identical boundaries), per-partition
+    running sums via a pid-partitioned window (partition-sized state,
+    never global), plus per-partition offsets collected in one tiny job
+    and broadcast back as a CASE chain. Intended for rollup-sized frames
+    whose running total a report needs (days, file inventories) — the
+    checkpoint materializes the frame once in executor storage."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["__pid__"]: r["t"] or 0
+        for r in part.groupBy("__pid__").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    off = F.lit(0).cast("long")
+    for p, o in offsets.items():
+        off = F.when(F.col("__pid__") == p, F.lit(o)).otherwise(off)
+    w = Window.partitionBy("__pid__").orderBy(*cols)
+    return part.withColumn(
+        out_col, (F.sum(value_col).over(w) + off).cast("long")
+    ).drop("__pid__")
+
+
+def row_id_from_order(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """ROW_ID via an explicit total-order key — global_rank under the
+    hood, so even this convenience wrapper never plans a
+    single-partition window (the suite-wide plan assert in
+    tests/test_plans.py bans them everywhere)."""
+    return global_rank(df, order_cols, ROW_ID)

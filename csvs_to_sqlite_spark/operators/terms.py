@@ -369,7 +369,10 @@ def build_vocab(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
     (frequency desc, token asc) order; id 0 is implicitly reserved for
     OOV. One explode + map-side-combined count, then orderBy+limit (a
     distributed TakeOrdered — the vocabulary never sorts globally); the
-    final row_number window only ever sees the k surviving rows."""
+    k survivors are numbered by the two-phase rank (rowid.global_rank),
+    so no single-partition WindowExec appears anywhere in the plan."""
+    from csvs_to_sqlite_spark.operators.rowid import global_rank
+
     toks = tokens_expr(F.col(text_col), distinct=False)
     counts = (
         df.select(F.explode(toks).alias("token"))
@@ -378,8 +381,9 @@ def build_vocab(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(top_k)
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return counts.withColumn("tok_id", F.row_number().over(w).cast("long"))
+    return global_rank(
+        counts, [F.col("cnt").desc(), F.col("token").asc()], "tok_id"
+    ).select("token", "cnt", "tok_id")
 
 
 def encode_docs(
@@ -736,8 +740,9 @@ def update_vocab(
     so downstream id-encoded datasets stay valid.
 
     Plan: one map-side-combined count + a broadcast anti-join against
-    the (small) vocab + TakeOrdered head; the k-row numbering window
-    only sees the survivors."""
+    the (small) vocab + TakeOrdered head; the k survivors are numbered
+    by the two-phase rank (rowid.global_rank) — no single-partition
+    window."""
     toks = tokens_expr(F.col(text_col), distinct=False)
     counts = (
         df.select(F.explode(toks).alias("token"))
@@ -749,10 +754,11 @@ def update_vocab(
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(top_k_new)
     )
+    from csvs_to_sqlite_spark.operators.rowid import global_rank
+
     base_max = vocab.agg(F.coalesce(F.max("tok_id"), F.lit(0)).cast("long").alias("m"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
     newly = (
-        fresh.withColumn("rn", F.row_number().over(w).cast("long"))
+        global_rank(fresh, [F.col("cnt").desc(), F.col("token").asc()], "rn")
         .crossJoin(F.broadcast(base_max))
         .select("token", (F.col("m") + F.col("rn")).alias("tok_id"))
     )
