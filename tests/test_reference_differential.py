@@ -765,3 +765,42 @@ def test_shape_real_on_int_with_na_downcasts_to_integer(spark, tmp_path):
     ours = snapshot(str(tmp_path / "ours.db"))
     assert ref == ours
     assert ref["t"][0][0] == ("r0", "INTEGER")  # C1 beat the shape REAL
+
+
+def test_help_and_version_cosmetics_match_reference():
+    """CLI cosmetics parity (reference tests/test_csvs_to_sqlite.py:769-778
+    keeps --help in cog-sync; backlog item 7): our --help output is
+    byte-identical to the reference CLI's, and --version uses click's
+    'PROG, version X' format exactly as the reference's bare
+    @click.version_option() renders it (reference cli.py:148) — modulo
+    the version number, which is this package's own."""
+    import re
+    import sys as _sys
+
+    from click.testing import CliRunner
+
+    from csvs_to_sqlite_spark import __version__
+    from csvs_to_sqlite_spark.cli import cli as our_cli
+
+    saved = list(_sys.path)
+    _sys.path[:0] = [REF, SHIMS]
+    try:
+        for mod in [m for m in _sys.modules if m.startswith("csvs_to_sqlite.")]:
+            del _sys.modules[mod]
+        _sys.modules.pop("csvs_to_sqlite", None)
+        from csvs_to_sqlite.cli import cli as ref_cli
+
+        ref_help = CliRunner().invoke(ref_cli, ["--help"]).output
+    finally:
+        _sys.path[:] = saved
+        for mod in [m for m in _sys.modules if m.startswith("csvs_to_sqlite")
+                    and not m.startswith("csvs_to_sqlite_spark")]:
+            del _sys.modules[mod]
+
+    our_help = CliRunner().invoke(our_cli, ["--help"]).output
+    assert our_help == ref_help
+
+    r = CliRunner().invoke(our_cli, ["--version"])
+    assert r.exit_code == 0
+    assert r.output == f"cli, version {__version__}\n"
+    assert re.fullmatch(r"cli, version \d+[.\w]*\n", r.output)

@@ -6,7 +6,9 @@ row count + sorted-column-name value hash (order-insensitive). Queries
 without an oracle get a rows-only check (runs, returns a schema, >= 0
 rows).
 
-Usage: python tools/check_correctness.py [query_name ...] [--sf DIR]
+Usage: python tools/check_correctness.py [query_name ...] [--sf=DIR]
+       python tools/check_correctness.py --matrix   # full sweep at
+                                                    # sf0.001 + sf0.01 + sf0.1
 """
 
 from __future__ import annotations
@@ -102,17 +104,11 @@ def frame_hash(columns: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
-        if a.startswith("--sf="):
-            sf_dir = a.split("=", 1)[1]
-
+def run_sweep(spark, sf_dir: str, selected=None) -> list[str]:
+    """Run the oracle comparison for ``selected`` (default: all queries)
+    at ``sf_dir``; returns the failing query names."""
     import __spark_entry__ as entrymod
-    from csvs_to_sqlite_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
@@ -121,7 +117,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    selected = args or list(qs)
+    selected = selected or list(qs)
     failures = []
     for name in selected:
         fn = qs[name]
@@ -202,7 +198,47 @@ def main() -> int:
             print(f"OK   {name}: {len(srows)} rows match, {dt:.1f}s")
 
     print(f"\n{len(selected) - len(failures)}/{len(selected)} passed")
-    return 1 if failures else 0
+    return failures
+
+
+MATRIX_SFS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    matrix = "--matrix" in sys.argv[1:]
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    from csvs_to_sqlite_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    if not matrix:
+        return 1 if run_sweep(spark, sf_dir, args or None) else 0
+
+    # the round-certification gate: one command proves N/N at every SF
+    results = {}
+    for d in MATRIX_SFS:
+        if not os.path.isdir(d):
+            print(f"SKIP {d}: not present")
+            continue
+        print(f"\n===== {d} =====")
+        t0 = time.time()
+        results[d] = run_sweep(spark, d, args or None)
+        print(f"===== {d}: {time.time() - t0:.0f}s =====")
+    print("\n===== MATRIX SUMMARY =====")
+    any_fail = False
+    for d, fails in results.items():
+        status = "PASS" if not fails else f"FAIL ({len(fails)}: {fails[:5]})"
+        any_fail = any_fail or bool(fails)
+        print(f"{d}: {status}")
+    return 1 if any_fail else 0
 
 
 if __name__ == "__main__":
