@@ -8175,23 +8175,20 @@ def q_hybrid_retrieval(spark, sf_dir):
 
     Plan shape: each ranker keeps its own scale story (BM25: scan-stage
     tf + TakeOrdered; cosine: broadcast query sweep); the fusion joins
-    two ≤50-row results — driver-sized, the rank windows only ever see
-    k rows. Returns top-10 (id, rrf_score, lex_rank, sem_rank)."""
+    two ≤50-row results — driver-sized; the lexical rank uses the
+    two-phase global_rank (no single-partition window), the semantic
+    rank is query-partitioned. Returns top-10 (id, rrf_score, lex_rank,
+    sem_rank)."""
     prep_session(spark)
-    from pyspark.sql.window import Window as W
+    from csvs_to_sqlite_spark.operators.rowid import global_rank
 
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    lex = (
-        terms.bm25_search(d, "text", "doc_id", _BM25_QUERY, k=50)
-        .withColumn(
-            "lex_rank",
-            F.row_number()
-            .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
-            .cast("long"),
-        )
-        .select(F.col("doc_id").alias("id"), "lex_rank")
-    )
+    lex = global_rank(
+        terms.bm25_search(d, "text", "doc_id", _BM25_QUERY, k=50),
+        [F.col("bm25").desc(), F.col("doc_id").asc()],
+        "lex_rank",
+    ).select(F.col("doc_id").alias("id"), "lex_rank")
     sem = (
         similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50)
         .select(F.col("neighbor_id").alias("id"), F.col("rank").cast("long").alias("sem_rank"))

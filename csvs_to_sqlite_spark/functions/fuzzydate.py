@@ -12,7 +12,11 @@ dateparser's public surface:
   numeric m/d/y with US month-first disambiguation (dateparser's default
   for English locales)
 - non-English month names for the top Latin-script locales (es, fr, de,
-  it, pt, nl) — dateparser's multilingual month recognition
+  it, pt, nl) — dateparser's multilingual month recognition — plus two
+  non-Latin locales, language-detection-free: Russian month names
+  (nominative + genitive + abbreviations, 'г.'/'года' year suffixes) and
+  Japanese positional 年/月/日 dates with 午前/午後-qualified 時/分/秒
+  times
 - relative dates ("2 weeks ago", "yesterday", "in 3 days") resolved
   against ``relative_base`` (dateparser settings RELATIVE_BASE; defaults
   to now, exactly like dateparser)
@@ -27,9 +31,10 @@ quantities ("2 hours ago", "half an hour ago", "2.5 hours ago");
 calendar units (months/years) stay integral like relativedelta.
 
 Unsupported dateparser surface (documented in COVERAGE.md B10):
-non-Latin scripts, fuzzy language detection beyond month names,
-calendar systems (jalali/hijri), and fractional calendar units
-("half a year ago").
+non-Latin scripts beyond ru/ja (Arabic, Hebrew, …, which refuse with
+UnparseableDate rather than misparse), fuzzy language detection beyond
+month names, calendar systems (jalali/hijri), and fractional calendar
+units ("half a year ago").
 """
 
 from __future__ import annotations
@@ -71,12 +76,57 @@ _INTL_MONTHS = [
      "dic", "dez"),
 ]
 
+# non-Latin month tables (language-detection-free, VERDICT r5 item 5):
+# Russian nominative + genitive (the form used in dates) + abbreviations —
+# dateparser's ru locale month recognition
+_RU_MONTHS = [
+    ("январь", "января", "янв"),
+    ("февраль", "февраля", "фев"),
+    ("март", "марта", "мар"),
+    ("апрель", "апреля", "апр"),
+    ("май", "мая"),
+    ("июнь", "июня", "июн"),
+    ("июль", "июля", "июл"),
+    ("август", "августа", "авг"),
+    ("сентябрь", "сентября", "сен", "сент"),
+    ("октябрь", "октября", "окт"),
+    ("ноябрь", "ноября", "ноя"),
+    ("декабрь", "декабря", "дек"),
+]
+
 _MONTHS = {
     m: i + 1 for i, names in enumerate(_MONTH_TABLES) for m in names
 }
 _MONTHS.update(
     {m: i + 1 for i, names in enumerate(_INTL_MONTHS) for m in names}
 )
+_MONTHS.update({m: i + 1 for i, names in enumerate(_RU_MONTHS) for m in names})
+
+# Japanese dates are positional, not month-name-based: 2017年5月3日, with
+# an optional 午前/午後-qualified time (dateparser's ja locale surface)
+_JA_DATE_RE = re.compile(
+    r"^\s*(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日\s*"
+    r"(?:(午前|午後)?\s*(\d{1,2})\s*時(?:\s*(\d{1,2})\s*分)?"
+    r"(?:\s*(\d{1,2})\s*秒)?)?\s*$"
+)
+
+
+def _parse_ja(s: str):
+    m = _JA_DATE_RE.match(s)
+    if not m:
+        return None
+    yr, mo, day = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    hour = int(m.group(5)) if m.group(5) else 0
+    if m.group(4) == "午後" and hour != 12:
+        hour += 12  # 午後3時 → 15:00
+    elif m.group(4) == "午前" and hour == 12:
+        hour = 0
+    try:
+        return datetime(
+            yr, mo, day, hour, int(m.group(6) or 0), int(m.group(7) or 0)
+        )
+    except ValueError:
+        return None
 
 _ORDINAL_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b", re.I)
 _TIME_RE = re.compile(
@@ -86,7 +136,11 @@ _WEEKDAYS = {
     "monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday",
     "mon", "tue", "tues", "wed", "thu", "thur", "thurs", "fri", "sat", "sun",
 }
-_FILLER = {"on", "at", "of", "in", "the", "year", "de", "del", "le", "el", ""} | _WEEKDAYS
+_FILLER = {
+    "on", "at", "of", "in", "the", "year", "de", "del", "le", "el", "",
+    # Russian date filler: "3 мая 2017 г." / "3 мая 2017 года"
+    "г", "г.", "года", "год",
+} | _WEEKDAYS
 
 # fixed-offset timezone names (the unambiguous, dateparser-supported core);
 # DST-ambiguous bare names like "PST" map to their standard offsets, same
@@ -238,6 +292,10 @@ def _parse_fuzzy(value: str, date_order: str = "MDY") -> datetime:
         return datetime.fromisoformat(s)
     except ValueError:
         pass
+
+    ja = _parse_ja(s)
+    if ja is not None:
+        return ja
 
     s, tzinfo = _extract_tz(s)
     if tzinfo is not None:

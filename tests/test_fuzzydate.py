@@ -188,3 +188,37 @@ def test_impossible_dates_raise_typed_error():
     for junk in ("32 May 2017", "0/0/0", "13.13.2020", "May 1 2 3"):
         with pytest.raises(UnparseableDate):
             parse_datetime(junk)
+
+
+def test_russian_month_names():
+    """dateparser's ru locale month surface, language-detection-free
+    (VERDICT r5 item 5): genitive (the form dates actually use),
+    nominative, abbreviations, and the 'г.'/'года' year suffix."""
+    assert parse_datetime("3 мая 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("03 марта 2020").date().isoformat() == "2020-03-03"
+    assert parse_datetime("1 января 1999 г.").date().isoformat() == "1999-01-01"
+    assert parse_datetime("28 февраля 2015 года").date().isoformat() == "2015-02-28"
+    assert parse_datetime("10 декабря 2009 5:45") == datetime(2009, 12, 10, 5, 45)
+    assert parse_datetime("15 сент 2021").date().isoformat() == "2021-09-15"
+    assert parse_datetime("октябрь 2022").date().isoformat() == "2022-10-01"
+
+
+def test_japanese_positional_dates():
+    """dateparser's ja locale surface: positional 年/月/日 dates with
+    optional 午前/午後-qualified 時/分/秒 times."""
+    assert parse_datetime("2017年5月3日").date().isoformat() == "2017-05-03"
+    assert parse_datetime("2017年5月3日 午後3時30分") == datetime(2017, 5, 3, 15, 30)
+    assert parse_datetime("1938年4月4日 午後10時") == datetime(1938, 4, 4, 22, 0)
+    assert parse_datetime("2020年12月31日 午前12時5分") == datetime(2020, 12, 31, 0, 5)
+    assert parse_datetime("2021年1月2日 3時4分5秒") == datetime(2021, 1, 2, 3, 4, 5)
+    # impossible calendar components refuse, same as every other path
+    with pytest.raises(UnparseableDate):
+        parse_datetime("2020年13月1日")
+
+
+def test_non_latin_unsupported_scripts_still_refuse():
+    """Scripts without a table (Arabic-Indic digits, Hebrew) stay
+    documented UnparseableDate divergences — never a silent misparse."""
+    for junk in ("٣ مايو ٢٠١٧", "3 במאי 2017"):
+        with pytest.raises(UnparseableDate):
+            parse_datetime(junk)

@@ -375,21 +375,56 @@ def test_weekly_trend_and_gini_windows_entity_partitioned(spark):
         assert "hashpartitioning(event_type" in plan, plan[:2000]
 
 
+import re as _re
+
+_WINDOW_NODE_RE = _re.compile(r"(?:^|[\s)])Window (\[)")
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Extract top-level [...] group texts from a plan node's args."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+            depth = max(0, depth)
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
 def single_partition_windows(plan: str) -> list[str]:
-    """Window nodes fed by an Exchange SinglePartition — the global-window
-    anti-pattern (all rows funnel through one task). Detected structurally
-    in the physical plan: a Window line whose first downstream Exchange is
-    SinglePartition."""
-    lines = plan.splitlines()
+    """Window nodes with an EMPTY partition spec — the global-window
+    anti-pattern (all rows funnel through one task). Detected
+    structurally from the node's printed argument lists: a fully
+    partitioned Window prints ``Window [exprs], [partCols], [order]``
+    (3 groups); a partition-only one ``[exprs], [partCols]``; an
+    UNPARTITIONED one prints ``[exprs], [orderSpec]`` where the second
+    group carries ASC/DESC sort markers, or just ``[exprs]``. This also
+    catches Windows whose child is already single-partition (e.g.
+    post-TakeOrdered), where no Exchange SinglePartition line ever
+    appears."""
     hits = []
-    for i, ln in enumerate(lines):
-        if "Window " not in ln:
+    for ln in plan.splitlines():
+        m = _WINDOW_NODE_RE.search(ln)
+        if not m or "WindowGroupLimit" in ln:
             continue
-        for j in range(i + 1, min(i + 8, len(lines))):
-            if "Exchange" in lines[j]:
-                if "SinglePartition" in lines[j]:
-                    hits.append(ln.strip()[:120])
-                break
+        groups = _top_level_bracket_groups(ln[m.start(1):])
+        if len(groups) >= 3:
+            continue  # exprs + partition + order
+        if len(groups) == 2 and not _re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # exprs + partition (unordered window, partitioned)
+        hits.append(ln.strip()[:120])
     return hits
 
 

@@ -804,3 +804,40 @@ def test_help_and_version_cosmetics_match_reference():
     assert r.exit_code == 0
     assert r.output == f"cli, version {__version__}\n"
     assert re.fullmatch(r"cli, version \d+[.\w]*\n", r.output)
+
+
+def test_non_latin_dateparser_locales_identical(spark, tmp_path):
+    """VERDICT r5 item 5: the language-detection-free non-Latin tables
+    (ru month names incl. genitive + 'г.' suffix, ja positional
+    年/月/日 dates with 午前/午後 times) produce byte-identical SQLite
+    output through the actual reference tool (dateparser resolved to the
+    vendored parser via tests/ref_shims) and our engine, through real
+    UTF-8 CSV bytes."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    csv = (
+        "id,when\n"
+        "1,3 мая 2017\n"
+        "2,1 января 1999 г.\n"
+        "3,10 декабря 2009 5:45\n"
+        "4,2017年5月3日\n"
+        "5,2017年5月3日 午後3時30分\n"
+        "6,1938年4月4日 午後10時\n"
+    )
+    (tmp_path / "dates_intl.csv").write_text(csv, encoding="utf-8")
+    run_reference(str(tmp_path), "dates_intl.csv", "ref.db", ["-dt", "when"])
+    import_csvs(
+        spark,
+        [str(tmp_path / "dates_intl.csv")],
+        str(tmp_path / "ours.db"),
+        datetime=["when"],
+    )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+    rows = dict(
+        sqlite3.connect(str(tmp_path / "ours.db"))
+        .execute("select id, [when] from dates_intl")
+        .fetchall()
+    )
+    assert rows[1] == "2017-05-03T00:00:00"
+    assert rows[3] == "2009-12-10T05:45:00"
+    assert rows[5] == "2017-05-03T15:30:00"
