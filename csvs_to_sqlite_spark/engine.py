@@ -191,15 +191,42 @@ def import_csvs(
         dbname += ".db"
     result = ImportResult(dbname=dbname, db_existed=os.path.exists(dbname))
 
-    # ingest-scoped scan splitting: CSV parse + the inference aggregate are
-    # CPU-bound per task, and typical single-file imports are tens of MB —
-    # 2m splits keep all cores busy (measured: inference 3.4s → 2.1s at
-    # sf0.1). Restored on exit so analytic queries keep the session default;
-    # cluster runs tune via SPARK_GRAFT_INGEST_SPLIT.
-    _split = os.environ.get("SPARK_GRAFT_INGEST_SPLIT", "2m")
-    _old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-    if _split:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", _split)
+    # ingest-scoped session confs, restored on exit so analytic queries
+    # keep the host session's defaults:
+    # - 2m scan splits: CSV parse + the inference aggregate are CPU-bound
+    #   per task and typical single-file imports are tens of MB — small
+    #   splits keep all cores busy (measured: inference 3.4s → 2.1s at
+    #   sf0.1). Cluster runs tune via SPARK_GRAFT_INGEST_SPLIT.
+    # - codegen.maxFields 1000: the fused inference projection+aggregate
+    #   carries ~10 expressions per CSV column, and wide files blow past
+    #   the default 100-field WholeStageCodegen cutoff, silently dropping
+    #   the hottest ingest operator to interpreted mode (measured:
+    #   inference 3.6s → 2.0s at sf0.1 on 17 columns).
+    _ingest_confs = {
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_INGEST_SPLIT", "2m"
+        ),
+        "spark.sql.codegen.maxFields": "1000",
+        # the string-parse cache is written once and read once (inference
+        # fill → spill write) — dictionary/RLE-compressing every batch is
+        # pure CPU overhead at that lifecycle
+        "spark.sql.inMemoryColumnarStorage.compressed": "false",
+    }
+    _saved_confs = {}
+    for k, v in _ingest_confs.items():
+        if v:
+            _saved_confs[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+
+    def _restore_confs():
+        for k, old in _saved_confs.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:
+                pass
 
     try:
         csvs = csvs_from_paths(paths)
@@ -325,14 +352,7 @@ def import_csvs(
         cleanup_decompressed_temps()
         for d in spill_dirs:
             shutil.rmtree(d, ignore_errors=True)
-        if _split:
-            try:
-                if _old_split is None:
-                    spark.conf.unset("spark.sql.files.maxPartitionBytes")
-                else:
-                    spark.conf.set("spark.sql.files.maxPartitionBytes", _old_split)
-            except Exception:
-                pass
+        _restore_confs()
         raise
     sink = SQLiteSink(dbname)
     try:
@@ -549,12 +569,5 @@ def import_csvs(
         cleanup_decompressed_temps()
         for d in spill_dirs:
             shutil.rmtree(d, ignore_errors=True)
-        if _split:
-            try:
-                if _old_split is None:
-                    spark.conf.unset("spark.sql.files.maxPartitionBytes")
-                else:
-                    spark.conf.set("spark.sql.files.maxPartitionBytes", _old_split)
-            except Exception:
-                pass
+        _restore_confs()
     return result

@@ -148,16 +148,22 @@ def build_dims(
         by_dim.setdefault(spec.table, []).append((c_idx, spec))
 
     dim_frames: dict[str, DataFrame] = {}
+    # ALL dims' distinct-with-first-seen in ONE fused job: tag each
+    # extracted column's values with its dim, union, and aggregate keyed
+    # (dim, value) — one scan of the fact spill(s) no matter how many -c
+    # columns, instead of one scan per dim.
+    all_pieces = []
+    dims_with_pieces: set[str] = set()
     for dim_name, members in by_dim.items():
-        value_col = members[0][1].value_column
-        pieces = []
         for c_idx, spec in members:
             for t_idx, table in enumerate(tables):
                 if spec.column not in table.df.columns:
                     continue
                 dtype = _dtype_of(table.df, spec.column)
-                pieces.append(
+                dims_with_pieces.add(dim_name)
+                all_pieces.append(
                     table.df.select(
+                        F.lit(dim_name).alias("__dim__"),
                         canonical_value(qcol(spec.column), dtype).alias("value"),
                         F.struct(
                             F.lit(c_idx).alias("c"),
@@ -166,12 +172,26 @@ def build_dims(
                         ).alias("ord"),
                     ).where(F.col("value").isNotNull())
                 )
-        if not pieces:
-            continue
-        all_values = pieces[0]
-        for p in pieces[1:]:
-            all_values = all_values.unionByName(p)
-        firsts = all_values.groupBy("value").agg(F.min("ord").alias("first_seen"))
+    fused = None
+    if all_pieces:
+        union = all_pieces[0]
+        for p in all_pieces[1:]:
+            union = union.unionByName(p)
+        # Materialize the dim-sized distinct ONCE (localCheckpoint): the
+        # rank's per-partition counting job, the id-numbering pass, and
+        # the engine's dim prefetch + write all reuse these blocks instead
+        # of re-running the fact-wide distinct (blocks are
+        # ContextCleaner-released when the frame is GC'd).
+        fused = (
+            union.groupBy("__dim__", "value")
+            .agg(F.min("ord").alias("first_seen"))
+            .localCheckpoint(eager=True)
+        )
+    for dim_name, members in by_dim.items():
+        value_col = members[0][1].value_column
+        if dim_name not in dims_with_pieces:
+            continue  # column absent from every table: no dim (reference)
+        firsts = fused.where(F.col("__dim__") == dim_name).drop("__dim__")
 
         prior = existing.get(dim_name)
         if prior is not None:

@@ -182,17 +182,22 @@ class SQLiteSink:
                 name, df.schema, sql_type_overrides, foreign_keys, primary_keys
             )
             self.conn.execute(ddl)
-            if index_fks:
-                # G2 (reference utils.py:344-350)
-                for col in foreign_keys or {}:
-                    if col in out_cols:
-                        self.conn.execute(
-                            f'CREATE INDEX ["{name}_{col}"] ON [{name}]("{col}")'
-                        )
         if data_parquet_dir is not None:
             self.insert_parquet_dir(name, data_parquet_dir, out_cols, fk_maps)
         else:
             self._insert_rows(name, df, out_cols, presorted)
+        if created and index_fks:
+            # G2 (reference utils.py:344-350). The reference issues these
+            # CREATE INDEX statements before its to_sql insert; we build
+            # them AFTER the bulk landing — the final database is
+            # identical (same catalog, same index content), but a bulk
+            # b-tree build beats per-row index maintenance during the
+            # 100k-row executemany batches (~0.5s at bench scale).
+            for col in foreign_keys or {}:
+                if col in out_cols:
+                    self.conn.execute(
+                        f'CREATE INDEX ["{name}_{col}"] ON [{name}]("{col}")'
+                    )
         return created
 
     def _insert_rows(
@@ -283,14 +288,12 @@ class SQLiteSink:
                 for c in pdf.columns:
                     s = pdf[c]
                     if fk_maps and c in fk_maps:
-                        # canonical string → dim id; None stays None
-                        mapped = s.map(fk_maps[c])
-                        col_lists.append(
-                            [
-                                None if v is None or v != v else v
-                                for v in mapped.tolist()
-                            ]
-                        )
+                        # canonical string → dim id in ONE C-speed pass:
+                        # dict.get returns None for both missing keys and
+                        # the None key, so nulls stay NULL without a second
+                        # NaN-scrub loop (was pandas map + listcomp)
+                        fkm_get = fk_maps[c].get
+                        col_lists.append([fkm_get(v) for v in s.tolist()])
                     elif c in slow_fix:
                         # explicit per-value conversion: a bool column with
                         # nulls ([None, True] → [None, 1]) must not coerce
@@ -320,8 +323,9 @@ class SQLiteSink:
                         # null-free: tolist yields exact Python ints/floats
                         # (incl. Int64/UInt64 extension columns ≥ 2^53)
                         col_lists.append(s.tolist())
-                rows = list(zip(*col_lists))
-                self.conn.executemany(sql, rows)
+                # executemany consumes the zip iterator directly — no
+                # intermediate 100k-tuple list allocation per batch
+                self.conn.executemany(sql, zip(*col_lists))
         self.conn.commit()
 
     # -- dimension write (E1/E4/F4) ------------------------------------------
