@@ -381,6 +381,77 @@ def load_csv(
     )
 
 
+def _decide_types(
+    data_cols: list[str],
+    row,
+    quoting: int,
+    bool_ok: dict[str, bool],
+    bool_first_null: dict[str, bool],
+) -> tuple[dict[str, str], dict[str, str]]:
+    """The pandas dtype decision table, shared by the persist-cache path
+    and the single-pass spill path (pandas → SQLite affinity,
+    differential-tested against the reference):
+
+    - all-null           → float64 of NaN → C1 → INTEGER column, NULLs
+    - all int-strings,
+        all fit int64    → int64 → INTEGER
+        some overflow    → object → TEXT  (order-dependent: a beyond-
+                           uint64 int only blocks when no float-notation
+                           value precedes it)
+        int64 < v ≤ u64  → uint64 → INTEGER affinity, values as doubles
+    - all float-castable → float64; C1 all-integral keeps DOUBLE values
+                           but emits INTEGER affinity (SQLite coerces per
+                           value, exactly like to_sql)
+    - all True/False, no NULLs → bool → INTEGER 0/1; with NULLs, affinity
+                           from the reference's first-row sample
+    - else               → object → TEXT
+
+    Returns ({column: kind}, {column: DDL override}) with kind one of
+    ``allnull | long | double | bool | text``."""
+    kinds: dict[str, str] = {}
+    overrides: dict[str, str] = {}
+    for i, c in enumerate(data_cols):
+        n = row[f"c{i}_n"]
+        first_big = row[f"c{i}_firstbig"]
+        first_float = row[f"c{i}_firstfloat"]
+        big_blocks = first_big is not None and (
+            first_float is None or first_float > first_big
+        )
+        if n == 0:
+            kinds[c] = "allnull"
+        elif (
+            quoting == _QUOTE_NONNUMERIC
+            and (row[f"c{i}_re"] == n or row[f"c{i}_dbl"] == n)
+            and row[f"c{i}_ovf"] == 0
+        ):
+            # QUOTE_NONNUMERIC: any numeric column is float64 — int64,
+            # uint64 and beyond-uint64 tiers all collapse into this branch
+            kinds[c] = "double"
+            if row[f"c{i}_nonint"] == 0:
+                overrides[c] = "INTEGER"
+        elif big_blocks:
+            kinds[c] = "text"
+        elif row[f"c{i}_re"] == n:
+            if row[f"c{i}_long"] == n:
+                kinds[c] = "long"
+            else:
+                kinds[c] = "double"
+                overrides[c] = "INTEGER"
+        elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
+            kinds[c] = "double"
+            if row[f"c{i}_nonint"] == 0:
+                overrides[c] = "INTEGER"  # C1 affinity-only downcast
+        elif bool_ok.get(c):
+            # keep BooleanType: the sink writes 0/1 (INTEGER affinity),
+            # dim extraction renders 'True'/'False' like six.text_type
+            kinds[c] = "bool"
+            if bool_first_null.get(c):
+                overrides[c] = "TEXT"
+        else:
+            kinds[c] = "text"
+    return kinds, overrides
+
+
 def infer_reference_types(
     df: DataFrame,
     check_bad_lines: bool = False,
@@ -596,68 +667,20 @@ def infer_reference_types(
             for c in with_null_bools:
                 bool_first_null[c] = (not first) or first[0][c] is None
 
-    # decision table (pandas → SQLite affinity, differential-tested against
-    # the reference):
-    #  all-null           → float64 of NaN → C1 → INTEGER column, NULL values
-    #  all int-strings,
-    #    all fit int64    → int64 → INTEGER
-    #    some overflow    → object → TEXT
-    #  all float-castable → float64; C1 all-integral → keep DOUBLE values
-    #                       but emit INTEGER affinity (SQLite coerces each
-    #                       value losslessly-or-not, exactly like to_sql)
-    #  all True/False,
-    #    no NULLs         → bool → INTEGER 0/1
-    #  else               → object → TEXT
+    kinds, overrides = _decide_types(
+        data_cols, row, quoting, bool_ok, bool_first_null
+    )
     projections = []
-    overrides: dict[str, str] = {}
-    for i, c in enumerate(data_cols):
-        n = row[f"c{i}_n"]
+    for c in data_cols:
         q = qcol(c)
-        first_big = row[f"c{i}_firstbig"]
-        first_float = row[f"c{i}_firstfloat"]
-        big_blocks = first_big is not None and (
-            first_float is None or first_float > first_big
-        )
-        if n == 0:
+        kind = kinds[c]
+        if kind == "allnull" or kind == "long":
             projections.append(q.try_cast("long").alias(c))
-        elif (
-            quoting == _QUOTE_NONNUMERIC
-            and (row[f"c{i}_re"] == n or row[f"c{i}_dbl"] == n)
-            and row[f"c{i}_ovf"] == 0
-        ):
-            # QUOTE_NONNUMERIC: any numeric column is float64 — int64,
-            # uint64 and beyond-uint64 tiers all collapse into this branch
-            # (each field went through float()); C1 write-time downcast
-            # then applies exactly as for any other float column
+        elif kind == "double":
             projections.append(q.try_cast("double").alias(c))
-            if row[f"c{i}_nonint"] == 0:
-                overrides[c] = "INTEGER"
-        elif big_blocks:
-            # beyond-uint64 int-string with no earlier float-notation value:
-            # pandas object → TEXT
-            projections.append(q)
-        elif row[f"c{i}_re"] == n:
-            if row[f"c{i}_long"] == n:
-                projections.append(q.try_cast("long").alias(c))
-            else:
-                # int64 < v <= uint64: pandas uint64 → INTEGER affinity,
-                # values travel as doubles and SQLite coerces per value
-                projections.append(q.try_cast("double").alias(c))
-                overrides[c] = "INTEGER"
-        elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
-            projections.append(q.try_cast("double").alias(c))
-            if row[f"c{i}_nonint"] == 0:
-                overrides[c] = "INTEGER"  # C1 affinity-only downcast
-        elif bool_ok.get(c):
-            # pandas bools → 0/1 via to_sql; affinity from the reference's
-            # first-row sample when NULLs are present
-            # keep BooleanType: the sink writes 0/1 (INTEGER affinity)
-            # either way, but dim extraction must render 'True'/'False'
-            # like the reference's six.text_type(bool) (utils.py:146-151)
+        elif kind == "bool":
             projections.append((F.lower(q) == "true").alias(c))
-            if bool_first_null.get(c):
-                overrides[c] = "TEXT"
-        else:
+        else:  # text
             projections.append(q)
     typed = df.select(*projections)
     if return_partition_counts:
