@@ -462,3 +462,80 @@ def test_scan_split_conf_restored_on_load_failure(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError):
         eng.import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "o.db"))
     assert spark.conf.get("spark.sql.files.maxPartitionBytes", None) == before
+
+
+def test_big_dim_fallback_end_to_end_equals_driver_map_path(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r5 item 4: the least-tested ingest branch — a near-unique
+    -c column driving big_cols → rewrite_fk(broadcast=False) + the
+    repartitionByRange landing — must produce a byte-identical database
+    to the driver-map path, across BOTH the initial import and an
+    incremental append (which additionally exercises the paged
+    _existing_dims read and the merge-pinned E4 anti-join)."""
+    import csv as _csv
+
+    def write_csv(p, start, n, dup_every=40):
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["k", "label", "v"])
+            for i in range(start, start + n):
+                # near-unique: a duplicate only every ``dup_every`` rows
+                lab = f"lab_{i}" if i % dup_every else "lab_dup"
+                w.writerow([i, lab, round(i * 0.25, 2)])
+
+    p1 = tmp_path / "r1.csv"
+    write_csv(p1, 0, 30_000)
+    p2 = tmp_path / "r2.csv"
+    write_csv(p2, 28_000, 4_000)
+
+    def run(dbname, threshold):
+        if threshold:
+            monkeypatch.setenv("SPARK_GRAFT_DIM_COLLECT_MAX", threshold)
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_DIM_COLLECT_MAX", raising=False)
+        db = str(tmp_path / dbname)
+        import_csvs(spark, [str(p1)], db, table="facts", extract_column=["label"])
+        import_csvs(spark, [str(p2)], db, table="facts", extract_column=["label"])
+        conn = sqlite3.connect(db)
+        try:
+            return (
+                conn.execute("select id, value from label order by id").fetchall(),
+                conn.execute("select k, label, v from facts order by rowid").fetchall(),
+                conn.execute(
+                    "select name, sql from sqlite_master where type='table' order by name"
+                ).fetchall(),
+            )
+        finally:
+            conn.close()
+
+    expected = run("default.db", None)
+    got = run("streamed.db", "1000")
+    assert got[0] == expected[0]
+    assert got[1] == expected[1]
+    assert got[2] == expected[2]
+    # sanity: the dim really exceeded the forced guardrail on BOTH runs
+    assert len(expected[0]) > 1000
+
+
+def test_rewrite_fk_nonbroadcast_is_shuffle_join_for_big_dim(spark):
+    """The big-dim fk rewrite must not broadcast the huge dim: with
+    broadcast=False and a dim whose size estimate exceeds the broadcast
+    threshold, the static plan is a shuffle join (SortMergeJoin /
+    ShuffledHashJoin), never BroadcastHashJoin with the dim on the build
+    side."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.dims import rewrite_fk
+    from csvs_to_sqlite_spark.operators.rowid import ROW_ID
+
+    dim = spark.range(1, 1_000_001).select(
+        F.col("id"), F.concat(F.lit("value_"), F.col("id")).alias("value")
+    )
+    fact = spark.range(5_000).select(
+        F.col("id").alias(ROW_ID),
+        F.concat(F.lit("value_"), F.col("id") + 1).alias("label"),
+    )
+    out = rewrite_fk(fact, "label", dim, value_column="value", broadcast=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
