@@ -169,9 +169,19 @@ def fake_decode_image(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas over binary payloads → narrow feature columns."""
-    decoder = fake_decode_image if fake else decode_image
+def extract_image_features(
+    df: DataFrame, fake: bool = True, decoder=None
+) -> DataFrame:
+    """mapInPandas over binary payloads → narrow feature columns.
+
+    ``decoder``: optional pluggable codec — a PICKLABLE callable
+    ``payload_bytes -> (width, height, mean_luma)`` (e.g. a PIL-backed
+    JPEG decoder defined at module level in user code). It takes
+    precedence over ``fake``; the Spark-side plumbing (schema, Arrow
+    batching, payload_sha, per-batch payload residency) is identical, so
+    real codec corpora ride the same stage without the engine vendoring
+    codecs (VERDICT r5 item 8)."""
+    decoder = decoder or (fake_decode_image if fake else decode_image)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -329,11 +339,17 @@ def fake_decode_audio(payload: bytes) -> tuple[float, int, float]:
     return duration_s, sample_rate, rms
 
 
-def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def extract_audio_features(
+    df: DataFrame, fake: bool = True, decoder=None
+) -> DataFrame:
     """Audio twin of extract_image_features: mapInPandas over binary
     payloads → narrow (duration, sample_rate, rms) columns. Same Arrow
-    batch-residency bound; payloads never leave the stage."""
-    decoder = fake_decode_audio if fake else decode_audio
+    batch-residency bound; payloads never leave the stage.
+
+    ``decoder``: optional pluggable codec, picklable
+    ``payload_bytes -> (duration_s, sample_rate, rms)`` — plugs an
+    mp3/ogg decoder into the same stage (see extract_image_features)."""
+    decoder = decoder or (fake_decode_audio if fake else decode_audio)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -405,13 +421,19 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_bmp(out) if is_bmp else encode_ppm(out)
 
 
-def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = True, resizer=None
+) -> DataFrame:
     """Resize: mapInPandas stage that rewrites the payload column at a
     target resolution. ``fake=False`` runs the REAL PNM decode→resize→
     encode (``resize_image``); the fake path keeps exercising the
     Spark-side contract (schema, Arrow batching, per-batch payload
-    residency) for payloads in codec-requiring formats."""
-    resizer = fake_resize_image if fake else resize_image
+    residency) for payloads in codec-requiring formats.
+
+    ``resizer``: optional pluggable codec, picklable
+    ``(payload_bytes, width, height) -> payload_bytes`` — plugs a real
+    JPEG/PNG resize into the same stage (see extract_image_features)."""
+    resizer = resizer or (fake_resize_image if fake else resize_image)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

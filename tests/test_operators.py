@@ -1568,3 +1568,59 @@ def test_video_fingerprint_copy_and_trim_robustness(spark):
     tb = video_fingerprint_bands(trimmed)
     hamming = sum(bin(a ^ b).count("1") for a, b in zip(base, tb))
     assert hamming <= 8, hamming
+
+
+def test_pluggable_codec_hook_rides_the_same_stages(spark):
+    """decoder=/resizer= callbacks plug real codecs into the unchanged
+    mapInPandas plumbing: a made-up TOY1 format — which the built-in
+    codec-free decoder refuses — flows through feature extraction and
+    resize with the standard schema, payload_sha and batching."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+        resize_images,
+    )
+
+    # toy codec for a made-up 'TOY1' format (b'TOY1' + width/height/luma
+    # bytes), defined as closures so cloudpickle ships them by value
+    def _toy_decode_image(payload: bytes):
+        if payload[:4] != b"TOY1" or len(payload) < 7:
+            raise ValueError("not TOY1")
+        return payload[4], payload[5], payload[6] / 255.0
+
+    def _toy_resize(payload: bytes, width: int, height: int) -> bytes:
+        if payload[:4] != b"TOY1":
+            raise ValueError("not TOY1")
+        return b"TOY1" + bytes([width, height, payload[6]])
+
+    payloads = [b"TOY1" + bytes([40 + i, 30 + i, 100 + i]) for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, "image", p, "image/toy", None) for i, p in enumerate(payloads)],
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    # the built-in real decoder refuses the format…
+    with _pytest.raises(NotImplementedError):
+        decode_image(payloads[0])
+    # …but the hook runs it through the SAME stage
+    feats = {
+        r["media_id"]: r
+        for r in extract_image_features(df, decoder=_toy_decode_image).collect()
+    }
+    assert len(feats) == 6
+    for i, p in enumerate(payloads):
+        assert (feats[i]["width"], feats[i]["height"]) == (40 + i, 30 + i)
+        assert feats[i]["mean_luma"] == (100 + i) / 255.0
+        assert feats[i]["payload_sha"] == hashlib.sha256(p).hexdigest()
+
+    resized = {
+        r["media_id"]: r
+        for r in resize_images(df, 8, 9, resizer=_toy_resize).collect()
+    }
+    assert all(bytes(r["payload"]) == b"TOY1" + bytes([8, 9, 100 + i])
+               for i, r in resized.items())
+    assert all((r["width"], r["height"]) == (8, 9) for r in resized.values())
