@@ -591,6 +591,40 @@ def main() -> None:
         for mid, bands in hn.items():
             assert hn[mid % 10_000_000] == bands, f"{label} copy {mid} diverged"
 
+    # --- two-phase global rank / cumsum (round-6 window eliminations):
+    # copies occupy disjoint shifted key ranges ABOVE the originals, so
+    # at Nx the rank of copy i's row is rank1 + i*n1 and the inclusive
+    # cumsum at copy i's row is cum1 + i*total1 — exact integer laws —
+    # and neither plan may contain a single-partition window or grow
+    # exchanges with N.
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum, global_rank
+
+    base_rows = d1.select("doc_id", F.length("text").cast("long").alias("w"))
+    big_rows = dn.select("doc_id", F.length("text").cast("long").alias("w"))
+    t0 = time.time()
+    r1 = {r["doc_id"]: r["rnk"] for r in global_rank(base_rows, ["doc_id"], "rnk").collect()}
+    rn = {r["doc_id"]: r["rnk"] for r in global_rank(big_rows, ["doc_id"], "rnk").collect()}
+    n1 = len(r1)
+    for did, rk in rn.items():
+        copy, orig = divmod(did, 10_000_000)
+        assert rk == r1[orig] + copy * n1, f"global_rank law broke at {did}"
+    print(f"global_rank {n}x: {len(rn)} rows, law held, {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    c1 = {r["doc_id"]: r["c"] for r in global_cumsum(base_rows, ["doc_id"], "w", "c").collect()}
+    cn = {r["doc_id"]: r["c"] for r in global_cumsum(big_rows, ["doc_id"], "w", "c").collect()}
+    total1 = max(c1.values())
+    for did, cv in cn.items():
+        copy, orig = divmod(did, 10_000_000)
+        assert cv == c1[orig] + copy * total1, f"global_cumsum law broke at {did}"
+    print(f"global_cumsum {n}x: {len(cn)} rows, law held, {time.time()-t0:.1f}s")
+
+    plan_flat(
+        "global_rank",
+        lambda: global_rank(base_rows, ["doc_id"], "rnk"),
+        lambda: global_rank(big_rows, ["doc_id"], "rnk"),
+    )
+
     print("ALL INVARIANTS HELD")
 
 
