@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from csvs_to_sqlite_spark.functions.cols import qcol
 from pyspark.sql.types import BooleanType, DoubleType, FloatType, StringType
-from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
+from csvs_to_sqlite_spark.operators.rowid import ROW_ID, global_rank, with_row_id
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 
 
@@ -209,13 +209,10 @@ def build_dims(
         else:
             start = 1
         # Global dense rank over first_seen WITHOUT a single-partition
-        # window: range-partition by the order key, sort within partitions,
-        # then scan-order row ids (per-partition offsets). Two cheap extra
+        # window: rowid.global_rank (range-partition pinned by
+        # localCheckpoint + per-partition offset ids). Two cheap extra
         # jobs, scales to dims of any cardinality.
-        ranked = with_row_id(
-            firsts.repartitionByRange("first_seen").sortWithinPartitions("first_seen"),
-            start=start,
-        )
+        ranked = global_rank(firsts, ["first_seen"], ROW_ID, start=start)
         new_rows = ranked.select(
             F.col(ROW_ID).alias("id"), F.col("value").alias(value_col)
         )

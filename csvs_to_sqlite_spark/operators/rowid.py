@@ -76,16 +76,30 @@ def with_row_id(
     return out.drop("__mid__")
 
 
-def global_rank(df: DataFrame, order_cols, rank_col: str = "rnk") -> DataFrame:
-    """Global 1-based row_number by ``order_cols`` WITHOUT a
+def global_rank(
+    df: DataFrame, order_cols, rank_col: str = "rnk", start: int = 1
+) -> DataFrame:
+    """Global ``start``-based row_number by ``order_cols`` WITHOUT a
     single-partition window: range-partition by the keys, sort within
     partitions, then per-partition offset row ids (the same two-phase
     machinery as dim numbering — two tiny metadata jobs, scales to any
     cardinality). ``order_cols`` may carry ``.desc()`` / ``.asc()``; the
-    key list must be a total order for the rank to be deterministic."""
+    key list must be a total order for the rank to be deterministic.
+
+    The range-partitioned frame is localCheckpointed BEFORE the two
+    jobs: RangePartitioner samples with a per-execution seed, so without
+    the pin the counting job and the final projection can land on
+    DIFFERENT partition boundaries once partitions exceed the reservoir
+    size — silently duplicating/skipping ids (reproduced at 2M rows;
+    small frames escape because the reservoir keeps the full
+    population). The checkpoint makes both jobs read the same blocks."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ordered = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    return with_row_id(ordered).withColumnRenamed(ROW_ID, rank_col)
+    ordered = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=False)
+    )
+    return with_row_id(ordered, start=start).withColumnRenamed(ROW_ID, rank_col)
 
 
 def ntile_from_rank(rank_col: str, n_rows: int, n_buckets: int):

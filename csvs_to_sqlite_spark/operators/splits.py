@@ -206,16 +206,15 @@ def global_shuffle(df: DataFrame, id_col: str, seed: str = "shuffle") -> DataFra
     per-partition offset row ids (the same two-phase machinery as dim
     numbering — two tiny metadata jobs, scales to any corpus size).
     """
-    from csvs_to_sqlite_spark.operators.rowid import ROW_ID, with_row_id
+    from csvs_to_sqlite_spark.operators.rowid import global_rank
 
     h = md5_long(F.col(id_col).cast("string"), seed=seed)
     base = df.select(F.col(id_col), h.alias("__h__"))
-    ranked = with_row_id(
-        base.repartitionByRange("__h__", id_col).sortWithinPartitions(
-            "__h__", id_col
-        )
-    )
-    return ranked.select(id_col, F.col(ROW_ID).alias("shuffle_rank"))
+    # global_rank pins the range partitioning with a localCheckpoint —
+    # without it the counting job and the final pass can sample different
+    # boundaries on corpus-scale inputs (see rowid.global_rank)
+    ranked = global_rank(base, ["__h__", id_col], "shuffle_rank")
+    return ranked.select(id_col, "shuffle_rank")
 
 
 def stratified_sample_exact_k(

@@ -231,12 +231,15 @@ def test_incremental_dim_against_engine(spark, tmp_path):
     ]
 
 
-def test_big_prior_dim_anti_join_not_broadcast(spark):
+def test_big_prior_dim_anti_join_not_broadcast(spark, monkeypatch):
     """E4 guardrail plan shape: with ``no_broadcast`` naming the prior dim,
     the anti-join must be a shuffle join (the prior is big by definition),
-    not a broadcast of the huge dim."""
+    not a broadcast of the huge dim. The rank's localCheckpoint truncates
+    the dim frame's visible plan, so the anti-join is inspected on the
+    frame handed to global_rank (spy)."""
     from pyspark.sql import functions as F
 
+    import csvs_to_sqlite_spark.operators.dims as dims_mod
     from csvs_to_sqlite_spark.operators.dims import build_dims
     from csvs_to_sqlite_spark.operators.rowid import ROW_ID
     from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
@@ -248,19 +251,28 @@ def test_big_prior_dim_anti_join_not_broadcast(spark):
         [(1, "v5"), (2, "brand_new")], "rid long, v string"
     ).withColumnRenamed("rid", ROW_ID)
 
-    def dim_plan(no_broadcast):
-        _, dims = build_dims(
+    captured = {}
+    real_gr = dims_mod.global_rank
+
+    def spy(df, cols, rank_col, start=1):
+        captured["plan"] = df._jdf.queryExecution().executedPlan().toString()
+        return real_gr(df, cols, rank_col, start=start)
+
+    monkeypatch.setattr(dims_mod, "global_rank", spy)
+
+    def anti_join_plan(no_broadcast):
+        build_dims(
             [Table("t", new)],
             [DimSpec("v", "dim")],
             existing={"dim": prior},
             no_broadcast=no_broadcast,
         )
-        return dims["dim"]._jdf.queryExecution().executedPlan().toString()
+        return captured.pop("plan")
 
-    guarded = dim_plan({"dim"})
+    guarded = anti_join_plan({"dim"})
     assert "BroadcastHashJoin" not in guarded and "LeftAnti" in guarded
     # default path still broadcasts the (small) prior
-    assert "BroadcastHashJoin" in dim_plan(None)
+    assert "BroadcastHashJoin" in anti_join_plan(None)
 
 
 def test_lsh_near_dup_finds_clone(spark):

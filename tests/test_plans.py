@@ -70,20 +70,28 @@ def test_knn_bruteforce_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_inverted_index_uses_take_ordered(spark):
+def test_inverted_index_uses_take_ordered(spark, monkeypatch):
     """Top-20 must compile to TakeOrderedAndProject (distributed
     per-partition top-k + driver merge), not a global single-task sort
-    window over the whole vocabulary."""
-    plan = explain_str(E.q_inverted_index(spark, SF), "simple")
-    assert "TakeOrderedAndProject" in plan
-    window_lines = [l for l in plan.splitlines() if "+- Window" in l]
-    take_idx = next(
-        i for i, l in enumerate(plan.splitlines()) if "TakeOrderedAndProject" in l
+    window over the whole vocabulary. The rank's localCheckpoint pin
+    truncates the final visible plan, so the take-ordered is asserted on
+    the frame handed to global_rank (spy)."""
+    import csvs_to_sqlite_spark.operators.rowid as rowid_mod
+
+    captured = {}
+    real_gr = rowid_mod.global_rank
+
+    def spy(df, cols, rank_col, start=1):
+        captured["plan"] = explain_str(df, "simple")
+        return real_gr(df, cols, rank_col, start=start)
+
+    monkeypatch.setattr(rowid_mod, "global_rank", spy)
+    out = E.q_inverted_index(spark, SF)
+    assert "TakeOrderedAndProject" in captured["plan"]
+    assert "Window" not in captured["plan"]  # never ranks the vocabulary
+    assert not single_partition_windows(
+        out._jdf.queryExecution().executedPlan().toString()
     )
-    # any window must sit ABOVE the take-ordered (ranking 20 rows, not all)
-    for i, l in enumerate(plan.splitlines()):
-        if "+- Window" in l:
-            assert i < take_idx
 
 
 def test_chunk_windows_is_scan_stage_only(spark):
@@ -500,3 +508,29 @@ def test_global_cumsum_matches_window_semantics(spark):
     assert not single_partition_windows(
         out._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_global_rank_ids_exact_at_reservoir_sampling_scale(spark):
+    """Regression for a latent scale bug: RangePartitioner samples with a
+    per-execution seed, so without the localCheckpoint pin inside
+    global_rank the counting job and the final projection could land on
+    DIFFERENT boundaries once partitions exceed the reservoir size —
+    duplicating/skipping ids (reproduced at 2M rows: 1,940,401 distinct
+    of 2,000,000). Small frames never catch this (the reservoir keeps
+    the full population), so this test runs at sampling scale."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.rowid import global_rank
+
+    df = spark.range(2_000_000).select(
+        ((F.col("id") * 2654435761) % 97_000_000).alias("v"),
+        F.col("id").alias("k"),
+    )
+    out = global_rank(df, [F.col("v"), F.col("k")], "r")
+    s = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("r").alias("d"),
+        F.min("r").alias("lo"),
+        F.max("r").alias("hi"),
+    ).collect()[0]
+    assert (s["n"], s["d"], s["lo"], s["hi"]) == (2_000_000, 2_000_000, 1, 2_000_000)
