@@ -534,3 +534,48 @@ def test_global_rank_ids_exact_at_reservoir_sampling_scale(spark):
         F.max("r").alias("hi"),
     ).collect()[0]
     assert (s["n"], s["d"], s["lo"], s["hi"]) == (2_000_000, 2_000_000, 1, 2_000_000)
+
+
+def test_global_cumsum_exact_at_reservoir_sampling_scale(spark):
+    """Same latent-bug class as global_rank: at 2M rows the cumsum of a
+    constant 1 must equal the exact rank sequence 1..N (any boundary
+    drift between the totals job and the final pass would duplicate or
+    skip prefix totals)."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum
+
+    df = spark.range(2_000_000).select(
+        ((F.col("id") * 1103515245) % 89_000_000).alias("v"),
+        F.col("id").alias("k"),
+        F.lit(1).alias("one"),
+    )
+    out = global_cumsum(df, [F.col("v"), F.col("k")], "one", "c")
+    s = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c").alias("d"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).collect()[0]
+    assert (s["n"], s["d"], s["lo"], s["hi"]) == (2_000_000, 2_000_000, 1, 2_000_000)
+
+
+def test_ntile_from_rank_matrix_matches_window_ntile(spark):
+    """ntile_from_rank equals ntile() OVER () for a matrix of
+    (n_rows, n_buckets) shapes — every remainder/tiny-n edge in one job
+    per shape family."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from csvs_to_sqlite_spark.operators.rowid import global_rank, ntile_from_rank
+
+    for n, buckets in [(1, 10), (7, 10), (10, 10), (11, 10), (103, 10),
+                       (29, 3), (30, 3), (31, 3), (5, 7), (100, 1)]:
+        df = spark.range(n).select(F.col("id"))
+        w = Window.orderBy("id")
+        want = {r["id"]: r["t"] for r in
+                df.select("id", F.ntile(buckets).over(w).alias("t")).collect()}
+        ranked = global_rank(df, ["id"], "r")
+        got = {r["id"]: r["t"] for r in
+               ranked.withColumn("t", ntile_from_rank("r", n, buckets)).collect()}
+        assert got == want, (n, buckets)
