@@ -2248,6 +2248,82 @@ def q_knn_ivf(spark, sf_dir):
     )
 
 
+IVF_INC_TRAIN_PRED = "vec_id % 5 != 0"  # initial corpus; multiples of 5 arrive later
+
+
+def q_ivf_index_incremental(spark, sf_dir):
+    """Index maintenance at scale: build the persisted cell-partitioned
+    IVF index on the initial corpus (vec_id % 5 != 0), then
+    ``ivf_index_append`` the late arrivals under the FROZEN centroids —
+    only the receiving cells grow files (O(delta) maintenance, the FAISS
+    add() contract) — and query top-5 over the union. The oracle trains
+    its unrolled-Lloyd k-means on the same initial subset and assigns
+    the full corpus, so the append path is hash-compared end to end."""
+    prep_session(spark)
+    import atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _tempfile.mkdtemp(prefix="q_ivf_inc_")
+    atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    similarity.ivf_index_write(
+        emb.where(IVF_INC_TRAIN_PRED),
+        path,
+        n_centroids=IVF_CENTROIDS,
+        kmeans_iters=IVF_KMEANS_ITERS,
+    )
+    similarity.ivf_index_append(spark, path, emb.where("vec_id % 5 = 0"))
+    out = similarity.ivf_index_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, n_probe=IVF_PROBE
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def _sql_ivf_index_incremental() -> str:
+    """_sql_knn_ivf with the k-means TRAINING restricted to the initial
+    corpus (IVF_INC_TRAIN_PRED) — assignment/probing/scoring run over
+    the full union, mirroring write-then-append."""
+    parts = _sql_kmeans_parts(
+        IVF_CENTROIDS, IVF_KMEANS_ITERS, train_pred=IVF_INC_TRAIN_PRED
+    )
+    final = f"cents{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""corpus AS (
+  SELECT vec_id AS neighbor_id, v AS cv2, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c)
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c WHERE b.vec_id < 10)
+  WHERE rn <= {IVF_PROBE})"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT query_id, neighbor_id, {_dd_cos('qv', 'cv2')} AS cos_sim
+  FROM corpus JOIN q USING (cell) WHERE query_id <> neighbor_id)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+WHERE rnk <= 5
+"""
+    )
+
+
 def _dd_cos(a: str, b: str) -> str:
     """DuckDB rounded-cosine expression between two DOUBLE list columns."""
     return (
@@ -2257,15 +2333,20 @@ def _dd_cos(a: str, b: str) -> str:
     )
 
 
-def _sql_kmeans_parts(n_centroids: int, iters: int) -> list[str]:
+def _sql_kmeans_parts(n_centroids: int, iters: int, train_pred: str | None = None) -> list[str]:
     """CTE list unrolling the deterministic seeded Lloyd rounds of
     ``similarity.kmeans_centroids`` (assign, recompute-6dp-rounded
     means, per iteration). Shared by every oracle that needs k-means
     cells so the Spark constants and the SQL stay in lockstep; the
-    final centroid CTE is named ``cents{iters}``."""
+    final centroid CTE is named ``cents{iters}``. ``train_pred``
+    restricts the TRAINING corpus (seeds + Lloyd assignments) — the
+    incremental-index oracle trains on the initial corpus only, exactly
+    like ``ivf_index_write`` before an ``ivf_index_append``."""
+    tbase = f"(SELECT * FROM base WHERE {train_pred})" if train_pred else "base"
     parts = [
         "WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
-        f"cents0 AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < {n_centroids})",
+        f"tbase AS (SELECT * FROM {tbase})",
+        f"cents0 AS (SELECT vec_id AS centroid_id, v AS cv FROM tbase WHERE vec_id < {n_centroids})",
     ]
     for it in range(iters):
         parts.append(
@@ -2274,7 +2355,7 @@ def _sql_kmeans_parts(n_centroids: int, iters: int) -> list[str]:
     SELECT b.vec_id, b.v, c.centroid_id AS cell,
            row_number() OVER (PARTITION BY b.vec_id
              ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
-    FROM base b CROSS JOIN cents{it} c)
+    FROM tbase b CROSS JOIN cents{it} c)
   WHERE rn = 1)"""
         )
         parts.append(
@@ -8351,6 +8432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "ivf_index_incremental": q_ivf_index_incremental,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "semdedup_prune": q_semdedup_prune,
@@ -8556,6 +8638,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": SQL_KNN,
         "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
+        "ivf_index_incremental": _sql_ivf_index_incremental(),
         "knn_ivfpq": _sql_knn_ivfpq(),
         "knn_ivfpq_residual": _sql_knn_ivfpq_residual(),
         "semdedup_prune": _sql_semdedup(),

@@ -1196,6 +1196,41 @@ def ivf_index_write(
     ).partitionBy("cell").parquet(f"{path}/cells")
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT
+    rebuilding: the frozen centroids are loaded (tiny, broadcast), new
+    vectors are assigned to their nearest existing cell, and the rows
+    are APPENDED into the cell-partitioned parquet layout — only the
+    cells that actually receive vectors grow new files, so ingesting a
+    delta touches O(delta) data, exactly the maintenance contract real
+    IVF services (FAISS add()) offer. Queries through ``ivf_index_topk``
+    then see the union corpus bit-identically to an index whose cells
+    were written from the union under the same centroids (unit-asserted).
+
+    Centroids are deliberately NOT retrained (an IVF invariant: moving a
+    centroid would orphan previously-assigned vectors); after heavy
+    distribution drift, rebuild with ``ivf_index_write``. Appending the
+    same batch twice duplicates it — the caller owns delta dedup (e.g.
+    ``incremental_near_dup_filter`` / anti-join on ids upstream)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    base = new_emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    assigned = assign_cells(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2")),
+        cents,
+        "neighbor_id",
+        "cv2",
+    )
+    assigned.select("cell", "neighbor_id", "cv2").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+
+
 def ivf_index_topk(
     spark,
     path: str,

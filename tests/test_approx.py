@@ -382,3 +382,58 @@ def test_quantile_sketch_matches_python_model(spark):
             if sample:
                 assert r["est_v"] == sample[(q * (len(sample) - 1)) // 100][0]
                 assert r["n_sample"] == len(sample)
+
+
+def test_ivf_index_append_equals_union_build_under_same_centroids(spark, tmp_path):
+    """Incremental add: an index built on corpus A then APPENDED with
+    corpus B answers queries bit-identically to an index whose cells
+    were written from A∪B under the SAME (frozen) centroids — and the
+    appended files land only in the cells that received vectors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.similarity import (
+        _as_double,
+        assign_cells,
+        ivf_index_append,
+        ivf_index_topk,
+    )
+    from csvs_to_sqlite_spark.operators.similarity import ivf_index_write
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.where("vec_id % 5 != 0")
+    b = emb.where("vec_id % 5 = 0")
+    queries = emb.where("vec_id < 5")
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_index_write(a, inc, n_centroids=8, kmeans_iters=2)
+    before = {
+        c for c in os.listdir(os.path.join(inc, "cells")) if c.startswith("cell=")
+    }
+    ivf_index_append(spark, inc, b)
+
+    # expected: union cells under the SAME centroids (manual build)
+    full = str(tmp_path / "ivf_full")
+    cents = spark.read.parquet(f"{inc}/centroids")
+    cents.write.parquet(f"{full}/centroids")
+    union = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv2"),
+    )
+    assign_cells(union, cents, "neighbor_id", "cv2").select(
+        "cell", "neighbor_id", "cv2"
+    ).write.partitionBy("cell").parquet(f"{full}/cells")
+
+    got = ivf_index_topk(spark, inc, queries, k=5, n_probe=2).collect()
+    want = ivf_index_topk(spark, full, queries, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 25  # 5 queries × k
+
+    # the layout is still the inverted file: every cell dir valid, and
+    # appended vectors really landed (row count = full corpus)
+    after = {
+        c for c in os.listdir(os.path.join(inc, "cells")) if c.startswith("cell=")
+    }
+    assert after >= before
+    assert spark.read.parquet(f"{inc}/cells").count() == emb.count()
