@@ -234,3 +234,54 @@ def test_salted_distinct_bitwise_invariant(spark, parts):
     base = rows_of(salted_distinct_count(e, "event_type", "user_id"))
     out = rows_of(salted_distinct_count(e.repartition(parts), "event_type", "user_id"))
     assert out == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_global_rank_partitioning_invariant(spark, docs, parts):
+    from csvs_to_sqlite_spark.operators.rowid import global_rank
+
+    base = rows_of(
+        global_rank(docs.select("doc_id"), [F.col("doc_id").desc()], "r")
+    )
+    got = rows_of(
+        global_rank(
+            docs.select("doc_id").repartition(parts), [F.col("doc_id").desc()], "r"
+        )
+    )
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_global_cumsum_partitioning_invariant(spark, docs, parts):
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum
+
+    sel = docs.select("doc_id", F.length("text").cast("long").alias("w"))
+    base = rows_of(global_cumsum(sel, ["doc_id"], "w", "c"))
+    got = rows_of(global_cumsum(sel.repartition(parts), ["doc_id"], "w", "c"))
+    assert got == base
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_ivf_index_append_partitioning_invariant(spark, emb, parts, tmp_path):
+    """write-then-append under different upstream partitionings must
+    produce identical query answers (the on-disk cell layout may differ
+    in file counts, never in content)."""
+    from csvs_to_sqlite_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    path = str(tmp_path / f"ivf_{parts}")
+    ivf_index_write(
+        emb.where("vec_id % 5 != 0").repartition(parts), path, n_centroids=8,
+        kmeans_iters=2,
+    )
+    ivf_index_append(spark, path, emb.where("vec_id % 5 = 0").repartition(parts))
+    got = rows_of(ivf_index_topk(spark, path, emb.where("vec_id < 5"), k=5, n_probe=2))
+    base_path = str(tmp_path / "ivf_base")
+    ivf_index_write(emb.where("vec_id % 5 != 0"), base_path, n_centroids=8, kmeans_iters=2)
+    ivf_index_append(spark, base_path, emb.where("vec_id % 5 = 0"))
+    assert got == rows_of(
+        ivf_index_topk(spark, base_path, emb.where("vec_id < 5"), k=5, n_probe=2)
+    )
