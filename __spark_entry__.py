@@ -3879,6 +3879,68 @@ FROM documents
 """
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: per labeled lang, exact doc /
+    char / whitespace-word / BPE-ish-token totals plus fertility
+    (subword tokens per word) and tokens-per-1k-chars — THE metric a
+    multilingual pipeline reads to decide whether a tokenizer
+    under-serves a language (high fertility = more compute per byte of
+    that language). One scan + one lang-keyed aggregate; ratios are
+    exact integer quotients through qmath."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        text.token_count(F.col("text")).cast("long").alias("words"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), 0))
+        .cast("long")
+        .alias("bpe"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chars").alias("n_chars"),
+        F.sum("words").alias("n_words"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_bpe_tokens",
+        qmath.qdiv_count(
+            F.col("n_bpe_tokens") * F.lit(1_000_000), F.col("n_words"), 1, 6
+        ).alias("fertility"),
+        qmath.qdiv_count(
+            F.col("n_bpe_tokens") * F.lit(1_000_000_000), F.col("n_chars"), 1, 6
+        ).alias("tokens_per_1k_chars"),
+    ).orderBy("lang")
+
+
+def _sql_tokenizer_fertility() -> str:
+    toks = tokens_sql("text", distinct=False)
+    fert = qmath.sql_qdiv_count("(n_bpe_tokens * 1000000)", "n_words", 1, 6)
+    tpk = qmath.sql_qdiv_count("(n_bpe_tokens * 1000000000)", "n_chars", 1, 6)
+    return rf"""
+WITH per_doc AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+         CAST(len({toks}) AS BIGINT) AS words,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS BIGINT) AS bpe
+  FROM documents),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(chars) AS BIGINT) AS n_chars,
+             CAST(sum(words) AS BIGINT) AS n_words,
+             CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens
+      FROM per_doc GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_words, n_bpe_tokens,
+       {fert} AS fertility,
+       {tpk} AS tokens_per_1k_chars
+FROM g ORDER BY lang
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over Jaccard near-dup pairs (min-label
     propagation with pointer doubling, run to the fixpoint) → canonical
@@ -8541,6 +8603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_link": q_fuzzy_link,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_ndv": q_hll_ndv,
         "kmv_sketch": q_kmv_sketch,
@@ -8757,6 +8820,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_link": _sql_fuzzy_link(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
+        "tokenizer_fertility": _sql_tokenizer_fertility(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "hll_ndv": _sql_hll_ndv(),
         "kmv_sketch": _sql_kmv_sketch(),
