@@ -23,7 +23,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
-    out = ["# PLANS — formatted physical plans at " + sf_dir, ""]
+    out = [
+        "# PLANS — formatted physical plans at " + sf_dir,
+        "",
+        "Note: a `Scan ExistingRDD` leaf marks a pinned localCheckpoint "
+        "(rowid.global_rank / global_cumsum / dim numbering pin their "
+        "range partitioning so the two-phase metadata jobs and the final "
+        "pass read identical boundaries — see SCALE.md). The work upstream "
+        "of the pin (TakeOrdered heads, distinct aggregates, anti-joins) is "
+        "plan-asserted in tests/test_plans.py via pre-pin spies.",
+        "",
+    ]
     skip = {"windowed_event_counts", "streaming_sessions", "stateful_user_totals"}
     for name, fn in entrymod.queries().items():
         if name in skip:
