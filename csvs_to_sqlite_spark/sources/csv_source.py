@@ -559,6 +559,13 @@ def infer_reference_types(
             .otherwise(F.lit(False))
             .alias(f"p{i}_ovf")
         )
+        # bool candidacy rides the SAME pass (one lower+IN per cell is far
+        # cheaper than the second full scan the deferred probe used to
+        # cost — lineitem-shaped files make EVERY text/date column
+        # "undecided", so the probe re-read the whole file)
+        proj.append(
+            F.lower(q).isin("true", "false").alias(f"p{i}_bool")
+        )
     base = df.select(*proj)
     mid = F.col("__pos__")
     aggs = [F.count(F.lit(1)).alias("__rows__")]
@@ -567,6 +574,7 @@ def infer_reference_types(
         re_b = F.col(f"p{i}_re")
         d = F.col(f"p{i}_d")
         aggs.append(F.count(F.when(nn, 1)).alias(f"c{i}_n"))
+        aggs.append(F.count(F.when(F.col(f"p{i}_bool"), 1)).alias(f"c{i}_bool"))
         aggs.append(F.count(F.when(re_b, 1)).alias(f"c{i}_re"))
         aggs.append(F.count(F.when(F.col(f"p{i}_long"), 1)).alias(f"c{i}_long"))
         # pandas' order-dependent overflow rule: an int-string beyond even
@@ -636,8 +644,10 @@ def infer_reference_types(
             return out, counts or {}, {}, {}, set()
         return out
 
-    # bool detection only for columns that are neither int nor float —
-    # usually none, so the second pass is free or touches few columns
+    # bool detection for columns that are neither int nor float: the
+    # candidacy count now rides the MAIN aggregate (c{i}_bool) — no
+    # second scan (lineitem-shaped files made every text/date column
+    # "undecided", so the deferred probe used to re-read the whole file)
     total_rows = row["__rows__"]
     undecided = [
         (i, c)
@@ -649,13 +659,8 @@ def infer_reference_types(
     bool_ok: dict[str, bool] = {}
     bool_first_null: dict[str, bool] = {}
     if undecided:
-        baggs = [
-            F.count(F.when(F.lower(qcol(c)).isin("true", "false"), 1)).alias(f"b{i}")
-            for i, c in undecided
-        ]
-        brow = df.agg(*baggs).collect()[0]
         for i, c in undecided:
-            bool_ok[c] = brow[f"b{i}"] == row[f"c{i}_n"]
+            bool_ok[c] = row[f"c{i}_bool"] == row[f"c{i}_n"]
         # bool-with-NULL columns are object in pandas; the reference derives
         # the DDL from the FIRST row only (df[:1].to_sql, utils.py:305), so
         # affinity is INTEGER when row 1 holds a bool, TEXT when it is NULL
