@@ -708,12 +708,33 @@ def band_hash_pairs(
     ``max_hamming < n_bands`` by pigeonhole — a pair differing in more
     bits than that can differ in every band and share no posting list,
     so looser thresholds must fail loudly rather than silently lose
-    pairs."""
+    pairs. The bound is enforced against the RUNTIME band count of every
+    row (scan-stage ``raise_error``, no extra job), not just the
+    ``n_bands`` parameter — a frame carrying fewer bands than the caller
+    claims would otherwise silently lose pairs, the exact failure the
+    guard exists to prevent."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"band_hash_pairs is only complete for max_hamming < n_bands "
             f"({n_bands}); got max_hamming={max_hamming}"
         )
+    hashes = hashes.select(
+        "media_id",
+        F.when(F.size("bands") > max_hamming, F.col("bands"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "band_hash_pairs: pigeonhole completeness needs "
+                        f"more than max_hamming={max_hamming} bands per "
+                        "row; found a row with "
+                    ),
+                    F.size("bands").cast("string"),
+                )
+            )
+        )
+        .alias("bands"),
+    )
     bands = hashes.select(
         "media_id",
         F.posexplode("bands").alias("band_idx", "val"),

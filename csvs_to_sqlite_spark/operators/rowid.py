@@ -131,9 +131,14 @@ def global_cumsum(
     and the final pass must see identical boundaries), per-partition
     running sums via a pid-partitioned window (partition-sized state,
     never global), plus per-partition offsets collected in one tiny job
-    and broadcast back as a CASE chain. Intended for rollup-sized frames
-    whose running total a report needs (days, file inventories) — the
-    checkpoint materializes the frame once in executor storage."""
+    and broadcast back (CASE chain up to 64 partitions, broadcast join
+    beyond — same fallback as ``with_row_id``).
+
+    ``order_cols`` must be a TOTAL ORDER over the rows (as for
+    ``global_rank``): the window uses an explicit ROWS frame, so with
+    duplicate full key tuples the within-tie order — and hence each tied
+    row's individual running value — is partition-layout-dependent even
+    though every complete tie group's boundary sum is exact."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
         df.repartitionByRange(*cols)
@@ -150,13 +155,31 @@ def global_cumsum(
     for p in sorted(totals):
         offsets[p] = acc
         acc += totals[p]
-    off = F.lit(0).cast("long")
-    for p, o in offsets.items():
-        off = F.when(F.col("__pid__") == p, F.lit(o)).otherwise(off)
-    w = Window.partitionBy("__pid__").orderBy(*cols)
-    return part.withColumn(
-        out_col, (F.sum(value_col).over(w) + off).cast("long")
-    ).drop("__pid__")
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if len(offsets) <= 64:
+        off = F.lit(0).cast("long")
+        for p, o in offsets.items():
+            off = F.when(F.col("__pid__") == p, F.lit(o)).otherwise(off)
+        out = part.withColumn(
+            out_col, (F.sum(value_col).over(w) + off).cast("long")
+        )
+    else:
+        # thousands of partitions: broadcast-join the offset table instead
+        # of a deep CASE chain (mirrors with_row_id's fallback)
+        spark = df.sparkSession
+        offs = spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid__ int, __off__ long"
+        )
+        out = (
+            part.join(F.broadcast(offs), "__pid__")
+            .withColumn(out_col, (F.sum(value_col).over(w) + F.col("__off__")).cast("long"))
+            .drop("__off__")
+        )
+    return out.drop("__pid__")
 
 
 def row_id_from_order(df: DataFrame, order_cols: list[str]) -> DataFrame:

@@ -1537,6 +1537,14 @@ def test_band_hash_pairs_rejects_max_hamming_beyond_pigeonhole(spark):
         image_ahash_pairs(m, max_hamming=8)
     with _pytest.raises(ValueError, match="max_hamming < n_bands"):
         band_hash_pairs(image_ahash(m), max_hamming=12)
+    # runtime enforcement: a frame whose ROWS carry fewer bands than the
+    # caller's n_bands claim must fail loudly at execution, not silently
+    # lose pairs (the guard validates actual band counts, not the default)
+    from pyspark.sql import functions as F
+
+    short = image_ahash(m).withColumn("bands", F.slice("bands", 1, 4))
+    with _pytest.raises(Exception, match="pigeonhole"):
+        band_hash_pairs(short, max_hamming=7).collect()
 
 
 def test_audio_fingerprint_exact_copy_pairs_at_hamming_zero(spark):

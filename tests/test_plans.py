@@ -560,6 +560,44 @@ def test_global_cumsum_exact_at_reservoir_sampling_scale(spark):
     assert (s["n"], s["d"], s["lo"], s["hi"]) == (2_000_000, 2_000_000, 1, 2_000_000)
 
 
+def test_global_cumsum_broadcast_offset_fallback_past_64_partitions(spark):
+    """Past 64 range partitions global_cumsum must switch from the CASE
+    offset chain to a broadcast-joined offset table (the with_row_id
+    fallback, ported per VERDICT_r06 item 5): values stay exact and the
+    executed plan shows the broadcast join with no single-partition
+    window."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    # AQE would coalesce 40k tiny rows back under 64 partitions and dodge
+    # the fallback under test
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        df = spark.range(40_000).select(
+            ((F.col("id") * 2654435761) % 1_000_003).alias("v"),
+            F.col("id").alias("k"),
+            F.lit(1).alias("one"),
+        )
+        out = global_cumsum(df, [F.col("v"), F.col("k")], "one", "c")
+        s = out.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("c").alias("d"),
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+        ).collect()[0]
+        assert (s["n"], s["d"], s["lo"], s["hi"]) == (40_000, 40_000, 1, 40_000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert not single_partition_windows(plan)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+
+
 def test_ntile_from_rank_matrix_matches_window_ntile(spark):
     """ntile_from_rank equals ntile() OVER () for a matrix of
     (n_rows, n_buckets) shapes — every remainder/tiny-n edge in one job

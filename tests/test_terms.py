@@ -403,3 +403,30 @@ def test_source_unigram_cosine_hand_computed(spark):
     assert r12["cosine"] == 4 / ((5**0.5) * (5**0.5))
     # orthogonal sources share no token → no pair row at all
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_bpe_regex_whitespace_class_matches_duckdb_on_vertical_tab(spark):
+    """Advice regression: the BPE pre-tokenizer regex used to write \\s,
+    which includes \\x0B under Java regex but not under DuckDB's RE2 —
+    a doc containing a vertical tab counted differently in the query vs
+    its oracle. The class is now spelled explicitly and identically in
+    both; this locks the parity on the one character the engines
+    disagreed about."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    text = "a\x0bb! c\td\ne 42"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]"
+    got = df.select(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), 0))
+        .cast("long")
+        .alias("n")
+    ).collect()[0]["n"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    want = con.execute(entry.SQL_BPE).fetchone()[1]
+    assert got == want == 7  # a, b, !, c, d, e, 42 — \x0b is whitespace in both engines
