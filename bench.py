@@ -60,9 +60,39 @@ def bench_ingest_sqlite(spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # user nice system idle iowait irq softirq steal [guest guest_nice]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals[:8])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _single_core_probe() -> float:
+    """Wall time of a fixed single-threaded Python loop (~0.1s on an
+    idle core). A slow probe = the host is stealing cycles from THIS vm
+    right now — contention evidence the bench artifact carries along so
+    a uniformly-inflated run is self-diagnosing (BASELINE.md §variance:
+    uniform inflation across unchanged queries = contention, a single
+    slow query = plan regression)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    stat0 = _cpu_stat()
+    probe0 = min(_single_core_probe() for _ in range(3))
 
     from csvs_to_sqlite_spark.session import get_spark
 
@@ -112,6 +142,11 @@ def main() -> None:
     timings["ingest_sqlite"] = round(ingest_samples[len(ingest_samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    stat1 = _cpu_stat()
+    probe1 = min(_single_core_probe() for _ in range(3))
+    steal_pct = None
+    if stat0 is not None and stat1 is not None and stat1[1] > stat0[1]:
+        steal_pct = round(100.0 * (stat1[0] - stat0[0]) / (stat1[1] - stat0[1]), 2)
     print(
         json.dumps(
             {
@@ -120,6 +155,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # contention evidence (BASELINE.md §host variance):
+                # hypervisor steal% across the whole bench window and the
+                # slower of two min-of-3 single-core probes (start/end)
+                "steal_pct": steal_pct,
+                "probe_s": round(max(probe0, probe1), 3),
             }
         )
     )

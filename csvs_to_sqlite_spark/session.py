@@ -63,3 +63,32 @@ def prep_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass
     return spark
+
+
+def streaming_state_store_conf(use_rocksdb: bool = True) -> dict[str, str]:
+    """Production state-store posture for the streaming operators
+    (SCALE.md §streaming state store). The default
+    HDFSBackedStateStoreProvider keeps every keyed state entry ON-HEAP
+    per executor — correct and fast at local/test scale, an OOM class at
+    100 TB once distinct keys inside the watermark horizon approach
+    executor heap. RocksDB spills state to executor-local disk with
+    changelog checkpointing, bounding heap by the block cache instead of
+    the key count.
+
+    These must be set on the SparkSession BEFORE a streaming query
+    starts (the provider is fixed per query at start) — hence a conf
+    dict for the session builder / spark-submit rather than a runtime
+    mutation in prep_session: locally the default provider remains the
+    right choice (RocksDB JNI startup dominates sub-second test
+    streams), so this is opt-in by construction.
+    """
+    if not use_rocksdb:
+        return {}
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        # replay only the changelog on recovery instead of re-uploading
+        # full RocksDB snapshots per batch
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }

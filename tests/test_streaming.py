@@ -250,3 +250,15 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     )
     want = sorted((i, i * 2) for i in range(50))
     assert got == want  # every row exactly once — no replay, no loss
+
+
+def test_streaming_state_store_conf_shape():
+    """RocksDB posture (SCALE.md): opt-in conf dict for production
+    sessions — keys are start-time configs, default path returns {}."""
+    from csvs_to_sqlite_spark.session import streaming_state_store_conf
+
+    conf = streaming_state_store_conf()
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert streaming_state_store_conf(use_rocksdb=False) == {}
