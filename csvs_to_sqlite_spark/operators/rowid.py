@@ -38,7 +38,21 @@ def with_row_id(
 
     ``partition_counts`` ({scan_partition_id: rows}) skips the counting
     job when the caller already has the numbers (e.g. from the type-
-    inference pass over the same scan)."""
+    inference pass over the same scan).
+
+    Fail-loud drift guard (the compute-then-reuse audit, VERDICT_r06
+    item 1): the counts come from an earlier job over the same lineage,
+    and the id projection assumes this pass sees the SAME partition
+    layout. For the file scans this is fed (CSV/parquet), the layout is
+    a pure function of (file bytes, maxPartitionBytes-family confs) and
+    task retries/speculative copies re-run identical splits — but if the
+    assumption is ever violated (conf changed between the jobs, file
+    mutated, a shuffle introduced upstream), rows now hit an unknown
+    partition id or overrun their partition's claimed count and the scan
+    RAISES instead of silently duplicating/skipping ids. (A partition
+    shrinking below its claimed count leaves a detectable gap in the id
+    sequence but cannot raise row-side; drift in practice moves split
+    boundaries, which perturbs both directions and trips the guard.)"""
     mid = F.monotonically_increasing_id()
     tagged = df.withColumn("__mid__", mid)
     if partition_counts is None:
@@ -55,23 +69,48 @@ def with_row_id(
         acc += partition_counts[pid_key]
     pid = F.shiftright("__mid__", _MID_PARTITION_SHIFT)
     seq = F.col("__mid__").bitwiseAND(F.lit((1 << _MID_PARTITION_SHIFT) - 1))
+    drift_err = F.raise_error(
+        F.concat(
+            F.lit(
+                "with_row_id: partition layout drifted between the "
+                "counting job and the id projection (unknown pid or seq "
+                "beyond the claimed count) at (pid, seq) = ("
+            ),
+            pid.cast("string"),
+            F.lit(", "),
+            seq.cast("string"),
+            F.lit(")"),
+        )
+    )
     if len(offsets) <= 64:
-        offset_expr = F.lit(start)
+        offset_expr = drift_err
         for p, off in offsets.items():
-            offset_expr = F.when(pid == p, F.lit(off)).otherwise(offset_expr)
+            offset_expr = F.when(
+                (pid == p) & (seq < partition_counts[p]), F.lit(off)
+            ).otherwise(offset_expr)
         out = tagged.withColumn(ROW_ID, (offset_expr + seq).cast("long"))
     else:
         # thousands of partitions: broadcast-join the offset table instead of
-        # a deep CASE chain
+        # a deep CASE chain (left join so an unknown pid reaches the guard
+        # instead of being dropped by an inner join)
         spark = df.sparkSession
         offs = spark.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "__pid__ long, __off__ long"
+            [(p, o, partition_counts[p]) for p, o in offsets.items()],
+            "__pid__ long, __off__ long, __cnt__ long",
         )
         out = (
             tagged.withColumn("__pid__", pid.cast("long"))
-            .join(F.broadcast(offs), "__pid__")
-            .withColumn(ROW_ID, (F.col("__off__") + seq).cast("long"))
-            .drop("__pid__", "__off__")
+            .join(F.broadcast(offs), "__pid__", "left")
+            .withColumn(
+                ROW_ID,
+                F.when(
+                    F.col("__off__").isNotNull() & (seq < F.col("__cnt__")),
+                    F.col("__off__") + seq,
+                )
+                .otherwise(drift_err)
+                .cast("long"),
+            )
+            .drop("__pid__", "__off__", "__cnt__")
         )
     return out.drop("__mid__")
 
