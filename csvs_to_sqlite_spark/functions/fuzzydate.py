@@ -12,11 +12,14 @@ dateparser's public surface:
   numeric m/d/y with US month-first disambiguation (dateparser's default
   for English locales)
 - non-English month names for the top Latin-script locales (es, fr, de,
-  it, pt, nl) — dateparser's multilingual month recognition — plus two
+  it, pt, nl) — dateparser's multilingual month recognition — plus four
   non-Latin locales, language-detection-free: Russian month names
-  (nominative + genitive + abbreviations, 'г.'/'года' year suffixes) and
-  Japanese positional 年/月/日 dates with 午前/午後-qualified 時/分/秒
-  times
+  (nominative + genitive + abbreviations, 'г.'/'года' year suffixes),
+  CJK positional 年/月/日 dates (ja AND zh) with 午前/午後 or 上午/下午
+  qualified 時/时/点 times or an ASCII hh:mm tail, Chinese month names
+  (一月..十二月), and Arabic month names (Egyptian/Gulf + Levantine
+  incl. the compound كانون/تشرين forms) with Eastern Arabic-Indic digit
+  normalization (٣ مايو ٢٠١٧)
 - relative dates ("2 weeks ago", "yesterday", "in 3 days") resolved
   against ``relative_base`` (dateparser settings RELATIVE_BASE; defaults
   to now, exactly like dateparser)
@@ -31,10 +34,11 @@ quantities ("2 hours ago", "half an hour ago", "2.5 hours ago");
 calendar units (months/years) stay integral like relativedelta.
 
 Unsupported dateparser surface (documented in COVERAGE.md B10):
-non-Latin scripts beyond ru/ja (Arabic, Hebrew, …, which refuse with
-UnparseableDate rather than misparse), fuzzy language detection beyond
-month names, calendar systems (jalali/hijri), and fractional calendar
-units ("half a year ago").
+non-Latin scripts beyond ru/ja/zh/ar (Hebrew, Korean, Thai, …, which
+refuse with UnparseableDate rather than misparse), fuzzy language
+detection beyond month names, calendar systems (jalali/hijri — Arabic
+HIJRI month names like محرم/رمضان refuse rather than misparse as
+Gregorian), and fractional calendar units ("half a year ago").
 """
 
 from __future__ import annotations
@@ -101,32 +105,84 @@ _MONTHS.update(
     {m: i + 1 for i, names in enumerate(_INTL_MONTHS) for m in names}
 )
 _MONTHS.update({m: i + 1 for i, names in enumerate(_RU_MONTHS) for m in names})
+# zh month names 一月..十二月 (longest-first insertion irrelevant: lookups
+# are whole-token); ar tables appended below their definition
+_ZH_MONTHS = [
+    "一月", "二月", "三月", "四月", "五月", "六月",
+    "七月", "八月", "九月", "十月", "十一月", "十二月",
+]
+_MONTHS.update({m: i + 1 for i, m in enumerate(_ZH_MONTHS)})
 
-# Japanese dates are positional, not month-name-based: 2017年5月3日, with
-# an optional 午前/午後-qualified time (dateparser's ja locale surface)
-_JA_DATE_RE = re.compile(
+# CJK dates are positional, not month-name-based: 2017年5月3日 (shared by
+# ja and zh — dateparser's ja and zh locale surfaces). Times may be
+# 午前/午後 (ja) or 上午/下午 (zh) qualified, with 時 (ja/trad.) / 时 /
+# 点/點 (zh) hour markers, or a plain ASCII hh:mm[:ss] tail (zh).
+_CJK_DATE_RE = re.compile(
     r"^\s*(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日\s*"
-    r"(?:(午前|午後)?\s*(\d{1,2})\s*時(?:\s*(\d{1,2})\s*分)?"
-    r"(?:\s*(\d{1,2})\s*秒)?)?\s*$"
+    r"(?:(午前|午後|上午|下午)?\s*(\d{1,2})\s*[時时点點](?:\s*(\d{1,2})\s*分)?"
+    r"(?:\s*(\d{1,2})\s*秒)?"
+    r"|(\d{1,2}):(\d{2})(?::(\d{2}))?)?\s*$"
 )
+_CJK_PM = {"午後", "下午"}
+_CJK_AM = {"午前", "上午"}
 
 
-def _parse_ja(s: str):
-    m = _JA_DATE_RE.match(s)
+def _parse_cjk(s: str):
+    m = _CJK_DATE_RE.match(s)
     if not m:
         return None
     yr, mo, day = int(m.group(1)), int(m.group(2)), int(m.group(3))
-    hour = int(m.group(5)) if m.group(5) else 0
-    if m.group(4) == "午後" and hour != 12:
-        hour += 12  # 午後3時 → 15:00
-    elif m.group(4) == "午前" and hour == 12:
-        hour = 0
+    if m.group(8) is not None:  # ASCII time tail: 2017年5月3日 15:30
+        hour, minute, second = int(m.group(8)), int(m.group(9)), int(m.group(10) or 0)
+    else:
+        hour = int(m.group(5)) if m.group(5) else 0
+        minute, second = int(m.group(6) or 0), int(m.group(7) or 0)
+        if m.group(4) in _CJK_PM and hour != 12:
+            hour += 12  # 午後3時 / 下午3时 → 15:00
+        elif m.group(4) in _CJK_AM and hour == 12:
+            hour = 0
     try:
-        return datetime(
-            yr, mo, day, hour, int(m.group(6) or 0), int(m.group(7) or 0)
-        )
+        return datetime(yr, mo, day, hour, minute, second)
     except ValueError:
         return None
+
+
+# Arabic month names (dateparser's ar locale): the Egyptian/Gulf
+# Gregorian transliterations, with common hamza-less spelling variants.
+_AR_MONTHS = [
+    ("يناير",),
+    ("فبراير",),
+    ("مارس",),
+    ("أبريل", "ابريل", "نيسان"),
+    ("مايو", "أيار", "ايار"),
+    ("يونيو", "حزيران"),
+    ("يوليو", "تموز"),
+    ("أغسطس", "اغسطس", "آب", "اب"),
+    ("سبتمبر", "أيلول", "ايلول"),
+    ("أكتوبر", "اكتوبر"),
+    ("نوفمبر",),
+    ("ديسمبر",),
+]
+# Levantine compound month names are two tokens — substitute them for
+# their single-token Egyptian equivalents before tokenization (the
+# single-token Levantine names شباط/آذار/نيسان/… sit in _AR_MONTHS)
+_AR_COMPOUND = {
+    "كانون الثاني": "يناير",
+    "شباط": "فبراير",
+    "آذار": "مارس",
+    "اذار": "مارس",
+    "تشرين الأول": "أكتوبر",
+    "تشرين الاول": "أكتوبر",
+    "تشرين الثاني": "نوفمبر",
+    "كانون الأول": "ديسمبر",
+    "كانون الاول": "ديسمبر",
+}
+# Eastern Arabic-Indic (U+0660-0669) and Extended/Persian (U+06F0-06F9)
+# digits → ASCII, exactly dateparser's digit normalization
+_AR_DIGITS = str.maketrans(
+    "٠١٢٣٤٥٦٧٨٩" "۰۱۲۳۴۵۶۷۸۹", "0123456789" "0123456789"
+)
+_MONTHS.update({m: i + 1 for i, names in enumerate(_AR_MONTHS) for m in names})
 
 _ORDINAL_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b", re.I)
 _TIME_RE = re.compile(
@@ -140,6 +196,8 @@ _FILLER = {
     "on", "at", "of", "in", "the", "year", "de", "del", "le", "el", "",
     # Russian date filler: "3 мая 2017 г." / "3 мая 2017 года"
     "г", "г.", "года", "год",
+    # Arabic date filler: "3 مايو 2017" variants with "في" (on/in) / "عام" (year)
+    "في", "عام", "سنة",
 } | _WEEKDAYS
 
 # fixed-offset timezone names (the unambiguous, dateparser-supported core);
@@ -286,16 +344,22 @@ def parse_datetime(
 
 
 def _parse_fuzzy(value: str, date_order: str = "MDY") -> datetime:
-    s = value.strip()
+    # Eastern Arabic-Indic digits normalize to ASCII before anything else
+    # (dateparser's digit normalization), so ٣ مايو ٢٠١٧ and the ASCII
+    # form share one path; Arabic comma becomes a separator like ','
+    s = value.translate(_AR_DIGITS).replace("،", " ").strip()
+    for compound, canon in _AR_COMPOUND.items():
+        if compound in s:
+            s = s.replace(compound, canon)
     # ISO fast path
     try:
         return datetime.fromisoformat(s)
     except ValueError:
         pass
 
-    ja = _parse_ja(s)
-    if ja is not None:
-        return ja
+    cjk = _parse_cjk(s)
+    if cjk is not None:
+        return cjk
 
     s, tzinfo = _extract_tz(s)
     if tzinfo is not None:

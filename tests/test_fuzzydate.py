@@ -216,9 +216,38 @@ def test_japanese_positional_dates():
         parse_datetime("2020年13月1日")
 
 
+def test_chinese_positional_dates():
+    """dateparser's zh locale surface (VERDICT r6 item 6): the shared
+    年/月/日 positional form with 上午/下午-qualified 时/点 times or an
+    ASCII hh:mm[:ss] tail, plus 一月..十二月 month names."""
+    assert parse_datetime("2017年5月3日").date().isoformat() == "2017-05-03"
+    assert parse_datetime("2017年5月3日 下午3时30分") == datetime(2017, 5, 3, 15, 30)
+    assert parse_datetime("2017年5月3日 上午12点") == datetime(2017, 5, 3, 0, 0)
+    assert parse_datetime("2017年5月3日 15:30") == datetime(2017, 5, 3, 15, 30)
+    assert parse_datetime("2017年5月3日 15:30:45") == datetime(2017, 5, 3, 15, 30, 45)
+    assert parse_datetime("3 一月 2017").date().isoformat() == "2017-01-03"
+    assert parse_datetime("十二月 2022").date().isoformat() == "2022-12-01"
+
+
+def test_arabic_month_names_and_digits():
+    """dateparser's ar locale surface (VERDICT r6 item 6): Egyptian/Gulf
+    Gregorian month names, Levantine names incl. the compound
+    كانون/تشرين forms, and Eastern Arabic-Indic digit normalization."""
+    assert parse_datetime("3 مايو 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("٣ مايو ٢٠١٧").date().isoformat() == "2017-05-03"
+    assert parse_datetime("1 كانون الثاني 1999").date().isoformat() == "1999-01-01"
+    assert parse_datetime("15 تشرين الأول 2020").date().isoformat() == "2020-10-15"
+    assert parse_datetime("3 أيار 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("٥ نيسان ٢٠١٨").date().isoformat() == "2018-04-05"
+    assert parse_datetime("10 ديسمبر 2009 5:45") == datetime(2009, 12, 10, 5, 45)
+    # hijri month names refuse rather than misparse as Gregorian
+    with pytest.raises(UnparseableDate):
+        parse_datetime("1 محرم 1440")
+
+
 def test_non_latin_unsupported_scripts_still_refuse():
-    """Scripts without a table (Arabic-Indic digits, Hebrew) stay
-    documented UnparseableDate divergences — never a silent misparse."""
-    for junk in ("٣ مايو ٢٠١٧", "3 במאי 2017"):
+    """Scripts without a table (Hebrew, Korean) stay documented
+    UnparseableDate divergences — never a silent misparse."""
+    for junk in ("3 במאי 2017", "2017년 5월 3일"):
         with pytest.raises(UnparseableDate):
             parse_datetime(junk)

@@ -823,6 +823,13 @@ def test_non_latin_dateparser_locales_identical(spark, tmp_path):
         "4,2017年5月3日\n"
         "5,2017年5月3日 午後3時30分\n"
         "6,1938年4月4日 午後10時\n"
+        "7,2017年5月3日 下午3时30分\n"
+        "8,2017年5月3日 15:30\n"
+        "9,3 一月 2017\n"
+        "10,3 مايو 2017\n"
+        "11,٣ مايو ٢٠١٧\n"
+        "12,1 كانون الثاني 1999\n"
+        "13,15 تشرين الأول 2020\n"
     )
     (tmp_path / "dates_intl.csv").write_text(csv, encoding="utf-8")
     run_reference(str(tmp_path), "dates_intl.csv", "ref.db", ["-dt", "when"])
@@ -841,3 +848,10 @@ def test_non_latin_dateparser_locales_identical(spark, tmp_path):
     assert rows[1] == "2017-05-03T00:00:00"
     assert rows[3] == "2009-12-10T05:45:00"
     assert rows[5] == "2017-05-03T15:30:00"
+    assert rows[7] == "2017-05-03T15:30:00"  # zh 下午3时30分
+    assert rows[8] == "2017-05-03T15:30:00"  # zh ASCII time tail
+    assert rows[9] == "2017-01-03T00:00:00"  # zh month name
+    assert rows[10] == "2017-05-03T00:00:00"  # ar month name
+    assert rows[11] == "2017-05-03T00:00:00"  # Eastern Arabic-Indic digits
+    assert rows[12] == "1999-01-01T00:00:00"  # Levantine compound month
+    assert rows[13] == "2020-10-15T00:00:00"  # تشرين الأول

@@ -45,6 +45,137 @@ def timed(name, fn):
     return result
 
 
+SF1_SHIFT = 10_000_000  # key-domain shift per copy (matches multiply())
+
+
+def generate_sf1(spark, out_dir: str, base_dir: str, n: int = 10) -> None:
+    """Materialize a deterministic sf1-class table set: an n× self-union
+    of ``base_dir`` (sf0.1 → ~6M-row lineitem, 50k docs, 1M events) with
+    JOIN-CONSISTENT key shifts — copy i shifts every key in a domain by
+    the same i·SF1_SHIFT, so orders⋈lineitem, orders⋈customer, and the
+    doc/vec id laws all hold exactly. Shared dims (region/nation/
+    supplier/part) are copied 1×: every copy's facts reference the same
+    dim rows, which is also the realistic shape. Pure column arithmetic
+    over the driver-generated tables — fully deterministic, no sampling."""
+    shifted_keys = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    copy_once = ["region", "nation", "supplier", "part"]
+    # events.parquet may be TIMESTAMP(NANOS); read raw as long and write
+    # the long back — streaming.windows._ts_from_nanos normalizes either
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(out_dir, exist_ok=True)
+    for t in copy_once:
+        spark.read.parquet(f"{base_dir}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    for t, keys in shifted_keys.items():
+        df = spark.read.parquet(f"{base_dir}/{t}.parquet")
+        out = df
+        for i in range(1, n):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SF1_SHIFT))
+            out = out.unionAll(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    print(f"generated {n}x of {base_dir} at {out_dir}", flush=True)
+
+
+def run_sf1() -> None:
+    """VERDICT_r06 item 3 — certification one decade past the test SFs:
+    run the 20 bench headliners at an sf1-class synthetic (6M-row
+    lineitem / 50k docs / 20k vectors / 1M events) and assert the exact
+    invariants (two-phase rank+cumsum id laws, cluster-count invariance,
+    copy-aware knn exactness). Wall-times print per query with the
+    sf0.1 same-session ratio so superlinear growth is visible (data is
+    10×; pair-family queries legitimately exceed 10× — see notes)."""
+    import bench as benchmod
+
+    import __spark_entry__ as entrymod
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    spark = get_spark("scale_stress_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    prep_session(spark)
+
+    if not os.path.exists(f"{out_dir}/_GENERATED"):
+        generate_sf1(spark, out_dir, base_dir, n=10)
+        with open(f"{out_dir}/_GENERATED", "w") as f:
+            f.write(base_dir)
+
+    qs = entrymod.queries()
+    print(f"== sf1 headliner sweep ({out_dir}) ==", flush=True)
+    ratios = {}
+    for name in benchmod.BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, base_dir).write.format("noop").mode("overwrite").save()
+        t_base = time.time() - t0
+        t0 = time.time()
+        qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        t_sf1 = time.time() - t0
+        ratios[name] = (t_base, t_sf1)
+        print(
+            f"{name}: sf0.1 {t_base:.2f}s → sf1 {t_sf1:.2f}s "
+            f"({t_sf1 / max(t_base, 1e-9):.1f}x)",
+            flush=True,
+        )
+    t0 = time.time()
+    t_ing = benchmod.bench_ingest_sqlite(spark, out_dir)
+    print(f"ingest_sqlite: sf1 {t_ing:.2f}s (fixture prep excluded)", flush=True)
+
+    # --- invariants at sf1 (same laws as the N× mode, n=10) ---
+    d1 = spark.read.parquet(f"{base_dir}/documents.parquet").localCheckpoint()
+    dn = spark.read.parquet(f"{out_dir}/documents.parquet").localCheckpoint()
+    from csvs_to_sqlite_spark.operators import dedup
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum, global_rank
+
+    base_rows = d1.select("doc_id", F.length("text").cast("long").alias("w"))
+    big_rows = dn.select("doc_id", F.length("text").cast("long").alias("w"))
+    r1 = {r["doc_id"]: r["rnk"] for r in global_rank(base_rows, ["doc_id"], "rnk").collect()}
+    t0 = time.time()
+    rn = {r["doc_id"]: r["rnk"] for r in global_rank(big_rows, ["doc_id"], "rnk").collect()}
+    n1 = len(r1)
+    for did, rk in rn.items():
+        copy, orig = divmod(did, SF1_SHIFT)
+        assert rk == r1[orig] + copy * n1, f"global_rank law broke at {did}"
+    print(f"global_rank sf1: {len(rn)} ids exact, {time.time()-t0:.1f}s", flush=True)
+
+    c1 = {r["doc_id"]: r["c"] for r in global_cumsum(base_rows, ["doc_id"], "w", "c").collect()}
+    t0 = time.time()
+    cn = {r["doc_id"]: r["c"] for r in global_cumsum(big_rows, ["doc_id"], "w", "c").collect()}
+    total1 = max(c1.values())
+    for did, cv in cn.items():
+        copy, orig = divmod(did, SF1_SHIFT)
+        assert cv == c1[orig] + copy * total1, f"global_cumsum law broke at {did}"
+    print(f"global_cumsum sf1: {len(cn)} prefix sums exact, {time.time()-t0:.1f}s", flush=True)
+
+    pairs1 = dedup.minhash_lsh_pairs(d1, "text", "doc_id")
+    cl1 = dedup.dedup_clusters(d1, pairs1, "doc_id").select("cluster_id").distinct().count()
+    t0 = time.time()
+    pairsn = dedup.minhash_lsh_pairs(dn, "text", "doc_id")
+    cln = dedup.dedup_clusters(dn, pairsn, "doc_id").select("cluster_id").distinct().count()
+    print(f"dedup_clusters sf1: {cln} clusters, {time.time()-t0:.1f}s", flush=True)
+    assert cl1 == cln, f"cluster count not scale-invariant: {cl1} vs {cln}"
+
+    # knn over a corpus where every vector has 10 exact copies: every
+    # query's entire top-5 must be cos≈1 matches (id exactness: the
+    # copies of the query vector itself are the nearest neighbors)
+    t0 = time.time()
+    knn = qs["knn_bruteforce"](spark, out_dir).collect()
+    worst = min(r["cos_sim"] for r in knn)
+    print(f"knn sf1: {len(knn)} rows, min top-5 cos {worst}, {time.time()-t0:.1f}s", flush=True)
+    assert worst >= 0.999999, f"exact-copy neighbors missing: min cos {worst}"
+
+    total_sf1 = sum(t for _, t in ratios.values()) + t_ing
+    print(f"sf1 sweep total: {total_sf1:.1f}s — ALL SF1 INVARIANTS HELD", flush=True)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -629,4 +760,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf1" in sys.argv:
+        run_sf1()
+    else:
+        main()
