@@ -122,17 +122,21 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def _read_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-source stream over one parquet file: the file source wants a
-    directory, so stream the parent dir with a glob filter."""
+    """File-source stream over the events table. ``events_path`` may be
+    a single parquet FILE (the driver-generated testdata shape — the
+    file source wants a directory, so stream the parent with a glob
+    filter) or a DIRECTORY of part files (any Spark-written table, e.g.
+    the sf1 stress set — streamed directly; a glob on the directory
+    name would match zero part files and silently emit an empty stream,
+    the bug the sf1 certification caught)."""
     import os
 
-    d = os.path.dirname(events_path)
-    fname = os.path.basename(events_path)
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", fname)
-        .parquet(d)
-    )
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isdir(events_path):
+        raw = reader.parquet(events_path)
+    else:
+        d = os.path.dirname(events_path)
+        raw = reader.option("pathGlobFilter", os.path.basename(events_path)).parquet(d)
     return _ts_from_nanos(raw)
 
 

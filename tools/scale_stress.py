@@ -110,6 +110,14 @@ def run_sf1() -> None:
             f.write(base_dir)
 
     qs = entrymod.queries()
+    # JIT warm-up (bench.py's protocol): without it the sf0.1 baseline
+    # pass absorbs classloading/codegen and the ratios understate growth
+    warm = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm):
+        warm = base_dir
+    for name in benchmod.BENCH_QUERIES:
+        qs[name](spark, warm).write.format("noop").mode("overwrite").save()
+
     print(f"== sf1 headliner sweep ({out_dir}) ==", flush=True)
     ratios = {}
     for name in benchmod.BENCH_QUERIES:
@@ -162,6 +170,34 @@ def run_sf1() -> None:
     cln = dedup.dedup_clusters(dn, pairsn, "doc_id").select("cluster_id").distinct().count()
     print(f"dedup_clusters sf1: {cln} clusters, {time.time()-t0:.1f}s", flush=True)
     assert cl1 == cln, f"cluster count not scale-invariant: {cl1} vs {cln}"
+
+    # streaming over the sf1 events DIRECTORY: same 3600 windows, every
+    # count exactly 10x its sf0.1 value, sessions exactly 10x (user-id
+    # copies are disjoint). Regression for the pathGlobFilter bug this
+    # sweep's first run caught: streaming the parent dir with a glob of
+    # the table name matches zero part files when the table is a
+    # directory — the stream silently emitted 0 rows while every batch
+    # query was correct.
+    t0 = time.time()
+    w1 = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in qs["windowed_event_counts"](spark, base_dir).collect()
+    }
+    wn = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in qs["windowed_event_counts"](spark, out_dir).collect()
+    }
+    assert len(wn) == len(w1) and len(wn) > 0, (len(w1), len(wn))
+    for k, v in wn.items():
+        assert v == 10 * w1[k], f"windowed count law broke at {k}: {v} != 10*{w1[k]}"
+    s1 = qs["sessionize_events"](spark, base_dir).count()
+    sn = qs["sessionize_events"](spark, out_dir).count()
+    assert sn == 10 * s1, f"session count law broke: {sn} != 10*{s1}"
+    print(
+        f"streaming sf1: {len(wn)} windows exactly 10x, {sn} sessions = 10x, "
+        f"{time.time()-t0:.1f}s",
+        flush=True,
+    )
 
     # knn over a corpus where every vector has 10 exact copies: every
     # query's entire top-5 must be cos≈1 matches (id exactness: the
