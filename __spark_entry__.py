@@ -2055,6 +2055,42 @@ FROM bands a JOIN bands b
     )
 
 
+def q_edit_distance_verify(spark, sf_dir):
+    """Exact character-level verification tier over the LSH candidate
+    set (dedup.edit_distance_verify): per candidate pair, Levenshtein
+    distance + normalized similarity. Completes the dedup verification
+    story — minhash_calibration checks signature-vs-set-Jaccard, this
+    checks the sets against the CHARACTERS."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.edit_distance_verify(d, "text", "doc_id")
+
+
+def _sql_edit_distance_verify() -> str:
+    sim = qmath.sql_qdiv_count("((mx - lev) * 1000000)", "mx", 1, 6)
+    return (
+        "WITH sig AS (\n"
+        + _sql_minhash_sig()
+        + "\n), bands AS (\n"
+        + _sql_minhash_band_rows()
+        + """
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         greatest(CAST(greatest(len(da.text), len(db.text)) AS BIGINT), 1) AS mx
+  FROM pairs p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+)
+"""
+        + f"SELECT id_a, id_b, lev AS edit_distance, {sim} AS char_sim FROM scored"
+    )
+
+
 def q_minhash_calibration(spark, sf_dir):
     """MinHash estimator calibration (dedup.minhash_calibration): per
     LSH candidate pair, signature-match count vs exact shingle
@@ -6564,6 +6600,40 @@ FROM s GROUP BY shard
 """
 
 
+def q_shard_balance(spark, sf_dir):
+    """Per-shard composition audit (splits.shard_balance_audit): total
+    variation distance of each shard's source distribution vs the
+    corpus's, as one exact integer rational per shard — the
+    pre-training-run check that no shard starves the loader of a
+    source. Fact table never joins; rollups are (shards × sources)."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return splits.shard_balance_audit(d, "doc_id", "source", n_shards=8)
+
+
+def _sql_shard_balance() -> str:
+    tvd = qmath.sql_qdiv_count("(dev * 1000000)", "(n_rows * n_total * 2)", 1, 6)
+    return f"""
+WITH keyed AS (SELECT {splits.shard_assignment_sql('doc_id', 8)} AS shard, source AS g
+               FROM documents),
+sg AS (SELECT shard, g, count(*) AS o FROM keyed GROUP BY shard, g),
+corpus AS (SELECT g, count(*) AS c FROM keyed GROUP BY g),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM corpus),
+sizes AS (SELECT shard, CAST(sum(o) AS BIGINT) AS n_rows FROM sg GROUP BY shard),
+dev AS (
+  SELECT sg.shard,
+         max(sizes.n_rows) AS n_rows,
+         max(total.n_total) AS n_total,
+         CAST(sum(abs(sg.o * total.n_total - corpus.c * sizes.n_rows)) AS BIGINT) AS dev
+  FROM sg
+  JOIN sizes ON sg.shard = sizes.shard
+  JOIN corpus ON sg.g = corpus.g
+  CROSS JOIN total
+  GROUP BY sg.shard)
+SELECT shard, n_rows, {tvd} AS tvd FROM dev
+"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-source unigram diversity (terms.corpus_stats): token/type
     counts, type-token ratio, unigram entropy. Two map-side-combined
@@ -8517,6 +8587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ensemble": q_dedup_ensemble,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "edit_distance_verify": q_edit_distance_verify,
         "minhash_calibration": q_minhash_calibration,
         "minhash_threshold_curve": q_minhash_threshold_curve,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -8571,6 +8642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk_per_source": q_quality_topk_per_source,
         "chunk_dedup": q_chunk_dedup,
         "shard_manifest": q_shard_manifest,
+        "shard_balance": q_shard_balance,
         "corpus_stats": q_corpus_stats,
         "streaming_interval_join": q_streaming_interval_join,
         "table_profile": q_table_profile,
@@ -8724,6 +8796,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ensemble": _sql_dedup_ensemble(),
         "minhash_signatures": _sql_minhash_sig(),
         "minhash_lsh_pairs": _sql_minhash_pairs(),
+        "edit_distance_verify": _sql_edit_distance_verify(),
         "minhash_calibration": _sql_minhash_calibration(),
         "minhash_threshold_curve": _sql_minhash_threshold_curve(),
         "simhash_fingerprints": _sql_simhash(),
@@ -8778,6 +8851,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk_per_source": _sql_quality_topk(),
         "chunk_dedup": SQL_CHUNK_DEDUP,
         "shard_manifest": SQL_SHARD_MANIFEST,
+        "shard_balance": _sql_shard_balance(),
         "corpus_stats": SQL_CORPUS_STATS,
         "streaming_interval_join": SQL_STREAM_INTERVAL_JOIN,
         "table_profile": _sql_table_profile(),

@@ -194,6 +194,66 @@ def shard_manifest(
     )
 
 
+def shard_balance_audit(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_shards: int,
+    seed: str = "shard",
+) -> DataFrame:
+    """Per-shard composition audit for a deterministic sharded export:
+    does each shard's ``group_col`` (source/lang/…) distribution match
+    the corpus distribution? A skewed shard starves the data loader of
+    a source for whole training windows, which shows up as loss spikes —
+    this is the check a pipeline runs before shipping shards.
+
+    Returns (shard, n_rows, tvd): the total variation distance between
+    the shard's group distribution and the corpus's, as ONE exact
+    integer rational per shard — TVD = Σ_g |o_sg·N − c_g·n_s| over
+    (2·n_s·N) — pushed through qmath half-up at 6 dp, so the value is
+    bit-identical across engines and partitionings.
+
+    Scale: one (shard, group) count aggregate over the corpus (map-side
+    combined, ≤ n_shards·|groups| rows), one |groups|-sized corpus
+    rollup broadcast back, per-shard fold. The fact table never joins."""
+    from csvs_to_sqlite_spark.functions.qmath import qdiv_count
+
+    keyed = df.select(
+        shard_assignment(F.col(id_col), n_shards, seed).alias("shard"),
+        F.col(group_col).alias("g"),
+    )
+    sg = keyed.groupBy("shard", "g").agg(F.count("*").alias("o"))
+    corpus = keyed.groupBy("g").agg(F.count("*").alias("c"))
+    total = corpus.agg(F.sum("c").alias("n_total"))
+    # the fold needs n_s inside the |…| term, so two stages over the tiny
+    # (shard, group) rollup: shard sizes, then the deviation sum — every
+    # term an exact long, abs-diff sums order-free
+    sizes = sg.groupBy("shard").agg(F.sum("o").alias("n_rows"))
+    dev = (
+        sg.join(F.broadcast(sizes), "shard")
+        .join(F.broadcast(corpus), "g")
+        .crossJoin(F.broadcast(total))
+        .groupBy("shard")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_total").alias("n_total"),
+            F.sum(
+                F.abs(F.col("o") * F.col("n_total") - F.col("c") * F.col("n_rows"))
+            ).alias("dev"),
+        )
+    )
+    return dev.select(
+        "shard",
+        "n_rows",
+        qdiv_count(
+            F.col("dev") * F.lit(1_000_000),
+            F.col("n_rows") * F.col("n_total") * 2,
+            1,
+            6,
+        ).alias("tvd"),
+    )
+
+
 def global_shuffle(df: DataFrame, id_col: str, seed: str = "shuffle") -> DataFrame:
     """Deterministic global training order: (id, shuffle_rank) where rank
     is the row's 1-based position when the corpus is ordered by a salted

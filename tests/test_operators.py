@@ -1702,3 +1702,75 @@ def test_codec_hook_carries_real_jpeg_decoder(spark):
     import hashlib
 
     assert r["payload_sha"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_edit_distance_verify_hand_computed(spark):
+    """kitten→sitting = 3 edits; char_sim = half_up((7-3)/7, 6dp) =
+    0.571429; identical docs give 0 edits / sim 1.0; the explicit-pairs
+    path skips the LSH stage entirely."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_distance"], r["char_sim"])
+        for r in edit_distance_verify(docs, "text", "doc_id", pairs=pairs).collect()
+    }
+    assert got[(1, 2)] == (3, 0.571429)
+    assert got[(1, 3)] == (0, 1.0)
+
+
+def test_shard_balance_audit_hand_computed(spark):
+    """A single-source corpus is perfectly balanced (tvd 0.0 in every
+    shard); a hand-built 2-group corpus matches the exact TVD rational
+    computed by a Python model over the same md5 shard assignment."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.functions.qmath import py_half_up
+    from csvs_to_sqlite_spark.operators.splits import (
+        shard_balance_audit,
+        shard_assignment,
+    )
+
+    one = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("s0").alias("source")
+    )
+    for r in shard_balance_audit(one, "doc_id", "source", n_shards=4).collect():
+        assert r["tvd"] == 0.0, r
+
+    two = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("source"),
+    )
+    # python model over the same deterministic shard assignment
+    shards = {
+        r["doc_id"]: r["s"]
+        for r in two.select(
+            "doc_id", shard_assignment(F.col("doc_id"), 4).alias("s")
+        ).collect()
+    }
+    rows = [(i, "a" if i % 3 == 0 else "b") for i in range(200)]
+    from collections import Counter
+
+    corpus = Counter(g for _, g in rows)
+    N = len(rows)
+    per = {}
+    for i, g in rows:
+        per.setdefault(shards[i], Counter())[g] += 1
+    want = {}
+    for s, cnt in per.items():
+        n_s = sum(cnt.values())
+        dev = sum(abs(cnt.get(g, 0) * N - corpus[g] * n_s) for g in corpus)
+        want[s] = (n_s, py_half_up(dev * 1_000_000, 2 * n_s * N) / 1e6)
+    got = {
+        r["shard"]: (r["n_rows"], r["tvd"])
+        for r in shard_balance_audit(two, "doc_id", "source", n_shards=4).collect()
+    }
+    assert got == want
