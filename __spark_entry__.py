@@ -6612,7 +6612,14 @@ def q_shard_balance(spark, sf_dir):
 
 
 def _sql_shard_balance() -> str:
-    tvd = qmath.sql_qdiv_count("(dev * 1000000)", "(n_rows * n_total * 2)", 1, 6)
+    # absent groups deviate by c_g·n_s each: dev folds present groups,
+    # (n_total − c_present)·n_rows adds the rest (mirrors the Spark fold)
+    tvd = qmath.sql_qdiv_count(
+        "((dev + (n_total - c_present) * n_rows) * 1000000)",
+        "(n_rows * n_total * 2)",
+        1,
+        6,
+    )
     return f"""
 WITH keyed AS (SELECT {splits.shard_assignment_sql('doc_id', 8)} AS shard, source AS g
                FROM documents),
@@ -6624,7 +6631,8 @@ dev AS (
   SELECT sg.shard,
          max(sizes.n_rows) AS n_rows,
          max(total.n_total) AS n_total,
-         CAST(sum(abs(sg.o * total.n_total - corpus.c * sizes.n_rows)) AS BIGINT) AS dev
+         CAST(sum(abs(sg.o * total.n_total - corpus.c * sizes.n_rows)) AS BIGINT) AS dev,
+         CAST(sum(corpus.c) AS BIGINT) AS c_present
   FROM sg
   JOIN sizes ON sg.shard = sizes.shard
   JOIN corpus ON sg.g = corpus.g

@@ -240,13 +240,22 @@ def shard_balance_audit(
             F.sum(
                 F.abs(F.col("o") * F.col("n_total") - F.col("c") * F.col("n_rows"))
             ).alias("dev"),
+            # groups ABSENT from the shard still deviate by c_g·n_s each;
+            # the inner join only folds present groups, so add
+            # (N − Σ_present c)·n_s — without it a shard missing a group
+            # under-reports (property test vs the Python model caught it)
+            F.sum("c").alias("c_present"),
         )
     )
     return dev.select(
         "shard",
         "n_rows",
         qdiv_count(
-            F.col("dev") * F.lit(1_000_000),
+            (
+                F.col("dev")
+                + (F.col("n_total") - F.col("c_present")) * F.col("n_rows")
+            )
+            * F.lit(1_000_000),
             F.col("n_rows") * F.col("n_total") * 2,
             1,
             6,
