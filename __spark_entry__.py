@@ -4956,6 +4956,42 @@ FROM toks t LEFT JOIN enc e USING (doc_id)
 """
 
 
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer coverage by source (terms.oov_rate_by_group): per
+    source, the exact OOV share of the token stream against the corpus
+    top-100 vocabulary — the audit a pipeline reads next to fertility
+    to find under-served slices. Scan-stage map-literal membership (no
+    joins on the corpus) + one source-keyed aggregate."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    vocab = terms.build_vocab(d, "text", top_k=VOCAB_TOP_K)
+    return terms.oov_rate_by_group(d, "text", "source", vocab)
+
+
+def _sql_oov_rate() -> str:
+    toks = tokens_sql("text", distinct=False)
+    rate = qmath.sql_qdiv_count(
+        "(n_oov * 1000000)", "greatest(n_tokens, 1)", 1, 6
+    )
+    return f"""
+WITH toks AS (SELECT source, {toks} AS tk FROM documents),
+counts AS (SELECT t AS token, count(*) AS cnt FROM (
+             SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+vocab AS (SELECT token FROM counts ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_K}),
+pos AS (SELECT source, unnest(tk) AS token FROM toks),
+agg AS (SELECT pos.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM pos LEFT JOIN vocab v USING (token) GROUP BY pos.source),
+docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+joined AS (SELECT d.source, d.n_docs,
+                  coalesce(a.n_tokens, 0) AS n_tokens,
+                  coalesce(a.n_oov, 0) AS n_oov
+           FROM docs d LEFT JOIN agg a USING (source))
+SELECT source, n_docs, n_tokens, n_oov, {rate} AS oov_rate FROM joined
+"""
+
+
 def q_vocab_update(spark, sf_dir):
     """Incremental vocabulary growth (terms.update_vocab): vocab built
     on 3/4 of the corpus, then grown with the held-out quarter — old
@@ -8697,6 +8733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "dedup_priority": q_dedup_priority,
         "vocab_encode": q_vocab_encode,
+        "oov_rate": q_oov_rate,
         "vocab_update": q_vocab_update,
         "token_budget_cap": q_token_budget_cap,
         "derived_column_conformance": q_derived_column_conformance,
@@ -8919,6 +8956,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _sql_text_normalize(),
         "dedup_priority": _sql_dedup_priority(),
         "vocab_encode": _sql_vocab_encode(),
+        "oov_rate": _sql_oov_rate(),
         "vocab_update": _sql_vocab_update(),
         "token_budget_cap": splits.token_budget_cap_sql(
             "text", "doc_id", "source", TOKEN_BUDGET

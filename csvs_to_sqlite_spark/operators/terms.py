@@ -386,6 +386,22 @@ def build_vocab(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
     ).select("token", "cnt", "tok_id")
 
 
+def _vocab_map_literal(vocab: DataFrame):
+    """Collect a (top-k small BY CONSTRUCTION) vocabulary into one
+    token→id map literal — same driver-collect class as the dim maps."""
+    rows = sorted(
+        vocab.select("token", "tok_id").collect(), key=lambda r: r["tok_id"]
+    )
+    if rows:
+        return F.map_from_arrays(
+            F.array(*[F.lit(r["token"]) for r in rows]),
+            F.array(*[F.lit(int(r["tok_id"])).cast("long") for r in rows]),
+        )
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<bigint>")
+    )
+
+
 def encode_docs(
     df: DataFrame, text_col: str, id_col: str, vocab: DataFrame
 ) -> DataFrame:
@@ -395,18 +411,7 @@ def encode_docs(
     the dim maps) and shipped as one map literal, so encoding is pure
     scan-stage array math: zero joins, zero shuffles, zero Python in
     the hot path. Returns (id, ids, n_tokens)."""
-    rows = sorted(
-        vocab.select("token", "tok_id").collect(), key=lambda r: r["tok_id"]
-    )
-    if rows:
-        mapping = F.map_from_arrays(
-            F.array(*[F.lit(r["token"]) for r in rows]),
-            F.array(*[F.lit(int(r["tok_id"])).cast("long") for r in rows]),
-        )
-    else:
-        mapping = F.map_from_arrays(
-            F.array().cast("array<string>"), F.array().cast("array<bigint>")
-        )
+    mapping = _vocab_map_literal(vocab)
     toks = tokens_expr(F.col(text_col), distinct=False)
     projected = df.select(F.col(id_col), toks.alias("__toks__"))
     ids = F.transform(
@@ -417,6 +422,50 @@ def encode_docs(
         id_col,
         ids.alias("ids"),
         F.size("__toks__").cast("long").alias("n_tokens"),
+    )
+
+
+def oov_rate_by_group(
+    df: DataFrame, text_col: str, group_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Tokenizer coverage audit: per ``group_col`` (source/lang), how
+    much of the token stream falls outside the vocabulary — the number
+    a multilingual pipeline reads next to fertility to find the
+    groups a tokenizer under-serves (high OOV → degenerate encodings).
+
+    Plan shape: vocabulary membership is a scan-stage map-literal probe
+    over the token array (zero joins, the corpus never explodes); ONE
+    group-keyed aggregate; oov_rate is an exact integer rational
+    (qmath, 6 dp). Returns (group, n_docs, n_tokens, n_oov, oov_rate)."""
+    from csvs_to_sqlite_spark.functions.qmath import qdiv_count
+
+    mapping = _vocab_map_literal(vocab)
+    toks = tokens_expr(F.col(text_col), distinct=False)
+    proj = df.select(
+        F.col(group_col),
+        F.size(toks).cast("long").alias("__n__"),
+        F.size(
+            F.filter(toks, lambda t: F.element_at(mapping, t).isNull())
+        )
+        .cast("long")
+        .alias("__oov__"),
+    )
+    g = proj.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n__").alias("n_tokens"),
+        F.sum("__oov__").alias("n_oov"),
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_oov",
+        qdiv_count(
+            F.col("n_oov") * F.lit(1_000_000),
+            F.greatest(F.col("n_tokens"), F.lit(1)),
+            1,
+            6,
+        ).alias("oov_rate"),
     )
 
 

@@ -430,3 +430,29 @@ def test_bpe_regex_whitespace_class_matches_duckdb_on_vertical_tab(spark):
     con.execute("INSERT INTO documents VALUES (1, ?)", [text])
     want = con.execute(entry.SQL_BPE).fetchone()[1]
     assert got == want == 7  # a, b, !, c, d, e, 42 — \x0b is whitespace in both engines
+
+
+def test_oov_rate_by_group_hand_computed(spark):
+    """Vocabulary = {aa, bb}: group g1 is fully covered (rate 0.0),
+    g2 is half OOV (half_up(2/4) at 6dp = 0.5), empty-text docs count
+    docs but no tokens."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.terms import build_vocab, oov_rate_by_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa", "g1"),
+            (2, "aa bb", "g1"),
+            (3, "aa zz bb yy", "g2"),
+            (4, "", "g2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = build_vocab(docs.where("doc_id <= 2"), "text", top_k=10)
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate_by_group(docs, "text", "source", vocab).collect()
+    }
+    assert got["g1"] == (2, 5, 0, 0.0)
+    assert got["g2"] == (2, 4, 2, 0.5)
