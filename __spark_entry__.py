@@ -2091,6 +2091,55 @@ def _sql_edit_distance_verify() -> str:
     )
 
 
+DEDUP_PRECISION_SIM = 0.8  # char_sim at/above which a candidate is a true near-dup
+
+
+def q_dedup_index_precision(spark, sf_dir):
+    """Index-precision report for the MinHash/LSH dedup tier: of the
+    candidate pairs the index surfaces, how many survive exact
+    character-level verification (char_sim ≥ 0.8)? The one-row summary
+    a pipeline reads before trusting the index's candidates for
+    DESTRUCTIVE dedup — calibration checks the estimator, this checks
+    the DECISION. Candidate-bounded; one aggregate over the verify
+    tier."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    v = dedup.edit_distance_verify(d, "text", "doc_id")
+    return v.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum((F.col("char_sim") >= DEDUP_PRECISION_SIM).cast("long")).alias(
+            "n_verified"
+        ),
+        qmath.qdiv_count(
+            F.sum((F.col("char_sim") >= DEDUP_PRECISION_SIM).cast("long"))
+            * F.lit(1_000_000),
+            F.greatest(F.count("*").cast("long"), F.lit(1)),
+            1,
+            6,
+        ).alias("precision"),
+    )
+
+
+def _sql_dedup_index_precision() -> str:
+    rate = qmath.sql_qdiv_count(
+        "(n_verified * 1000000)", "greatest(n_candidates, 1)", 1, 6
+    )
+    # MATERIALIZED is load-bearing (NOTES.md bpe_merges lesson):
+    # non-materialized CTEs inline in DuckDB and re-evaluate the whole
+    # minhash/levenshtein chain per reference
+    return (
+        "WITH verify AS MATERIALIZED (\n"
+        + _sql_edit_distance_verify()
+        + f"""
+)
+SELECT n_candidates, n_verified, {rate} AS precision FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN char_sim >= {DEDUP_PRECISION_SIM} THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+  FROM verify)
+"""
+    )
+
+
 def q_minhash_calibration(spark, sf_dir):
     """MinHash estimator calibration (dedup.minhash_calibration): per
     LSH candidate pair, signature-match count vs exact shingle
@@ -3637,6 +3686,56 @@ def _sql_langid() -> str:
         + ", ".join(score_cols)
         + " FROM documents)\n"
         + f"SELECT doc_id, lang, {expr} AS predicted_lang FROM scored"
+    )
+
+
+def q_mixed_language(spark, sf_dir):
+    """Mixed-language document detector: language-ID each HALF of the
+    document (1-based char split, identical in both engines) and flag
+    disagreement — the doc-level screen for embedded-translation /
+    boilerplate-switch documents that a whole-doc langid averages away.
+    Scan-stage marker argmax twice; no joins, no shuffle beyond the
+    projection."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    half = F.floor(F.length(t) / 2).cast("int")
+    left = F.substring(t, 1, half)
+    right = t.substr(half + 1, F.length(t))
+    return d.select(
+        "doc_id",
+        text.lang_id(left).alias("lang_left"),
+        text.lang_id(right).alias("lang_right"),
+        (text.lang_id(left) != text.lang_id(right)).alias("is_mixed"),
+    )
+
+
+def _sql_mixed_language() -> str:
+    from csvs_to_sqlite_spark.functions.hashing import tokens_sql
+
+    def argmax(prefix: str) -> str:
+        expr, best = "'und'", "0"
+        for lang in text.LANG_MARKERS:
+            expr = f"CASE WHEN {prefix}_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+            best = f"greatest({best}, {prefix}_{lang})"
+        return expr
+
+    cols = []
+    for side, src in (("l", "lhalf"), ("r", "rhalf")):
+        toks = tokens_sql(src, distinct=False)
+        for lang, markers in text.LANG_MARKERS.items():
+            m = "', '".join(markers)
+            cols.append(
+                f"len(list_filter({toks}, t -> t IN ('{m}'))) AS {side}_{lang}"
+            )
+    return (
+        "WITH halves AS (SELECT doc_id,"
+        " substr(text, 1, CAST(floor(len(text) / 2) AS INT)) AS lhalf,"
+        " substr(text, CAST(floor(len(text) / 2) AS INT) + 1) AS rhalf"
+        " FROM documents),\n"
+        "scored AS (SELECT doc_id, " + ", ".join(cols) + " FROM halves)\n"
+        + f"SELECT doc_id, {argmax('l')} AS lang_left, {argmax('r')} AS lang_right, "
+        + f"({argmax('l')} <> {argmax('r')}) AS is_mixed FROM scored"
     )
 
 
@@ -8632,6 +8731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "edit_distance_verify": q_edit_distance_verify,
+        "dedup_index_precision": q_dedup_index_precision,
         "minhash_calibration": q_minhash_calibration,
         "minhash_threshold_curve": q_minhash_threshold_curve,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -8657,6 +8757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "mixed_language": q_mixed_language,
         "text_fingerprints": q_text_fingerprints,
         "asof_join": q_asof_join,
         "pivot_status": q_pivot_status,
@@ -8842,6 +8943,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_sig(),
         "minhash_lsh_pairs": _sql_minhash_pairs(),
         "edit_distance_verify": _sql_edit_distance_verify(),
+        "dedup_index_precision": _sql_dedup_index_precision(),
         "minhash_calibration": _sql_minhash_calibration(),
         "minhash_threshold_curve": _sql_minhash_threshold_curve(),
         "simhash_fingerprints": _sql_simhash(),
@@ -8867,6 +8969,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": SQL_TOKEN_STATS,
         "text_quality": SQL_QUALITY,
         "text_langid": _sql_langid(),
+        "mixed_language": _sql_mixed_language(),
         "text_fingerprints": SQL_FINGERPRINT,
         "asof_join": SQL_ASOF,
         "pivot_status": SQL_PIVOT,

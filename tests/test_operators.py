@@ -1774,3 +1774,26 @@ def test_shard_balance_audit_hand_computed(spark):
         for r in shard_balance_audit(two, "doc_id", "source", n_shards=4).collect()
     }
     assert got == want
+
+
+def test_mixed_language_detects_half_switch(spark):
+    """A doc whose first half is English markers and second half is
+    German markers flags is_mixed; monolingual docs don't."""
+    import __spark_entry__ as entry
+    from csvs_to_sqlite_spark.session import prep_session
+
+    en = "the and for with this that from "  # en markers
+    de = "der die das und ist nicht mit "    # de markers
+    docs = spark.createDataFrame(
+        [(1, en * 4 + de * 4), (2, en * 8)],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="mixed_lang_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["lang_left"], r["lang_right"], r["is_mixed"])
+        for r in entry.q_mixed_language(spark, d).collect()
+    }
+    assert got[1][2] is True and got[1][0] == "en" and got[1][1] == "de"
+    assert got[2] == ("en", "en", False)
