@@ -1929,6 +1929,49 @@ WHERE (CAST((CASE WHEN ((i * 1000000)) < 0 THEN -CAST(round(((abs((i * 1000000))
 )
 
 
+def q_dedup_index_recall(spark, sf_dir):
+    """Recall companion to dedup_index_precision: of the TRUE near-dup
+    pairs (exact shingle Jaccard ≥ 0.8, the ground truth the inverted
+    index computes), what fraction does the MinHash/LSH candidate set
+    surface? One-row (n_truth, n_hit, recall) — together the two
+    reports bound the index's decision quality from both sides, the
+    text-dedup analog of ann_recall_eval. Truth and candidates are both
+    index-bounded (inverted-index join / banded equi-join — no
+    all-pairs anywhere); the final fold is one pair-keyed left join over
+    the threshold-bounded truth set."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    cand = dedup.minhash_lsh_pairs(d, "text", "doc_id").withColumn(
+        "__c__", F.lit(1).cast("long")
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("__c__"), F.lit(0))).alias("n_hit"),
+        qmath.qdiv_count(
+            F.sum(F.coalesce(F.col("__c__"), F.lit(0))) * F.lit(1_000_000),
+            F.greatest(F.count("*").cast("long"), F.lit(1)),
+            1,
+            6,
+        ).alias("recall"),
+    )
+
+
+def _sql_dedup_index_recall() -> str:
+    rate = qmath.sql_qdiv_count("(n_hit * 1000000)", "greatest(n_truth, 1)", 1, 6)
+    return f"""
+WITH truth AS MATERIALIZED (SELECT id_a, id_b FROM ({SQL_JACCARD})),
+cand AS MATERIALIZED ({_sql_minhash_pairs()})
+SELECT n_truth, n_hit, {rate} AS recall FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+"""
+
+
 def q_dedup_ensemble(spark, sf_dir):
     """Near-dup method consensus: one row per candidate pair flagged by
     ANY of the four dedup families (exact md5, MinHash-LSH bands,
@@ -8732,6 +8775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "edit_distance_verify": q_edit_distance_verify,
         "dedup_index_precision": q_dedup_index_precision,
+        "dedup_index_recall": q_dedup_index_recall,
         "minhash_calibration": q_minhash_calibration,
         "minhash_threshold_curve": q_minhash_threshold_curve,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -8944,6 +8988,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sql_minhash_pairs(),
         "edit_distance_verify": _sql_edit_distance_verify(),
         "dedup_index_precision": _sql_dedup_index_precision(),
+        "dedup_index_recall": _sql_dedup_index_recall(),
         "minhash_calibration": _sql_minhash_calibration(),
         "minhash_threshold_curve": _sql_minhash_threshold_curve(),
         "simhash_fingerprints": _sql_simhash(),
