@@ -2550,6 +2550,93 @@ WHERE rnk <= 5
     )
 
 
+def q_ivf_rebalance(spark, sf_dir):
+    """IVF hot-list maintenance plan (similarity.ivf_rebalance_plan):
+    cells above the mean list size get a deterministic kd-style split
+    prescription — max-exact-variance dimension + type-1 median in
+    EMB_Q integer units. The plan a maintenance job applies without
+    retraining the coarse quantizer (FAISS 'split big lists')."""
+    prep_session(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_rebalance_plan(
+        emb, n_centroids=IVF_CENTROIDS, kmeans_iters=IVF_KMEANS_ITERS
+    )
+
+
+def _sql_ivf_rebalance() -> str:
+    from csvs_to_sqlite_spark.operators.similarity import EMB_Q
+
+    parts = _sql_kmeans_parts(IVF_CENTROIDS, IVF_KMEANS_ITERS)
+    final = f"cents{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""corpus AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN {final} c)
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        "sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM corpus GROUP BY cell)"
+    )
+    parts.append(
+        "total AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total FROM sizes)"
+    )
+    parts.append(
+        f"""hot AS (SELECT cell, n_vectors FROM sizes CROSS JOIN total
+  WHERE n_vectors * {IVF_CENTROIDS} > n_total)"""
+    )
+    parts.append(
+        f"""expl AS MATERIALIZED (
+  SELECT c.cell, h.n_vectors, c.vec_id,
+         generate_subscripts(c.v, 1) - 1 AS pos,
+         CAST(round(unnest(c.v) * {EMB_Q}) AS HUGEINT) AS q
+  FROM corpus c JOIN hot h USING (cell))"""
+    )
+    parts.append(
+        """stats AS (
+  SELECT cell, pos, max(n_vectors) AS n_vectors,
+         sum(q) AS s, sum(q * q) AS ss
+  FROM expl GROUP BY cell, pos)"""
+    )
+    parts.append(
+        """sd AS (
+  SELECT cell, n_vectors, pos AS split_dim FROM (
+    SELECT cell, n_vectors, pos,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY (n_vectors * ss - s * s) DESC, pos) AS rn
+    FROM stats) WHERE rn = 1)"""
+    )
+    parts.append(
+        """member AS MATERIALIZED (
+  SELECT e.cell, e.n_vectors, e.vec_id, e.q
+  FROM expl e JOIN sd ON e.cell = sd.cell AND e.pos = sd.split_dim)"""
+    )
+    parts.append(
+        """med AS (
+  SELECT cell, q AS split_q FROM (
+    SELECT cell, q, n_vectors,
+           row_number() OVER (PARTITION BY cell ORDER BY q, vec_id) AS rn
+    FROM member) WHERE rn = (n_vectors + 1) // 2)"""
+    )
+    parts.append(
+        """counts AS (
+  SELECT m.cell, CAST(max(med.split_q) AS BIGINT) AS split_q,
+         CAST(sum(CASE WHEN m.q <= med.split_q THEN 1 ELSE 0 END) AS BIGINT) AS n_left
+  FROM member m JOIN med USING (cell) GROUP BY m.cell)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT sd.cell, sd.n_vectors, CAST(sd.split_dim AS BIGINT) AS split_dim,
+       counts.split_q, counts.n_left,
+       sd.n_vectors - counts.n_left AS n_right
+FROM sd JOIN counts USING (cell)
+"""
+    )
+
+
 def q_pq_encode(spark, sf_dir):
     """Product-quantization codes (similarity.pq_encode, Jégou et al.
     2011): 8 subspaces × 16-centroid codebooks (seeded, one quantized
@@ -8784,6 +8871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "ivf_index_incremental": q_ivf_index_incremental,
+        "ivf_rebalance": q_ivf_rebalance,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "semdedup_prune": q_semdedup_prune,
@@ -8997,6 +9085,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
         "ivf_index_incremental": _sql_ivf_index_incremental(),
+        "ivf_rebalance": _sql_ivf_rebalance(),
         "knn_ivfpq": _sql_knn_ivfpq(),
         "knn_ivfpq_residual": _sql_knn_ivfpq_residual(),
         "semdedup_prune": _sql_semdedup(),

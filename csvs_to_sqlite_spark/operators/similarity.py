@@ -1166,6 +1166,106 @@ def ivfpq_residual_topk(
 # --- persistable IVF index (build once, query many) --------------------------
 
 
+def ivf_rebalance_plan(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    kmeans_iters: int = 2,
+    cap_num: int = 1,
+    cap_den: int = 1,
+) -> DataFrame:
+    """Index-maintenance planner for the IVF layout: for every cell
+    holding more than ``cap_num/cap_den ×`` the mean cell size, a
+    DETERMINISTIC split prescription — the dimension with the largest
+    exact variance and that dimension's type-1 lower median — yielding
+    (cell, n_vectors, split_dim, split_q, n_left, n_right). Hot inverted
+    lists are THE IVF degradation mode at scale (a skewed cell turns
+    probes into scans); this is the plan a maintenance job applies as a
+    kd-style list split without retraining the coarse quantizer (the
+    FAISS "split big lists" maintenance pattern).
+
+    Exactness: components quantize to EMB_Q integer units; per-dim
+    variance numerators n·Σq² − (Σq)² fold in decimal(38,0) (DuckDB
+    HUGEINT — q² alone overflows int64); the argmax and median are
+    integer order statistics, so the whole plan is bit-identical across
+    engines and partitionings.
+
+    Plan shape: assignment is the broadcast centroid sweep; stats are
+    ONE (cell, pos)-keyed aggregate restricted to hot cells; the median
+    pass windows ONLY (hot cell, split_dim) rows — cell-sized
+    partitions, never a global window; output is hot-cell-sized.
+    ``split_dim`` is 0-based; ``split_q`` is in EMB_Q units
+    (value = split_q / 2^40); n_left counts q ≤ split_q."""
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = kmeans_centroids(base, "vid", n_centroids, kmeans_iters)
+    assigned = assign_cells(
+        base.select("vid", F.col("v").alias("av")), cents, "vid", "av"
+    ).localCheckpoint(eager=False)
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    total = sizes.agg(F.sum("n_vectors").alias("n_total"))
+    hot = (
+        sizes.crossJoin(F.broadcast(total))
+        .where(
+            F.col("n_vectors") * n_centroids * cap_den > F.col("n_total") * cap_num
+        )
+        .select("cell", "n_vectors")
+    )
+    expl = (
+        assigned.join(F.broadcast(hot), "cell")
+        .select("cell", "n_vectors", "vid", F.posexplode("av").alias("pos", "x"))
+        .withColumn("q", F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
+    )
+    dq = F.col("q").cast("decimal(38,0)")
+    stats = expl.groupBy("cell", "pos").agg(
+        F.max("n_vectors").alias("n_vectors"),
+        F.sum(dq).alias("s"),
+        F.sum(dq * dq).alias("ss"),
+    )
+    var_num = (
+        F.col("n_vectors").cast("decimal(38,0)") * F.col("ss")
+        - F.col("s") * F.col("s")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        var_num.desc(), F.col("pos").asc()
+    )
+    split_dims = (
+        stats.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select("cell", "n_vectors", F.col("pos").alias("split_dim"))
+    )
+    member = expl.join(
+        F.broadcast(split_dims.select("cell", "split_dim")), "cell"
+    ).where(F.col("pos") == F.col("split_dim"))
+    wm = Window.partitionBy("cell").orderBy(F.col("q").asc(), F.col("vid").asc())
+    med = (
+        member.withColumn("__rn__", F.row_number().over(wm))
+        .where(F.col("__rn__") == F.expr("(n_vectors + 1) div 2"))
+        .select("cell", F.col("q").alias("split_q"))
+    )
+    counts = (
+        member.join(F.broadcast(med), "cell")
+        .groupBy("cell")
+        .agg(
+            F.max("split_q").alias("split_q"),
+            F.sum((F.col("q") <= F.col("split_q")).cast("long")).alias("n_left"),
+        )
+    )
+    return (
+        split_dims.join(counts, "cell")
+        .select(
+            "cell",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("split_dim").cast("long").alias("split_dim"),
+            "split_q",
+            "n_left",
+            (F.col("n_vectors") - F.col("n_left")).cast("long").alias("n_right"),
+        )
+    )
+
+
 def ivf_index_write(
     emb: DataFrame,
     path: str,

@@ -285,3 +285,37 @@ def test_ivf_index_append_partitioning_invariant(spark, emb, parts, tmp_path):
     assert got == rows_of(
         ivf_index_topk(spark, base_path, emb.where("vec_id < 5"), k=5, n_probe=2)
     )
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_ivf_rebalance_plan_partitioning_invariant(spark, parts):
+    """The rebalance plan (variance argmax + integer median split) is an
+    exact integer computation — bit-identical under any input layout,
+    and every split must cover its cell (n_left + n_right = n_vectors,
+    both sides nonempty)."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.similarity import ivf_rebalance_plan
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.sin(F.col("id") * (i + 1) * 0.7) * 0.5
+                    + F.when(F.col("id") % 3 == 0, 0.8).otherwise(-0.2)
+                ).cast("float")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    rows_of = lambda df: sorted(tuple(r) for r in df.collect())
+    base = rows_of(ivf_rebalance_plan(emb, n_centroids=4, kmeans_iters=1))
+    got = rows_of(
+        ivf_rebalance_plan(emb.repartition(parts), n_centroids=4, kmeans_iters=1)
+    )
+    assert base == got
+    assert len(base) > 0
+    for cell, n, dim, split_q, n_left, n_right in base:
+        assert n_left + n_right == n
+        assert n_left >= 1 and n_right >= 0 and 0 <= dim < 8
