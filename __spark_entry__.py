@@ -43,6 +43,7 @@ from csvs_to_sqlite_spark.streaming.windows import (
 )
 from csvs_to_sqlite_spark.functions.hashing import md5_long_sql, shingles_sql, tokens_sql
 from csvs_to_sqlite_spark.functions import qmath
+from csvs_to_sqlite_spark.functions.cols import byte_view
 
 # shared oracle CTE: per-doc shingle posting list (tokens bound once)
 _SHINGLE_TOK_CTE = (
@@ -1673,7 +1674,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 
 def q_string_functions(spark, sf_dir):
     """Scalar string-function surface: case, trim/pad, substring, concat,
-    replace, length, levenshtein against a fixed probe."""
+    replace, length, levenshtein against a fixed probe. Levenshtein runs
+    over ``cols.byte_view`` (UTF-8 octets) so it matches DuckDB's
+    byte-based builtin on ANY text, not just ASCII."""
     prep_session(spark)
     c = _t(spark, sf_dir, "customer")
     name = F.col("c_name")
@@ -1686,7 +1689,9 @@ def q_string_functions(spark, sf_dir):
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
         F.concat_ws("-", F.lit("cust"), F.col("c_custkey").cast("string")).alias("slug"),
         F.regexp_replace(name, "[0-9]", "#").alias("digits_masked"),
-        F.levenshtein(name, F.lit("Customer#000000001")).cast("long").alias("lev_to_probe"),
+        F.levenshtein(byte_view(name), F.lit("Customer#000000001"))
+        .cast("long")
+        .alias("lev_to_probe"),
     )
 
 
@@ -2099,11 +2104,13 @@ FROM bands a JOIN bands b
 
 
 def q_edit_distance_verify(spark, sf_dir):
-    """Exact character-level verification tier over the LSH candidate
-    set (dedup.edit_distance_verify): per candidate pair, Levenshtein
-    distance + normalized similarity. Completes the dedup verification
-    story — minhash_calibration checks signature-vs-set-Jaccard, this
-    checks the sets against the CHARACTERS."""
+    """Exact edit-distance verification tier over the LSH candidate
+    set (dedup.edit_distance_verify): per candidate pair, BYTE-level
+    (UTF-8 octet) Levenshtein distance + normalized similarity —
+    byte-level because that is what both engines compute identically by
+    construction (Spark via cols.byte_view, DuckDB natively). Completes
+    the dedup verification story — minhash_calibration checks
+    signature-vs-set-Jaccard, this checks the sets against the BYTES."""
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
     return dedup.edit_distance_verify(d, "text", "doc_id")
@@ -2124,7 +2131,7 @@ def _sql_edit_distance_verify() -> str:
 ), scored AS (
   SELECT p.id_a, p.id_b,
          CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
-         greatest(CAST(greatest(len(da.text), len(db.text)) AS BIGINT), 1) AS mx
+         greatest(CAST(greatest(strlen(da.text), strlen(db.text)) AS BIGINT), 1) AS mx
   FROM pairs p
   JOIN documents da ON p.id_a = da.doc_id
   JOIN documents db ON p.id_b = db.doc_id

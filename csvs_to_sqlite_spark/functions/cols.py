@@ -17,3 +17,16 @@ def qcol(name: str) -> Column:
     """A Column reference that treats ``name`` literally (backtick-quoted,
     embedded backticks doubled)."""
     return F.col("`" + name.replace("`", "``") + "`")
+
+
+def byte_view(col: Column | str) -> Column:
+    """A byte-stable string projection: the UTF-8 octets of ``col``
+    re-read as ISO-8859-1, i.e. a string with exactly one character per
+    UTF-8 byte. String functions that Spark evaluates per CODE POINT
+    (``levenshtein``, ``length``) become per-BYTE over this view —
+    matching DuckDB, whose string functions are byte-based
+    (``levenshtein('é','a')`` = 1 in Spark vs 2 in DuckDB; over the
+    byte view both engines say 2). Bijective (latin-1 decodes every
+    byte), scan-stage JVM, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")

@@ -389,27 +389,36 @@ def edit_distance_verify(
     id_col: str,
     pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Character-level ground truth for the near-dup index: every LSH
+    """Edit-distance ground truth for the near-dup index: every LSH
     candidate pair gets its EXACT Levenshtein distance and a normalized
     similarity (1 − lev/max_len). MinHash/SimHash approximate set/bit
     overlap; this is the verification tier a pipeline runs on the
     (LSH-bounded) candidate set before destructive dedup — token-level
     Jaccard can score reordered boilerplate as near-identical where
-    character edit distance reveals the rewrite.
+    edit distance reveals the rewrite.
+
+    Distance semantics: BYTE-level Levenshtein over the UTF-8 octets
+    (via ``cols.byte_view`` — Spark's builtin is code-point-based while
+    DuckDB's is byte-based, so the byte view is what makes the two
+    engines bit-identical BY CONSTRUCTION on arbitrary text, not just
+    ASCII; on ASCII the byte and character distances coincide).
+    ``max_len`` is the byte length for the same reason.
 
     Scale: ``pairs`` is LSH-bounded (never all-pairs); texts attach via
     two id-keyed equi-joins; Levenshtein is scan-stage JVM
     (O(len_a·len_b) per pair — bound doc length upstream for very long
     docs). Similarity is one exact integer rational (qmath, 6 dp)."""
+    from csvs_to_sqlite_spark.functions.cols import byte_view
     from csvs_to_sqlite_spark.functions.qmath import qdiv_count
 
     if pairs is None:
         pairs = minhash_lsh_pairs(df, text_col, id_col)
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
-    lev = F.levenshtein("__ta__", "__tb__").cast("long")
+    lev = F.levenshtein(byte_view("__ta__"), byte_view("__tb__")).cast("long")
     mx = F.greatest(
-        F.greatest(F.length("__ta__"), F.length("__tb__")).cast("long"), F.lit(1)
+        F.greatest(F.octet_length("__ta__"), F.octet_length("__tb__")).cast("long"),
+        F.lit(1),
     )
     return (
         pairs.join(ta, "id_a")

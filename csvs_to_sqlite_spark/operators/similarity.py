@@ -1224,9 +1224,32 @@ def ivf_rebalance_plan(
         F.sum(dq).alias("s"),
         F.sum(dq * dq).alias("ss"),
     )
-    var_num = (
+    var_num_raw = (
         F.col("n_vectors").cast("decimal(38,0)") * F.col("ss")
         - F.col("s") * F.col("s")
+    )
+    # Overflow guard (fail-loud): under the session's ANSI-off pin a
+    # decimal(38,0) overflow yields NULL, and desc-nulls-last would then
+    # silently argmax a WRONG split_dim — exactly on the huge-hot-cell
+    # path this planner targets (n²·q̄² > 1e38 at ~9M vectors with
+    # |component|≈1 at EMB_Q=2^40). DuckDB's HUGEINT errors there; so
+    # must we. Inputs are non-null by construction (s/ss aggregate
+    # non-null q), so a NULL fold IS the overflow.
+    var_num = F.when(var_num_raw.isNotNull(), var_num_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ivf_rebalance_plan: per-dim variance numerator "
+                    "n*ss - s*s overflowed decimal(38,0) for cell "
+                ),
+                F.col("cell").cast("string"),
+                F.lit(
+                    " — hot cell too large for EMB_Q quantization; "
+                    "split the cell in stages or lower the "
+                    "quantization scale"
+                ),
+            )
+        ).cast("decimal(38,0)")
     )
     w = Window.partitionBy("cell").orderBy(
         var_num.desc(), F.col("pos").asc()

@@ -437,3 +437,41 @@ def test_ivf_index_append_equals_union_build_under_same_centroids(spark, tmp_pat
     }
     assert after >= before
     assert spark.read.parquet(f"{inc}/cells").count() == emb.count()
+
+
+def test_ivf_rebalance_plan_overflow_fails_loud(spark, monkeypatch):
+    """ADVICE_r07 lock: the per-dim variance numerator n*ss - s*s folds
+    in decimal(38,0); under ANSI-off an overflow would yield NULL and
+    the desc-nulls-last argmax would silently pick a WRONG split_dim.
+    The guard must raise instead. EMB_Q is patched up to 2^62 so a
+    16-row cell already overflows (n^2*q^2 ~ 5e39 > 1e38) without
+    needing the real ~9M-vector trigger."""
+    import pytest
+
+    from csvs_to_sqlite_spark.operators import similarity
+    from csvs_to_sqlite_spark.session import prep_session
+
+    prep_session(spark)  # ansi OFF — the posture whose silent NULL the guard closes
+    monkeypatch.setattr(similarity, "EMB_Q", 1 << 62)
+    emb = spark.createDataFrame(
+        [(i, [1.0 - i / 64.0, i / 64.0]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = similarity.ivf_rebalance_plan(
+        emb, n_centroids=1, kmeans_iters=1, cap_num=1, cap_den=2
+    )
+    with pytest.raises(Exception, match="overflowed decimal\\(38,0\\)"):
+        plan.collect()
+
+
+def test_ivf_rebalance_plan_guard_passes_in_bounds(spark):
+    """The guard is a no-op on in-bounds folds: the normal sf-scale call
+    still returns a plan (same call shape as the oracle entry)."""
+    from csvs_to_sqlite_spark.operators.similarity import ivf_rebalance_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ivf_rebalance_plan(
+        emb, n_centroids=4, kmeans_iters=1, cap_num=1, cap_den=1
+    ).collect()
+    for r in rows:
+        assert r["n_left"] + r["n_right"] == r["n_vectors"]

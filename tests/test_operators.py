@@ -1725,6 +1725,58 @@ def test_edit_distance_verify_hand_computed(spark):
     assert got[(1, 3)] == (0, 1.0)
 
 
+def test_edit_distance_verify_non_ascii_matches_duckdb(spark):
+    """ADVICE_r07 lock: Spark's builtin levenshtein is code-point-based
+    while DuckDB's is byte-based ('é' vs 'a' → 1 vs 2), so the raw
+    builtins DIVERGE on any non-ASCII text. edit_distance_verify
+    computes over the UTF-8 byte view on the Spark side, which this
+    test proves bit-identical to DuckDB's native byte semantics on
+    accented + CJK + mixed text."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.functions.cols import byte_view
+    from csvs_to_sqlite_spark.operators.dedup import edit_distance_verify
+
+    texts = ["café", "cafe", "中文文档", "中文文稿", "naïve café 中", "naive cafe a"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_distance"], r["char_sim"])
+        for r in edit_distance_verify(docs, "text", "doc_id", pairs=pairs).collect()
+    }
+    con = duckdb.connect()
+    for (a, b), (lev, sim) in sorted(got.items()):
+        want_lev, want_mx = con.execute(
+            "SELECT levenshtein(?, ?), greatest(greatest(strlen(?), strlen(?)), 1)",
+            [texts[a], texts[b], texts[a], texts[b]],
+        ).fetchone()
+        from csvs_to_sqlite_spark.functions.qmath import py_half_up
+
+        want_sim = py_half_up((want_mx - want_lev) * 1_000_000, want_mx) / 1e6
+        assert lev == want_lev, (texts[a], texts[b])
+        assert sim == want_sim, (texts[a], texts[b])
+    # the divergence this design closes: raw builtins disagree on 'é'
+    raw_spark = (
+        spark.range(1)
+        .select(F.levenshtein(F.lit("é"), F.lit("a")).alias("d"))
+        .collect()[0]["d"]
+    )
+    byte_spark = (
+        spark.range(1)
+        .select(F.levenshtein(byte_view(F.lit("é")), F.lit("a")).alias("d"))
+        .collect()[0]["d"]
+    )
+    raw_duck = con.execute("SELECT levenshtein('é', 'a')").fetchone()[0]
+    con.close()
+    assert raw_spark == 1 and raw_duck == 2 and byte_spark == 2
+
+
 def test_shard_balance_audit_hand_computed(spark):
     """A single-source corpus is perfectly balanced (tvd 0.0 in every
     shard); a hand-built 2-group corpus matches the exact TVD rational

@@ -11,7 +11,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
-def _py_levenshtein(a: str, b: str) -> int:
+def _py_levenshtein(a, b) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
@@ -23,7 +23,10 @@ def _py_levenshtein(a: str, b: str) -> int:
     return prev[len(b)]
 
 
-words = st.text(alphabet="abcx ", min_size=0, max_size=24)
+# Non-ASCII on purpose: edit_distance_verify is BYTE-level (UTF-8
+# octets, the semantics both Spark-via-byte_view and DuckDB share);
+# 'é' is 2 bytes, '中' is 3, so these exercise the multi-byte paths.
+words = st.text(alphabet="abcx é中", min_size=0, max_size=24)
 
 
 @settings(
@@ -48,8 +51,9 @@ def test_edit_distance_verify_matches_python_dp(spark, texts):
         for r in edit_distance_verify(docs, "text", "doc_id", pairs=pairs).collect()
     }
     for (a, b), (lev, sim) in got.items():
-        want_lev = _py_levenshtein(texts[a], texts[b])
-        mx = max(len(texts[a]), len(texts[b]), 1)
+        ba, bb = texts[a].encode("utf-8"), texts[b].encode("utf-8")
+        want_lev = _py_levenshtein(ba, bb)
+        mx = max(len(ba), len(bb), 1)
         want_sim = py_half_up((mx - want_lev) * 1_000_000, mx) / 1e6
         assert (lev, sim) == (want_lev, want_sim), (texts[a], texts[b])
 
