@@ -264,8 +264,18 @@ FROM novel
 # ---------------------------------------------------------------------------
 
 def q_denormalize_star(spark, sf_dir):
-    """D2/D3: fact → dims left joins, nation joined twice (alias demo);
-    all dim joins broadcast, the fact side never shuffles."""
+    """D2/D3: fact → dims left joins, nation joined twice (alias demo).
+
+    Broadcast posture (VERDICT_r07 "What's wrong" #1): only the tables
+    that are dimension-sized BY CONSTRUCTION carry an explicit
+    ``F.broadcast`` hint — nation (25 rows at every SF). orders,
+    customer, and supplier all scale with the fact side (orders is
+    fact-sized outright; an explicit hint would override AQE's size
+    check and OOM a 1000-executor run at 100 TB), so those joins are
+    left to AQE: at bench SFs AQE broadcasts them from runtime sizes;
+    at scale they become keyed shuffle joins, which is the correct
+    plan. The engine's real D2 path (operators/joins.py) only ever
+    broadcasts genuine extracted dims for the same reason."""
     prep_session(spark)
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -273,9 +283,9 @@ def q_denormalize_star(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .join(supp, li.l_suppkey == supp.s_suppkey, "left")
         .join(
             F.broadcast(nation.alias("cn")),
             cust.c_nationkey == F.col("cn.n_nationkey"),
@@ -2103,6 +2113,35 @@ FROM bands a JOIN bands b
     )
 
 
+def q_dedup_pairs_bounded(spark, sf_dir):
+    """Bounded candidate edges (dedup.minhash_lsh_edges): per LSH
+    bucket, min-id representative → member star edges instead of the
+    C(m,2) clique — output linear in docs×bands where the pair-complete
+    path is quadratic per duplicate family (VERDICT_r07 #1). Connected
+    components over these edges equal components over
+    minhash_lsh_pairs; the pair path stays for calibration."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_edges(d, "text", "doc_id")
+
+
+def _sql_dedup_pairs_bounded() -> str:
+    return (
+        "WITH sig AS (\n"
+        + _sql_minhash_sig()
+        + "\n), bands AS (\n"
+        + _sql_minhash_band_rows()
+        + """
+), reps AS (
+  SELECT band, key, min(doc_id) AS rep FROM bands GROUP BY band, key
+)
+SELECT DISTINCT r.rep AS id_a, b.doc_id AS id_b
+FROM bands b JOIN reps r ON b.band = r.band AND b.key = r.key
+WHERE b.doc_id <> r.rep
+"""
+    )
+
+
 def q_edit_distance_verify(spark, sf_dir):
     """Exact edit-distance verification tier over the LSH candidate
     set (dedup.edit_distance_verify): per candidate pair, BYTE-level
@@ -2640,6 +2679,96 @@ SELECT sd.cell, sd.n_vectors, CAST(sd.split_dim AS BIGINT) AS split_dim,
        counts.split_q, counts.n_left,
        sd.n_vectors - counts.n_left AS n_right
 FROM sd JOIN counts USING (cell)
+"""
+    )
+
+
+_IVF_REBAL_PATHS: dict = {}
+
+
+def q_ivf_rebalance_apply(spark, sf_dir):
+    """Execute the hot-list split plan against the persisted IVF index
+    (similarity.ivf_index_rebalance_apply, VERDICT_r07 item 4): build
+    the index, apply the plan — split cells' partitions rewritten in
+    place via dynamic partition overwrite (left keeps the cell id,
+    right gets max_id+1+rank), both sides get recomputed quantized-mean
+    centroids, non-hot cells untouched — then return the POST-APPLY
+    layout audit read back FROM DISK: (cell, n_vectors, centroid). The
+    oracle recomputes the same layout from the plan math, so the
+    mutation itself is hash-compared end to end."""
+    prep_session(spark)
+    import atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _IVF_REBAL_PATHS.get(sf_dir)
+    if path is None:
+        path = _tempfile.mkdtemp(prefix="q_ivf_rebal_")
+        _IVF_REBAL_PATHS[sf_dir] = path
+        atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    else:
+        _shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_index_write(
+        emb, path, n_centroids=IVF_CENTROIDS, kmeans_iters=IVF_KMEANS_ITERS
+    )
+    similarity.ivf_index_rebalance_apply(spark, path, cap_num=1, cap_den=1)
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+    cents = spark.read.parquet(f"{path}/centroids")
+    return (
+        cells.join(cents, cells.cell.cast("long") == cents.centroid_id)
+        .select(
+            F.col("centroid_id").alias("cell"),
+            "n_vectors",
+            F.col("cv").alias("centroid"),
+        )
+    )
+
+
+def _sql_ivf_rebalance_apply() -> str:
+    from csvs_to_sqlite_spark.operators.similarity import EMB_Q
+
+    plan_sql = _sql_ivf_rebalance().strip()
+    # reuse the full plan CTE chain: strip its final SELECT, keep the CTEs
+    head, _, _ = plan_sql.rpartition("\nSELECT sd.cell")
+    final = f"cents{IVF_KMEANS_ITERS}"
+    return (
+        head
+        + f""",
+new_ids AS (
+  SELECT cell, CAST((SELECT max(centroid_id) FROM {final}) AS BIGINT)
+         + CAST(row_number() OVER (ORDER BY cell) AS BIGINT) AS right_id
+  FROM sd),
+moved AS MATERIALIZED (
+  SELECT CASE WHEN m.q <= c.split_q THEN m.cell ELSE n.right_id END AS cell,
+         m.vec_id
+  FROM member m JOIN counts c ON m.cell = c.cell
+  JOIN new_ids n ON m.cell = n.cell),
+final_assign AS MATERIALIZED (
+  SELECT cell, vec_id FROM corpus WHERE cell NOT IN (SELECT cell FROM hot)
+  UNION ALL
+  SELECT cell, vec_id FROM moved),
+split_cents AS (
+  SELECT cell AS centroid_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, {sql_qavg("x", EMB_Q, 6)} AS m FROM (
+      SELECT mv.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+      FROM moved mv JOIN base b ON mv.vec_id = b.vec_id)
+    GROUP BY cell, pos)
+  GROUP BY cell),
+final_cents AS (
+  SELECT centroid_id, cv FROM {final}
+  WHERE centroid_id NOT IN (SELECT cell FROM hot)
+  UNION ALL
+  SELECT centroid_id, cv FROM split_cents)
+SELECT fc.centroid_id AS cell,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       fc.cv AS centroid
+FROM final_assign fa JOIN final_cents fc ON fa.cell = fc.centroid_id
+GROUP BY fc.centroid_id, fc.cv
 """
     )
 
@@ -8867,6 +8996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ensemble": q_dedup_ensemble,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_pairs_bounded": q_dedup_pairs_bounded,
         "edit_distance_verify": q_edit_distance_verify,
         "dedup_index_precision": q_dedup_index_precision,
         "dedup_index_recall": q_dedup_index_recall,
@@ -8879,6 +9009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "ivf_index_incremental": q_ivf_index_incremental,
         "ivf_rebalance": q_ivf_rebalance,
+        "ivf_rebalance_apply": q_ivf_rebalance_apply,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "semdedup_prune": q_semdedup_prune,
@@ -9081,6 +9212,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ensemble": _sql_dedup_ensemble(),
         "minhash_signatures": _sql_minhash_sig(),
         "minhash_lsh_pairs": _sql_minhash_pairs(),
+        "dedup_pairs_bounded": _sql_dedup_pairs_bounded(),
         "edit_distance_verify": _sql_edit_distance_verify(),
         "dedup_index_precision": _sql_dedup_index_precision(),
         "dedup_index_recall": _sql_dedup_index_recall(),
@@ -9093,6 +9225,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _sql_knn_ivf(),
         "ivf_index_incremental": _sql_ivf_index_incremental(),
         "ivf_rebalance": _sql_ivf_rebalance(),
+        "ivf_rebalance_apply": _sql_ivf_rebalance_apply(),
         "knn_ivfpq": _sql_knn_ivfpq(),
         "knn_ivfpq_residual": _sql_knn_ivfpq_residual(),
         "semdedup_prune": _sql_semdedup(),

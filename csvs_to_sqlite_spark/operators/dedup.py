@@ -515,6 +515,48 @@ def minhash_calibration(
     )
 
 
+def minhash_lsh_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """Bounded near-dup candidate EDGES: per (band, key) LSH bucket, one
+    edge from the bucket's min-id representative to every other member —
+    (id_a=rep, id_b=member) — instead of the bucket's full C(m,2) pair
+    clique. Output is ≤ docs×bands rows BY CONSTRUCTION (each posting
+    row yields at most one edge), where the pair-complete
+    ``minhash_lsh_pairs`` grows C(n,2) per duplicate family — the
+    VERDICT_r07 sf1 finding (13.3× wall at 10× data is what 100 TB web
+    data looks like; a family of 10⁶ copies would materialize 5·10¹¹
+    pairs but only 10⁶−1 star edges).
+
+    Connected components are IDENTICAL to the pair-complete path: within
+    a bucket the star spans exactly the same members the clique spans,
+    and components only ever merge through shared members across
+    buckets — so ``dedup_clusters`` over these edges returns the same
+    (id, cluster_id) mapping (locked by test + the sf1 growth law).
+    Keep ``minhash_lsh_pairs`` for CALIBRATION (per-pair similarity
+    estimates need actual pairs); route destructive dedup through this.
+
+    Plan/skew: representative per bucket via groupBy(band, key) min +
+    equi-join back — deliberately NOT a window, because a hyper-hot
+    bucket (a 10⁸-copy boilerplate family) would be one unsplittable
+    window partition, while AQE's skew-join handling splits the hot
+    join partition. Final distinct is output-sized (linear)."""
+    banded = minhash_bands(df, text_col, id_col, k, bands, shingle_n)
+    banded = banded.persist()  # agg + join sides share the signature stage
+    reps = banded.groupBy("band", "key").agg(F.min(id_col).alias("__rep__"))
+    return (
+        banded.join(reps, ["band", "key"])
+        .where(F.col(id_col) != F.col("__rep__"))
+        .select(F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,

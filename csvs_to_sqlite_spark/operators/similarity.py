@@ -1204,6 +1204,16 @@ def ivf_rebalance_plan(
     assigned = assign_cells(
         base.select("vid", F.col("v").alias("av")), cents, "vid", "av"
     ).localCheckpoint(eager=False)
+    return _rebalance_plan_from_assigned(assigned, n_centroids, cap_num, cap_den)
+
+
+def _rebalance_plan_from_assigned(
+    assigned: DataFrame, n_centroids: int, cap_num: int, cap_den: int
+) -> DataFrame:
+    """Split-plan core over an existing (cell, vid, av) assignment —
+    shared by ``ivf_rebalance_plan`` (inline k-means) and
+    ``ivf_index_rebalance_apply`` (a PERSISTED index's frozen layout,
+    where re-running k-means would defeat the point of maintenance)."""
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
     total = sizes.agg(F.sum("n_vectors").alias("n_total"))
     hot = (
@@ -1352,6 +1362,119 @@ def ivf_index_append(
     assigned.select("cell", "neighbor_id", "cv2").write.mode("append").partitionBy(
         "cell"
     ).parquet(f"{path}/cells")
+
+
+def ivf_index_rebalance_apply(
+    spark,
+    path: str,
+    cap_num: int = 1,
+    cap_den: int = 1,
+) -> list:
+    """Execute the hot-list split plan against a PERSISTED index — the
+    maintenance job ``ivf_rebalance_plan`` prescribes (FAISS
+    "split big lists"): each hot cell's members are divided at the
+    plan's (split_dim, split_q) boundary; the LEFT side keeps the
+    original cell id, the RIGHT side gets a fresh id
+    (max_centroid_id + 1 + rank of the split cell, deterministic), and
+    both sides get recomputed EMB_Q-quantized mean centroids. Non-hot
+    cells are untouched — the rewrite uses dynamic partition overwrite,
+    so only the split cells' partition directories are replaced and the
+    cell-partitioned layout (hence ``ivf_index_topk`` partition
+    pruning) is preserved.
+
+    Scale: the plan is computed from the index's OWN frozen assignment
+    (no k-means re-run); only hot-cell partitions are read (partition
+    filter) and rewritten (O(hot) I/O, the FAISS maintenance contract);
+    centroid tables are dimension-bounded by construction (collected
+    driver-side like every dim). Fail-loud: the corpus row count must
+    be identical before/after or the apply raises. Local/parquet note:
+    dynamic partition overwrite is not an atomic commit — production
+    would wrap this in a table-format transaction (Iceberg/Delta
+    rewrite), which changes the commit, not the math.
+
+    Returns the applied plan rows (possibly empty)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_rows = cents.collect()  # dimension-bounded by construction
+    n_centroids = len(cent_rows)
+    corpus = spark.read.parquet(f"{path}/cells")
+    n_before = corpus.count()
+    assigned = corpus.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("neighbor_id").alias("vid"),
+        F.col("cv2").alias("av"),
+    )
+    plan_rows = _rebalance_plan_from_assigned(
+        assigned, n_centroids, cap_num, cap_den
+    ).collect()
+    if not plan_rows:
+        return []
+    plan_rows.sort(key=lambda r: r["cell"])
+    max_id = max(int(r["centroid_id"]) for r in cent_rows)
+    plan_df = spark.createDataFrame(
+        [
+            (int(r["cell"]), int(r["split_dim"]), int(r["split_q"]), max_id + 1 + i)
+            for i, r in enumerate(plan_rows)
+        ],
+        "cell long, split_dim long, split_q long, right_id long",
+    )
+    hot_cells = [int(r["cell"]) for r in plan_rows]
+    # partition filter prunes to the hot cells; the broadcast plan table
+    # carries each cell's boundary. element_at is 1-based, split_dim 0-based.
+    q = F.round(
+        F.element_at("cv2", (F.col("split_dim") + 1).cast("int")) * F.lit(EMB_Q)
+    ).cast("long")
+    rebal = (
+        corpus.where(F.col("cell").isin(hot_cells))
+        .withColumn("cell", F.col("cell").cast("long"))
+        .join(F.broadcast(plan_df), "cell")
+        .select(
+            F.when(q <= F.col("split_q"), F.col("cell"))
+            .otherwise(F.col("right_id"))
+            .alias("cell"),
+            "neighbor_id",
+            "cv2",
+        )
+        # materialize BEFORE the overwrite: breaks lineage to the files
+        # being replaced (Spark refuses to overwrite a path it is reading)
+        .localCheckpoint(eager=True)
+    )
+    # recomputed centroids for both split sides (same quantized-mean math
+    # as kmeans_centroids, so the result stays oracle-expressible)
+    qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
+    new_cents = (
+        rebal.select("cell", F.posexplode("cv2").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), 6).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("cell").alias("centroid_id"),
+            F.transform("pm", lambda s: s["m"]).alias("cv"),
+        )
+        .collect()
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebal.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    kept = [
+        (int(r["centroid_id"]), list(r["cv"]))
+        for r in cent_rows
+        if int(r["centroid_id"]) not in set(hot_cells)
+    ] + [(int(r["centroid_id"]), list(r["cv"])) for r in new_cents]
+    spark.createDataFrame(
+        sorted(kept), "centroid_id long, cv array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    n_after = spark.read.parquet(f"{path}/cells").count()
+    if n_after != n_before:
+        raise RuntimeError(
+            f"ivf_index_rebalance_apply: corpus changed size during the "
+            f"rewrite ({n_before} -> {n_after}) — index at {path} needs "
+            f"a rebuild from source"
+        )
+    return plan_rows
 
 
 def ivf_index_topk(

@@ -475,3 +475,122 @@ def test_ivf_rebalance_plan_guard_passes_in_bounds(spark):
     ).collect()
     for r in rows:
         assert r["n_left"] + r["n_right"] == r["n_vectors"]
+
+
+def test_ivf_index_rebalance_apply_preserves_corpus_and_recall(spark, tmp_path):
+    """VERDICT_r07 item 4: applying the split plan to the persisted
+    index must (a) keep the corpus id-set identical, (b) replace every
+    prescribed hot cell with exactly two cells holding n_left/n_right
+    members, (c) keep PartitionFilters pruning on the rewritten layout,
+    and (d) not degrade recall@5 vs brute force."""
+    from csvs_to_sqlite_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_rebalance_apply,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+    from csvs_to_sqlite_spark.session import prep_session
+
+    prep_session(spark)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, n_centroids=8, kmeans_iters=2)
+    before_ids = {
+        r["neighbor_id"] for r in spark.read.parquet(f"{path}/cells").collect()
+    }
+    sizes_before = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    queries = emb.where("vec_id < 10")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got_before = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_index_topk(spark, path, queries, k=5, n_probe=2).collect()
+    }
+
+    from csvs_to_sqlite_spark.operators.similarity import _as_double, assign_cells
+
+    def scanned(n_probe):
+        """Candidate vectors the probe set covers on the CURRENT layout."""
+        cents = spark.read.parquet(f"{path}/centroids")
+        sz = {
+            r["cell"]: r["n"]
+            for r in spark.read.parquet(f"{path}/cells")
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        qa = assign_cells(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                _as_double(F.col("embedding")).alias("qv"),
+            ),
+            cents,
+            "query_id",
+            "qv",
+            n_probe=n_probe,
+        )
+        return sum(sz.get(r["cell"], 0) for r in qa.collect())
+
+    budget_before = scanned(2)
+
+    plan = ivf_index_rebalance_apply(spark, path, cap_num=1, cap_den=1)
+    assert plan, "sf0.001 embeddings must prescribe at least one split"
+
+    cells_after = spark.read.parquet(f"{path}/cells")
+    after_ids = {r["neighbor_id"] for r in cells_after.collect()}
+    assert after_ids == before_ids  # (a) nothing lost, nothing duplicated
+    sizes_after = {
+        r["cell"]: r["n"]
+        for r in cells_after.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    cents_after = {
+        r["centroid_id"]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    max_id = max(sizes_before)
+    for i, row in enumerate(sorted(plan, key=lambda r: r["cell"])):
+        cell, right_id = row["cell"], max_id + 1 + i
+        # (b) left keeps the id with n_left rows; right is the new cell
+        assert sizes_after.get(cell, 0) == row["n_left"], cell
+        assert sizes_after.get(right_id, 0) == row["n_right"], right_id
+        assert {cell, right_id} <= cents_after or row["n_right"] == 0
+    untouched = set(sizes_before) - {r["cell"] for r in plan}
+    for cell in untouched:
+        assert sizes_after[cell] == sizes_before[cell]
+
+    # (c) pruning still works on the rewritten layout
+    df = cells_after.where("cell = 0")
+    jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = df._jdf.queryExecution().explainString(jmode)
+    i = p.index("PartitionFilters")
+    assert "cell" in p[i : p.index("\n", i)]
+
+    # (d) recall non-degradation AT EQUAL SCANNED-CANDIDATE BUDGET: a
+    # split halves list sizes, so a fixed n_probe scans fewer vectors
+    # after the apply (that is the latency win) — the correct
+    # non-degradation claim is about the speed-recall CURVE: some probe
+    # count must scan no more vectors than the pre-apply n_probe=2 run
+    # while recovering at least its recall. (Measured at sf0.001:
+    # before p=2 scans 1239 / recall 43; after p=3 scans 1185 /
+    # recall 43.)
+    recall_before = len(got_before & truth)
+    ok = False
+    for p in (2, 3, 4):
+        got_after = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_index_topk(spark, path, queries, k=5, n_probe=p).collect()
+        }
+        if len(got_after & truth) >= recall_before and scanned(p) <= budget_before:
+            ok = True
+            break
+    assert ok, "no post-apply probe count matches pre-apply recall within budget"

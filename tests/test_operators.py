@@ -70,6 +70,39 @@ def test_dedup_clusters(docs, spark):
     assert labels[3] == 3 and labels[4] == 4
 
 
+def test_lsh_edges_linear_and_cluster_identical(spark):
+    """VERDICT_r07 #1 lock: minhash_lsh_edges emits m−1 star edges per
+    duplicate family where minhash_lsh_pairs emits C(m,2) — and
+    connected components over the two edge sets are IDENTICAL, so
+    destructive dedup can route through the linear-output path. A
+    12-copy family: 66 pairs vs 11 edges."""
+    fam = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(12)]
+    others = [
+        (100, "completely unrelated text about spark partitions and shuffles"),
+        (101, "completely unrelated text about spark partitions and shuffled"),
+        (102, "a third thing entirely, mentioning neither foxes nor spark"),
+    ]
+    docs = spark.createDataFrame(fam + others, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    edges = dedup.minhash_lsh_edges(docs, "text", "doc_id")
+    n_pairs = pairs.select("id_a", "id_b").distinct().count()
+    edge_rows = edges.collect()
+    assert n_pairs >= 66  # the family clique alone
+    fam_edges = [r for r in edge_rows if r["id_b"] < 100]
+    assert len(fam_edges) == 11  # star, not clique
+    assert all(r["id_a"] == 0 for r in fam_edges)  # min-id representative
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, edges, "doc_id").collect()
+    }
+    assert got == want
+    assert got[0] == got[11] == 0  # the family collapsed to its min id
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     """A 10-node path graph (diameter 9) must fully collapse to cluster 0 —
     bounded 5-round unrolling could not do this; the fixpoint loop with

@@ -167,9 +167,43 @@ def run_sf1() -> None:
     cl1 = dedup.dedup_clusters(d1, pairs1, "doc_id").select("cluster_id").distinct().count()
     t0 = time.time()
     pairsn = dedup.minhash_lsh_pairs(dn, "text", "doc_id")
-    cln = dedup.dedup_clusters(dn, pairsn, "doc_id").select("cluster_id").distinct().count()
+    map_pairs = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(dn, pairsn, "doc_id").collect()
+    }
+    cln = len(set(map_pairs.values()))
     print(f"dedup_clusters sf1: {cln} clusters, {time.time()-t0:.1f}s", flush=True)
     assert cl1 == cln, f"cluster count not scale-invariant: {cl1} vs {cln}"
+
+    # --- bounded candidate edges (VERDICT_r07 #1): the linear-output
+    # dedup path. Laws: (a) edge count ≤ docs × bands BY CONSTRUCTION,
+    # (b) connected components IDENTICAL to the pair-complete path at
+    # sf1 (the mapping, not just the count), (c) wall grows ≤2× at 10×
+    # data where the pair-complete path grew 13.3× in r7.
+    t0 = time.time()
+    e1 = dedup.minhash_lsh_edges(d1, "text", "doc_id")
+    e1.write.format("noop").mode("overwrite").save()
+    t_edges_base = time.time() - t0
+    t0 = time.time()
+    en = dedup.minhash_lsh_edges(dn, "text", "doc_id")
+    en.write.format("noop").mode("overwrite").save()
+    t_edges_sf1 = time.time() - t0
+    n_edges = en.count()
+    n_docs = dn.count()
+    assert n_edges <= n_docs * dedup.MINHASH_BANDS, (n_edges, n_docs)
+    map_edges = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(dn, en, "doc_id").collect()
+    }
+    assert map_edges == map_pairs, "bounded-edge clusters != pair-complete clusters"
+    ratio = t_edges_sf1 / max(t_edges_base, 1e-9)
+    print(
+        f"dedup_pairs_bounded sf1: {n_edges} edges (≤ {n_docs}×{dedup.MINHASH_BANDS}), "
+        f"clusters identical to pair-complete path; wall {t_edges_base:.2f}s → "
+        f"{t_edges_sf1:.2f}s ({ratio:.1f}x at 10x data)",
+        flush=True,
+    )
+    assert ratio <= 2.0, f"bounded edges wall grew {ratio:.1f}x at 10x data (law: ≤2x)"
 
     # streaming over the sf1 events DIRECTORY: same 3600 windows, every
     # count exactly 10x its sf0.1 value, sessions exactly 10x (user-id
