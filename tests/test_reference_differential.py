@@ -855,3 +855,36 @@ def test_non_latin_dateparser_locales_identical(spark, tmp_path):
     assert rows[11] == "2017-05-03T00:00:00"  # Eastern Arabic-Indic digits
     assert rows[12] == "1999-01-01T00:00:00"  # Levantine compound month
     assert rows[13] == "2020-10-15T00:00:00"  # تشرين الأول
+
+
+def test_missing_path_error_message_identical(tmp_path):
+    """VERDICT_r07 item 9: path validation goes through a click
+    PathOrURL param type (reference cli.py:25, utils.py:104-136), so the
+    missing-path failure mode — message text AND exit code — is
+    byte-identical to the reference's click-rendered error."""
+    from click.testing import CliRunner
+
+    from csvs_to_sqlite_spark.cli import PathOrURL, cli
+
+    ours = CliRunner().invoke(cli, ["/nope_missing.csv", str(tmp_path / "x.db")])
+    code = (
+        "from click.testing import CliRunner\n"
+        "from csvs_to_sqlite.cli import cli\n"
+        "r = CliRunner().invoke(cli, ['/nope_missing.csv', 'x.db'])\n"
+        "print(r.exit_code)\n"
+        "print(r.output, end='')\n"
+    )
+    env = dict(os.environ, PYTHONPATH=f"{SHIMS}:{REF}")
+    ref = subprocess.run(
+        [sys.executable, "-c", code], cwd=str(tmp_path), env=env,
+        capture_output=True, timeout=120, text=True, check=True,
+    )
+    ref_lines = ref.stdout.splitlines()
+    ref_exit, ref_err = int(ref_lines[0]), ref_lines[-1]
+    assert ours.exit_code == ref_exit == 2
+    assert ours.output.splitlines()[-1] == ref_err
+    assert "does not exist" in ref_err
+    # URLs must pass the param type untouched (the reference's
+    # coerce_path_result behavior for URL-shaped values)
+    p = PathOrURL(exists=True)
+    assert p.convert("https://x.test/a.csv", None, None) == "https://x.test/a.csv"
