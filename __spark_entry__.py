@@ -499,7 +499,7 @@ def q_tpch_q3(spark, sf_dir):
             o.where(F.col("o_orderdate") < cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         j.groupBy(
@@ -549,9 +549,9 @@ def q_tpch_q5(spark, sf_dir):
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     j = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -600,7 +600,7 @@ def q_tpch_q10(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     j = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -650,7 +650,7 @@ def q_tpch_q18(spark, sf_dir):
     j = (
         li.join(big, F.col("l_orderkey") == F.col("bigkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         j.groupBy(
@@ -725,8 +725,8 @@ def q_tpch_q2(spark, sf_dir):
         )
     )
     best = (
-        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name")
         .agg(
             F.min(
@@ -862,8 +862,8 @@ def q_tpch_q7(spark, sf_dir):
     )
     j = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .where(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -928,8 +928,8 @@ def q_tpch_q9(spark, sf_dir):
         .select("s_suppkey", "n_name")
     )
     j = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
@@ -1069,10 +1069,10 @@ def q_tpch_q8(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
     j = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     g = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         F.sum(F.when(F.col("supp_nation") == "NATION_2", vol_c).otherwise(0)).alias(
@@ -1135,7 +1135,7 @@ def q_tpch_q11(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
     g = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(vol_c).alias("value_c"))
         # feeds both the per-part output and the global total; localCheckpoint
@@ -1186,7 +1186,7 @@ def q_tpch_q14(spark, sf_dir):
     vol_c = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
-    g = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+    g = li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
         F.sum(F.when(F.col("p_type") == "PROMO", vol_c).otherwise(0)).alias("num_c"),
         F.sum(vol_c).alias("den_c"),
     )
@@ -1236,7 +1236,7 @@ def q_tpch_q15(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("rev_c") == F.col("max_c"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1283,9 +1283,9 @@ def q_tpch_q16(spark, sf_dir):
         "s_suppkey"
     )
     j = (
-        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -1327,12 +1327,12 @@ def q_tpch_q17(spark, sf_dir):
     prep_session(spark)
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
-    lp = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    lp = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     qty_i = F.round(F.col("l_quantity")).cast("long")
     stats = lp.groupBy(F.col("l_partkey").alias("sk")).agg(
         F.sum(qty_i).alias("sum_q"), F.count("*").alias("n_q")
     )
-    j = lp.join(F.broadcast(stats), F.col("l_partkey") == F.col("sk")).where(
+    j = lp.join(stats, F.col("l_partkey") == F.col("sk")).where(
         qty_i * 5 * F.col("n_q") < F.col("sum_q")
     )
     ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -1367,7 +1367,7 @@ def q_tpch_q19(spark, sf_dir):
     prep_session(spark)
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     q = F.col("l_quantity")
     cond = (
         (
@@ -1428,7 +1428,7 @@ def q_tpch_q20(spark, sf_dir):
     )
     qty_i = F.round(F.col("l_quantity")).cast("long")
     heavy = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(qty_i).alias("shipped"))
         .where(F.col("shipped") > 10)
@@ -1436,7 +1436,7 @@ def q_tpch_q20(spark, sf_dir):
         .distinct()
     )
     return (
-        s.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -1493,7 +1493,7 @@ def q_tpch_q21(spark, sf_dir):
         .agg(F.count("*").alias("numwait"))
     )
     return (
-        culprits.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        culprits.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
@@ -6112,10 +6112,11 @@ LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel: signup → first view AFTER the signup → first
     purchase AFTER that view, per user; one row per funnel step with the
-    surviving-user count. Three dim-sized conditional aggregates chained
-    by broadcast joins — the events fact is scanned per step (persisted,
-    so the parquet decode happens once) but never shuffled beyond the
-    user-keyed aggs."""
+    surviving-user count. Three user-keyed conditional aggregates chained
+    by user-keyed equi-joins (no broadcast hint — user sets scale with
+    the corpus; AQE broadcasts them when small) — the events fact is
+    scanned per step (persisted, so the parquet decode happens once)
+    but never shuffled beyond the user-keyed aggs."""
     prep_session(spark)
     ev = load_events(spark, f"{sf_dir}/events.parquet").persist()
     t1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
@@ -6123,14 +6124,14 @@ def q_event_funnel(spark, sf_dir):
     )
     t2 = (
         ev.where(F.col("event_type") == "view")
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     t3 = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -7502,14 +7503,16 @@ def q_shingle_novelty(spark, sf_dir):
 
     Plan shape: one (doc, shingle) posting aggregate (the same inverted
     index the Jaccard join uses), shingle df derived FROM the posting
-    table (no second corpus pass), one broadcast-joined per-doc rollup;
-    ratio of exact integers rounded to 6 dp."""
+    table (no second corpus pass), one token-keyed equi-join (no
+    broadcast hint — shingle vocabulary scales with the corpus; AQE
+    broadcasts it when small) + per-doc rollup; ratio of exact integers
+    rounded to 6 dp."""
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
     post = dedup.token_posting(d, "text", "doc_id", shingle_n=3)
     dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
     return (
-        post.join(F.broadcast(dfreq), "token")
+        post.join(dfreq, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

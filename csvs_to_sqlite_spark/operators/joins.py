@@ -96,6 +96,9 @@ def asof_join(
 
 def semi_join_row_ids(fact: DataFrame, matches: DataFrame, row_id_col: str) -> DataFrame:
     """D4: ``rowid IN (subquery)`` — the canonical FTS query idiom
-    (reference tests:179-187) as a left-semi join (no fact-side data
-    movement beyond the shuffle-free broadcast when matches are small)."""
-    return fact.join(F.broadcast(matches.select(row_id_col).distinct()), row_id_col, "left_semi")
+    (reference tests:179-187) as a left-semi join. No broadcast hint
+    (broadcast-audit r8): a MATCH set can be fact-sized (a common token
+    matches most rows), so the hint would force an unbuildable hash
+    table at scale; AQE broadcasts small match sets from runtime
+    sizes, and the join stays LeftSemi either way (plan-asserted)."""
+    return fact.join(matches.select(row_id_col).distinct(), row_id_col, "left_semi")

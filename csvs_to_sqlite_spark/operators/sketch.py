@@ -290,8 +290,12 @@ def bloom_prefilter_report(
         .where(F.col("nbits") == n_hashes)
         .select("h")
     )
+    # truth is the MEMBER SET (corpus-sized) — no broadcast hint
+    # (broadcast-audit r8: forcing it would rebuild the exact structure
+    # the bloom filter exists to avoid shipping); the joins against it
+    # are hash-keyed equi-joins AQE can broadcast at small scale
     truth = mh.distinct().select(F.col("h").alias("h_true"))
-    flagged = hits.join(F.broadcast(truth), hits["h"] == truth["h_true"], "left")
+    flagged = hits.join(truth, hits["h"] == truth["h_true"], "left")
     passed = flagged.agg(
         F.count("*").alias("n_pass"),
         F.sum(F.when(F.col("h_true").isNotNull(), 1).otherwise(0))
