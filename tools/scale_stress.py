@@ -233,6 +233,58 @@ def run_sf1() -> None:
         flush=True,
     )
 
+    # --- RocksDB state store at sf1 (VERDICT_r07 item 8): the windowed
+    # aggregation re-runs under the RocksDB provider and must be
+    # bit-identical to the default provider's result above; state-size
+    # evidence prints from the query's own metrics.
+    from csvs_to_sqlite_spark.session import streaming_state_store_conf
+    from csvs_to_sqlite_spark.streaming import windows as W
+
+    t0 = time.time()
+    saved = {}
+    for k, v in streaming_state_store_conf().items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        stream = W._read_stream(spark, f"{out_dir}/events.parquet")
+        q = (
+            W._agg(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sf1_rocksdb")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+        finally:
+            q.stop()
+        wr = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.table("sf1_rocksdb").collect()
+        }
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    wn_full = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in qs["windowed_event_counts"](spark, out_dir).collect()
+    }
+    assert wr == wn_full, "RocksDB provider result != default provider result"
+    ops = prog["stateOperators"][0]
+    cm = ops.get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in cm), "RocksDB did not engage"
+    print(
+        f"rocksdb sf1: {len(wr)} windows bit-identical to default provider; "
+        f"state rows {ops.get('numRowsTotal')}, state mem "
+        f"{ops.get('memoryUsedBytes')} B, rocksdb sst "
+        f"{cm.get('rocksdbSstFileSize', '?')} B, {time.time()-t0:.1f}s",
+        flush=True,
+    )
+
     # knn over a corpus where every vector has 10 exact copies: every
     # query's entire top-5 must be cos≈1 matches (id exactness: the
     # copies of the query vector itself are the nearest neighbors)
