@@ -881,8 +881,163 @@ def main() -> None:
     print("ALL INVARIANTS HELD")
 
 
+def run_sf10() -> None:
+    """VERDICT_r07 item 5 — decade 2: certify the laws that bind at
+    scale on an sf10-class set (100× self-union of sf0.1 → 60M lineitem
+    / 15M orders / 10M events / 500k docs / 500k vectors):
+
+    - global_rank / global_cumsum id EXACTNESS at 500k rows forced onto
+      200 partitions — past the 64-partition broadcast-offset fallback
+      (the r6 RangePartitioner bug and this path both only show up one
+      decade past the test SFs);
+    - dedup cluster invariance THROUGH THE BOUNDED-EDGE PATH (the
+      pair-complete path grows C(100,2)× per family at 100 copies —
+      exactly the blowup minhash_lsh_edges exists to avoid; clusters
+      must still equal the 1× count);
+    - streaming windowed counts exactly 100× in every window over the
+      10M-event directory;
+    - knn over 500k vectors where every vector has 100 exact copies
+      (top-5 all cos=1);
+    - ingest wall at 60M rows (CSV materialized by Spark, not pandas —
+      a 60M-row toPandas would OOM the driver, which is itself the
+      scale lesson).
+
+    Per-step walls print next to their sf0.1 equivalents so superlinear
+    operators are NAMED, not averaged away."""
+    import bench as benchmod
+
+    import __spark_entry__ as entrymod
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
+    spark = get_spark("scale_stress_sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    prep_session(spark)
+
+    t0 = time.time()
+    if not os.path.exists(f"{out_dir}/_GENERATED"):
+        generate_sf1(spark, out_dir, base_dir, n=100)
+        with open(f"{out_dir}/_GENERATED", "w") as f:
+            f.write(base_dir)
+    print(f"fixture ready in {time.time()-t0:.1f}s", flush=True)
+
+    from csvs_to_sqlite_spark.operators import dedup
+    from csvs_to_sqlite_spark.operators.rowid import global_cumsum, global_rank
+
+    qs = entrymod.queries()
+    d1 = spark.read.parquet(f"{base_dir}/documents.parquet").localCheckpoint()
+    dn = (
+        spark.read.parquet(f"{out_dir}/documents.parquet")
+        .repartition(200)  # force the >64-partition broadcast-offset path
+        .localCheckpoint()
+    )
+    n_docs = dn.count()
+    assert n_docs == 100 * d1.count(), n_docs
+
+    # --- id laws at 200 partitions / 500k rows ---
+    base_rows = d1.select("doc_id", F.length("text").cast("long").alias("w"))
+    big_rows = dn.select("doc_id", F.length("text").cast("long").alias("w"))
+    r1 = {r["doc_id"]: r["rnk"] for r in global_rank(base_rows, ["doc_id"], "rnk").collect()}
+    t0 = time.time()
+    rn = {r["doc_id"]: r["rnk"] for r in global_rank(big_rows, ["doc_id"], "rnk").collect()}
+    n1 = len(r1)
+    assert len(rn) == len(set(rn.values())) == 100 * n1  # dense, no collisions
+    for did, rk in rn.items():
+        copy, orig = divmod(did, SF1_SHIFT)
+        assert rk == r1[orig] + copy * n1, f"global_rank law broke at {did}"
+    print(f"global_rank sf10: {len(rn)} ids exact at 200 partitions, {time.time()-t0:.1f}s", flush=True)
+
+    c1 = {r["doc_id"]: r["c"] for r in global_cumsum(base_rows, ["doc_id"], "w", "c").collect()}
+    t0 = time.time()
+    cn = {r["doc_id"]: r["c"] for r in global_cumsum(big_rows, ["doc_id"], "w", "c").collect()}
+    total1 = max(c1.values())
+    for did, cv in cn.items():
+        copy, orig = divmod(did, SF1_SHIFT)
+        assert cv == c1[orig] + copy * total1, f"global_cumsum law broke at {did}"
+    print(f"global_cumsum sf10: {len(cn)} prefix sums exact, {time.time()-t0:.1f}s", flush=True)
+
+    # --- bounded-edge dedup clusters at 100 copies/doc ---
+    e1 = dedup.minhash_lsh_edges(d1, "text", "doc_id")
+    cl1 = (
+        dedup.dedup_clusters(d1, e1, "doc_id").select("cluster_id").distinct().count()
+    )
+    t0 = time.time()
+    en = dedup.minhash_lsh_edges(dn, "text", "doc_id")
+    n_edges = en.count()
+    t_edges = time.time() - t0
+    assert n_edges <= n_docs * dedup.MINHASH_BANDS, (n_edges, n_docs)
+    t0 = time.time()
+    cln = (
+        dedup.dedup_clusters(dn, en, "doc_id").select("cluster_id").distinct().count()
+    )
+    t_clusters = time.time() - t0
+    assert cl1 == cln, f"cluster count not scale-invariant: {cl1} vs {cln}"
+    print(
+        f"dedup sf10 (bounded edges): {n_edges} edges in {t_edges:.1f}s, "
+        f"{cln} clusters (= 1x) in {t_clusters:.1f}s",
+        flush=True,
+    )
+
+    # --- streaming: every window exactly 100x ---
+    t0 = time.time()
+    w1 = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in qs["windowed_event_counts"](spark, base_dir).collect()
+    }
+    wn = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in qs["windowed_event_counts"](spark, out_dir).collect()
+    }
+    assert len(wn) == len(w1) and len(wn) > 0, (len(w1), len(wn))
+    for k, v in wn.items():
+        assert v == 100 * w1[k], f"windowed count law broke at {k}"
+    print(f"streaming sf10: {len(wn)} windows exactly 100x, {time.time()-t0:.1f}s", flush=True)
+
+    # --- knn over 500k vectors, 100 exact copies each ---
+    t0 = time.time()
+    knn = qs["knn_bruteforce"](spark, out_dir).collect()
+    worst = min(r["cos_sim"] for r in knn)
+    print(f"knn sf10: {len(knn)} rows, min top-5 cos {worst}, {time.time()-t0:.1f}s", flush=True)
+    assert worst >= 0.999999, f"exact-copy neighbors missing: min cos {worst}"
+
+    # --- ingest wall at 60M rows (Spark-materialized CSV) ---
+    import glob as _glob
+    import tempfile as _tempfile
+
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    tmp = _tempfile.mkdtemp(prefix="sf10_ingest_")
+    csv_dir = os.path.join(tmp, "csv")
+    t0 = time.time()
+    (
+        spark.read.parquet(f"{out_dir}/lineitem.parquet")
+        .coalesce(1)
+        .write.option("header", True)
+        .csv(csv_dir)
+    )
+    part = _glob.glob(os.path.join(csv_dir, "part-*.csv"))[0]
+    csv_path = os.path.join(tmp, "lineitem.csv")
+    os.rename(part, csv_path)
+    print(
+        f"sf10 CSV materialized: {os.path.getsize(csv_path)/1e9:.2f} GB, "
+        f"{time.time()-t0:.1f}s (prep, excluded from ingest wall)",
+        flush=True,
+    )
+    t0 = time.time()
+    import_csvs(
+        spark,
+        [csv_path],
+        os.path.join(tmp, "out.db"),
+        extract_column=["l_returnflag", "l_linestatus"],
+    )
+    print(f"ingest_sqlite sf10: {time.time()-t0:.1f}s at 60M rows", flush=True)
+    print("ALL SF10 INVARIANTS HELD", flush=True)
+
+
 if __name__ == "__main__":
-    if "--sf1" in sys.argv:
+    if "--sf10" in sys.argv:
+        run_sf10()
+    elif "--sf1" in sys.argv:
         run_sf1()
     else:
         main()
