@@ -2142,6 +2142,43 @@ WHERE b.doc_id <> r.rep
     )
 
 
+def q_dedup_clusters_bounded(spark, sf_dir):
+    """Connected components routed through the LINEAR-output candidate
+    path (dedup.minhash_lsh_edges → dedup_clusters): the destructive-
+    dedup route at 100 TB, where the pair-complete path's C(n,2)-per-
+    family output is the blowup the sf1 decade measured. The oracle
+    re-derives the same star edges and runs the converged recursive-CTE
+    components over them — so the clusters-over-edges equivalence is
+    hash-checked cross-engine, not just unit-asserted."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_edges(d, "text", "doc_id")
+    return dedup.dedup_clusters(d, edges, "doc_id")
+
+
+def _sql_dedup_clusters_bounded() -> str:
+    bounded = _sql_dedup_pairs_bounded().strip()
+    # reuse the bounded-edges SQL verbatim as the pair source: strip its
+    # leading WITH and nest it as a CTE chain under WITH RECURSIVE
+    assert bounded.startswith("WITH ")
+    ctes, _, final_select = bounded.partition("\nSELECT DISTINCT")
+    return (
+        "WITH RECURSIVE "
+        + ctes[len("WITH ") :]
+        + ",\npairs AS MATERIALIZED (SELECT DISTINCT"
+        + final_select
+        + """),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+ UNION ALL SELECT id_b, id_a FROM pairs),
+reach(doc_id, r) AS (
+ SELECT doc_id, doc_id FROM documents
+ UNION
+ SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+    )
+
+
 def q_edit_distance_verify(spark, sf_dir):
     """Exact edit-distance verification tier over the LSH candidate
     set (dedup.edit_distance_verify): per candidate pair, BYTE-level
@@ -9000,6 +9037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_pairs_bounded": q_dedup_pairs_bounded,
+        "dedup_clusters_bounded": q_dedup_clusters_bounded,
         "edit_distance_verify": q_edit_distance_verify,
         "dedup_index_precision": q_dedup_index_precision,
         "dedup_index_recall": q_dedup_index_recall,
@@ -9216,6 +9254,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_sig(),
         "minhash_lsh_pairs": _sql_minhash_pairs(),
         "dedup_pairs_bounded": _sql_dedup_pairs_bounded(),
+        "dedup_clusters_bounded": _sql_dedup_clusters_bounded(),
         "edit_distance_verify": _sql_edit_distance_verify(),
         "dedup_index_precision": _sql_dedup_index_precision(),
         "dedup_index_recall": _sql_dedup_index_recall(),
