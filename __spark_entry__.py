@@ -2766,7 +2766,11 @@ def q_ivf_rebalance_apply(spark, sf_dir):
     )
 
 
-def _sql_ivf_rebalance_apply() -> str:
+def _sql_rebalance_apply_ctes() -> str:
+    """The full CTE chain of the rebalance APPLY (plan + split +
+    recomputed centroids + final assignment) with no final SELECT —
+    composed by both the layout-audit oracle and the sibling-probe
+    query oracle."""
     from csvs_to_sqlite_spark.operators.similarity import EMB_Q
 
     plan_sql = _sql_ivf_rebalance().strip()
@@ -2800,12 +2804,95 @@ final_cents AS (
   SELECT centroid_id, cv FROM {final}
   WHERE centroid_id NOT IN (SELECT cell FROM hot)
   UNION ALL
-  SELECT centroid_id, cv FROM split_cents)
+  SELECT centroid_id, cv FROM split_cents)"""
+    )
+
+
+def _sql_ivf_rebalance_apply() -> str:
+    return (
+        _sql_rebalance_apply_ctes()
+        + """
 SELECT fc.centroid_id AS cell,
        CAST(count(*) AS BIGINT) AS n_vectors,
        fc.cv AS centroid
 FROM final_assign fa JOIN final_cents fc ON fa.cell = fc.centroid_id
 GROUP BY fc.centroid_id, fc.cv
+"""
+    )
+
+
+_IVF_REBALQ_PATHS: dict = {}
+
+
+def q_ivf_rebalance_query(spark, sf_dir):
+    """Query the REBALANCED index with sibling-expanded probes
+    (similarity.ivf_index_topk(expand_siblings=True)): after a hot-list
+    split a fixed n_probe scans fewer vectors, so each probe that lands
+    on a split cell also probes the cell's split sibling — the
+    maintenance-aware query path a production IVF service runs between
+    rebuilds. The oracle replicates the whole chain: k-means → plan →
+    split → recomputed centroids → probe assignment over the NEW
+    centroid set → sibling expansion → exact-cosine rank."""
+    prep_session(spark)
+    import atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _IVF_REBALQ_PATHS.get(sf_dir)
+    if path is None:
+        path = _tempfile.mkdtemp(prefix="q_ivf_rebalq_")
+        _IVF_REBALQ_PATHS[sf_dir] = path
+        atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    else:
+        _shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_index_write(
+        emb, path, n_centroids=IVF_CENTROIDS, kmeans_iters=IVF_KMEANS_ITERS
+    )
+    similarity.ivf_index_rebalance_apply(spark, path, cap_num=1, cap_den=1)
+    out = similarity.ivf_index_topk(
+        spark,
+        path,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_probe=IVF_PROBE,
+        expand_siblings=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def _sql_ivf_rebalance_query() -> str:
+    return (
+        _sql_rebalance_apply_ctes()
+        + f""",
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT b.vec_id AS query_id, b.v AS qv, fc.centroid_id AS cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_dd_cos('b.v', 'fc.cv')} DESC, fc.centroid_id) AS rn
+    FROM base b CROSS JOIN final_cents fc WHERE b.vec_id < 10)
+  WHERE rn <= {IVF_PROBE}),
+sibs AS (
+  SELECT cell, right_id AS sibling FROM new_ids
+  UNION ALL
+  SELECT right_id AS cell, new_ids.cell AS sibling FROM new_ids),
+expanded AS (
+  SELECT query_id, qv, cell FROM probes
+  UNION
+  SELECT p.query_id, p.qv, s.sibling AS cell
+  FROM probes p JOIN sibs s ON p.cell = s.cell),
+scored AS (
+  SELECT e.query_id, fa.vec_id AS neighbor_id, {_dd_cos('e.qv', 'b.v')} AS cos_sim
+  FROM expanded e
+  JOIN final_assign fa ON e.cell = fa.cell
+  JOIN base b ON fa.vec_id = b.vec_id
+  WHERE e.query_id <> fa.vec_id)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+WHERE rnk <= 5
 """
     )
 
@@ -9051,6 +9138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_incremental": q_ivf_index_incremental,
         "ivf_rebalance": q_ivf_rebalance,
         "ivf_rebalance_apply": q_ivf_rebalance_apply,
+        "ivf_rebalance_query": q_ivf_rebalance_query,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "semdedup_prune": q_semdedup_prune,
@@ -9268,6 +9356,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_incremental": _sql_ivf_index_incremental(),
         "ivf_rebalance": _sql_ivf_rebalance(),
         "ivf_rebalance_apply": _sql_ivf_rebalance_apply(),
+        "ivf_rebalance_query": _sql_ivf_rebalance_query(),
         "knn_ivfpq": _sql_knn_ivfpq(),
         "knn_ivfpq_residual": _sql_knn_ivfpq_residual(),
         "semdedup_prune": _sql_semdedup(),

@@ -1467,6 +1467,19 @@ def ivf_index_rebalance_apply(
     spark.createDataFrame(
         sorted(kept), "centroid_id long, cv array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # sibling map (both directions) for query-side probe expansion: a
+    # fixed n_probe scans fewer vectors after a split (smaller lists);
+    # ivf_index_topk(expand_siblings=True) adds the probed cell's split
+    # sibling so the pre-split recall is recovered at ~pre-split scanned
+    # bytes. Single maintenance generation: re-applying rebalance
+    # OVERWRITES this map (document: rebuild after repeated splits).
+    sibs = [
+        (int(r["cell"]), max_id + 1 + i)
+        for i, r in enumerate(plan_rows)
+    ]
+    spark.createDataFrame(
+        sorted(sibs + [(b, a) for a, b in sibs]), "cell long, sibling long"
+    ).write.mode("overwrite").parquet(f"{path}/siblings")
     n_after = spark.read.parquet(f"{path}/cells").count()
     if n_after != n_before:
         raise RuntimeError(
@@ -1485,6 +1498,7 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
+    expand_siblings: bool = False,
 ) -> DataFrame:
     """Query a persisted IVF index: load the (tiny, broadcast) centroid
     table, assign each query its n_probe nearest cells, and join against
@@ -1492,7 +1506,18 @@ def ivf_index_topk(
     ``ivf_topk`` returns for the same parameters (unit-asserted) — the
     k-means cost is simply amortized away. With literal cell predicates
     the partitioned layout prunes at the file level (plan-asserted in
-    tests)."""
+    tests).
+
+    ``expand_siblings=True`` additionally probes the split SIBLING of
+    every probed cell (the map ``ivf_index_rebalance_apply`` writes):
+    after a split, a fixed n_probe scans fewer vectors, so recall can
+    dip; sibling expansion recovers the pre-split candidate set at
+    ~pre-split scanned bytes for exactly the probes that hit split
+    cells, and is a no-op (empty map) on an unrebalanced index. The
+    sibling table is split-count-sized (broadcast-class by
+    construction)."""
+    import os as _os
+
     cents = spark.read.parquet(f"{path}/centroids")
     corpus = spark.read.parquet(f"{path}/cells")
     q = assign_cells(
@@ -1504,6 +1529,14 @@ def ivf_index_topk(
         "qv",
         n_probe=n_probe,
     )
+    if expand_siblings and _os.path.isdir(f"{path}/siblings"):
+        sibs = spark.read.parquet(f"{path}/siblings")
+        expanded = q.join(F.broadcast(sibs), "cell").select(
+            F.col("sibling").alias("cell"), "query_id", "qv"
+        )
+        q = q.select("cell", "query_id", "qv").unionByName(expanded).dropDuplicates(
+            ["cell", "query_id"]
+        )
     cand = corpus.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )

