@@ -40,9 +40,24 @@ def test_tfidf_ties_break_on_token(spark):
     assert doc1 == [(1, "a"), (2, "b")]  # equal scores → token asc
 
 
-def test_tfidf_plan_broadcasts_df_table(spark):
-    plan = tfidf_top_terms(_docs(spark), "text", "doc_id")._jdf.queryExecution().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+def test_tfidf_df_table_broadcast_is_opt_in(spark):
+    """Broadcast-audit r8: the document-frequency table grows with the
+    corpus vocabulary (Heaps' law), so the broadcast hint is OPT-IN —
+    the default plan carries no ResolvedHint and AQE decides from
+    runtime sizes; broadcast_df=True still forces the exchange for
+    callers with a provably bounded vocabulary."""
+    default_logical = str(
+        tfidf_top_terms(_docs(spark), "text", "doc_id")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    )
+    assert "ResolvedHint" not in default_logical
+    hinted = (
+        tfidf_top_terms(_docs(spark), "text", "doc_id", broadcast_df=True)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in hinted or "BroadcastExchange" in hinted
 
 
 def test_bigram_counts(spark):
