@@ -2179,6 +2179,53 @@ SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
     )
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test contamination audit (dedup.split_leakage): per
+    ordered split pair, the number of documents sharing an LSH bucket
+    with the other split — eval leakage measured BEFORE trusting
+    held-out numbers. Pair-free: bucket×split presence is a distinct
+    aggregate, so the audit stays linear in docs×bands even through
+    million-copy duplicate families."""
+    prep_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.split_leakage(d, "text", "doc_id")
+
+
+def _sql_split_leakage() -> str:
+    from csvs_to_sqlite_spark.operators.splits import split_assignment_sql
+
+    split = split_assignment_sql("doc_id")
+    rate = qmath.sql_qdiv_count(
+        "(n_leaked * 1000000)", "greatest(n_split_docs, 1)", 1, 6
+    )
+    return (
+        "WITH sig AS (\n"
+        + _sql_minhash_sig()
+        + "\n), bands AS (\n"
+        + _sql_minhash_band_rows()
+        + f"""
+), s AS (
+  SELECT doc_id, band, key, {split} AS split FROM bands
+), present AS (
+  SELECT DISTINCT band, key, split AS other_split FROM s
+), crossed AS (
+  SELECT DISTINCT s.doc_id, s.split, p.other_split
+  FROM s JOIN present p ON s.band = p.band AND s.key = p.key
+  WHERE s.split <> p.other_split
+), matrix AS (
+  SELECT split, other_split, CAST(count(*) AS BIGINT) AS n_leaked
+  FROM crossed GROUP BY split, other_split
+), totals AS (
+  SELECT {split} AS split, CAST(count(*) AS BIGINT) AS n_split_docs
+  FROM documents GROUP BY 1
+)
+SELECT m.split, m.other_split, m.n_leaked, t.n_split_docs,
+       {rate} AS leak_rate
+FROM matrix m JOIN totals t ON m.split = t.split
+"""
+    )
+
+
 def q_edit_distance_verify(spark, sf_dir):
     """Exact edit-distance verification tier over the LSH candidate
     set (dedup.edit_distance_verify): per candidate pair, BYTE-level
@@ -9125,6 +9172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_pairs_bounded": q_dedup_pairs_bounded,
         "dedup_clusters_bounded": q_dedup_clusters_bounded,
+        "split_leakage": q_split_leakage,
         "edit_distance_verify": q_edit_distance_verify,
         "dedup_index_precision": q_dedup_index_precision,
         "dedup_index_recall": q_dedup_index_recall,
@@ -9343,6 +9391,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sql_minhash_pairs(),
         "dedup_pairs_bounded": _sql_dedup_pairs_bounded(),
         "dedup_clusters_bounded": _sql_dedup_clusters_bounded(),
+        "split_leakage": _sql_split_leakage(),
         "edit_distance_verify": _sql_edit_distance_verify(),
         "dedup_index_precision": _sql_dedup_index_precision(),
         "dedup_index_recall": _sql_dedup_index_recall(),

@@ -557,6 +557,73 @@ def minhash_lsh_edges(
     )
 
 
+def split_leakage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    splits=None,
+    seed: str = "split",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """Train/test contamination audit: for every ordered split pair,
+    how many documents of split A share an LSH bucket (i.e. are
+    near-dup CANDIDATES) with at least one document of split B — the
+    eval-leakage check a training pipeline runs before trusting its
+    held-out numbers (a test example whose near-copy sits in train is
+    not held out). Returns (split, other_split, n_leaked, n_split_docs,
+    leak_rate).
+
+    Scale: NO pair materialization at all — bucket×split PRESENCE is a
+    distinct aggregate (≤ buckets × n_splits rows), and each posting row
+    joins that presence table once, so the whole audit is linear in
+    docs×bands even when a duplicate family holds millions of copies
+    (the C(n,2) blowup the bounded-edges work removed never appears
+    here). Split assignment is the scan-stage salted-md5 predicate
+    (splits.split_assignment), so the same doc always lands in the same
+    split across the corpus and the oracle."""
+    from csvs_to_sqlite_spark.operators.splits import (
+        DEFAULT_SPLITS,
+        split_assignment,
+    )
+
+    if splits is None:
+        splits = DEFAULT_SPLITS
+    banded = minhash_bands(df, text_col, id_col, k, bands, shingle_n)
+    s = banded.withColumn("split", split_assignment(F.col(id_col), splits, seed))
+    s = s.persist()  # posting rows feed both the presence agg and the probe join
+    present = s.select("band", "key", F.col("split").alias("other_split")).distinct()
+    cross = (
+        s.join(present, ["band", "key"])
+        .where(F.col("split") != F.col("other_split"))
+        .select(id_col, "split", "other_split")
+        .distinct()
+    )
+    matrix = cross.groupBy("split", "other_split").agg(
+        F.count("*").cast("long").alias("n_leaked")
+    )
+    totals = (
+        df.select(
+            split_assignment(F.col(id_col), splits, seed).alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_split_docs"))
+    )
+    return matrix.join(totals, "split").select(
+        "split",
+        "other_split",
+        "n_leaked",
+        "n_split_docs",
+        qmath.qdiv_count(
+            F.col("n_leaked") * F.lit(1_000_000),
+            F.greatest(F.col("n_split_docs"), F.lit(1)),
+            1,
+            6,
+        ).alias("leak_rate"),
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,

@@ -103,6 +103,45 @@ def test_lsh_edges_linear_and_cluster_identical(spark):
     assert got[0] == got[11] == 0  # the family collapsed to its min id
 
 
+def test_split_leakage_detects_planted_cross_split_copy(spark):
+    """A corpus where two ids landing in DIFFERENT splits carry the
+    SAME text must report leakage in both directions, while a corpus of
+    all-distinct texts reports none. Split membership is the salted-md5
+    assignment, so the test discovers a genuine cross-split id pair
+    rather than assuming one."""
+    from csvs_to_sqlite_spark.operators.splits import split_assignment
+
+    ids = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    assign = {
+        r["doc_id"]: r["split"]
+        for r in ids.select(
+            "doc_id", split_assignment(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    train_id = next(i for i in sorted(assign) if assign[i] == "train")
+    test_id = next(i for i in sorted(assign) if assign[i] == "test")
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, dup_text if i in (train_id, test_id) else f"unique text number {i} " * 3)
+        for i in sorted(assign)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["split"], r["other_split"]): (r["n_leaked"], r["n_split_docs"])
+        for r in dedup.split_leakage(docs, "text", "doc_id").collect()
+    }
+    assert got[("train", "test")][0] >= 1
+    assert got[("test", "train")][0] >= 1
+    # totals are split sizes, and a leak-free corpus reports nothing
+    n_train = sum(1 for s in assign.values() if s == "train")
+    assert got[("train", "test")][1] == n_train
+    clean = spark.createDataFrame(
+        [(i, f"unique text number {i} " * 3) for i in range(100)],
+        "doc_id long, text string",
+    )
+    assert dedup.split_leakage(clean, "text", "doc_id").count() == 0
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     """A 10-node path graph (diameter 9) must fully collapse to cluster 0 —
     bounded 5-round unrolling could not do this; the fixpoint loop with

@@ -319,3 +319,31 @@ def test_ivf_rebalance_plan_partitioning_invariant(spark, parts):
     for cell, n, dim, split_q, n_left, n_right in base:
         assert n_left + n_right == n
         assert n_left >= 1 and n_right >= 0 and 0 <= dim < 8
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_minhash_lsh_edges_partitioning_invariant(spark, parts):
+    """Bounded star edges are a pure function of the md5 signatures —
+    the edge SET must be bit-identical under any input layout."""
+    from csvs_to_sqlite_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows_of = lambda df: sorted(tuple(r) for r in df.collect())
+    base = rows_of(dedup.minhash_lsh_edges(docs, "text", "doc_id"))
+    got = rows_of(
+        dedup.minhash_lsh_edges(docs.repartition(parts), "text", "doc_id")
+    )
+    assert base == got
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_split_leakage_partitioning_invariant(spark, parts):
+    """The leakage matrix folds exact integers over md5-derived splits
+    and buckets — bit-identical under any input layout."""
+    from csvs_to_sqlite_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows_of = lambda df: sorted(tuple(r) for r in df.collect())
+    base = rows_of(dedup.split_leakage(docs, "text", "doc_id"))
+    got = rows_of(dedup.split_leakage(docs.repartition(parts), "text", "doc_id"))
+    assert base == got
