@@ -16,6 +16,7 @@ semantics (utils.py:362-438, 490-502) without copying its generator.
 from __future__ import annotations
 
 import datetime
+import hashlib
 import sqlite3
 
 from pyspark.sql import DataFrame
@@ -465,9 +466,17 @@ class SQLiteSink:
                         dim_table, label_col = fks[col]
                         n = uses_per_dim.get(dim_table, 0) + 1
                         uses_per_dim[dim_table] = n
-                        # D3: a dim joined twice needs an alias
-                        ref = f"{dim_table}_join_{n}" if n > 1 else dim_table
-                        alias = f"{dim_table}_join_{n}" if n > 1 else ""
+                        # D3: a dim joined twice needs an alias; naming matches
+                        # reference utils.py:406-413 byte-for-byte
+                        # (table_alias_{md5(dim)}_{n}).
+                        alias = (
+                            "table_alias_{}_{}".format(
+                                hashlib.md5(dim_table.encode("utf8")).hexdigest(), n
+                            )
+                            if n > 1
+                            else ""
+                        )
+                        ref = alias or dim_table
                         select_cols.append(f'[{ref}]."{label_col}"')
                         joins.append(
                             f'left join [{dim_table}] {alias} on [{table}]."{col}" = [{ref}].id'

