@@ -295,7 +295,13 @@ def import_csvs(
                     # integer value, so the reference's C1 check downcasts it
                     if float(value).is_integer():
                         inferred_overrides[colname] = "INTEGER"
-                df = apply_dates_and_datetimes(df, tuple(date), tuple(datetime), tuple(datetime_format))
+                df = apply_dates_and_datetimes(
+                    df,
+                    tuple(date),
+                    tuple(datetime),
+                    tuple(datetime_format),
+                    nonnull_counts=nonnull_counts,
+                )
                 df = with_row_id(df, partition_counts=partition_counts)
                 # Spill the typed frame to parquet ONCE and treat that as the
                 # pipeline cache: every later action (dim extraction with

@@ -119,6 +119,42 @@ _HI_MONTHS = [
     ("दिसंबर", "दिसम्बर"),
 ]
 
+# Polish month names (dateparser's pl locale; round-8 locale notch) — the
+# genitive forms are what dates actually use ("3 maja 2017"), nominative
+# and the standard abbreviations ride along
+_PL_MONTHS = [
+    ("styczeń", "styczen", "stycznia", "sty"),
+    ("luty", "lutego", "lut"),
+    ("marzec", "marca"),
+    ("kwiecień", "kwiecien", "kwietnia", "kwi"),
+    ("maj", "maja"),
+    ("czerwiec", "czerwca", "cze"),
+    ("lipiec", "lipca", "lip"),
+    ("sierpień", "sierpien", "sierpnia", "sie"),
+    ("wrzesień", "wrzesien", "września", "wrzesnia", "wrz"),
+    ("październik", "pazdziernik", "października", "pazdziernika", "paź", "paz"),
+    ("listopad", "listopada", "lis"),
+    ("grudzień", "grudzien", "grudnia", "gru"),
+]
+
+# Indonesian month names (dateparser's id locale; round-8 locale notch) —
+# most coincide with the nl table (januari/mei/juni/juli/oktober…); the
+# id-specific spellings and abbreviations land here
+_ID_MONTHS = [
+    (),
+    (),
+    ("maret",),
+    (),
+    (),
+    (),
+    (),
+    ("agustus", "agt", "ags"),
+    (),
+    (),
+    (),
+    ("desember", "des"),
+]
+
 # non-Latin month tables (language-detection-free, VERDICT r5 item 5):
 # Russian nominative + genitive (the form used in dates) + abbreviations —
 # dateparser's ru locale month recognition
@@ -146,6 +182,8 @@ _MONTHS.update(
 _MONTHS.update({m: i + 1 for i, names in enumerate(_RU_MONTHS) for m in names})
 _MONTHS.update({m: i + 1 for i, names in enumerate(_TR_MONTHS) for m in names})
 _MONTHS.update({m: i + 1 for i, names in enumerate(_HI_MONTHS) for m in names})
+_MONTHS.update({m: i + 1 for i, names in enumerate(_PL_MONTHS) for m in names})
+_MONTHS.update({m: i + 1 for i, names in enumerate(_ID_MONTHS) for m in names})
 # zh month names 一月..十二月 (longest-first insertion irrelevant: lookups
 # are whole-token); ar tables appended below their definition
 _ZH_MONTHS = [
@@ -186,6 +224,39 @@ def _parse_cjk(s: str):
             hour += 12  # 午後3時 / 下午3时 → 15:00
         elif m.group(4) in _CJK_AM and hour == 12:
             hour = 0
+    try:
+        return datetime(yr, mo, day, hour, minute, second)
+    except ValueError:
+        return None
+
+
+# Vietnamese dates are positional with particle markers (dateparser's vi
+# locale; round-8 locale notch): "[ngày] 3 tháng 5 năm 2017", optional
+# time as "lúc 15 giờ 30 phút 5 giây" or an ASCII hh:mm[:ss] tail.
+# Diacritic-less spellings (ngay/thang/nam/luc/gio/phut/giay) ride along —
+# user CSVs routinely carry both.
+_VI_DATE_RE = re.compile(
+    r"^\s*(?:ngày|ngay)?\s*(?:(\d{1,2})\s+)?(?:tháng|thang)\s*(\d{1,2})"
+    r"\s*(?:năm|nam)\s*(\d{4})"
+    r"(?:\s*(?:lúc|luc)?\s*(\d{1,2})\s*(?:giờ|gio)"
+    r"(?:\s*(\d{1,2})\s*(?:phút|phut))?"
+    r"(?:\s*(\d{1,2})\s*(?:giây|giay))?"
+    r"|\s+(\d{1,2}):(\d{2})(?::(\d{2}))?)?\s*$",
+    re.I,
+)
+
+
+def _parse_vi(s: str):
+    m = _VI_DATE_RE.match(s)
+    if not m:
+        return None
+    day = int(m.group(1)) if m.group(1) else 1  # "tháng 5 năm 2017" → 1st
+    mo, yr = int(m.group(2)), int(m.group(3))
+    if m.group(7) is not None:  # ASCII time tail
+        hour, minute, second = int(m.group(7)), int(m.group(8)), int(m.group(9) or 0)
+    else:
+        hour = int(m.group(4)) if m.group(4) else 0
+        minute, second = int(m.group(5) or 0), int(m.group(6) or 0)
     try:
         return datetime(yr, mo, day, hour, minute, second)
     except ValueError:
@@ -247,6 +318,10 @@ _FILLER = {
     "في", "عام", "سنة",
     # Hindi date filler: "3 मई 2017 को" (postposition "on")
     "को",
+    # Polish year markers: "3 maja 2017 r." / "roku"
+    "r", "r.", "roku",
+    # Indonesian date filler: "tanggal 3 Mei 2017" (tanggal = date)
+    "tanggal",
 } | _WEEKDAYS
 
 # fixed-offset timezone names (the unambiguous, dateparser-supported core);
@@ -409,6 +484,9 @@ def _parse_fuzzy(value: str, date_order: str = "MDY") -> datetime:
     cjk = _parse_cjk(s)
     if cjk is not None:
         return cjk
+    vi = _parse_vi(s)
+    if vi is not None:
+        return vi
 
     s, tzinfo = _extract_tz(s)
     if tzinfo is not None:

@@ -52,14 +52,21 @@ def apply_dates_and_datetimes(
     date_cols: tuple[str, ...] = (),
     datetime_cols: tuple[str, ...] = (),
     datetime_formats: tuple[str, ...] = (),
+    nonnull_counts: dict[str, int] | None = None,
 ) -> DataFrame:
+    """``nonnull_counts`` (from the inference pass) lets an ALL-NULL target
+    column skip the transform entirely: the reference's parse loop skips
+    NaN cells, so an all-NaN column stays float64 and C1 declares it
+    INTEGER — stringifying it here would flip the DDL to TEXT (caught by
+    differential fuzz seed 82002)."""
     cols = set(df.columns)
+    nn = nonnull_counts or {}
     date_udf = _make_udf(datetime_formats, date_only=True)
     dt_udf = _make_udf(datetime_formats, date_only=False)
     for c in date_cols:
-        if c in cols:
+        if c in cols and nn.get(c, 1) > 0:
             df = df.withColumn(c, date_udf(qcol(c).cast("string")))
     for c in datetime_cols:
-        if c in cols:
+        if c in cols and nn.get(c, 1) > 0:
             df = df.withColumn(c, dt_udf(qcol(c).cast("string")))
     return df

@@ -177,6 +177,13 @@ _PANDAS_NA_TOKENS = (
     "n/a", "nan", "null",
 )
 
+# uint64 max as an exact decimal literal — the boundary of pandas' uint64
+# tier (decimal(20,0) alone is too wide: 20-digit ints up to 10^20-1 fit it
+# but overflow uint64)
+import decimal as _decimal
+
+_U64_MAX = _decimal.Decimal(18446744073709551615)
+
 # full-size plaintext copies of compressed inputs; the engine releases
 # them once the typed spill has landed (standalone load_csv callers are
 # covered by the atexit backstop)
@@ -207,6 +214,7 @@ def load_csv(
     quoting: int = 0,
     shape: str | None = None,
     just_strings: bool = False,
+    float_parity: bool | None = None,
     _with_counts: bool = False,
 ) -> DataFrame:
     """A1-A8: one CSV file → typed DataFrame (reference utils.py:22-55).
@@ -321,18 +329,11 @@ def load_csv(
             + [T.StructField(_EXTRA, T.StringType())]
         )
         df = reader.schema(probe_schema).option("enforceSchema", True).csv(local_path)
-        # pandas NA semantics: the default na_values tokens become NULL
-        # (whitespace-only FIELDS are NOT NA — they stay literal and force
-        # the column to object/TEXT; the sentinel column is exempt)
-        df = df.select(
-            *[
-                F.when(qcol(c).isin(*_PANDAS_NA_TOKENS), None)
-                .otherwise(qcol(c))
-                .alias(c)
-                for c in columns
-            ],
-            F.col(_EXTRA),
-        )
+        # pandas NA semantics (default na_values → NULL) are applied by
+        # infer_reference_types per-column rather than here: the uint64
+        # conflict quirk (probed; see _decide_types) keeps NA tokens as
+        # LITERAL text, so the raw strings must survive until the column
+        # kind is known. just_strings applies the mask below.
         if len(columns) == 1:
             # pandas blank-line quirk: in a single-column file a
             # whitespace-only LINE is skipped entirely (not a NaN row)
@@ -364,6 +365,15 @@ def load_csv(
             if df.where(F.col(_EXTRA).isNotNull()).limit(1).count():
                 raise LoadCsvError("Error tokenizing data: too many fields")
             df = df.drop(_EXTRA)
+        # A7 keeps pandas' NA semantics (dtype=str still na-filters)
+        df = df.select(
+            *[
+                F.when(qcol(c).isin(*_PANDAS_NA_TOKENS), None)
+                .otherwise(qcol(c))
+                .alias(c)
+                for c in df.columns
+            ]
+        )
         if _with_counts:
             counts = {
                 r["__pid__"]: r["__rows__"]
@@ -378,6 +388,8 @@ def load_csv(
         check_bad_lines=bad_lines_pending,
         return_partition_counts=_with_counts,
         quoting=quoting,
+        na_masked=False,
+        float_parity=float_parity,
     )
 
 
@@ -387,6 +399,7 @@ def _decide_types(
     quoting: int,
     bool_ok: dict[str, bool],
     bool_first_null: dict[str, bool],
+    float_parity: bool = False,
 ) -> tuple[dict[str, str], dict[str, str]]:
     """The pandas dtype decision table, shared by the persist-cache path
     and the single-pass spill path (pandas → SQLite affinity,
@@ -394,11 +407,23 @@ def _decide_types(
 
     - all-null           → float64 of NaN → C1 → INTEGER column, NULLs
     - all int-strings,
-        all fit int64    → int64 → INTEGER
-        some overflow    → object → TEXT  (order-dependent: a beyond-
-                           uint64 int only blocks when no float-notation
-                           value precedes it)
+        all fit int64    → int64 → INTEGER (with NULLs: float64 upcast
+                           from the EXACT int64 values; float_parity also
+                           makes the stored values doubles)
+        some beyond u64  → object → TEXT  (order-dependent: a POSITIVE
+                           beyond-uint64 int only blocks when no float-
+                           notation value precedes it; huge negatives
+                           never block — probed, they ride float mode)
         int64 < v ≤ u64  → uint64 → INTEGER affinity, values as doubles
+                           (the reference CRASHES in to_sql here —
+                           OverflowError binding ints > int64; staying
+                           graceful is a documented divergence)…
+                           …UNLESS NULLs or negative ints sit alongside:
+                           pandas' uint64-conflict ValueError falls back
+                           to object WITHOUT NA masking, so the column is
+                           TEXT with NA tokens kept as literal strings
+                           (kind ``rawtext``; probed exhaustively in
+                           tests/test_uint64_quirks.py)
     - all float-castable → float64; C1 all-integral keeps DOUBLE values
                            but emits INTEGER affinity (SQLite coerces per
                            value, exactly like to_sql)
@@ -407,9 +432,15 @@ def _decide_types(
     - else               → object → TEXT
 
     Returns ({column: kind}, {column: DDL override}) with kind one of
-    ``allnull | long | double | bool | text``."""
+    ``allnull | long | longfloat | double | pdouble | rawtext | bool |
+    text`` (``longfloat``/``pdouble`` only under float_parity)."""
     kinds: dict[str, str] = {}
     overrides: dict[str, str] = {}
+    total_rows = row["__rows__"]
+    # pdouble = parity-parsed double values (precise_xstrtod); plain
+    # 'double' keeps Spark's exact cast — the uint64-clean tier must stay
+    # exact (pandas holds those as exact uint64, not parsed floats)
+    dbl_kind = "pdouble" if float_parity else "double"
     for i, c in enumerate(data_cols):
         n = row[f"c{i}_n"]
         first_big = row[f"c{i}_firstbig"]
@@ -426,19 +457,37 @@ def _decide_types(
         ):
             # QUOTE_NONNUMERIC: any numeric column is float64 — int64,
             # uint64 and beyond-uint64 tiers all collapse into this branch
-            kinds[c] = "double"
+            # (probed: quoting=2 values match precise_xstrtod, including
+            # pure-int columns)
+            kinds[c] = dbl_kind
             if row[f"c{i}_nonint"] == 0:
                 overrides[c] = "INTEGER"
         elif big_blocks:
             kinds[c] = "text"
         elif row[f"c{i}_re"] == n:
             if row[f"c{i}_long"] == n:
-                kinds[c] = "long"
+                if float_parity and n < total_rows:
+                    # pandas upcasts int64-with-NaN to float64 from the
+                    # exact int64 values; ≥2^53 they drift from the ints
+                    kinds[c] = "longfloat"
+                    overrides[c] = "INTEGER"
+                else:
+                    kinds[c] = "long"
+            elif (row[f"c{i}_bits"] or 0) & 1:  # uint64-tier int present
+                if n < total_rows or ((row[f"c{i}_bits"] or 0) & 2):
+                    # uint64 conflict (NULL or negative alongside a
+                    # uint64-tier int): object WITHOUT NA masking
+                    kinds[c] = "rawtext"
+                else:
+                    # uint64-clean: INTEGER affinity, values as doubles
+                    kinds[c] = "double"
+                    overrides[c] = "INTEGER"
             else:
-                kinds[c] = "double"
-                overrides[c] = "INTEGER"
+                # negative ints overflowing int64 (no uint64 candidate):
+                # pandas falls back to plain (masked) object
+                kinds[c] = "text"
         elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
-            kinds[c] = "double"
+            kinds[c] = dbl_kind
             if row[f"c{i}_nonint"] == 0:
                 overrides[c] = "INTEGER"  # C1 affinity-only downcast
         elif bool_ok.get(c):
@@ -457,6 +506,8 @@ def infer_reference_types(
     check_bad_lines: bool = False,
     return_partition_counts: bool = False,
     quoting: int = 0,
+    na_masked: bool = True,
+    float_parity: bool | None = None,
 ):
     """Reproduce pandas read_csv dtype inference over an all-string frame.
 
@@ -478,10 +529,35 @@ def infer_reference_types(
     With ``return_partition_counts`` the same pass also yields per-scan-
     partition row counts (grouped by spark_partition_id) for row-id
     assignment, and the return value is ``(typed_df, {pid: rows})``.
+
+    ``na_masked=False`` means ``df`` still holds the RAW cell strings and
+    the pandas NA-token mask is applied here, per column — required for the
+    uint64-conflict quirk (kind ``rawtext``), where pandas keeps NA tokens
+    as literal text. ``float_parity`` (default: the
+    SPARK_GRAFT_PANDAS_FLOAT_PARITY env toggle) parses float-column VALUES
+    with the pandas precise_xstrtod port instead of Spark's correctly
+    rounded cast — see functions/pandasfloat.py.
     """
+    from csvs_to_sqlite_spark.functions.pandasfloat import (
+        parity_double,
+        parity_enabled,
+    )
+
+    if float_parity is None:
+        float_parity = parity_enabled()
     data_cols = [c for c in df.columns if c != _EXTRA]
     if not data_cols:
         return (df, {}, {}, {}, set()) if return_partition_counts else df
+
+    if na_masked:
+        def m(c):
+            return qcol(c)
+    else:
+        def m(c):
+            return (
+                F.when(qcol(c).isin(*_PANDAS_NA_TOKENS), None)
+                .otherwise(qcol(c))
+            )
     # integer-ness via regex, not try_cast("long"): Spark's string→long cast
     # rejects non-integers through an exception path (~5× slower on columns
     # with decimal values). The regex matches exactly what pandas parses as
@@ -491,18 +567,31 @@ def infer_reference_types(
     # state machine); mid = pid<<33|seq is globally ordered for file scans.
     # Materialized as a column first: Spark rejects nondeterministic
     # expressions inside aggregate functions.
+    df = df.withColumn("__pos__", F.monotonically_increasing_id())
+    # Stage 0: evaluate the NA mask ONCE per cell. The p-flag expressions
+    # below reference each cell ~8 times; inlining the 18-token isin CASE
+    # into every use doubled the sf0.1 ingest wall (13.3s vs 6.7s) —
+    # Catalyst's CollapseProject keeps a non-cheap alias shared instead of
+    # re-inlining it, so a separate narrow select restores the floor.
+    # Partition ids and scan order are unchanged (narrow transform).
+    mask_stage = df.select(
+        F.col("__pos__"),
+        *([F.col(_EXTRA)] if check_bad_lines else []),
+        *[m(c).alias(f"__m{i}") for i, c in enumerate(data_cols)],
+    )
     source_cache = None
     if return_partition_counts:
         # engine fast path: the same parse feeds the inference aggregate AND
-        # the engine's canonical spill write — cache the parsed strings so
-        # the CSV is tokenized once (MEMORY_AND_DISK: spills, never fails).
-        # The engine unpersists via the __source_cache__ handle after its
-        # spill write.
+        # the engine's canonical spill write — cache the MASKED strings so
+        # the CSV is tokenized and na-masked exactly once (MEMORY_AND_DISK:
+        # spills, never fails). The engine unpersists via the
+        # __source_cache__ handle after its spill write. The raw frame `df`
+        # stays uncached: only the uint64-conflict rawtext path reads it,
+        # and that re-parse is paid solely when such a column exists.
         from pyspark import StorageLevel
 
-        source_cache = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df = source_cache
-    df = df.withColumn("__pos__", F.monotonically_increasing_id())
+        source_cache = mask_stage.persist(StorageLevel.MEMORY_AND_DISK)
+        mask_stage = source_cache
     # Pre-project every shared per-row expression ONCE (regex matches and
     # numeric casts are the expensive ops; referenced directly inside ~9
     # aggregate expressions per column Spark re-evaluates them per
@@ -513,7 +602,7 @@ def infer_reference_types(
     if check_bad_lines:
         proj.append(F.col(_EXTRA))
     for i, c in enumerate(data_cols):
-        q = qcol(c)
+        q = F.col(f"__m{i}")
         d = q.try_cast("double")
         # the int regex only ever matches double-castable strings (digits,
         # optional sign/whitespace — Spark's toDouble trims and accepts all
@@ -530,34 +619,82 @@ def infer_reference_types(
         proj.append(d.alias(f"p{i}_d"))
         # int-looking strings that actually fit in int64 (pandas keeps a
         # column with overflowing ints as object → TEXT)
-        proj.append(
-            F.when(
-                re_b,
-                (ntrim <= 18) | q.try_cast("long").isNotNull(),
-            )
-            .otherwise(F.lit(False))
-            .alias(f"p{i}_long")
+        fits_long = F.when(
+            re_b,
+            (ntrim <= 18) | q.try_cast("long").isNotNull(),
+        ).otherwise(F.lit(False))
+        proj.append(fits_long.alias(f"p{i}_long"))
+        # pandas' int ladder classes (probed end-to-end, see
+        # tests/test_uint64_quirks.py):
+        #   B (p_big):  POSITIVE int strings beyond uint64 max — these
+        #               abort the uint64 attempt (order-dependent float
+        #               blocker). Negatives are never uint64 candidates
+        #               and take the seen-sint path instead, so a huge
+        #               negative must NOT block float mode (probed:
+        #               ['-9.9e24-ish int', '0.5'] is float64).
+        #   U (p_u64):  positive, > int64 max, ≤ uint64 max — the uint64
+        #               tier; with NULLs or negative ints alongside,
+        #               pandas raises the uint64-conflict and the column
+        #               falls back to object WITHOUT NA masking.
+        #   G (p_neg):  any negative int string (seen_sint).
+        # negativity via the double cast already in hand (d < 0), never a
+        # per-cell regex. ("-0" casts to -0.0 which is not < 0, but it
+        # fits int64 and never reaches the uint64 ladder anyway.)
+        # These two expressions (and _ovf below) are built as ONE parsed
+        # SQL string each instead of ~30 Column ops: plan-construction
+        # py4j chatter is real wall time on the ingest path (+0.65s per
+        # 16-column import measured for the op-by-op variant). Runtime
+        # subexpression elimination dedupes the repeated casts/regex.
+        mc = f"`__m{i}`"
+        sql_d = f"try_cast({mc} as double)"
+        sql_re = (
+            f"({sql_d} is not null and"
+            f" {mc} rlike '^\\\\s*[+-]?[0-9]+\\\\s*$')"
         )
-        # beyond-uint64 int strings (order-dependent overflow rule input)
+        sql_dec = f"try_cast({mc} as decimal(20,0))"
+        sql_beyond = (
+            f"case when {sql_re} and {sql_d} > 0.0d"
+            f" and length(trim({mc})) > 19"
+            f" then ({sql_dec} is null or {sql_dec} > 18446744073709551615bd)"
+            f" else false end"
+        )
+        proj.append(F.expr(sql_beyond).alias(f"p{i}_big"))
+        # the three remaining ladder inputs are mutually exclusive by sign
+        # (negative int / zero-with-exponent / positive uint64-tier), so
+        # ONE small-int class column + ONE bit_or aggregate carries all
+        # their presence bits — 1/3 the plan nodes and agg buffers of
+        # separate boolean columns
+        sql_long = (
+            f"case when {sql_re} then (length(trim({mc})) <= 18"
+            f" or try_cast({mc} as bigint) is not null) else false end"
+        )
         proj.append(
-            F.when(
-                re_b & (ntrim > 19), q.try_cast("decimal(20,0)").isNull()
-            )
-            .otherwise(F.lit(False))
-            .alias(f"p{i}_big")
+            F.expr(
+                f"case when {sql_re} and {sql_d} < 0.0d then 2"
+                f" when {sql_d} = 0.0d and"
+                f" (contains({mc}, 'e') or contains({mc}, 'E')) then 4"
+                f" when {sql_re} and {sql_d} > 0.0d"
+                f" and not {sql_long} and not {sql_beyond} then 1"
+                f" else 0 end"
+            ).alias(f"p{i}_bits")
         )
         # overflow-notation floats ('1e309'): pandas' C parser sets ERANGE
         # and falls back to object (TEXT column), while Spark's cast
         # saturates to ±Infinity. Digit-bearing strings that cast to inf
-        # are parse FAILURES; the bare inf keywords ('Inf', '-inf') carry
-        # no digit and stay accepted. Applies to QUOTE_NONNUMERIC too —
-        # probed: pandas 2.2 quoting=2 also objects the whole column on
-        # an overflow literal. (CASE short-circuits: the second regex only
-        # runs on ±inf rows.)
+        # are parse FAILURES; bare inf KEYWORDS are accepted only in
+        # pandas' exact raw forms (inf/infinity, optional sign, case-
+        # insensitive, NO surrounding whitespace — probed: ' inf' and
+        # 'inf ' make the column object while Spark's cast trims them).
+        # Applies to QUOTE_NONNUMERIC too — probed: pandas 2.2 quoting=2
+        # also objects the whole column on an overflow literal. (CASE
+        # short-circuits: the regexes only run on ±inf rows.)
         proj.append(
-            F.when(F.abs(d) == float("inf"), q.rlike("[0-9]"))
-            .otherwise(F.lit(False))
-            .alias(f"p{i}_ovf")
+            F.expr(
+                f"case when abs({sql_d}) = cast('Infinity' as double) then"
+                f" ({mc} rlike '[0-9]' or"
+                f" not {mc} rlike '^[+-]?(?i)(inf|infinity)$')"
+                f" else false end"
+            ).alias(f"p{i}_ovf")
         )
         # bool candidacy rides the SAME pass (one lower+IN per cell is far
         # cheaper than the second full scan the deferred probe used to
@@ -566,7 +703,13 @@ def infer_reference_types(
         proj.append(
             F.lower(q).isin("true", "false").alias(f"p{i}_bool")
         )
-    base = df.select(*proj)
+        if float_parity:
+            # pandas-parity float values ride the same scan so the C1
+            # integrality/affinity decision sees the values pandas would
+            # produce (e.g. '0.000000000000000000001' collapses to 0.0,
+            # flipping the column to INTEGER affinity)
+            proj.append(parity_double(q).alias(f"p{i}_pd"))
+    base = mask_stage.select(*proj)
     mid = F.col("__pos__")
     aggs = [F.count(F.lit(1)).alias("__rows__")]
     for i, c in enumerate(data_cols):
@@ -583,15 +726,23 @@ def infer_reference_types(
         is_floatish = d.isNotNull() & ~re_b
         aggs.append(F.min(F.when(F.col(f"p{i}_big"), mid)).alias(f"c{i}_firstbig"))
         aggs.append(F.min(F.when(is_floatish, mid)).alias(f"c{i}_firstfloat"))
+        # presence bits: 1 = uint64-tier int, 2 = negative int,
+        # 4 = zero-valued exponent-bearing cell (the uint64-conflict and
+        # '0e309' phase-2 inputs)
+        aggs.append(F.bit_or(F.col(f"p{i}_bits")).alias(f"c{i}_bits"))
         aggs.append(F.count(d).alias(f"c{i}_dbl"))
         aggs.append(F.count(F.when(F.col(f"p{i}_ovf"), 1)).alias(f"c{i}_ovf"))
+        # the C1/%g decisions must see the values the typed projection
+        # will produce: the parity parse where enabled, Spark's correctly
+        # rounded cast otherwise
+        dv = F.col(f"p{i}_pd") if float_parity else d
         # subnormal doubles (|x| < 2^-1022): Java's %g formats these from
         # the shortest decimal repr and diverges from CPython — the engine
         # only pays the exact-%g Arrow fallback in its fact-sized spill
         # canonicalization when this count is nonzero (it almost never is)
         aggs.append(
             F.count(
-                F.when((F.abs(d) < 2.2250738585072014e-308) & (d != 0.0), 1)
+                F.when((F.abs(dv) < 2.2250738585072014e-308) & (dv != 0.0), 1)
             ).alias(f"c{i}_subn")
         )
         # C1 (reference utils.py:290-303): `not np.isnan(v) and not
@@ -603,9 +754,9 @@ def infer_reference_types(
         aggs.append(
             F.count(
                 F.when(
-                    d.isNotNull()
-                    & ~F.isnan(d)
-                    & (((d % F.lit(1.0)) != 0.0) | (F.abs(d) == float("inf"))),
+                    dv.isNotNull()
+                    & ~F.isnan(dv)
+                    & (((dv % F.lit(1.0)) != 0.0) | (F.abs(dv) == float("inf"))),
                     1,
                 )
             ).alias(f"c{i}_nonint")
@@ -623,6 +774,11 @@ def infer_reference_types(
             if name.endswith(("_firstbig", "_firstfloat")):
                 nn = [v for v in vals if v is not None]
                 return min(nn) if nn else None
+            if name.endswith("_bits"):
+                out = 0
+                for v in vals:
+                    out |= v or 0
+                return out
             return sum(vals)
 
         row = (
@@ -632,7 +788,7 @@ def infer_reference_types(
         )
     else:
         counts = None
-        row = base.agg(*aggs).collect()[0]
+        row = base.agg(*aggs).collect()[0].asDict()
     if check_bad_lines and row and row["__n_bad__"]:
         if source_cache is not None:
             source_cache.unpersist()
@@ -643,6 +799,49 @@ def infer_reference_types(
             out.__source_cache__ = source_cache
             return out, counts or {}, {}, {}, set()
         return out
+
+    # '0e309'-class phase 2: zero-valued cells whose decimal exponent
+    # exceeds 308 are ERANGE rejects in pandas (precise_xstrtod caps
+    # significant digits at 17 BEFORE applying the exponent) though Spark
+    # folds them to 0.0. Such cells are vanishingly rare, so the main
+    # aggregate carries only the cheap contains('e') probe and this
+    # column-pruned second aggregate pays the regex arithmetic when the
+    # probe fired (reads the masked cache; no re-parse).
+    zcands = [
+        (i, c)
+        for i, c in enumerate(data_cols)
+        if ((row[f"c{i}_bits"] or 0) & 4) and row[f"c{i}_ovf"] == 0
+    ]
+    if zcands:
+        aggs2 = []
+        for i, c in zcands:
+            zq = F.col(f"__m{i}")
+            zd = zq.try_cast("double")
+            ztrim = F.trim(zq)
+            exp_lit = F.regexp_extract(
+                ztrim, r"[eE]([+-]?[0-9]+)$", 1
+            ).try_cast("long")
+            int_digits = F.length(F.regexp_extract(ztrim, r"^[+-]?([0-9]*)", 1))
+            frac_digits = F.length(
+                F.regexp_extract(ztrim, r"^[+-]?[0-9]*\.([0-9]*)", 1)
+            )
+            pd_exp = (
+                exp_lit
+                + F.greatest(int_digits - 17, F.lit(0))
+                - F.least(
+                    frac_digits, F.greatest(F.lit(17) - int_digits, F.lit(0))
+                )
+            )
+            aggs2.append(
+                F.count(
+                    F.when(
+                        (zd == 0.0) & exp_lit.isNotNull() & (pd_exp > 308), 1
+                    )
+                ).alias(f"z{i}")
+            )
+        row2 = mask_stage.agg(*aggs2).collect()[0]
+        for i, c in zcands:
+            row[f"c{i}_ovf"] += row2[f"z{i}"]
 
     # bool detection for columns that are neither int nor float: the
     # candidacy count now rides the MAIN aggregate (c{i}_bool) — no
@@ -656,6 +855,7 @@ def infer_reference_types(
         and row[f"c{i}_re"] < row[f"c{i}_n"]
         and row[f"c{i}_dbl"] < row[f"c{i}_n"]
     ]
+    idx = {c: i for i, c in enumerate(data_cols)}
     bool_ok: dict[str, bool] = {}
     bool_first_null: dict[str, bool] = {}
     if undecided:
@@ -668,26 +868,48 @@ def infer_reference_types(
             c for i, c in undecided if bool_ok[c] and row[f"c{i}_n"] < total_rows
         ]
         if with_null_bools:
-            first = df.select(*[qcol(c) for c in with_null_bools]).limit(1).collect()
+            first = (
+                mask_stage.select(
+                    *[F.col(f"__m{idx[c]}").alias(c) for c in with_null_bools]
+                )
+                .limit(1)
+                .collect()
+            )
             for c in with_null_bools:
                 bool_first_null[c] = (not first) or first[0][c] is None
 
     kinds, overrides = _decide_types(
-        data_cols, row, quoting, bool_ok, bool_first_null
+        data_cols, row, quoting, bool_ok, bool_first_null, float_parity
     )
+    # The typed projection normally reads the CACHED masked strings (one
+    # tokenize + one mask pass total). Only when a rawtext column exists
+    # (the uint64-conflict quirk) does it fall back to the RAW frame —
+    # re-parsing the file once more but preserving NA tokens as literals;
+    # the file-split scan layout is deterministic, so partition counts
+    # from the cached pass still apply.
+    has_raw = any(k == "rawtext" for k in kinds.values())
+    src = df if has_raw else mask_stage
     projections = []
     for c in data_cols:
-        q = qcol(c)
+        q = m(c) if has_raw else F.col(f"__m{idx[c]}")
         kind = kinds[c]
         if kind == "allnull" or kind == "long":
             projections.append(q.try_cast("long").alias(c))
+        elif kind == "longfloat":
+            # pandas int64→float64 upcast: EXACT int values as doubles
+            projections.append(q.try_cast("long").cast("double").alias(c))
         elif kind == "double":
             projections.append(q.try_cast("double").alias(c))
+        elif kind == "pdouble":
+            projections.append(parity_double(q).alias(c))
         elif kind == "bool":
             projections.append((F.lower(q) == "true").alias(c))
+        elif kind == "rawtext":
+            # uint64-conflict quirk: RAW strings, NA tokens kept literal
+            projections.append(qcol(c))
         else:  # text
-            projections.append(q)
-    typed = df.select(*projections)
+            projections.append(q.alias(c))
+    typed = src.select(*projections)
     if return_partition_counts:
         # per-column non-null counts ride along from the same aggregate —
         # the engine needs "is this column ALL null" for extract DDL

@@ -292,3 +292,53 @@ def test_non_latin_unsupported_scripts_still_refuse():
     for junk in ("3 במאי 2017", "3 พฤษภาคม 2017"):
         with pytest.raises(UnparseableDate):
             parse_datetime(junk)
+
+
+def test_polish_month_names():
+    """dateparser's pl locale surface (round-8 notch): genitive month
+    forms (the ones dates actually use), nominative, abbreviations, the
+    'r.'/'roku' year markers, and ASCII fallbacks for ą/ę/ź/ń."""
+    assert parse_datetime("3 maja 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("3 maja 2017 r.").date().isoformat() == "2017-05-03"
+    assert parse_datetime("1 stycznia 1999").date().isoformat() == "1999-01-01"
+    assert parse_datetime("28 lutego 2015 roku").date().isoformat() == "2015-02-28"
+    assert parse_datetime("15 września 2021").date().isoformat() == "2021-09-15"
+    assert parse_datetime("15 wrzesnia 2021").date().isoformat() == "2021-09-15"
+    assert parse_datetime("7 października 2020").date().isoformat() == "2020-10-07"
+    assert parse_datetime("31 grudnia 2020 5:45") == datetime(2020, 12, 31, 5, 45)
+    assert parse_datetime("Listopad 2022").date().isoformat() == "2022-11-01"
+
+
+def test_indonesian_month_names():
+    """dateparser's id locale surface (round-8 notch): the id-specific
+    spellings (Maret/Agustus/Desember + agt/ags/des) and the 'tanggal'
+    date filler; shared nl spellings (Januari/Mei/…) already resolve."""
+    assert parse_datetime("3 Mei 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("tanggal 3 Mei 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("17 Agustus 1945").date().isoformat() == "1945-08-17"
+    assert parse_datetime("1 Maret 1999").date().isoformat() == "1999-03-01"
+    assert parse_datetime("25 Desember 2021").date().isoformat() == "2021-12-25"
+    assert parse_datetime("25 Des 2021").date().isoformat() == "2021-12-25"
+    assert parse_datetime("5 Agt 2020").date().isoformat() == "2020-08-05"
+    assert parse_datetime("10 Desember 2009 5:45") == datetime(2009, 12, 10, 5, 45)
+
+
+def test_vietnamese_positional_dates():
+    """dateparser's vi locale surface (round-8 notch): particle-marked
+    positional dates (ngày/tháng/năm) with lúc/giờ/phút/giây times or an
+    ASCII hh:mm tail, plus diacritic-less fallbacks."""
+    assert parse_datetime("ngày 3 tháng 5 năm 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("3 tháng 5 năm 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("ngay 3 thang 5 nam 2017").date().isoformat() == "2017-05-03"
+    assert parse_datetime("tháng 5 năm 2017").date().isoformat() == "2017-05-01"
+    assert (
+        parse_datetime("ngày 3 tháng 5 năm 2017 lúc 15 giờ 30 phút")
+        == datetime(2017, 5, 3, 15, 30)
+    )
+    assert (
+        parse_datetime("ngày 1 tháng 2 năm 2021 lúc 3 giờ 4 phút 5 giây")
+        == datetime(2021, 2, 1, 3, 4, 5)
+    )
+    assert parse_datetime("ngày 3 tháng 5 năm 2017 15:30") == datetime(2017, 5, 3, 15, 30)
+    with pytest.raises(UnparseableDate):
+        parse_datetime("ngày 3 tháng 13 năm 2017")

@@ -10,6 +10,10 @@ decimals with >15 fraction digits collapse toward 0 in pandas
 ('0.000000000000000000001' -> 0.0, which also flips the C1 affinity to
 INTEGER), and long mantissas drift in the last digit
 ('123456789.123456789' -> ...678 vs the correctly rounded ...679).
+
+Round 8: running with SPARK_GRAFT_PANDAS_FLOAT_PARITY=1 removes the whole
+xstrtod family (float values parsed with the precise_xstrtod port —
+functions/pandasfloat.py) and a clean run should report fails=0.
 """
 
 import csv as csvmod
@@ -39,6 +43,11 @@ tricky = [
     "1e309", "-1e309", "1e-320", " 7.5 ", "+3.5", "123456789.123456789",
     "１２３", "0b101", "--5", "5-", "1.0.0", "00.5", "1e", "e5",
     ".", "-", "+", "1 000", "0.000000000000000000001",
+    # third vocabulary wave (round 8): the uint64 ladder (conflict quirk,
+    # 20-digit beyond-u64, negative overflows), whitespace-padded inf
+    # forms, Infinity keywords, zero-value out-of-range exponents
+    "18446744073709551614", "99999999999999999999", "-9223372036854775809",
+    " inf", "inf ", "Infinity", "-INFINITY", "0e309", "0e308",
 ]
 
 # date-column vocabulary: every fuzzy class the vendored parser supports,
