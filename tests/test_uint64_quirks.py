@@ -146,3 +146,31 @@ def test_parity_off_keeps_correctly_rounded_value(spark, tmp_path):
     v = conn.execute("select c0 from t order by rowid limit 1").fetchone()[0]
     conn.close()
     assert v == float("123456789.123456789")  # ...679, not pandas' ...678
+
+
+def test_rawtext_column_through_extract_identical(spark, tmp_path):
+    """-c on a uint64-conflict column: the literal 'NA' becomes a DIM
+    LABEL on both sides (first-appearance ids over raw strings)."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_text(f"c0,c1\n{U64},x\nNA,y\n{U64},z\n")
+    run_reference(str(tmp_path), "t.csv", "ref.db", ["-c", "c0"])
+    import_csvs(
+        spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"),
+        extract_column=["c0"],
+    )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_rawtext_then_append_identical(spark, tmp_path):
+    """Append run after a uint64-conflict import: the second file's plain
+    int-with-NULL column lands against the TEXT table like the reference."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_text(f"c0,c1\n{U64},x\nNA,y\n")
+    (tmp_path / "t2.csv").write_text("c0,c1\n5,q\nNA,r\n")
+    run_reference(str(tmp_path), "t.csv", "ref.db", [])
+    run_reference(str(tmp_path), "t2.csv", "ref.db", [])
+    import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
+    import_csvs(spark, [str(tmp_path / "t2.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
