@@ -174,3 +174,42 @@ def test_rawtext_then_append_identical(spark, tmp_path):
     import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
     import_csvs(spark, [str(tmp_path / "t2.csv")], str(tmp_path / "ours.db"))
     assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_ladder_random_permutations_parity_identical(spark, tmp_path):
+    """Seeded random order-permutations over the full ladder alphabet
+    (the tools/ladder_sweep.py harness in miniature): under float parity
+    every comparable sequence must be snapshot-identical to the real
+    reference. The empirically fitted conflict/overflow rules are
+    order-sensitive, so this guards against a mis-fitted rule that the
+    named scenarios above happen to miss."""
+    import random
+
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    alphabet = [
+        U64, "9223372036854775808", "18446744073709551615",
+        "18446744073709551616", BEYOND20, BEYOND, NEG_OVF, NEG_BEYOND,
+        "-5", "0", "7", "9223372036854775807", "NA", "None", "nan",
+        "0.5", "1e5",
+    ]
+    rng = random.Random(20260816)
+    os.environ["SPARK_GRAFT_PANDAS_FLOAT_PARITY"] = "1"
+    try:
+        done = 0
+        t = 0
+        while done < 10:
+            t += 1
+            rows = [rng.choice(alphabet) for _ in range(rng.randint(1, 6))]
+            d = tmp_path / f"t{t}"
+            d.mkdir()
+            (d / "t.csv").write_text(_col(rows))
+            try:
+                run_reference(str(d), "t.csv", "ref.db", [])
+            except Exception:
+                continue  # reference crash (uint64-clean to_sql overflow)
+            import_csvs(spark, [str(d / "t.csv")], str(d / "ours.db"))
+            assert snapshot(str(d / "ref.db")) == snapshot(str(d / "ours.db")), rows
+            done += 1
+    finally:
+        del os.environ["SPARK_GRAFT_PANDAS_FLOAT_PARITY"]
