@@ -143,14 +143,20 @@ def _pandas_header_names(fields: list[str]) -> list[str]:
 
 def _read_header(
     local_path: str, separator: str, quoting: int, encoding: str
-) -> list[str] | None:
-    """First-line header fields via the csv module (same dialect the data
-    read uses), mangled pandas-style. None = caller falls back to Spark's
-    naming (multi-char separator, which the csv module can't parse)."""
+) -> tuple[list[str], int] | tuple[None, int]:
+    """(header fields mangled pandas-style, n_index) via the csv module
+    (same dialect the data read uses). ``n_index`` is pandas' implicit-
+    index inference: when the FIRST data row is k fields WIDER than the
+    header, the C parser treats the first k fields of every row as a
+    (multi-)index — which to_sql(index=False) then drops, so the data
+    shifts left and later rows wider than header+k are the actual bad
+    lines (probed: 'a,b\\n1,2,3\\n' → index 1, a=2, b=3; a LATER wide row
+    errors). (None, 0) = caller falls back to Spark's naming (multi-char
+    separator, which the csv module can't parse)."""
     import csv as _csv
 
     if len(separator) != 1:
-        return None
+        return None, 0
     py_enc = {"ISO-8859-1": "latin-1"}.get(encoding, "utf-8-sig")
     with open(local_path, newline="", encoding=py_enc) as f:
         r = _csv.reader(
@@ -164,9 +170,14 @@ def _read_header(
         # rejecting them regressed vs the reference)
         while first == []:
             first = next(r, None)
-    if not first:
-        raise LoadCsvError("No columns to parse from file")
-    return _pandas_header_names(first)
+        if not first:
+            raise LoadCsvError("No columns to parse from file")
+        # first non-empty DATA row decides the implicit-index width
+        data = next(r, None)
+        while data == []:
+            data = next(r, None)
+    n_index = max(0, len(data) - len(first)) if data else 0
+    return _pandas_header_names(first), n_index
 
 # pandas read_csv's default na_values (keep_default_na=True): all of these
 # become NaN → SQL NULL. Spark's reader only nulls the empty string, so we
@@ -316,29 +327,46 @@ def load_csv(
         # 'Unnamed: N' (Spark's own dedup renames BOTH duplicates to a0,
         # a1, which diverges). Data columns map by POSITION via the
         # enforced schema, so only the NAMES come from this parse.
-        columns = _read_header(local_path, separator, quoting, encoding)
+        columns, n_index = _read_header(local_path, separator, quoting, encoding)
         if columns is None:  # multi-char separator: csv module can't parse
             columns = reader.csv(local_path).columns
-        # A4: pandas treats a row with MORE fields than the header as a bad
-        # line — an error, or dropped under --skip-errors (reference
-        # utils.py:42, cli.py:34-38). Spark silently truncates extras, so
-        # read with one sentinel column beyond the header width: a non-null
+        # A4: pandas treats a row with more fields than the FIRST DATA ROW
+        # as a bad line — an error, or dropped under --skip-errors
+        # (reference utils.py:42, cli.py:34-38). A first data row k fields
+        # wider than the header instead triggers pandas' implicit-index
+        # inference: the first k fields of EVERY row become the index,
+        # which to_sql(index=False) drops (see _read_header). Spark
+        # silently truncates extras, so read with k leading index slots
+        # (dropped below) plus one sentinel column beyond: a non-null
         # sentinel marks a bad line.
+        idx_cols = [f"__pdindex_{j}__" for j in range(n_index)]
         probe_schema = T.StructType(
-            [T.StructField(c, T.StringType()) for c in columns]
+            [T.StructField(c, T.StringType()) for c in idx_cols]
+            + [T.StructField(c, T.StringType()) for c in columns]
             + [T.StructField(_EXTRA, T.StringType())]
         )
         df = reader.schema(probe_schema).option("enforceSchema", True).csv(local_path)
+        # pandas skip_blank_lines: a line that tokenizes to ONE whitespace-
+        # only field is skipped in ANY width file (probed: an 'a,b' file
+        # with a lone ' ' line keeps 2 rows; holds in implicit-index mode
+        # too). Spark instead yields a row with the first slot ' ' and
+        # everything else null — drop exactly that shape. Null checks
+        # lead the conjunction so the regex only runs on rows whose other
+        # slots are all null (never on normal data).
+        all_slots = idx_cols + list(columns)
+        ws_line = F.col(_EXTRA).isNull()
+        for c in all_slots[1:]:
+            ws_line = ws_line & qcol(c).isNull()
+        first_slot = qcol(all_slots[0])
+        ws_line = ws_line & first_slot.isNotNull() & first_slot.rlike(r"^\s+$")
+        df = df.where(~ws_line)
+        if idx_cols:
+            df = df.drop(*idx_cols)
         # pandas NA semantics (default na_values → NULL) are applied by
         # infer_reference_types per-column rather than here: the uint64
         # conflict quirk (probed; see _decide_types) keeps NA tokens as
         # LITERAL text, so the raw strings must survive until the column
         # kind is known. just_strings applies the mask below.
-        if len(columns) == 1:
-            # pandas blank-line quirk: in a single-column file a
-            # whitespace-only LINE is skipped entirely (not a NaN row)
-            c0 = qcol(columns[0])
-            df = df.where(c0.isNull() | ~c0.rlike(r"^\s+$"))
         if skip_errors:
             df = df.where(F.col(_EXTRA).isNull()).drop(_EXTRA)
             bad_lines_pending = False

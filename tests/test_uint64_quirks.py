@@ -213,3 +213,77 @@ def test_ladder_random_permutations_parity_identical(spark, tmp_path):
             done += 1
     finally:
         del os.environ["SPARK_GRAFT_PANDAS_FLOAT_PARITY"]
+
+
+IDX_SCENARIOS = [
+    # pandas' implicit-index inference: first data row k fields wider than
+    # the header → first k fields of EVERY row become the (dropped) index,
+    # data shifts left, short rows NaN-pad (probed; reference inherits it
+    # from pd.read_csv via utils.py:38-47)
+    ("trailing_comma_first", "a,b\n1,2,\n"),
+    ("extra_field_first", "a,b\n1,2,3\n"),
+    ("wide_first_then_normal", "a,b\n1,2,\n3,4\n"),
+    ("wide_first_then_short", "a,b\n1,2,3\n4\n"),
+    ("two_extra_multiindex", "a,b\n1,2,3,4\n"),
+    ("wide_first_text", "a,b\nfoo,bar,baz\nq,w,e\n"),
+]
+
+
+@pytest.mark.parametrize("name,csv", IDX_SCENARIOS, ids=[s[0] for s in IDX_SCENARIOS])
+def test_implicit_index_inference_identical(spark, tmp_path, name, csv):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_text(csv)
+    run_reference(str(tmp_path), "t.csv", "ref.db", [])
+    import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_implicit_index_mode_bad_lines(spark, tmp_path):
+    """In index mode the bad-line bar moves to header+k: a LATER row wider
+    than the first data row errors (reference: ParserError caught per-file
+    → no table) or is dropped under skip-errors, keeping the shifted
+    parse."""
+    import sqlite3
+
+    from csvs_to_sqlite_spark.engine import import_csvs
+    from csvs_to_sqlite_spark.sources.csv_source import LoadCsvError, load_csv
+
+    (tmp_path / "t.csv").write_text("a,b\n1,2,3\n4,5,6,7\n")
+    with pytest.raises(LoadCsvError):
+        load_csv(spark, str(tmp_path / "t.csv")).collect()
+    import_csvs(
+        spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"),
+        skip_errors=True,
+    )
+    conn = sqlite3.connect(str(tmp_path / "ours.db"))
+    assert conn.execute("select * from t").fetchall() == [(2, 3)]
+    conn.close()
+
+
+WS_SCENARIOS = [
+    # a line that tokenizes to ONE whitespace-only field is skipped in ANY
+    # width file (pandas skip_blank_lines; previously we only handled the
+    # single-column case — fuzz seed 88002 caught the index-mode shape)
+    ("ws_line_2col", "a,b\n1,2\n \n3,4\n"),
+    ("ws_line_1col", "a\n1\n \n2\n"),
+    ("ws_line_index_mode", "a\n1,2\n \n3,4\n"),
+    ("ws_field_sep_fuzz", "c0\n123456789.1| \n5.\n0e308\n"),
+    ("ws_plus_extra_is_bad", "a\n1\n ,x,y\n"),  # NOT a blank line: 3 fields
+]
+
+
+@pytest.mark.parametrize("name,csv", WS_SCENARIOS, ids=[s[0] for s in WS_SCENARIOS])
+def test_whitespace_line_skip_identical(spark, tmp_path, name, csv):
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    sep = "|" if "|" in csv else ","
+    (tmp_path / "t.csv").write_text(csv)
+    run_reference(
+        str(tmp_path), "t.csv", "ref.db", ["-s", sep] if sep != "," else []
+    )
+    import_csvs(
+        spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"),
+        separator=sep,
+    )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))

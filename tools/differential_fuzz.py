@@ -126,6 +126,16 @@ for seed in seeds:
         if date_col:
             header = header + ["dt"]
             rows = [r + [rng.choice(datey)] for r in rows]
+        # implicit-index axis (~1/8 of plain trials): widen the FIRST data
+        # row by 1-2 fields — pandas treats the extra leading fields as a
+        # dropped (multi-)index and shifts the data left; a LATER widened
+        # row is then a genuine bad line (reference errors per-file)
+        if not extract and not shape and not date_col and rng.random() < 0.125:
+            rows[0] = rows[0] + [
+                rng.choice(tricky) for _ in range(rng.randint(1, 2))
+            ]
+            if rng.random() < 0.3 and len(rows) > 1:
+                rows[-1] = rows[-1] + [rng.choice(tricky)]
         with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
             w = csvmod.writer(f, delimiter=sep)
             w.writerow(header)
