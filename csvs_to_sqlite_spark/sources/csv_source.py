@@ -183,6 +183,14 @@ def _read_header(
 # become NaN → SQL NULL. Spark's reader only nulls the empty string, so we
 # map the rest explicitly after the all-string read.
 _PANDAS_NA_TOKENS = (
+    # '' is a first-class NA token: load_csv reads with a NUL nullValue
+    # sentinel so QUOTED empty fields ("") survive as '' strings — the
+    # uint64-conflict rawtext path keeps them literal like pandas, and
+    # every other column masks them to NULL here. (Unquoted empty fields
+    # are nulled inside Spark's univocity tokenizer before any option
+    # applies, so an empty trailing field still can't flag a bad line —
+    # the documented trailing-comma divergence stands.)
+    "",
     "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
     "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
     "n/a", "nan", "null",
@@ -317,6 +325,12 @@ def load_csv(
         # RFC-4180 doubled-quote escaping, the csv-module/pandas convention
         # (Spark's default escape is backslash, which pandas doesn't use)
         .option("escape", '"')
+        # NUL nullValue (can't appear in a CSV cell): QUOTED empty
+        # fields then survive as '' strings for the rawtext quirk; the
+        # NA mask in infer_reference_types turns '' into SQL NULL
+        # everywhere else. Unquoted empties are nulled by the univocity
+        # tokenizer itself regardless of options.
+        .option("nullValue", "\u0000")
     )
     if quoting == _QUOTE_NONE:
         # csv.QUOTE_NONE: quotes are ordinary characters.

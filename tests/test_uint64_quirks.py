@@ -287,3 +287,15 @@ def test_whitespace_line_skip_identical(spark, tmp_path, name, csv):
         separator=sep,
     )
     assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+def test_rawtext_quoted_empty_preserved(spark, tmp_path):
+    """A QUOTED empty field in a uint64-conflict column stays a literal ''
+    like pandas (the NUL nullValue sentinel keeps it as a string; unquoted
+    empties are nulled inside Spark's tokenizer — documented limit)."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_text(f'a,b\n{U64},x\n"",y\n')
+    run_reference(str(tmp_path), "t.csv", "ref.db", [])
+    import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
