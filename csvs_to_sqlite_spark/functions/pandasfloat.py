@@ -12,9 +12,17 @@ through a two-division path. Spark's string→double cast is correctly
 rounded, so by default this engine produces the *better* value — the
 documented "xstrtod family" divergence.
 
-With float parity enabled (``SPARK_GRAFT_PANDAS_FLOAT_PARITY=1`` or
-``load_csv(float_parity=True)``) float-typed CSV columns are parsed with
-this port instead, making ingest output bit-identical to the reference.
+Since round 9 value parity is the DEFAULT, in AUTO form: the inference
+pass carries a cheap per-column risk probe (any non-null cell with >15
+trimmed characters or exponent notation — the only classes where this
+converter can differ from a correctly rounded parse), and only risky
+columns pay the Arrow-batched parity parse; clean columns keep Spark's
+JVM-side cast, which is bit-identical there (<=15-digit mantissas are an
+exact integer divided once by an exact power of ten in BOTH parsers).
+``SPARK_GRAFT_PANDAS_FLOAT_PARITY=1``/``load_csv(float_parity=True)``
+forces the parity parse on every float column;
+``SPARK_GRAFT_PANDAS_FLOAT_PARITY=0`` restores the pre-round-9 posture
+(correctly rounded everywhere — the documented xstrtod divergence).
 
 Every branch here was differential-tested against the installed pandas
 (2.2) over 24k+ randomized numeric strings plus adversarial shapes — see
@@ -52,8 +60,17 @@ _INF = float("inf")
 PARITY_ENV = "SPARK_GRAFT_PANDAS_FLOAT_PARITY"
 
 
-def parity_enabled() -> bool:
-    return os.environ.get(PARITY_ENV, "").lower() in ("1", "true", "yes")
+def parity_enabled() -> bool | None:
+    """Tri-state toggle: True = parity-parse every float column, False =
+    never (Spark's correctly rounded cast everywhere — the pre-round-9
+    default), None (env unset) = AUTO, the default: parity-parse only
+    columns holding a risk token (>15 trimmed chars or exponent
+    notation), where the two parses can differ; everywhere else the
+    casts are provably bit-identical (see csv_source risk probe)."""
+    v = os.environ.get(PARITY_ENV)
+    if v is None or v == "":
+        return None
+    return v.lower() in ("1", "true", "yes")
 
 
 def precise_xstrtod(word: str) -> tuple[float | None, bool]:

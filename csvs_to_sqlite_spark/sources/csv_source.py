@@ -142,7 +142,11 @@ def _pandas_header_names(fields: list[str]) -> list[str]:
 
 
 def _read_header(
-    local_path: str, separator: str, quoting: int, encoding: str
+    local_path: str,
+    separator: str,
+    quoting: int,
+    encoding: str,
+    cell_restore=None,
 ) -> tuple[list[str], int] | tuple[None, int]:
     """(header fields mangled pandas-style, n_index) via the csv module
     (same dialect the data read uses). ``n_index`` is pandas' implicit-
@@ -164,19 +168,33 @@ def _read_header(
             delimiter=separator,
             quoting=_csv.QUOTE_NONE if quoting == _QUOTE_NONE else _csv.QUOTE_MINIMAL,
         )
+        def _blankish(row):
+            # pandas skip_blank_lines: empty lines AND space/tab-only
+            # lines (probed class — formfeed/vtab lines are data) are
+            # skipped. The rewrite pass normally strips ws-lines before
+            # this probe runs; the guard keeps the probe faithful even
+            # when it sees an un-rewritten file.
+            return row == [] or (
+                len(row) == 1 and row[0] != "" and row[0].strip(" \t") == ""
+            )
+
         first = next(r, None)
-        # pandas skip_blank_lines=True: empty LINES before the header are
-        # skipped, the first non-empty row is the header (review finding:
+        # pandas skip_blank_lines=True: blank LINES before the header are
+        # skipped, the first non-blank row is the header (review finding:
         # rejecting them regressed vs the reference)
-        while first == []:
+        while first is not None and _blankish(first):
             first = next(r, None)
         if not first:
             raise LoadCsvError("No columns to parse from file")
-        # first non-empty DATA row decides the implicit-index width
+        # first non-blank DATA row decides the implicit-index width
         data = next(r, None)
-        while data == []:
+        while data is not None and _blankish(data):
             data = next(r, None)
     n_index = max(0, len(data) - len(first)) if data else 0
+    if cell_restore is not None:
+        # undo rewrite sentinels BEFORE pandas' name mangling (an empty
+        # header cell must be '' again to become 'Unnamed: N')
+        first = [cell_restore(c) for c in first]
     return _pandas_header_names(first), n_index
 
 # pandas read_csv's default na_values (keep_default_na=True): all of these
@@ -188,20 +206,332 @@ _PANDAS_NA_TOKENS = (
     # uint64-conflict rawtext path keeps them literal like pandas, and
     # every other column masks them to NULL here. (Unquoted empty fields
     # are nulled inside Spark's univocity tokenizer before any option
-    # applies, so an empty trailing field still can't flag a bad line —
-    # the documented trailing-comma divergence stands.)
+    # applies; since r9 the _EMPTY_SENT rewrite makes them COUNT like
+    # pandas fields — trailing empties reach the bad-line bar, and on
+    # uint64-candidate files a mid-row '' survives into rawtext columns.)
     "",
     "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
     "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
     "n/a", "nan", "null",
 )
 
-# uint64 max as an exact decimal literal — the boundary of pandas' uint64
-# tier (decimal(20,0) alone is too wide: 20-digit ints up to 10^20-1 fit it
-# but overflow uint64)
-import decimal as _decimal
+# In-quote newline sentinels (A1, reference: pandas' C parser consumes
+# quoted fields across physical lines, utils.py:38-47 default read path).
+# Spark's line-based scan splits records at EVERY newline; its multiLine
+# mode parses quoted newlines but NORMALIZES \r\n -> \n inside quotes
+# (probed — diverges from pandas, which keeps the bytes) and reads the
+# file as one unsplittable partition. Instead, affected files get a
+# driver-side rewrite: each in-quote newline becomes a one-byte control
+# sentinel (probed to survive univocity's quoted-field path — NUL does
+# NOT), the scan stays line-based and SPLITTABLE, and the scan
+# projection restores the original bytes. Order matters: \r\n must be
+# replaced before \r / \n. Documented limitation: GENUINE \x01-\x03
+# bytes inside a file that ALSO has in-quote newlines would be
+# rewritten on restore.
+_NL_SENTINELS = (
+    ("\r\n", "\x01"),
+    ("\r", "\x03"),
+    ("\n", "\x02"),
+)
+# Line-protect sentinel: Spark's CSV reader DROPS any physical line
+# whose characters are all <= 0x20 (String.trim-empty — probed: \x0b,
+# \x0c, \x1c, \x04... lines all vanish), while pandas keeps every such
+# line as a data row unless it is a single field of only space/tab.
+# Kept lines get this prefix (0x7f > 0x20, so Spark keeps the row and
+# field counting is unchanged); the scan projection strips it from the
+# first field.
+_PROTECT = "\x7f"
 
-_U64_MAX = _decimal.Decimal(18446744073709551615)
+
+def _restore_newlines_col(col):
+    """Undo _NL_SENTINELS on a scan column (no-op on clean files)."""
+    for orig, sent in _NL_SENTINELS:
+        col = F.replace(col, F.lit(sent), F.lit(orig))
+    return col
+
+
+def _restore_newlines_str(s: str) -> str:
+    for orig, sent in _NL_SENTINELS:
+        s = s.replace(sent, orig)
+    return s
+
+
+def _strip_line_class(separator: str) -> str:
+    """pandas' blank-line skip class, probed on pandas 2.x: a line that
+    tokenizes to ONE field of only space/tab is skipped ANYWHERE in the
+    file (including before the header). A separator character never
+    counts (a ' \\t ' line under sep='\\t' is two kept fields; a pure
+    '\\t' line there is a kept [NaN, NaN] row)."""
+    return "".join(sorted({" ", "\t"} - set(separator)))
+
+
+# any line made only of these is INVISIBLE to Spark's scan (<= 0x20,
+# minus the \r/\n line terminators themselves)
+_BLANKISH = bytes(b for b in range(0x21) if b not in (0x0A, 0x0D))
+
+# Empty-field sentinel: univocity nulls an UNQUOTED empty field inside
+# the tokenizer, before any reader option applies — so Spark cannot see
+# an absent trailing field ('1,2' in a 3-col file → NULL) apart from an
+# empty one ('1,2,' → pandas: a third '' field that COUNTS toward the
+# bad-line bar and stays a literal '' in no-NA-mask object columns).
+# The rewrite inserts this byte into empty unquoted fields so they
+# tokenize as fields; the scan projection deletes it again (a cell that
+# was '' becomes '' once more, but now it was COUNTED).
+_EMPTY_SENT = "\x05"
+
+
+def _scan_rewrite_triggers(
+    local_path: str, separator: str, quoting: int
+) -> tuple[bool, bool, bool, bool]:
+    """One chunked driver-side pass over the raw bytes deciding whether
+    the file needs the pre-scan rewrite. Returns (quoted_newlines,
+    blankish_lines, trailing_empty, uint64_empties):
+
+    - quoted_newlines: some newline sits at odd quote parity — the
+      naive in-quote model (a quote toggles state anywhere). Exact for
+      well-formed files; a literal quote inside an unquoted field can
+      over- or under-flag, so the rewrite itself (field-start-anchored
+      regex) re-checks and over-flags only cost the rewrite pass.
+      Quote/newline bytes are ASCII and cannot appear inside UTF-8
+      multi-byte sequences, so the byte-level scan is encoding-safe.
+    - blankish_lines: a physical line of only <=0x20 bytes exists —
+      pandas either skips it (space/tab only) or keeps it as a data row;
+      Spark's scan does neither consistently, so the rewrite resolves
+      each. Chunk boundaries can over-flag, never under-flag.
+    - trailing_empty: a separator immediately before a newline/EOF —
+      pandas counts the empty field toward the bad-line bar; univocity
+      nulls it invisibly. Resolved by the _EMPTY_SENT insert.
+    - uint64_empties: an empty unquoted field ANYWHERE coexists with a
+      19+-digit run (a uint64-tier literal needs 19-20 digits): only
+      then can the no-NA-mask rawtext quirk make a mid-row '' visible,
+      so only then does the rewrite sentinel EVERY empty field.
+    """
+    import re as _re
+
+    import numpy as np
+
+    check_quotes = quoting != _QUOTE_NONE
+    blank_body = _re.compile(rb"[" + _re.escape(_BLANKISH) + rb"]+")
+    sep_b = separator.encode()
+    single_sep = len(sep_b) == 1
+    sep_byte = sep_b[0] if single_sep else 0
+    # regex fallbacks for multi-char separators only
+    S = _re.escape(sep_b)
+    trail_pat = _re.compile(S + rb"[\r\n]")
+    empty_pat = _re.compile(S + S + rb"|(?:\A|[\r\n])" + S)
+    q_flag = blank_flag = trail_flag = empty_flag = False
+    carry = 0
+    prev_byte = 10  # virtual newline before file start (BOF counts as BOL)
+    eof_tail = b""
+    with open(local_path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 22)
+            if not chunk:
+                break
+            # ONE numpy view drives every per-chunk check (a regex
+            # formulation of the same predicates cost ~1.5 s per 33 MB
+            # on digit-dense data — measured; this path is ~20 ms)
+            buf = bytes([prev_byte]) + chunk
+            a = np.frombuffer(buf, dtype=np.uint8)
+            is_nl = (a == 10) | (a == 13)
+            nl_pos = is_nl.nonzero()[0]
+            if not blank_flag and nl_pos.size:
+                # byte AFTER a newline is blank-ish -> verify that line
+                after = nl_pos + 1
+                after = after[after < len(buf)]
+                cand = after[(a[after] <= 0x20) & ~is_nl[after]]
+                for pos in cand[:64]:
+                    end = blank_body.match(buf, int(pos)).end()
+                    if end >= len(buf) or buf[end] in (10, 13):
+                        blank_flag = True
+                        break
+                else:
+                    if cand.size > 64:
+                        blank_flag = True  # over-flag; rewrite re-checks
+            if single_sep:
+                is_sep = a == sep_byte
+                if not trail_flag and bool(
+                    (is_sep[:-1] & is_nl[1:]).any()
+                ):
+                    trail_flag = True
+                if not empty_flag and bool(
+                    (is_sep[:-1] & is_sep[1:]).any()
+                    or (is_nl[:-1] & is_sep[1:]).any()
+                ):
+                    empty_flag = True
+            else:
+                if not trail_flag and trail_pat.search(buf):
+                    trail_flag = True
+                if not empty_flag and empty_pat.search(buf):
+                    empty_flag = True
+            if check_quotes and not q_flag:
+                if b'"' not in chunk:
+                    if carry and nl_pos.size:
+                        q_flag = True
+                else:
+                    # index 0 is the carried-over byte of the PREVIOUS
+                    # chunk — its quote (if any) is already in `carry`
+                    q_idx = (a == 34).nonzero()[0]
+                    q_idx = q_idx[q_idx > 0]
+                    if nl_pos.size and (
+                        ((np.searchsorted(q_idx, nl_pos) + carry) & 1) != 0
+                    ).any():
+                        q_flag = True
+                    carry = (carry + int(q_idx.size)) & 1
+            prev_byte = chunk[-1]
+            eof_tail = (eof_tail + chunk)[-len(sep_b) :]
+    if eof_tail == sep_b:  # file ends with a separator: trailing empty
+        trail_flag = True
+    uint64_empties = False
+    if empty_flag or trail_flag:
+        # deferred: a 19+-digit run (uint64-tier literal) decides whether
+        # EVERY empty field must be sentineled (rawtext visibility) —
+        # only files that actually HAVE empties pay this second pass
+        with open(local_path, "rb") as f:
+            run = 0
+            while not uint64_empties:
+                chunk = f.read(1 << 22)
+                if not chunk:
+                    break
+                a = np.frombuffer(chunk, dtype=np.uint8)
+                nd = np.flatnonzero((a < 48) | (a > 57))
+                if nd.size == 0:
+                    run += len(chunk)
+                    uint64_empties = run >= 19
+                    continue
+                head = int(nd[0])
+                longest = max(
+                    run + head,
+                    len(chunk) - 1 - int(nd[-1]),
+                    int((np.diff(nd) - 1).max()) if nd.size > 1 else 0,
+                )
+                if longest >= 19:
+                    uint64_empties = True
+                run = len(chunk) - 1 - int(nd[-1])
+    return q_flag, blank_flag, trail_flag, uint64_empties
+
+
+def _rewrite_file(
+    local_path: str,
+    separator: str,
+    encoding: str,
+    do_quotes: bool,
+    do_blank: bool,
+    do_trailing: bool = False,
+    do_empties: bool = False,
+) -> tuple[str | None, bool, bool, bool]:
+    """Driver-side pre-scan rewrite for the line classes Spark's
+    distributed scan cannot express (pandas handles all of them in its
+    C parser):
+
+    1. in-quote newlines -> _NL_SENTINELS (restored in the scan
+       projection, byte-faithful including \\r\\n inside quotes);
+    2. physical lines of only <=0x20 bytes, which Spark's scan silently
+       drops: the ones pandas skips (a single field of space/tab only)
+       are stripped, every other one (formfeed/vtab/control lines —
+       pandas data rows) gets a _PROTECT prefix stripped at scan time.
+       Runs AFTER 1 so a blank-looking line INSIDE a quoted field
+       survives as field content.
+
+    A quoted field starts only where the preceding character is a
+    separator or newline (or at file start) — same model as the pandas
+    tokenizer, which treats a mid-field quote as a literal character.
+    Returns (temp path or None if nothing changed, quoted_rewrites_made,
+    lines_protected). The temp file is tracked in _DECOMPRESSED_TEMPS
+    (engine frees it after the typed spill; atexit backstop otherwise).
+    Cost note (SCALE.md): O(file) driver memory/IO, paid ONLY by
+    affected files — the same files pandas itself can only read
+    single-process.
+    """
+    import re as _re
+
+    py_enc = "latin-1" if encoding == "ISO-8859-1" else "utf-8"
+    try:
+        size = os.path.getsize(local_path)
+    except OSError:
+        size = 0
+    if size > (1 << 30):
+        logger.warning(
+            "%s: embedded-newline/blank-line rewrite reads the whole file "
+            "driver-side (%d bytes)",
+            local_path,
+            size,
+        )
+    with open(local_path, encoding=py_enc, newline="") as f:
+        text = f.read()
+    n_quoted = 0
+    if do_quotes:
+        sep_last = _re.escape((separator or ",")[-1])
+        field_pat = _re.compile(
+            r'(?<![^' + sep_last + r'\n\r])"[^"]*(?:""[^"]*)*"'
+        )
+
+        def _seal(m):
+            nonlocal n_quoted
+            s = m.group(0)
+            if "\n" in s or "\r" in s:
+                n_quoted += 1
+                for orig, sent in _NL_SENTINELS:
+                    s = s.replace(orig, sent)
+            return s
+
+        text = field_pat.sub(_seal, text)
+    n_empty = 0
+    if do_trailing or do_empties:
+        # pandas' tokenizer COUNTS empty unquoted fields (bad-line bar;
+        # literal '' in the no-NA-mask rawtext quirk); univocity nulls
+        # them before any option applies. Insert _EMPTY_SENT so they
+        # tokenize as fields; the scan projection deletes the byte
+        # again. Runs after the quote pass, so [\r\n] can no longer
+        # occur inside quoted fields, and a sep-adjacent position
+        # INSIDE quotes only gains a transient byte the restore strips
+        # from the value.
+        S = _re.escape(separator)
+        if do_empties:
+            # every empty field adjacent to a separator (incl. mid-row
+            # and leading) — the uint64/rawtext-candidate class
+            pats = [
+                r"(?<=" + S + r")(?=" + S + r"|\r|\n|\Z)",
+                r"(?:\A|(?<=[\r\n]))(?=" + S + r")",
+            ]
+        else:
+            # trailing empties only: enough for the bad-line bar. Every
+            # sep in a trailing RUN gets one ('3,4,,' -> 2 counted
+            # fields, else the nulled middle '' would fill the _EXTRA
+            # slot invisibly while the sentinel falls off the schema)
+            pats = [r"(?<=" + S + r")(?=(?:" + S + r")*(?:[\r\n]|\Z))"]
+        for p in pats:
+            text, k = _re.subn(p, _EMPTY_SENT, text)
+            n_empty += k
+    n_blank = n_protect = 0
+    if do_blank:
+        strip_cls = set(_strip_line_class(separator))
+        blank_chars = set(_BLANKISH.decode("latin-1"))
+
+        def _resolve(m):
+            nonlocal n_blank, n_protect
+            body = m.group(1)
+            if strip_cls and set(body) <= strip_cls:
+                n_blank += 1
+                return ""  # pandas skips the whole line, terminator too
+            n_protect += 1
+            return _PROTECT + body + m.group(2)
+
+        text = _re.sub(
+            r"(?:\A|(?<=[\r\n]))(["
+            + _re.escape("".join(sorted(blank_chars)))
+            + r"]+)(\r\n|\r|\n|\Z)",
+            _resolve,
+            text,
+        )
+    if not n_quoted and not n_blank and not n_protect and not n_empty:
+        return None, False, False, False
+    fd, plain = tempfile.mkstemp(suffix=".csv")
+    with os.fdopen(fd, "w", encoding=py_enc, newline="") as f:
+        f.write(text)
+    _DECOMPRESSED_TEMPS.append(plain)
+    return plain, bool(n_quoted), bool(n_protect), bool(n_empty)
+
 
 # full-size plaintext copies of compressed inputs; the engine releases
 # them once the typed spill has landed (standalone load_csv callers are
@@ -316,6 +646,26 @@ def load_csv(
     encoding = {"latin-1": "ISO-8859-1", "utf-8": "UTF-8"}.get(
         _detect_encoding(local_path), "UTF-8"
     )
+    # A1: files with in-quote newlines (Excel-style multi-line cells) or
+    # pandas-skipped space/tab-only lines get a driver-side rewrite so the
+    # distributed line-based scan parses them exactly like pandas' C
+    # parser (see _rewrite_file; clean files pay only the chunked probe).
+    restore_nl = restore_protect = restore_empty = False
+    q_flag, blank_flag, trail_flag, empties_flag = _scan_rewrite_triggers(
+        local_path, separator, quoting
+    )
+    if q_flag or blank_flag or trail_flag or empties_flag:
+        rewritten, restore_nl, restore_protect, restore_empty = _rewrite_file(
+            local_path,
+            separator,
+            encoding,
+            q_flag,
+            blank_flag,
+            trail_flag,
+            empties_flag,
+        )
+        if rewritten is not None:
+            local_path = rewritten
 
     reader = (
         spark.read.option("header", True)
@@ -341,9 +691,32 @@ def load_csv(
         # 'Unnamed: N' (Spark's own dedup renames BOTH duplicates to a0,
         # a1, which diverges). Data columns map by POSITION via the
         # enforced schema, so only the NAMES come from this parse.
-        columns, n_index = _read_header(local_path, separator, quoting, encoding)
+        if restore_nl or restore_protect or restore_empty:
+            # undo rewrite sentinels in header CELLS (before pandas'
+            # name mangling): in-quote newlines, the empty-field byte,
+            # and the line-protect prefix on a protected first line
+            def _cell_restore(s: str) -> str:
+                if restore_protect and s.startswith(_PROTECT):
+                    s = s[1:]
+                if restore_nl:
+                    s = _restore_newlines_str(s)
+                if restore_empty:
+                    s = s.replace(_EMPTY_SENT, "")
+                return s
+
+        else:
+            _cell_restore = None
+        columns, n_index = _read_header(
+            local_path, separator, quoting, encoding, _cell_restore
+        )
         if columns is None:  # multi-char separator: csv module can't parse
             columns = reader.csv(local_path).columns
+        if shape:
+            # pandas usecols (reference utils.py:32-34) never infers an
+            # implicit index AND silently truncates rows wider than the
+            # header (probed: 'a,b\n1,2,3' + usecols=['a','b'] -> a=1,b=2;
+            # a 4-field row later still loads) — no shift, no bad lines.
+            n_index = 0
         # A4: pandas treats a row with more fields than the FIRST DATA ROW
         # as a bad line — an error, or dropped under --skip-errors
         # (reference utils.py:42, cli.py:34-38). A first data row k fields
@@ -360,20 +733,26 @@ def load_csv(
             + [T.StructField(_EXTRA, T.StringType())]
         )
         df = reader.schema(probe_schema).option("enforceSchema", True).csv(local_path)
-        # pandas skip_blank_lines: a line that tokenizes to ONE whitespace-
-        # only field is skipped in ANY width file (probed: an 'a,b' file
-        # with a lone ' ' line keeps 2 rows; holds in implicit-index mode
-        # too). Spark instead yields a row with the first slot ' ' and
-        # everything else null — drop exactly that shape. Null checks
-        # lead the conjunction so the regex only runs on rows whose other
-        # slots are all null (never on normal data).
-        all_slots = idx_cols + list(columns)
-        ws_line = F.col(_EXTRA).isNull()
-        for c in all_slots[1:]:
-            ws_line = ws_line & qcol(c).isNull()
-        first_slot = qcol(all_slots[0])
-        ws_line = ws_line & first_slot.isNotNull() & first_slot.rlike(r"^\s+$")
-        df = df.where(~ws_line)
+        # pandas skip_blank_lines (space/tab-only lines skipped anywhere)
+        # is handled driver-side by the _rewrite_file strip above — a
+        # Spark-side filter cannot distinguish a lone ' ' line (pandas
+        # skips) from a ' ,,' row (pandas KEEPS as [' ', NaN, NaN]) once
+        # univocity nulls unquoted-empty trailing fields.
+        if restore_nl or restore_protect or restore_empty:
+            # undo the rewrite sentinels (narrow projection; affected
+            # files only): in-quote newlines + empty-field byte on every
+            # column, the line-protect prefix on the first physical field
+            cols = []
+            for j, c in enumerate(df.columns):
+                col = qcol(c)
+                if restore_protect and j == 0:
+                    col = F.regexp_replace(col, "^\x7f", "")
+                if restore_nl:
+                    col = _restore_newlines_col(col)
+                if restore_empty:
+                    col = F.replace(col, F.lit(_EMPTY_SENT), F.lit(""))
+                cols.append(col.alias(c))
+            df = df.select(*cols)
         if idx_cols:
             df = df.drop(*idx_cols)
         # pandas NA semantics (default na_values → NULL) are applied by
@@ -381,7 +760,12 @@ def load_csv(
         # conflict quirk (probed; see _decide_types) keeps NA tokens as
         # LITERAL text, so the raw strings must survive until the column
         # kind is known. just_strings applies the mask below.
-        if skip_errors:
+        if shape:
+            # usecols mode: extra fields silently truncated (never bad
+            # lines — probed, see the n_index note above)
+            df = df.drop(_EXTRA)
+            bad_lines_pending = False
+        elif skip_errors:
             df = df.where(F.col(_EXTRA).isNull()).drop(_EXTRA)
             bad_lines_pending = False
         else:
@@ -399,8 +783,7 @@ def load_csv(
             raise LoadCsvError(
                 f"Usecols do not match columns, columns expected but not found: {missing}"
             )
-        df = df.select(*[qcol(c) for c in wanted],
-                       *([F.col(_EXTRA)] if bad_lines_pending else []))
+        df = df.select(*[qcol(c) for c in wanted])
 
     if just_strings:
         if bad_lines_pending:
@@ -475,14 +858,24 @@ def _decide_types(
 
     Returns ({column: kind}, {column: DDL override}) with kind one of
     ``allnull | long | longfloat | double | pdouble | rawtext | bool |
-    text`` (``longfloat``/``pdouble`` only under float_parity)."""
+    text`` (``longfloat``/``pdouble`` on every float column when
+    float_parity=True, on risk-flagged columns under AUTO=None, never
+    when False)."""
     kinds: dict[str, str] = {}
     overrides: dict[str, str] = {}
     total_rows = row["__rows__"]
+
     # pdouble = parity-parsed double values (precise_xstrtod); plain
     # 'double' keeps Spark's exact cast — the uint64-clean tier must stay
-    # exact (pandas holds those as exact uint64, not parsed floats)
-    dbl_kind = "pdouble" if float_parity else "double"
+    # exact (pandas holds those as exact uint64, not parsed floats).
+    # float_parity tri-state: True = parity everywhere, False = never,
+    # None (AUTO, default) = only columns whose risk probe fired (the
+    # two parses are bit-identical on risk-free columns).
+    def _parity_col(i: int) -> bool:
+        if float_parity is None:
+            return bool((row[f"c{i}_bits"] or 0) & 8)
+        return bool(float_parity)
+
     for i, c in enumerate(data_cols):
         n = row[f"c{i}_n"]
         first_big = row[f"c{i}_firstbig"]
@@ -501,16 +894,18 @@ def _decide_types(
             # uint64 and beyond-uint64 tiers all collapse into this branch
             # (probed: quoting=2 values match precise_xstrtod, including
             # pure-int columns)
-            kinds[c] = dbl_kind
+            kinds[c] = "pdouble" if _parity_col(i) else "double"
             if row[f"c{i}_nonint"] == 0:
                 overrides[c] = "INTEGER"
         elif big_blocks:
             kinds[c] = "text"
         elif row[f"c{i}_re"] == n:
             if row[f"c{i}_long"] == n:
-                if float_parity and n < total_rows:
+                if _parity_col(i) and n < total_rows:
                     # pandas upcasts int64-with-NaN to float64 from the
                     # exact int64 values; ≥2^53 they drift from the ints
+                    # (AUTO: only when a >15-char cell makes drift
+                    # possible — below 2^53 long and double agree)
                     kinds[c] = "longfloat"
                     overrides[c] = "INTEGER"
                 else:
@@ -529,7 +924,7 @@ def _decide_types(
                 # pandas falls back to plain (masked) object
                 kinds[c] = "text"
         elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
-            kinds[c] = dbl_kind
+            kinds[c] = "pdouble" if _parity_col(i) else "double"
             if row[f"c{i}_nonint"] == 0:
                 overrides[c] = "INTEGER"  # C1 affinity-only downcast
         elif bool_ok.get(c):
@@ -575,10 +970,12 @@ def infer_reference_types(
     ``na_masked=False`` means ``df`` still holds the RAW cell strings and
     the pandas NA-token mask is applied here, per column — required for the
     uint64-conflict quirk (kind ``rawtext``), where pandas keeps NA tokens
-    as literal text. ``float_parity`` (default: the
-    SPARK_GRAFT_PANDAS_FLOAT_PARITY env toggle) parses float-column VALUES
-    with the pandas precise_xstrtod port instead of Spark's correctly
-    rounded cast — see functions/pandasfloat.py.
+    as literal text. ``float_parity`` (default: the tri-state
+    SPARK_GRAFT_PANDAS_FLOAT_PARITY env toggle — unset means AUTO) parses
+    float-column VALUES with the pandas precise_xstrtod port instead of
+    Spark's correctly rounded cast: every float column when True, only
+    risk-flagged columns under AUTO, never when False — see
+    functions/pandasfloat.py.
     """
     from csvs_to_sqlite_spark.functions.pandasfloat import (
         parity_double,
@@ -710,16 +1107,31 @@ def infer_reference_types(
             f"case when {sql_re} then (length(trim({mc})) <= 18"
             f" or try_cast({mc} as bigint) is not null) else false end"
         )
-        proj.append(
-            F.expr(
-                f"case when {sql_re} and {sql_d} < 0.0d then 2"
-                f" when {sql_d} = 0.0d and"
-                f" (contains({mc}, 'e') or contains({mc}, 'E')) then 4"
-                f" when {sql_re} and {sql_d} > 0.0d"
-                f" and not {sql_long} and not {sql_beyond} then 1"
-                f" else 0 end"
-            ).alias(f"p{i}_bits")
+        sql_bits = (
+            f"case when {sql_re} and {sql_d} < 0.0d then 2"
+            f" when {sql_d} = 0.0d and"
+            f" (contains({mc}, 'e') or contains({mc}, 'E')) then 4"
+            f" when {sql_re} and {sql_d} > 0.0d"
+            f" and not {sql_long} and not {sql_beyond} then 1"
+            f" else 0 end"
         )
+        if float_parity is None:
+            # AUTO float parity: bit 8 flags cells where precise_xstrtod
+            # can differ from Spark's correctly rounded cast — >15
+            # trimmed chars (possibly >15 significant digits, incl. int64
+            # past 2^53 that pandas upcasts through float64) or exponent
+            # notation. Everything shorter is an exact <2^53 integer
+            # divided once by an exact power of ten in BOTH parsers.
+            # Gated behind the shared int-regex so int cells never pay
+            # the contains() calls; rides the bits column (no extra
+            # aggregate buffer).
+            sql_bits = (
+                f"({sql_bits}) | (case when {sql_d} is not null and"
+                f" (length(trim({mc})) > 15 or (not {sql_re} and"
+                f" (contains({mc}, 'e') or contains({mc}, 'E'))))"
+                f" then 8 else 0 end)"
+            )
+        proj.append(F.expr(sql_bits).alias(f"p{i}_bits"))
         # overflow-notation floats ('1e309'): pandas' C parser sets ERANGE
         # and falls back to object (TEXT column), while Spark's cast
         # saturates to ±Infinity. Digit-bearing strings that cast to inf
@@ -751,6 +1163,9 @@ def infer_reference_types(
             # produce (e.g. '0.000000000000000000001' collapses to 0.0,
             # flipping the column to INTEGER affinity)
             proj.append(parity_double(q).alias(f"p{i}_pd"))
+        # (AUTO float-parity risk detection rides p{i}_bits — bit 8,
+        # built below. Risky columns pay a column-pruned parity pass
+        # AFTER the aggregate; the hot path stays JVM-side.)
     base = mask_stage.select(*proj)
     mid = F.col("__pos__")
     aggs = [F.count(F.lit(1)).alias("__rows__")]
@@ -923,6 +1338,55 @@ def infer_reference_types(
     kinds, overrides = _decide_types(
         data_cols, row, quoting, bool_ok, bool_first_null, float_parity
     )
+    # AUTO parity phase 2: the main aggregate computed the C1
+    # integrality (c_nonint) and subnormal counts from Spark's cast, but
+    # risk-flagged float columns will store precise_xstrtod VALUES — and
+    # the two can disagree exactly there (e.g. '0.000000000000000000001'
+    # is 1e-21 to the cast but 0.0 to pandas, flipping the INTEGER
+    # affinity). Recompute both counts from the parity parse for just
+    # those columns (column-pruned read of the cached masked strings —
+    # the zcands pattern), then re-decide. Clean files never pay this.
+    if float_parity is None:
+        pcols = [(idx[c], c) for c, k in kinds.items() if k == "pdouble"]
+        if pcols:
+            pstage = mask_stage.select(
+                *[
+                    parity_double(F.col(f"__m{i}")).alias(f"pv{i}")
+                    for i, c in pcols
+                ]
+            )
+            paggs = []
+            for i, c in pcols:
+                pv = F.col(f"pv{i}")
+                paggs.append(
+                    F.count(
+                        F.when(
+                            pv.isNotNull()
+                            & ~F.isnan(pv)
+                            & (
+                                ((pv % F.lit(1.0)) != 0.0)
+                                | (F.abs(pv) == float("inf"))
+                            ),
+                            1,
+                        )
+                    ).alias(f"pn{i}")
+                )
+                paggs.append(
+                    F.count(
+                        F.when(
+                            (F.abs(pv) < 2.2250738585072014e-308)
+                            & (pv != 0.0),
+                            1,
+                        )
+                    ).alias(f"ps{i}")
+                )
+            prow = pstage.agg(*paggs).collect()[0]
+            for i, c in pcols:
+                row[f"c{i}_nonint"] = prow[f"pn{i}"]
+                row[f"c{i}_subn"] = prow[f"ps{i}"]
+            kinds, overrides = _decide_types(
+                data_cols, row, quoting, bool_ok, bool_first_null, float_parity
+            )
     # The typed projection normally reads the CACHED masked strings (one
     # tokenize + one mask pass total). Only when a rawtext column exists
     # (the uint64-conflict quirk) does it fall back to the RAW frame —

@@ -204,6 +204,149 @@ SCENARIOS = [
         [],
         dict(),
     ),
+    # --- round 9: in-quote newlines (the Excel multi-line-cell class;
+    # pandas' C parser consumes quoted fields across physical lines).
+    # LF inside quotes, typed inference around it
+    (
+        "qnl_lf.csv",
+        'a,b\n1,"line1\nline2"\n2,plain\n',
+        [],
+        dict(),
+    ),
+    # CRLF line endings AND CRLF inside quotes — pandas keeps the \r\n
+    # bytes inside the field (Spark's multiLine mode would normalize;
+    # the sentinel rewrite must not)
+    (
+        "qnl_crlf.csv",
+        'a,b\r\n1,"line1\r\nline2"\r\n2,plain\r\n',
+        [],
+        dict(),
+    ),
+    # lone CR inside quotes
+    (
+        "qnl_cr.csv",
+        'a,b\n1,"line1\rline2"\n2,plain\n',
+        [],
+        dict(),
+    ),
+    # doubled-quote escapes around an embedded newline + just-strings
+    (
+        "qnl_esc.csv",
+        'a,b\n1,"he said ""hi""\nbye"\n2,"x,y"\n',
+        ["--just-strings"],
+        dict(just_strings=True),
+    ),
+    # embedded newline through shape rename + extraction of the column
+    (
+        "qnl_shape.csv",
+        'c0,c1\n"multi\nline",1\nplain,2\n"multi\nline",3\n',
+        ["--shape", "c0:label,c1:n", "-c", "label"],
+        dict(shape="c0:label,c1:n", extract_column=["label"]),
+    ),
+    # quoted newline under QUOTE_NONNUMERIC (float conversion around it)
+    (
+        "qnl_q2.csv",
+        'a,b\n1,"li\nne"\n2,"3.5"\n',
+        ["--quoting", "2"],
+        dict(quoting=2),
+    ),
+    # --- round 9: pandas blank-line semantics, exact class [ \t] only.
+    # space-only line skipped mid-file; ' ,,' row KEPT as [' ',NA,NA];
+    # quoted-ws first field KEPT; formfeed line KEPT as a data row
+    (
+        "wsmix.csv",
+        'a,b,c\n1,2,3\n \n ,,\n" ",9,8\n\x0c\n4,5,6\n',
+        [],
+        dict(),
+    ),
+    # space/tab lines before the header are skipped (pandas finds the
+    # header on the first non-blank line)
+    (
+        "wspreheader.csv",
+        " \n\t\na,b\n1,2\n",
+        [],
+        dict(),
+    ),
+    # pure tab line under sep='\t': pandas keeps a [NaN, NaN] row
+    # (Spark's scan would silently drop the <=0x20-only line)
+    (
+        "tabblank.csv",
+        "a\tb\n1\t2\n\t\n3\t4\n",
+        ["-s", "\t"],
+        dict(separator="\t"),
+    ),
+    # space-only line under QUOTE_NONE still skipped
+    (
+        "wsq3.csv",
+        "a,b\n1,2\n \n3,4\n",
+        ["--quoting", "3"],
+        dict(quoting=3),
+    ),
+    # --- round 9: usecols never shifts or errors — extra fields are
+    # silently truncated (wide first row AND wide later row)
+    (
+        "usecolswide.csv",
+        "a,b\n1,2,3\n4,5\n6,7,8,9\n",
+        ["--shape", "a:a,b:b"],
+        dict(shape="a:a,b:b"),
+    ),
+    # implicit-index inference must look PAST a skipped ws line: the
+    # first real data row '1,2,3' is wider, so the first field of every
+    # row becomes the dropped index
+    (
+        "wsindex.csv",
+        "a,b\n \n1,2,3\n4,5,6\n",
+        [],
+        dict(),
+    ),
+    # --- round 9: absent-vs-empty trailing fields (closed divergence).
+    # pandas COUNTS a trailing '' field: '3,4,' in a 2-col file is a bad
+    # line, skipped under --skip-errors (error parity is separately
+    # asserted in test_trailing_comma_bad_line_errors)
+    (
+        "trailskip.csv",
+        "a,b\n1,2\n3,4,\n5,6\n",
+        ["--skip-errors"],
+        dict(skip_errors=True),
+    ),
+    # trailing sep on EVERY line incl. the header: 3rd column is
+    # 'Unnamed: 2', all-null, INTEGER affinity
+    (
+        "trailall.csv",
+        "a,b,\n1,2,\n3,4,\n",
+        [],
+        dict(),
+    ),
+    # trailing sep on the FIRST data row only: 3 fields trigger pandas'
+    # implicit-index inference (index dropped, data shifts left)
+    (
+        "trailfirst.csv",
+        "a,b\n1,2,\n3,4\n",
+        [],
+        dict(),
+    ),
+    # ','-only line: a [NULL, NULL] row on both sides (NOT blank-skipped)
+    (
+        "commaline.csv",
+        "a,b\n1,2\n,\n3,4\n",
+        [],
+        dict(),
+    ),
+    # unquoted empty cells in a uint64-conflict (rawtext) column stay
+    # literal '' like pandas' no-NA-mask object fallback — mid-row and
+    # trailing (the _EMPTY_SENT rewrite, gated on a 19+-digit run)
+    (
+        "rawempty.csv",
+        "c0,c1\n18446744073709551614,x\n,y\nNA,z\n",
+        [],
+        dict(),
+    ),
+    (
+        "rawempty2.csv",
+        "c0,c1\nx,18446744073709551614\ny,\nz,NA\n",
+        [],
+        dict(),
+    ),
     # duplicate header names: pandas mangles to a, a.1 (Spark's own dedup
     # renames BOTH to a0/a1 — the engine must reproduce pandas')
     (
@@ -855,6 +998,33 @@ def test_non_latin_dateparser_locales_identical(spark, tmp_path):
     assert rows[11] == "2017-05-03T00:00:00"  # Eastern Arabic-Indic digits
     assert rows[12] == "1999-01-01T00:00:00"  # Levantine compound month
     assert rows[13] == "2020-10-15T00:00:00"  # تشرين الأول
+
+
+def test_trailing_comma_bad_line_errors(spark, tmp_path):
+    """A trailing separator past the header width is a BAD LINE in
+    pandas (the empty field counts); univocity alone nulls it invisibly
+    — the r9 _EMPTY_SENT rewrite restores error parity. Both engines
+    must REFUSE the file (per-file isolation keeps the db empty)."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+    from csvs_to_sqlite_spark.sources.csv_source import LoadCsvError, load_csv
+
+    for name, content in [
+        ("mid.csv", "a,b\n1,2\n3,4,\n5,6\n"),
+        ("eof.csv", "a,b\n1,2\n3,4,"),
+        ("double.csv", "a,b\n1,2\n3,4,,\n"),
+    ]:
+        (tmp_path / name).write_text(content)
+        with pytest.raises(LoadCsvError):
+            load_csv(spark, str(tmp_path / name))
+        # end-to-end: per-file isolation on BOTH tools -> identical
+        # (empty) databases
+        run_reference(str(tmp_path), name, "ref_" + name + ".db", [])
+        import_csvs(
+            spark, [str(tmp_path / name)], str(tmp_path / ("ours_" + name + ".db"))
+        )
+        assert snapshot(str(tmp_path / ("ref_" + name + ".db"))) == snapshot(
+            str(tmp_path / ("ours_" + name + ".db"))
+        )
 
 
 def test_missing_path_error_message_identical(tmp_path):

@@ -133,9 +133,10 @@ def test_float_parity_mode_identical(spark, tmp_path, name, rows, extra):
     assert ref == ours
 
 
-def test_parity_off_keeps_correctly_rounded_value(spark, tmp_path):
-    """Default posture unchanged: without parity we keep the correctly
-    rounded double (the documented, deliberate divergence)."""
+def test_parity_default_auto_and_forced_off(spark, tmp_path):
+    """Round 9: the DEFAULT is AUTO value parity — a risk-flagged column
+    stores pandas' precise_xstrtod value; SPARK_GRAFT_PANDAS_FLOAT_PARITY=0
+    restores the correctly rounded double (the pre-round-9 posture)."""
     import sqlite3
 
     from csvs_to_sqlite_spark.engine import import_csvs
@@ -145,7 +146,17 @@ def test_parity_off_keeps_correctly_rounded_value(spark, tmp_path):
     conn = sqlite3.connect(str(tmp_path / "ours.db"))
     v = conn.execute("select c0 from t order by rowid limit 1").fetchone()[0]
     conn.close()
-    assert v == float("123456789.123456789")  # ...679, not pandas' ...678
+    assert v == 123456789.12345678  # pandas' value, by default
+
+    os.environ["SPARK_GRAFT_PANDAS_FLOAT_PARITY"] = "0"
+    try:
+        import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "off.db"))
+    finally:
+        del os.environ["SPARK_GRAFT_PANDAS_FLOAT_PARITY"]
+    conn = sqlite3.connect(str(tmp_path / "off.db"))
+    v = conn.execute("select c0 from t order by rowid limit 1").fetchone()[0]
+    conn.close()
+    assert v == float("123456789.123456789")  # ...679, correctly rounded
 
 
 def test_rawtext_column_through_extract_identical(spark, tmp_path):

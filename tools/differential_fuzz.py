@@ -48,6 +48,16 @@ tricky = [
     # forms, Infinity keywords, zero-value out-of-range exponents
     "18446744073709551614", "99999999999999999999", "-9223372036854775809",
     " inf", "inf ", "Infinity", "-INFINITY", "0e309", "0e308",
+    # fourth vocabulary wave (round 9): in-quote newlines (csv.writer
+    # quotes these — LF/CRLF/CR and a newline-only cell), a formfeed
+    # cell (a lone '\x0c' line is a KEPT pandas row, unlike ' '), and a
+    # quote+newline mix
+    "li\nne", "x\r\ny", "c\rr", "\n", 'q"\nz', "\x0c",
+    # unquoted-empty field (csv.writer emits nothing): trailing position
+    # = pandas bad line; mid-row = NA everywhere but LITERAL '' in the
+    # uint64-conflict rawtext class — both closed by the r9 _EMPTY_SENT
+    # rewrite
+    "",
 ]
 
 # date-column vocabulary: every fuzzy class the vendored parser supports,
@@ -126,11 +136,13 @@ for seed in seeds:
         if date_col:
             header = header + ["dt"]
             rows = [r + [rng.choice(datey)] for r in rows]
-        # implicit-index axis (~1/8 of plain trials): widen the FIRST data
-        # row by 1-2 fields — pandas treats the extra leading fields as a
-        # dropped (multi-)index and shifts the data left; a LATER widened
-        # row is then a genuine bad line (reference errors per-file)
-        if not extract and not shape and not date_col and rng.random() < 0.125:
+        # implicit-index axis (~1/8 of plain/shape trials): widen the
+        # FIRST data row by 1-2 fields — pandas treats the extra leading
+        # fields as a dropped (multi-)index and shifts the data left; a
+        # LATER widened row is then a genuine bad line (reference errors
+        # per-file). Under --shape/usecols pandas instead TRUNCATES wide
+        # rows silently — no shift, no bad lines (round-9 advice case).
+        if not extract and not date_col and rng.random() < 0.125:
             rows[0] = rows[0] + [
                 rng.choice(tricky) for _ in range(rng.randint(1, 2))
             ]
