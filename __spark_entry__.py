@@ -4886,7 +4886,8 @@ SELECT CAST(g.i AS BIGINT) AS media_id,
          / 1000000.0 AS duration_s,
        CAST(g.rate AS INTEGER) AS sample_rate,
        f.rms,
-       sha256({hdr} || f.pcm_hex) AS payload_sha
+       sha256({hdr} || f.pcm_hex) AS payload_sha,
+       TRUE AS decode_ok
 FROM g2 g JOIN feat f USING (i)
 """
 
@@ -4932,8 +4933,58 @@ SELECT CAST(i AS BIGINT) AS media_id,
        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        mean_luma,
        sha256(lower(hex('P6' || chr(10) || w || ' ' || h || chr(10)
-                        || '255' || chr(10)) || raster_hex)) AS payload_sha
+                        || '255' || chr(10)) || raster_hex)) AS payload_sha,
+       TRUE AS decode_ok
 FROM feat
+"""
+
+
+def q_multimodal_corrupt_isolation(spark, sf_dir):
+    """VERDICT_r08 #6 — the A13 per-record error contract applied to
+    media: every media_id % 4 == 0 payload is truncated to its first 10
+    bytes (a recognized P6 container with a malformed body), and the
+    mapInPandas decode stage must FLAG those rows (decode_ok=false,
+    null features) rather than fail the task. Oracle: counts and the
+    ok-rows pixel total are closed-form from the md5-seeded geometry."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_image_features,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, n=64).coalesce(4)
+    media = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 4 == 0, F.expr("substring(payload, 1, 10)")
+        ).otherwise(F.col("payload")),
+    ).localCheckpoint()
+    feats = extract_image_features(media, fake=False)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(~F.col("decode_ok"), 1)).alias("n_bad"),
+        F.count(F.when(F.col("decode_ok"), 1)).alias("n_ok"),
+        F.sum(
+            F.when(F.col("decode_ok"), F.col("width") * F.col("height"))
+        ).cast("long").alias("ok_pixels"),
+    )
+
+
+SQL_MM_CORRUPT = """
+WITH seed AS (
+  SELECT i, md5('ppm' || i) AS hh FROM (SELECT unnest(range(0, 64)) AS i)),
+geom AS (
+  SELECT i,
+         8 + ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 9 AS w,
+         8 + ((strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1)) % 9 AS h
+  FROM seed)
+SELECT count(*) AS n_total,
+       count(*) FILTER (WHERE i % 4 = 0) AS n_bad,
+       count(*) FILTER (WHERE i % 4 <> 0) AS n_ok,
+       CAST(sum(CAST(w AS BIGINT) * h) FILTER (WHERE i % 4 <> 0) AS BIGINT) AS ok_pixels
+FROM geom
 """
 
 
@@ -9289,6 +9340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_corrupt_isolation": q_multimodal_corrupt_isolation,
         "streaming_sessions": q_streaming_sessions,
         "bm25_search": q_bm25_search,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -9574,5 +9626,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": _sql_audio_features(),
         "multimodal_resize": _sql_resize(),
         "multimodal_video_frames": _sql_video_frames(),
+        "multimodal_corrupt_isolation": SQL_MM_CORRUPT,
         "streaming_sessions": SQL_STREAM_SESSIONS,
     }

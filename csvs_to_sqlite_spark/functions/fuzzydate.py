@@ -293,14 +293,74 @@ _AR_COMPOUND = {
     "كانون الأول": "ديسمبر",
     "كانون الاول": "ديسمبر",
 }
-# Eastern Arabic-Indic (U+0660-0669), Extended/Persian (U+06F0-06F9) and
-# Devanagari (U+0966-096F, the hi locale) digits → ASCII, exactly
-# dateparser's digit normalization
+# Eastern Arabic-Indic (U+0660-0669), Extended/Persian (U+06F0-06F9),
+# Devanagari (U+0966-096F, the hi locale) and Bengali (U+09E6-09EF, the
+# bn locale — round-9 notch) digits → ASCII, exactly dateparser's digit
+# normalization
 _AR_DIGITS = str.maketrans(
-    "٠١٢٣٤٥٦٧٨٩" "۰۱۲۳۴۵۶۷۸۹" "०१२३४५६७८९",
-    "0123456789" "0123456789" "0123456789",
+    "٠١٢٣٤٥٦٧٨٩" "۰۱۲۳۴۵۶۷۸۹" "०१२३४५६७८९" "০১২৩৪৫৬৭৮৯",
+    "0123456789" "0123456789" "0123456789" "0123456789",
 )
 _MONTHS.update({m: i + 1 for i, names in enumerate(_AR_MONTHS) for m in names})
+
+# Ukrainian month names (dateparser's uk locale; round-9 notch) —
+# nominative + genitive (the form dates use: "3 травня 2017") +
+# dot-less abbreviations; year suffixes р./року ride _FILLER
+_UK_MONTHS = [
+    ("січень", "січня", "січ"),
+    ("лютий", "лютого", "лют"),
+    ("березень", "березня", "бер"),
+    ("квітень", "квітня", "кві", "квіт"),
+    ("травень", "травня", "тра", "трав"),
+    ("червень", "червня", "чер", "черв"),
+    ("липень", "липня", "лип"),
+    ("серпень", "серпня", "сер", "серп"),
+    ("вересень", "вересня", "вер"),
+    ("жовтень", "жовтня", "жов", "жовт"),
+    ("листопад", "листопада", "лис", "лист"),
+    ("грудень", "грудня", "гру", "груд"),
+]
+_MONTHS.update({m: i + 1 for i, names in enumerate(_UK_MONTHS) for m in names})
+
+# Bengali month names (dateparser's bn locale; round-9 notch) — the
+# Gregorian transliterations with the ি/ী spelling variants; Bengali
+# digits normalize via _AR_DIGITS ("৩ মে ২০১৭" → "3 মে 2017")
+_BN_MONTHS = [
+    ("জানুয়ারি", "জানুয়ারী", "জানু"),
+    ("ফেব্রুয়ারি", "ফেব্রুয়ারী", "ফেব"),
+    ("মার্চ",),
+    ("এপ্রিল",),
+    ("মে",),
+    ("জুন",),
+    ("জুলাই",),
+    ("আগস্ট", "অগাস্ট"),
+    ("সেপ্টেম্বর",),
+    ("অক্টোবর",),
+    ("নভেম্বর",),
+    ("ডিসেম্বর",),
+]
+_MONTHS.update({m: i + 1 for i, names in enumerate(_BN_MONTHS) for m in names})
+
+# Persian GREGORIAN month names (dateparser's fa locale; round-9 notch):
+# the French-derived transliterations ("۳ مه ۲۰۱۷"; Persian digits
+# normalize via _AR_DIGITS). Jalali calendar months (فروردین …) stay
+# REFUSED — never misparse a different calendar (same posture as
+# hijri; unit-locked).
+_FA_MONTHS = [
+    ("ژانویه",),
+    ("فوریه",),
+    ("مارس",),
+    ("آوریل", "اوریل"),
+    ("مه",),
+    ("ژوئن",),
+    ("ژوئیه", "جولای"),
+    ("اوت", "آگوست"),
+    ("سپتامبر",),
+    ("اکتبر",),
+    ("نوامبر",),
+    ("دسامبر",),
+]
+_MONTHS.update({m: i + 1 for i, names in enumerate(_FA_MONTHS) for m in names})
 
 _ORDINAL_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b", re.I)
 _TIME_RE = re.compile(
@@ -314,6 +374,8 @@ _FILLER = {
     "on", "at", "of", "in", "the", "year", "de", "del", "le", "el", "",
     # Russian date filler: "3 мая 2017 г." / "3 мая 2017 года"
     "г", "г.", "года", "год",
+    # Ukrainian date filler: "3 травня 2017 р." / "… року"
+    "р", "р.", "року", "рік",
     # Arabic date filler: "3 مايو 2017" variants with "في" (on/in) / "عام" (year)
     "في", "عام", "سنة",
     # Hindi date filler: "3 मई 2017 को" (postposition "on")

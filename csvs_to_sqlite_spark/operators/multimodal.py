@@ -38,7 +38,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 IMAGE_FEATURES_SCHEMA = (
-    "media_id long, width int, height int, mean_luma double, payload_sha string"
+    "media_id long, width int, height int, mean_luma double, "
+    "payload_sha string, decode_ok boolean"
 )
 
 
@@ -185,17 +186,30 @@ def extract_image_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [decoder(p if p is not None else b"") for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(decoder(p if p is not None else b"") + (True,))
+                except ValueError:
+                    # A13 contract applied to media (VERDICT_r08 #6): a
+                    # recognized container with a malformed/truncated
+                    # body is a flagged ROW, never a task failure.
+                    # NotImplementedError (unknown format → needs a
+                    # codec hook) stays loud by design.
+                    feats.append((None, None, None, False))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "mean_luma": [f[2] for f in feats],
+                    "width": pd.array([f[0] for f in feats], dtype="Int32"),
+                    "height": pd.array([f[1] for f in feats], dtype="Int32"),
+                    "mean_luma": pd.array(
+                        [f[2] for f in feats], dtype="Float64"
+                    ),
                     "payload_sha": [
                         hashlib.sha256(p if p is not None else b"").hexdigest()
                         for p in pdf["payload"]
                     ],
+                    "decode_ok": [f[3] for f in feats],
                 }
             )
 
@@ -251,10 +265,14 @@ def synth_ppm_media(spark, n: int = 16) -> DataFrame:
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "media_id long, duration_s double, sample_rate int, rms double, payload_sha string"
+    "media_id long, duration_s double, sample_rate int, rms double, "
+    "payload_sha string, decode_ok boolean"
 )
 
-RESIZE_SCHEMA = "media_id long, width int, height int, payload binary, payload_sha string"
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, payload binary, "
+    "payload_sha string, resize_ok boolean"
+)
 
 
 def _parse_wav(payload: bytes):
@@ -353,17 +371,29 @@ def extract_audio_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [decoder(p if p is not None else b"") for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(decoder(p if p is not None else b"") + (True,))
+                except ValueError:
+                    # malformed RIFF body -> flagged row, not a task
+                    # failure (see extract_image_features)
+                    feats.append((None, None, None, False))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "duration_s": [f[0] for f in feats],
-                    "sample_rate": [f[1] for f in feats],
-                    "rms": [f[2] for f in feats],
+                    "duration_s": pd.array(
+                        [f[0] for f in feats], dtype="Float64"
+                    ),
+                    "sample_rate": pd.array(
+                        [f[1] for f in feats], dtype="Int32"
+                    ),
+                    "rms": pd.array([f[2] for f in feats], dtype="Float64"),
                     "payload_sha": [
                         hashlib.sha256(p if p is not None else b"").hexdigest()
                         for p in pdf["payload"]
                     ],
+                    "decode_ok": [f[3] for f in feats],
                 }
             )
 
@@ -437,17 +467,25 @@ def resize_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = [
-                resizer(p if p is not None else b"", width, height)
-                for p in pdf["payload"]
-            ]
+            resized = []
+            for p in pdf["payload"]:
+                try:
+                    resized.append(resizer(p if p is not None else b"", width, height))
+                except ValueError:
+                    # malformed raster body -> flagged row (null payload),
+                    # not a task failure (see extract_image_features)
+                    resized.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
                     "payload": resized,
-                    "payload_sha": [hashlib.sha256(b).hexdigest() for b in resized],
+                    "payload_sha": [
+                        None if b is None else hashlib.sha256(b).hexdigest()
+                        for b in resized
+                    ],
+                    "resize_ok": [b is not None for b in resized],
                 }
             )
 

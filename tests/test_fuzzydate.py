@@ -342,3 +342,29 @@ def test_vietnamese_positional_dates():
     assert parse_datetime("ngày 3 tháng 5 năm 2017 15:30") == datetime(2017, 5, 3, 15, 30)
     with pytest.raises(UnparseableDate):
         parse_datetime("ngày 3 tháng 13 năm 2017")
+
+
+def test_uk_bn_fa_locales_and_calendar_refusal():
+    """Round-9 notch: uk/bn/fa Gregorian forms parse; Jalali and Hijri
+    calendar dates REFUSE rather than misparse (they would otherwise
+    look like plausible day/month/year integers)."""
+    from csvs_to_sqlite_spark.functions.fuzzydate import (
+        UnparseableDate,
+        parse_datetime,
+    )
+
+    assert parse_datetime("3 травня 2017", []).isoformat() == "2017-05-03T00:00:00"
+    assert parse_datetime("1 січня 1999 р.", []).isoformat() == "1999-01-01T00:00:00"
+    assert (
+        parse_datetime("10 грудня 2009 5:45", []).isoformat()
+        == "2009-12-10T05:45:00"
+    )
+    assert parse_datetime("৩ মে ২০১৭", []).isoformat() == "2017-05-03T00:00:00"
+    assert parse_datetime("৪ এপ্রিল ১৯৩৮", []).isoformat() == "1938-04-04T00:00:00"
+    assert parse_datetime("۳ مه ۲۰۱۷", []).isoformat() == "2017-05-03T00:00:00"
+    assert parse_datetime("15 اکتبر 2020", []).isoformat() == "2020-10-15T00:00:00"
+    import pytest
+
+    for s in ("۱۵ فروردین ۱۴۰۲", "3 مرداد 1402", "١٥ محرم ١٤٤٥"):
+        with pytest.raises(UnparseableDate):
+            parse_datetime(s, [])

@@ -1921,3 +1921,61 @@ def test_mixed_language_detects_half_switch(spark):
     }
     assert got[1][2] is True and got[1][0] == "en" and got[1][1] == "de"
     assert got[2] == ("en", "en", False)
+
+
+def test_multimodal_corrupt_payload_isolation(spark):
+    """VERDICT_r08 #6: a recognized container with a truncated/corrupt
+    body is a FLAGGED ROW (decode_ok=False, null features) in every
+    mapInPandas media stage — never a task failure. The unknown-format
+    NotImplementedError codec boundary stays loud (tested above)."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        extract_video_frames,
+        resize_images,
+        synth_ppm_media,
+        synth_ppm_video_media,
+        synth_wav_media,
+    )
+
+    def truncate_some(df):
+        return df.withColumn(
+            "payload",
+            F.when(
+                F.col("media_id") % 2 == 0, F.expr("substring(payload, 1, 10)")
+            ).otherwise(F.col("payload")),
+        )
+
+    img = extract_image_features(
+        truncate_some(synth_ppm_media(spark, n=8)), fake=False
+    ).collect()
+    assert len(img) == 8
+    for r in img:
+        if r.media_id % 2 == 0:
+            assert not r.decode_ok and r.width is None and r.mean_luma is None
+        else:
+            assert r.decode_ok and r.width is not None
+
+    aud = extract_audio_features(
+        truncate_some(synth_wav_media(spark, n=8)), fake=False
+    ).collect()
+    assert len(aud) == 8
+    assert {r.media_id % 2 == 0 for r in aud if not r.decode_ok} == {True}
+    assert all(r.rms is None for r in aud if not r.decode_ok)
+    assert all(r.rms is not None for r in aud if r.decode_ok)
+
+    rz = resize_images(
+        truncate_some(synth_ppm_media(spark, n=8)), 8, 8, fake=False
+    ).collect()
+    assert len(rz) == 8
+    assert all((r.payload is None) == (not r.resize_ok) for r in rz)
+    assert {not r.resize_ok for r in rz if r.media_id % 2 == 0} == {True}
+
+    # video already routes malformed PV01 through the deterministic
+    # stand-in — a truncated payload yields rows, not a task failure
+    vid = extract_video_frames(
+        truncate_some(synth_ppm_video_media(spark, n=6)), every_n=2, fake=False
+    ).collect()
+    assert len(vid) > 0

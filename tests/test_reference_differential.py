@@ -1058,3 +1058,44 @@ def test_missing_path_error_message_identical(tmp_path):
     # coerce_path_result behavior for URL-shaped values)
     p = PathOrURL(exists=True)
     assert p.convert("https://x.test/a.csv", None, None) == "https://x.test/a.csv"
+
+
+def test_uk_bn_fa_dateparser_locales_identical(spark, tmp_path):
+    """Round-9 locale notch (VERDICT_r08 #7): Ukrainian (genitive months,
+    'р.'/'року' year suffix), Bengali (months + Bengali-digit
+    normalization) and Persian GREGORIAN months (Persian digits) produce
+    byte-identical output through the reference (dateparser routed to the
+    vendored parser via tests/ref_shims) and our engine. Jalali/Hijri
+    dates REFUSE (never misparse a different calendar) — unit-locked in
+    tests/test_fuzzydate.py."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    csv = (
+        "id,when\n"
+        "1,3 травня 2017\n"
+        "2,1 січня 1999 р.\n"
+        "3,10 грудня 2009 5:45\n"
+        "4,৩ মে ২০১৭\n"
+        "5,৪ এপ্রিল ১৯৩৮\n"
+        "6,10 ডিসেম্বর 2009\n"
+        "7,3 مه 2017\n"
+        "8,۳ مه ۲۰۱۷\n"
+        "9,15 اکتبر 2020\n"
+    )
+    (tmp_path / "dates_ukbnfa.csv").write_text(csv, encoding="utf-8")
+    run_reference(str(tmp_path), "dates_ukbnfa.csv", "ref.db", ["-dt", "when"])
+    import_csvs(
+        spark,
+        [str(tmp_path / "dates_ukbnfa.csv")],
+        str(tmp_path / "ours.db"),
+        datetime=["when"],
+    )
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+    rows = dict(
+        sqlite3.connect(str(tmp_path / "ours.db"))
+        .execute("select id, [when] from dates_ukbnfa")
+        .fetchall()
+    )
+    assert rows[2] == "1999-01-01T00:00:00"
+    assert rows[4] == "2017-05-03T00:00:00"
+    assert rows[8] == "2017-05-03T00:00:00"

@@ -131,3 +131,75 @@ def test_fts_self_join_alias_matches_reference_naming(tmp_path):
     ).fetchall()
     assert rows == [("x",)]
     sink.close()
+
+
+def test_fts_downgrade_fts4_golden(tmp_path, monkeypatch):
+    """VERDICT_r08 #5: the reference serves pre-FTS5 SQLites through the
+    SAME DDL template (utils.py:374-438 formats {fts_version} into one
+    string for every version). Force the probe to FTS4 and assert the
+    DDL string and MATCH results are unchanged apart from the version."""
+    import csvs_to_sqlite_spark.sinks.sqlite_sink as sink_mod
+
+    monkeypatch.setattr(sink_mod, "best_fts_version", lambda: "FTS4")
+    db = str(tmp_path / "f4.db")
+    sink = SQLiteSink(db)
+    sink.conn.executescript(
+        """
+        CREATE TABLE t (a TEXT, b INTEGER);
+        CREATE TABLE dim (id INTEGER PRIMARY KEY, value TEXT);
+        INSERT INTO dim VALUES (1, 'alpha'), (2, 'beta');
+        INSERT INTO t VALUES ('x', 1), ('y', 2);
+        """
+    )
+    captured = []
+    sink.conn.set_trace_callback(captured.append)
+    sink.create_fact_fts(["t"], ["a", "b"], foreign_keys={"b": ("dim", "value")})
+    sink.conn.set_trace_callback(None)
+    script = "\n".join(captured)
+    assert (
+        'CREATE VIRTUAL TABLE "t_fts" USING FTS4 ("a", "b", content="t")'
+        in script
+    )
+    ddl = sink.conn.execute(
+        "select sql from sqlite_master where name='t_fts'"
+    ).fetchone()[0]
+    assert "USING FTS4" in ddl
+    rows = sink.conn.execute(
+        "select a from t where rowid in "
+        "(select rowid from t_fts where t_fts match 'beta')"
+    ).fetchall()
+    assert rows == [("y",)]  # dim LABEL indexed, not the id
+    sink.close()
+
+
+def test_fts_downgrade_fts3_golden(tmp_path, monkeypatch):
+    """FTS3 golden: the shared template passes content=\"t\" even to FTS3,
+    which (unlike FTS4/5) parses it as an ordinary indexed COLUMN named
+    'content' — reference behavior on an FTS3-only SQLite is identical
+    by construction (same formatted SQL). MATCH must still find rows and
+    per-dim FTS must still wire up."""
+    import csvs_to_sqlite_spark.sinks.sqlite_sink as sink_mod
+
+    monkeypatch.setattr(sink_mod, "best_fts_version", lambda: "FTS3")
+    db = str(tmp_path / "f3.db")
+    sink = SQLiteSink(db)
+    sink.conn.executescript(
+        """
+        CREATE TABLE t (a TEXT, b INTEGER);
+        INSERT INTO t VALUES ('hello world', 7), ('other', 8);
+        """
+    )
+    sink.create_fact_fts(["t"], ["a"], foreign_keys={})
+    ddl = sink.conn.execute(
+        "select sql from sqlite_master where name='t_fts'"
+    ).fetchone()[0]
+    assert "USING FTS3" in ddl
+    # FTS3 treats content="t" as an extra column — present but unused
+    cols = [r[1] for r in sink.conn.execute("PRAGMA table_info(t_fts)")]
+    assert cols == ["a", "content"]
+    rows = sink.conn.execute(
+        "select a from t where rowid in "
+        "(select rowid from t_fts where t_fts match 'hello')"
+    ).fetchall()
+    assert rows == [("hello world",)]
+    sink.close()

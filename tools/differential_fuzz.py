@@ -72,6 +72,10 @@ datey = [
     "noon 3 May 2017", "midnight 3 May 2017", "4th July 1976 8:30pm",
     "31/12/99", "1/2/03", "", "NA", "not a date", "32 May 2017",
     "0/0/0", "May", "2017",
+    # round-9 locales: uk (genitive + р. suffix), bn (Bengali digits),
+    # fa (Persian digits, Gregorian months); Jalali stays unparseable
+    "3 травня 2017", "1 січня 1999 р.", "৩ মে ২০১৭",
+    "۳ مه ۲۰۱۷", "15 اکتبر 2020", "۱۵ فروردین ۱۴۰۲",
 ]
 
 
