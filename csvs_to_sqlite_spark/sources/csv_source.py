@@ -310,10 +310,13 @@ def _scan_rewrite_triggers(
 
     import numpy as np
 
-    check_quotes = quoting != _QUOTE_NONE
     blank_body = _re.compile(rb"[" + _re.escape(_BLANKISH) + rb"]+")
     sep_b = separator.encode()
     single_sep = len(sep_b) == 1
+    # multi-char separators route pandas to its python engine, which
+    # treats quotes as ORDINARY characters (probed: '1::"x\ny"' splits
+    # at the newline) — never sentinel in-quote newlines there
+    check_quotes = quoting != _QUOTE_NONE and single_sep
     sep_byte = sep_b[0] if single_sep else 0
     # regex fallbacks for multi-char separators only
     S = _re.escape(sep_b)
@@ -646,6 +649,21 @@ def load_csv(
     encoding = {"latin-1": "ISO-8859-1", "utf-8": "UTF-8"}.get(
         _detect_encoding(local_path), "UTF-8"
     )
+    if len(separator) != 1:
+        # A2: pandas routes multi-char separators to its PYTHON engine —
+        # regex split, quotes literal, its own ladder quirks (probed;
+        # see _load_python_engine). quoting is ignored on that engine.
+        return _load_python_engine(
+            spark,
+            local_path,
+            separator,
+            encoding,
+            skip_errors,
+            shape,
+            just_strings,
+            float_parity,
+            _with_counts,
+        )
     # A1: files with in-quote newlines (Excel-style multi-line cells) or
     # pandas-skipped space/tab-only lines get a driver-side rewrite so the
     # distributed line-based scan parses them exactly like pandas' C
@@ -818,13 +836,153 @@ def load_csv(
     )
 
 
+def _load_python_engine(
+    spark: SparkSession,
+    local_path: str,
+    separator: str,
+    encoding: str,
+    skip_errors: bool,
+    shape: str | None,
+    just_strings: bool,
+    float_parity: bool | None,
+    _with_counts: bool,
+):
+    """A2 multi-char separator: pandas routes a >1-char sep to its PYTHON
+    engine (reference utils.py:38-47 passes sep through), whose semantics
+    were probed and are replicated exactly here:
+
+    - each line is str.strip()ped, then re.split(sep, line) — the sep is
+      a REGEX (metachars and all: sep='|~|' really yields 8 columns from
+      'a|~|b'), QUOTES are ordinary characters, and a line whose
+      strip+split yields [''] is skipped anywhere in the file;
+    - quoting= is ignored entirely (no QUOTE_NONNUMERIC float mode);
+    - implicit-index inference applies EVEN under usecols (unlike the C
+      engine) and wide non-first rows under usecols silently truncate;
+    - the int ladder loses the C tokenizer's order-dependent float-mode
+      escape and int64-with-NULL parses to float FROM the strings — both
+      handled via ``infer_reference_types(py_engine=True)``;
+    - empty fields are REAL '' strings (no univocity absent-field
+      nulling), so trailing empties count toward the bad-line bar and
+      rawtext columns keep '' literal with no sentinel machinery.
+
+    Spark-side: one distributed text-shaped scan (csv reader with NUL
+    sep+quote so encoding/line-termination handling matches the C path)
+    → Arrow-batched re.split (Python's own re → bit-exact regex
+    semantics) → positional projection. An invalid regex separator
+    raises re.error and propagates — the reference crashes the same way
+    (only LoadCsvError is isolated per file).
+
+    Known divergence (documented): a pre-header line of >0x20 unicode
+    whitespace (e.g. NBSP) is consumed as the header by Spark's
+    header-skip but blank-skipped by pandas — cosmic-ray class.
+    """
+    import re as _re
+
+    from csvs_to_sqlite_spark.functions.pysplit import split_lines_udf
+    from csvs_to_sqlite_spark.operators.shapes import parse_shape
+
+    rx = _re.compile(separator)  # re.error propagates: reference parity
+    py_enc = {"ISO-8859-1": "latin-1"}.get(encoding, "utf-8-sig")
+    header = data = None
+    with open(local_path, encoding=py_enc, newline=None) as f:
+        for line in f:
+            fields = rx.split(line.strip())
+            if fields == [""]:
+                continue  # python-engine blank skip (strip-based)
+            if header is None:
+                header = fields
+            else:
+                data = fields
+                break
+    if header is None:
+        raise LoadCsvError("No columns to parse from file")
+    # implicit index applies even under usecols here (probed)
+    n_index = max(0, len(data) - len(header)) if data else 0
+    columns = _pandas_header_names(header)
+
+    _pysplit = split_lines_udf(separator)
+    raw = (
+        spark.read.option("header", True)
+        .option("sep", chr(0))
+        .option("quote", chr(0))
+        .option("encoding", encoding)
+        .option("inferSchema", False)
+        .schema(T.StructType([T.StructField(columns[0], T.StringType())]))
+        .option("enforceSchema", True)
+        .csv(local_path)
+    )
+    arr = raw.select(_pysplit(qcol(columns[0])).alias("__arr__"))
+    arr = arr.where(
+        ~((F.size("__arr__") == 1) & (F.col("__arr__")[0] == ""))
+    )
+    idx_cols = [f"__pdindex_{j}__" for j in range(n_index)]
+    width = len(idx_cols) + len(columns)
+    sel = [
+        # F.get: NULL on out-of-range (narrow rows fill like pandas NaN)
+        F.get(F.col("__arr__"), j).alias(c)
+        for j, c in enumerate(idx_cols + list(columns))
+    ]
+    sel.append(F.when(F.size("__arr__") > width, F.lit("x")).alias(_EXTRA))
+    df = arr.select(*sel)
+    if idx_cols:
+        df = df.drop(*idx_cols)
+    if shape:
+        wanted = [c.csv_name for c in parse_shape(shape)]
+        missing = [c for c in wanted if c not in columns]
+        if missing:
+            raise LoadCsvError(
+                f"Usecols do not match columns, columns expected but not found: {missing}"
+            )
+        # usecols: wide rows silently truncate (probed — no bad lines)
+        df = df.select(*[qcol(c) for c in wanted])
+        bad_lines_pending = False
+    elif skip_errors:
+        df = df.where(F.col(_EXTRA).isNull()).drop(_EXTRA)
+        bad_lines_pending = False
+    else:
+        bad_lines_pending = True
+
+    if just_strings:
+        if bad_lines_pending:
+            if df.where(F.col(_EXTRA).isNotNull()).limit(1).count():
+                raise LoadCsvError("Error tokenizing data: too many fields")
+            df = df.drop(_EXTRA)
+        df = df.select(
+            *[
+                F.when(qcol(c).isin(*_PANDAS_NA_TOKENS), None)
+                .otherwise(qcol(c))
+                .alias(c)
+                for c in df.columns
+            ]
+        )
+        if _with_counts:
+            counts = {
+                r["__pid__"]: r["__rows__"]
+                for r in df.groupBy(F.spark_partition_id().alias("__pid__"))
+                .agg(F.count(F.lit(1)).alias("__rows__"))
+                .collect()
+            }
+            return df, counts, {}, {}, set()
+        return df
+    return infer_reference_types(
+        df,
+        check_bad_lines=bad_lines_pending,
+        return_partition_counts=_with_counts,
+        quoting=0,  # quoting is ignored by the python engine (probed)
+        na_masked=False,
+        float_parity=float_parity,
+        py_engine=True,
+    )
+
+
 def _decide_types(
     data_cols: list[str],
     row,
     quoting: int,
     bool_ok: dict[str, bool],
     bool_first_null: dict[str, bool],
-    float_parity: bool = False,
+    float_parity: bool | None = False,
+    py_engine: bool = False,
 ) -> tuple[dict[str, str], dict[str, str]]:
     """The pandas dtype decision table, shared by the persist-cache path
     and the single-pass spill path (pandas → SQLite affinity,
@@ -880,8 +1038,10 @@ def _decide_types(
         n = row[f"c{i}_n"]
         first_big = row[f"c{i}_firstbig"]
         first_float = row[f"c{i}_firstfloat"]
+        # python engine (py_engine): ANY beyond-uint64 int objects the
+        # column — there is no C-tokenizer "already in float mode" escape
         big_blocks = first_big is not None and (
-            first_float is None or first_float > first_big
+            py_engine or first_float is None or first_float > first_big
         )
         if n == 0:
             kinds[c] = "allnull"
@@ -902,11 +1062,14 @@ def _decide_types(
         elif row[f"c{i}_re"] == n:
             if row[f"c{i}_long"] == n:
                 if _parity_col(i) and n < total_rows:
-                    # pandas upcasts int64-with-NaN to float64 from the
-                    # exact int64 values; ≥2^53 they drift from the ints
-                    # (AUTO: only when a >15-char cell makes drift
-                    # possible — below 2^53 long and double agree)
-                    kinds[c] = "longfloat"
+                    # C engine: pandas upcasts int64-with-NaN to float64
+                    # from the EXACT int64 values; ≥2^53 they drift from
+                    # the ints (AUTO: only when a >15-char cell makes
+                    # drift possible — below 2^53 long and double agree).
+                    # python engine instead parses the STRINGS to float
+                    # (probed: '9223372036854775807'+NA → …778e18, the
+                    # precise_xstrtod value) → parity parse.
+                    kinds[c] = "pdouble" if py_engine else "longfloat"
                     overrides[c] = "INTEGER"
                 else:
                     kinds[c] = "long"
@@ -924,9 +1087,14 @@ def _decide_types(
                 # pandas falls back to plain (masked) object
                 kinds[c] = "text"
         elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
-            kinds[c] = "pdouble" if _parity_col(i) else "double"
-            if row[f"c{i}_nonint"] == 0:
-                overrides[c] = "INTEGER"  # C1 affinity-only downcast
+            if py_engine and ((row[f"c{i}_bits"] or 0) & 16):
+                # a negative-overflow int among floats: the python
+                # engine objects the column (no float-mode escape)
+                kinds[c] = "text"
+            else:
+                kinds[c] = "pdouble" if _parity_col(i) else "double"
+                if row[f"c{i}_nonint"] == 0:
+                    overrides[c] = "INTEGER"  # C1 affinity-only downcast
         elif bool_ok.get(c):
             # keep BooleanType: the sink writes 0/1 (INTEGER affinity),
             # dim extraction renders 'True'/'False' like six.text_type
@@ -945,6 +1113,7 @@ def infer_reference_types(
     quoting: int = 0,
     na_masked: bool = True,
     float_parity: bool | None = None,
+    py_engine: bool = False,
 ):
     """Reproduce pandas read_csv dtype inference over an all-string frame.
 
@@ -1130,6 +1299,15 @@ def infer_reference_types(
                 f" (length(trim({mc})) > 15 or (not {sql_re} and"
                 f" (contains({mc}, 'e') or contains({mc}, 'E'))))"
                 f" then 8 else 0 end)"
+            )
+        if py_engine:
+            # bit 16: negative int overflowing int64 — the python engine
+            # (multi-char separators) objects the whole column on one,
+            # even among float siblings (no C-tokenizer float-mode
+            # escape; probed)
+            sql_bits = (
+                f"({sql_bits}) | (case when {sql_re} and {sql_d} < 0.0d"
+                f" and not {sql_long} then 16 else 0 end)"
             )
         proj.append(F.expr(sql_bits).alias(f"p{i}_bits"))
         # overflow-notation floats ('1e309'): pandas' C parser sets ERANGE
@@ -1336,7 +1514,8 @@ def infer_reference_types(
                 bool_first_null[c] = (not first) or first[0][c] is None
 
     kinds, overrides = _decide_types(
-        data_cols, row, quoting, bool_ok, bool_first_null, float_parity
+        data_cols, row, quoting, bool_ok, bool_first_null, float_parity,
+        py_engine,
     )
     # AUTO parity phase 2: the main aggregate computed the C1
     # integrality (c_nonint) and subnormal counts from Spark's cast, but
@@ -1385,7 +1564,8 @@ def infer_reference_types(
                 row[f"c{i}_nonint"] = prow[f"pn{i}"]
                 row[f"c{i}_subn"] = prow[f"ps{i}"]
             kinds, overrides = _decide_types(
-                data_cols, row, quoting, bool_ok, bool_first_null, float_parity
+                data_cols, row, quoting, bool_ok, bool_first_null,
+                float_parity, py_engine,
             )
     # The typed projection normally reads the CACHED masked strings (one
     # tokenize + one mask pass total). Only when a rawtext column exists

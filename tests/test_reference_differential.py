@@ -332,6 +332,46 @@ SCENARIOS = [
         [],
         dict(),
     ),
+    # --- round 9: multi-char separators (pandas PYTHON engine — regex
+    # split, quotes literal, line-strip, its own ladder quirks; see
+    # _load_python_engine). Typed inference + ws line + quoted junk
+    (
+        "pyeng.csv",
+        'a::b::c\n1::2.5::"x::y"\n \n3::4.25::plain\n',
+        ["-s", "::"],
+        dict(separator="::"),
+    ),
+    # python engine: negative-overflow int objects the column even among
+    # floats (no C float-mode escape); int64-with-NULL parses to float
+    # FROM the strings (precise_xstrtod values)
+    (
+        "pyengladder.csv",
+        "a::b::d\n-9223372036854775809::9223372036854775807::1\n0.5::NA::2\n",
+        ["-s", "::"],
+        dict(separator="::"),
+    ),
+    # python engine + extraction + wide first row (implicit index applies
+    # even under the python engine) + skip-errors on a later wide row
+    (
+        "pyengextract.csv",
+        "c0::c1\nYolo::1\nNapa::2\nYolo::3\n",
+        ["-s", "::", "-c", "c0"],
+        dict(separator="::", extract_column=["c0"]),
+    ),
+    (
+        "pyengskip.csv",
+        "a::b\n1::2\n3::4::5\n6::7\n",
+        ["-s", "::", "--skip-errors"],
+        dict(separator="::", skip_errors=True),
+    ),
+    # a REGEX separator ('x+' — pandas treats multi-char seps as regex;
+    # Python's own re does the splitting on our side too)
+    (
+        "pyengregex.csv",
+        "axxbxc\n1xx2x3\n4xxx5xx6\n",
+        ["-s", "x+"],
+        dict(separator="x+"),
+    ),
     # unquoted empty cells in a uint64-conflict (rawtext) column stay
     # literal '' like pandas' no-NA-mask object fallback — mid-row and
     # trailing (the _EMPTY_SENT rewrite, gated on a 19+-digit run)

@@ -93,6 +93,22 @@ def run_ref(workdir, argv):
     )
 
 
+
+def write_csv(path, sep, header, rows):
+    """csv.writer for single-char seps; multi-char seps (python-engine
+    axis) are plain joins — pandas treats quotes as literal there, so
+    quoting machinery must NOT kick in. Values containing the sep or
+    newlines make structurally messy files BOTH tools read identically."""
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        if len(sep) == 1:
+            w = csvmod.writer(f, delimiter=sep)
+            w.writerow(header)
+            w.writerows(rows)
+        else:
+            for r in [header] + rows:
+                f.write(sep.join(r) + "\n")
+
+
 fails = tried = 0
 seeds = [int(a) for a in sys.argv[1:]] or [991, 42424]
 for seed in seeds:
@@ -106,8 +122,10 @@ for seed in seeds:
         # whole separate inference branch worth fuzzing
         quoting = rng.choice([0, 0, 0, 1, 2])
         # separator axis: TSV/semicolon/pipe files go through the same
-        # parse+inference path but a different csv dialect on both sides
-        sep = rng.choice([",", ",", ",", "\t", ";", "|"])
+        # parse+inference path but a different csv dialect on both sides;
+        # '::' (round 9) routes BOTH tools through the pandas python
+        # engine / _load_python_engine (regex split, quotes literal)
+        sep = rng.choice([",", ",", ",", "\t", ";", "|", "::"])
         rows = [[rng.choice(tricky) for _ in range(n_cols)] for _ in range(n_rows)]
         # header axis (~1/4 of trials): duplicate names (pandas mangles to
         # a, a.1…), dots (F.col hazard), empty cells ('Unnamed: N') —
@@ -152,10 +170,7 @@ for seed in seeds:
             ]
             if rng.random() < 0.3 and len(rows) > 1:
                 rows[-1] = rows[-1] + [rng.choice(tricky)]
-        with open(os.path.join(d, "t.csv"), "w", newline="", encoding="utf-8") as f:
-            w = csvmod.writer(f, delimiter=sep)
-            w.writerow(header)
-            w.writerows(rows)
+        write_csv(os.path.join(d, "t.csv"), sep, header, rows)
         ref_args = (
             ["t.csv", "ref.db"]
             + (["-s", sep] if sep != "," else [])
@@ -174,10 +189,10 @@ for seed in seeds:
                 [rng.choice(tricky) for _ in range(n_cols)]
                 for _ in range(rng.randint(1, 6))
             ]
-            with open(os.path.join(d, "t2.csv"), "w", newline="", encoding="utf-8") as f:
-                w = csvmod.writer(f, delimiter=sep)
-                w.writerow(["c%d" % i for i in range(n_cols)])
-                w.writerows(second)
+            write_csv(
+                os.path.join(d, "t2.csv"), sep,
+                ["c%d" % i for i in range(n_cols)], second,
+            )
         # compression axis (~1/6 of single-file trials): the same CSV
         # bytes land gzip/bz2-compressed — pandas compression='infer'
         # on the reference side, our driver-side decompress on ours
