@@ -724,11 +724,11 @@ def load_csv(
 
         else:
             _cell_restore = None
+        # single-char separator guaranteed here (multi-char dispatched to
+        # _load_python_engine above), so _read_header never returns None
         columns, n_index = _read_header(
             local_path, separator, quoting, encoding, _cell_restore
         )
-        if columns is None:  # multi-char separator: csv module can't parse
-            columns = reader.csv(local_path).columns
         if shape:
             # pandas usecols (reference utils.py:32-34) never infers an
             # implicit index AND silently truncates rows wider than the
