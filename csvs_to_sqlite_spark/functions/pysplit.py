@@ -24,8 +24,6 @@ def split_lines_udf(pattern: str):
     @F.pandas_udf("array<string>")
     def _pysplit(s: pd.Series) -> pd.Series:
         comp = re.compile(pattern)
-        return s.map(
-            lambda ln: comp.split(ln.strip()) if ln is not None else [""]
-        )
+        return s.map(lambda ln: comp.split((ln or "").strip()))
 
     return _pysplit

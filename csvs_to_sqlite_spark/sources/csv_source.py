@@ -911,10 +911,24 @@ def _load_python_engine(
         .option("enforceSchema", True)
         .csv(local_path)
     )
+    # pandas' blank skip is POST-split: a row is skipped iff
+    # re.split(sep, line.strip()) == [''] (probed: under an EMPTY-
+    # MATCHING regex sep like '|~|' a blank line splits to ['',''] and
+    # becomes an all-NaN ROW, not a skip). For ordinary seps that
+    # predicate reduces to strip(line)=='' , filtered here JVM-SIDE on
+    # the raw line so the split UDF is evaluated exactly once (Catalyst
+    # would duplicate a post-split filter into a second Arrow stage —
+    # plan-asserted). Class ~ Python str.strip()'s whitespace; the
+    # <=0x20-only lines are already invisible to Spark's scan, this
+    # catches NBSP-class lines and mixes. Documented cosmic-class
+    # divergences: blank lines under an empty-matching sep (pandas: NaN
+    # rows; the scan dropped them) and lines of only non-isspace
+    # controls like \x01 (pandas: a data row; the scan dropped them).
+    if _re.search(separator, "") is None:
+        raw = raw.where(
+            ~qcol(columns[0]).rlike(r"^[\s\x00-\x20\p{IsWhite_Space}]*$")
+        )
     arr = raw.select(_pysplit(qcol(columns[0])).alias("__arr__"))
-    arr = arr.where(
-        ~((F.size("__arr__") == 1) & (F.col("__arr__")[0] == ""))
-    )
     idx_cols = [f"__pdindex_{j}__" for j in range(n_index)]
     width = len(idx_cols) + len(columns)
     sel = [

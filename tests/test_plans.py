@@ -631,3 +631,18 @@ def test_ntile_from_rank_matrix_matches_window_ntile(spark):
         got = {r["id"]: r["t"] for r in
                ranked.withColumn("t", ntile_from_rank("r", n, buckets)).collect()}
         assert got == want, (n, buckets)
+
+
+def test_python_engine_scan_is_narrow(spark, tmp_path):
+    """The multi-char-separator python-engine emulation must stay a
+    narrow scan pipeline: ONE Arrow-batched eval stage for the re.split,
+    no Exchange anywhere before the typed projection (the file scan's
+    partitioning carries straight through to the spill)."""
+    from csvs_to_sqlite_spark.sources.csv_source import load_csv
+
+    (tmp_path / "t.csv").write_text("a::b\n1::2.5\n3::4.25\n")
+    df = load_csv(spark, str(tmp_path / "t.csv"), separator="::")
+    plan = explain_str(df, "simple")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "FileScan csv" in plan
