@@ -142,12 +142,8 @@ def _pandas_header_names(fields: list[str]) -> list[str]:
 
 
 def _read_header(
-    local_path: str,
-    separator: str,
-    quoting: int,
-    encoding: str,
-    cell_restore=None,
-) -> tuple[list[str], int] | tuple[None, int]:
+    local_path: str, separator: str, quoting: int, encoding: str
+) -> tuple[list[str], int]:
     """(header fields mangled pandas-style, n_index) via the csv module
     (same dialect the data read uses). ``n_index`` is pandas' implicit-
     index inference: when the FIRST data row is k fields WIDER than the
@@ -155,12 +151,12 @@ def _read_header(
     (multi-)index — which to_sql(index=False) then drops, so the data
     shifts left and later rows wider than header+k are the actual bad
     lines (probed: 'a,b\\n1,2,3\\n' → index 1, a=2, b=3; a LATER wide row
-    errors). (None, 0) = caller falls back to Spark's naming (multi-char
-    separator, which the csv module can't parse)."""
+    errors). Single-char separators only — load_csv dispatches multi-char
+    ones to _load_python_engine before calling this. Runs on the ORIGINAL
+    file: the csv module parses quoted newlines and counts trailing
+    empties natively, so no rewrite sentinels ever reach header names."""
     import csv as _csv
 
-    if len(separator) != 1:
-        return None, 0
     py_enc = {"ISO-8859-1": "latin-1"}.get(encoding, "utf-8-sig")
     with open(local_path, newline="", encoding=py_enc) as f:
         r = _csv.reader(
@@ -191,10 +187,6 @@ def _read_header(
         while data is not None and _blankish(data):
             data = next(r, None)
     n_index = max(0, len(data) - len(first)) if data else 0
-    if cell_restore is not None:
-        # undo rewrite sentinels BEFORE pandas' name mangling (an empty
-        # header cell must be '' again to become 'Unnamed: N')
-        first = [cell_restore(c) for c in first]
     return _pandas_header_names(first), n_index
 
 # pandas read_csv's default na_values (keep_default_na=True): all of these
@@ -250,12 +242,6 @@ def _restore_newlines_col(col):
     return col
 
 
-def _restore_newlines_str(s: str) -> str:
-    for orig, sent in _NL_SENTINELS:
-        s = s.replace(sent, orig)
-    return s
-
-
 def _strip_line_class(separator: str) -> str:
     """pandas' blank-line skip class, probed on pandas 2.x: a line that
     tokenizes to ONE field of only space/tab is skipped ANYWHERE in the
@@ -281,66 +267,67 @@ _EMPTY_SENT = "\x05"
 
 
 def _scan_rewrite_triggers(
-    local_path: str, separator: str, quoting: int
+    local_path: str, separator: str, quoting: int, width: int
 ) -> tuple[bool, bool, bool, bool]:
     """One chunked driver-side pass over the raw bytes deciding whether
-    the file needs the pre-scan rewrite. Returns (quoted_newlines,
+    the file needs the pre-scan rewrite (single-char separators only —
+    multi-char routes to _load_python_engine). Returns (quoted_newlines,
     blankish_lines, trailing_empty, uint64_empties):
 
-    - quoted_newlines: some newline sits at odd quote parity — the
-      naive in-quote model (a quote toggles state anywhere). Exact for
-      well-formed files; a literal quote inside an unquoted field can
-      over- or under-flag, so the rewrite itself (field-start-anchored
-      regex) re-checks and over-flags only cost the rewrite pass.
-      Quote/newline bytes are ASCII and cannot appear inside UTF-8
-      multi-byte sequences, so the byte-level scan is encoding-safe.
+    - quoted_newlines: EXACT tokenizer emulation — a quote OPENS a field
+      only where the preceding byte is the separator or a newline (or
+      BOF), doubled quotes inside a quoted field are escapes, and the
+      flag fires iff a newline falls inside an open field (pandas' C
+      tokenizer model; a stray literal inch-mark in an unquoted field
+      no longer masks a genuine multi-line field — r9 review finding).
+      The state machine walks QUOTE POSITIONS, not bytes: numpy finds
+      them, Python visits only those. Quote/newline bytes are ASCII and
+      cannot appear inside UTF-8 multi-byte sequences.
     - blankish_lines: a physical line of only <=0x20 bytes exists —
       pandas either skips it (space/tab only) or keeps it as a data row;
       Spark's scan does neither consistently, so the rewrite resolves
       each. Chunk boundaries can over-flag, never under-flag.
-    - trailing_empty: a separator immediately before a newline/EOF —
-      pandas counts the empty field toward the bad-line bar; univocity
-      nulls it invisibly. Resolved by the _EMPTY_SENT insert.
-    - uint64_empties: an empty unquoted field ANYWHERE coexists with a
-      19+-digit run (a uint64-tier literal needs 19-20 digits): only
-      then can the no-NA-mask rawtext quirk make a mid-row '' visible,
-      so only then does the rewrite sentinel EVERY empty field.
+    - trailing_empty: a separator immediately before a newline/EOF whose
+      line would exceed ``width`` fields — only then does the invisible
+      univocity null diverge from pandas' counted empty field (a file
+      whose EVERY line ends with a sep has the empty field INSIDE the
+      header width and needs no rewrite). Per-line field counts are sep
+      counts, so quoted separators over-count → over-flag only; when
+      in-quote newlines exist the count is unreliable and any trailing
+      sep flags (the file is being rewritten anyway).
+    - uint64_empties: an empty unquoted field ANYWHERE (incl. any
+      trailing sep) coexists with a 19+-digit run (a uint64-tier literal
+      needs 19-20 digits): only then can the no-NA-mask rawtext quirk
+      make a '' cell visible, so only then does the rewrite sentinel
+      EVERY empty field.
     """
     import re as _re
 
     import numpy as np
 
     blank_body = _re.compile(rb"[" + _re.escape(_BLANKISH) + rb"]+")
-    sep_b = separator.encode()
-    single_sep = len(sep_b) == 1
-    # multi-char separators route pandas to its python engine, which
-    # treats quotes as ORDINARY characters (probed: '1::"x\ny"' splits
-    # at the newline) — never sentinel in-quote newlines there
-    check_quotes = quoting != _QUOTE_NONE and single_sep
-    sep_byte = sep_b[0] if single_sep else 0
-    # regex fallbacks for multi-char separators only
-    S = _re.escape(sep_b)
-    trail_pat = _re.compile(S + rb"[\r\n]")
-    empty_pat = _re.compile(S + S + rb"|(?:\A|[\r\n])" + S)
-    q_flag = blank_flag = trail_flag = empty_flag = False
-    carry = 0
+    sep_byte = separator.encode()[0]
+    check_quotes = quoting != _QUOTE_NONE
+    q_flag = blank_flag = simple_trail = refined_trail = empty_flag = False
+    in_quote = False  # tokenizer state across chunks
     prev_byte = 10  # virtual newline before file start (BOF counts as BOL)
+    sep_carry = 0  # separators on the current (chunk-spanning) line
     eof_tail = b""
     with open(local_path, "rb") as f:
         while True:
             chunk = f.read(1 << 22)
             if not chunk:
                 break
-            # ONE numpy view drives every per-chunk check (a regex
-            # formulation of the same predicates cost ~1.5 s per 33 MB
-            # on digit-dense data — measured; this path is ~20 ms)
+            # ONE numpy view drives every per-chunk check; index 0 is the
+            # carried-over last byte of the PREVIOUS chunk (its sep/quote
+            # effects were already accounted there)
             buf = bytes([prev_byte]) + chunk
             a = np.frombuffer(buf, dtype=np.uint8)
             is_nl = (a == 10) | (a == 13)
-            nl_pos = is_nl.nonzero()[0]
-            if not blank_flag and nl_pos.size:
+            nl_all = is_nl.nonzero()[0]
+            if not blank_flag and nl_all.size:
                 # byte AFTER a newline is blank-ish -> verify that line
-                after = nl_pos + 1
+                after = nl_all + 1
                 after = after[after < len(buf)]
                 cand = after[(a[after] <= 0x20) & ~is_nl[after]]
                 for pos in cand[:64]:
@@ -351,67 +338,130 @@ def _scan_rewrite_triggers(
                 else:
                     if cand.size > 64:
                         blank_flag = True  # over-flag; rewrite re-checks
-            if single_sep:
-                is_sep = a == sep_byte
-                if not trail_flag and bool(
-                    (is_sep[:-1] & is_nl[1:]).any()
+            nl_pos = nl_all[nl_all > 0]
+            s_pos = (a == sep_byte).nonzero()[0]
+            s_pos = s_pos[s_pos > 0]
+            if nl_pos.size:
+                if not simple_trail and bool(
+                    (a[nl_pos - 1] == sep_byte).any()
                 ):
-                    trail_flag = True
-                if not empty_flag and bool(
-                    (is_sep[:-1] & is_sep[1:]).any()
-                    or (is_nl[:-1] & is_sep[1:]).any()
-                ):
-                    empty_flag = True
-            else:
-                if not trail_flag and trail_pat.search(buf):
-                    trail_flag = True
-                if not empty_flag and empty_pat.search(buf):
-                    empty_flag = True
-            if check_quotes and not q_flag:
-                if b'"' not in chunk:
-                    if carry and nl_pos.size:
-                        q_flag = True
+                    simple_trail = True
+                if not empty_flag:
+                    # an empty field exists where a sep is adjacent to
+                    # BOL/sep (trailing covered by simple_trail)
+                    is_sep = a == sep_byte
+                    if bool(
+                        (is_sep[:-1] & is_sep[1:]).any()
+                        or (is_nl[:-1] & is_sep[1:]).any()
+                    ):
+                        empty_flag = True
+                if not refined_trail:
+                    cnt_before = np.searchsorted(s_pos, nl_pos)
+                    line_seps = np.diff(np.concatenate(([0], cnt_before)))
+                    if line_seps.size:
+                        line_seps[0] += sep_carry
+                    ends = a[nl_pos - 1] == sep_byte
+                    if bool((ends & (line_seps + 1 > width)).any()):
+                        refined_trail = True
+                    sep_carry = int(s_pos.size - cnt_before[-1])
                 else:
-                    # index 0 is the carried-over byte of the PREVIOUS
-                    # chunk — its quote (if any) is already in `carry`
-                    q_idx = (a == 34).nonzero()[0]
-                    q_idx = q_idx[q_idx > 0]
-                    if nl_pos.size and (
-                        ((np.searchsorted(q_idx, nl_pos) + carry) & 1) != 0
-                    ).any():
-                        q_flag = True
-                    carry = (carry + int(q_idx.size)) & 1
+                    sep_carry = int(
+                        s_pos.size - np.searchsorted(s_pos, nl_pos[-1])
+                    )
+            else:
+                is_sep = a == sep_byte
+                if not empty_flag and bool((is_sep[:-1] & is_sep[1:]).any()):
+                    empty_flag = True
+                sep_carry += int(s_pos.size)
+            if check_quotes and not q_flag:
+                q_pos = (a == 34).nonzero()[0]
+                q_pos = q_pos[q_pos > 0]
+                if q_pos.size or in_quote:
+                    q_flag, in_quote = _quote_walk(
+                        a, q_pos, nl_pos, sep_byte, in_quote
+                    )
             prev_byte = chunk[-1]
-            eof_tail = (eof_tail + chunk)[-len(sep_b) :]
-    if eof_tail == sep_b:  # file ends with a separator: trailing empty
-        trail_flag = True
+            eof_tail = (eof_tail + chunk)[-1:]
+    if eof_tail and eof_tail[0] == sep_byte:
+        simple_trail = True
+        if sep_carry + 1 > width:
+            refined_trail = True
     uint64_empties = False
-    if empty_flag or trail_flag:
-        # deferred: a 19+-digit run (uint64-tier literal) decides whether
-        # EVERY empty field must be sentineled (rawtext visibility) —
-        # only files that actually HAVE empties pay this second pass
-        with open(local_path, "rb") as f:
-            run = 0
-            while not uint64_empties:
-                chunk = f.read(1 << 22)
-                if not chunk:
-                    break
-                a = np.frombuffer(chunk, dtype=np.uint8)
-                nd = np.flatnonzero((a < 48) | (a > 57))
-                if nd.size == 0:
-                    run += len(chunk)
-                    uint64_empties = run >= 19
-                    continue
-                head = int(nd[0])
-                longest = max(
-                    run + head,
-                    len(chunk) - 1 - int(nd[-1]),
-                    int((np.diff(nd) - 1).max()) if nd.size > 1 else 0,
-                )
-                if longest >= 19:
-                    uint64_empties = True
-                run = len(chunk) - 1 - int(nd[-1])
+    if empty_flag or simple_trail:
+        uint64_empties = _has_19_digit_run(local_path)
+    trail_flag = refined_trail or (q_flag and simple_trail)
     return q_flag, blank_flag, trail_flag, uint64_empties
+
+
+def _quote_walk(a, q_pos, nl_pos, sep_byte, in_quote):
+    """Exact pandas-tokenizer quote walk over one chunk's quote
+    positions: outside a field, a quote OPENS only when the preceding
+    byte is the separator or a newline (index 0 of ``a`` is the previous
+    chunk's carried last byte, so it is always available); inside a
+    field, a doubled quote is an escape, any other quote closes it.
+    Returns (newline_inside_an_open_field, state_at_chunk_end). Cost:
+    Python iterations = number of quotes, not bytes; the newline-inside
+    check is a searchsorted per open-close span."""
+    import numpy as np
+
+    n = len(a)
+    q_list = q_pos.tolist()
+    spans = []  # (open_pos, close_pos) quoted-field extents in this chunk
+    open_pos = 0 if in_quote else None  # carried-over open field
+    i = 0
+    while i < len(q_list):
+        p = q_list[i]
+        if open_pos is None:
+            prev = a[p - 1]
+            if prev == sep_byte or prev == 10 or prev == 13:
+                open_pos = p
+            i += 1
+        else:
+            if i + 1 < len(q_list) and q_list[i + 1] == p + 1:
+                i += 2  # escaped "" stays inside the field
+                continue
+            spans.append((open_pos, p))
+            open_pos = None
+            i += 1
+    if open_pos is not None:
+        spans.append((open_pos, n))  # still open at chunk end
+    for lo, hi in spans:
+        j = int(np.searchsorted(nl_pos, lo))
+        if j < nl_pos.size and nl_pos[j] < hi:
+            return True, open_pos is not None
+    return False, open_pos is not None
+
+
+def _has_19_digit_run(local_path: str) -> bool:
+    """Deferred second pass (only files that HAVE empty fields pay it):
+    does any 19+-digit run exist — the uint64-tier gate for the
+    all-empties sentinel rewrite."""
+    import numpy as np
+
+    run = 0
+    with open(local_path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 22)
+            if not chunk:
+                return False
+            a = np.frombuffer(chunk, dtype=np.uint8)
+            nd = np.flatnonzero((a < 48) | (a > 57))
+            if nd.size == 0:
+                run += len(chunk)
+                if run >= 19:
+                    return True
+                continue
+            head = int(nd[0])
+            longest = max(
+                run + head,
+                len(chunk) - 1 - int(nd[-1]),
+                int((np.diff(nd) - 1).max()) if nd.size > 1 else 0,
+            )
+            if longest >= 19:
+                return True
+            run = len(chunk) - 1 - int(nd[-1])
+    return False
+
 
 
 def _rewrite_file(
@@ -668,20 +718,60 @@ def load_csv(
     # pandas-skipped space/tab-only lines get a driver-side rewrite so the
     # distributed line-based scan parses them exactly like pandas' C
     # parser (see _rewrite_file; clean files pay only the chunked probe).
+    # pandas' header semantics, computed driver-side from the first lines
+    # of the ORIGINAL file (the csv module parses quoted newlines and
+    # counts trailing empties natively): duplicate names mangle to a,
+    # a.1, a.2…, empty cells to 'Unnamed: N' (Spark's own dedup renames
+    # BOTH duplicates, which diverges), and the first non-blank DATA
+    # row's width decides the implicit index. Data columns map by
+    # POSITION via the enforced schema, so only the NAMES come from
+    # this parse. Single-char separator guaranteed here (multi-char
+    # dispatched to _load_python_engine above).
+    columns, n_index = _read_header(local_path, separator, quoting, encoding)
+    if shape:
+        # pandas usecols (reference utils.py:32-34) never infers an
+        # implicit index AND silently truncates rows wider than the
+        # header (probed: 'a,b\n1,2,3' + usecols=['a','b'] -> a=1,b=2;
+        # a 4-field row later still loads) — no shift, no bad lines.
+        n_index = 0
     restore_nl = restore_protect = restore_empty = False
     q_flag, blank_flag, trail_flag, empties_flag = _scan_rewrite_triggers(
-        local_path, separator, quoting
+        local_path, separator, quoting, n_index + len(columns)
     )
     if q_flag or blank_flag or trail_flag or empties_flag:
-        rewritten, restore_nl, restore_protect, restore_empty = _rewrite_file(
-            local_path,
-            separator,
-            encoding,
-            q_flag,
-            blank_flag,
-            trail_flag,
-            empties_flag,
-        )
+        try:
+            rewritten, restore_nl, restore_protect, restore_empty = (
+                _rewrite_file(
+                    local_path,
+                    separator,
+                    encoding,
+                    q_flag,
+                    blank_flag,
+                    trail_flag,
+                    empties_flag,
+                )
+            )
+        except UnicodeDecodeError:
+            # the sampled encoding probe (>256 MB files) guessed wrong
+            # past its window: the reference's whole-file pandas read
+            # would hit the same error and retry latin-1 (which decodes
+            # any byte stream) — do the same for rewrite AND scan
+            encoding = "ISO-8859-1"
+            rewritten, restore_nl, restore_protect, restore_empty = (
+                _rewrite_file(
+                    local_path,
+                    separator,
+                    encoding,
+                    q_flag,
+                    blank_flag,
+                    trail_flag,
+                    empties_flag,
+                )
+            )
+        except MemoryError as e:
+            raise LoadCsvError(
+                f"file too large for the driver-side rewrite: {e}"
+            ) from e
         if rewritten is not None:
             local_path = rewritten
 
@@ -704,37 +794,6 @@ def load_csv(
         # csv.QUOTE_NONE: quotes are ordinary characters.
         reader = reader.option("quote", "\u0000")
     try:
-        # pandas' header semantics, computed driver-side from the first
-        # line: duplicate names mangle to a, a.1, a.2… and empty cells to
-        # 'Unnamed: N' (Spark's own dedup renames BOTH duplicates to a0,
-        # a1, which diverges). Data columns map by POSITION via the
-        # enforced schema, so only the NAMES come from this parse.
-        if restore_nl or restore_protect or restore_empty:
-            # undo rewrite sentinels in header CELLS (before pandas'
-            # name mangling): in-quote newlines, the empty-field byte,
-            # and the line-protect prefix on a protected first line
-            def _cell_restore(s: str) -> str:
-                if restore_protect and s.startswith(_PROTECT):
-                    s = s[1:]
-                if restore_nl:
-                    s = _restore_newlines_str(s)
-                if restore_empty:
-                    s = s.replace(_EMPTY_SENT, "")
-                return s
-
-        else:
-            _cell_restore = None
-        # single-char separator guaranteed here (multi-char dispatched to
-        # _load_python_engine above), so _read_header never returns None
-        columns, n_index = _read_header(
-            local_path, separator, quoting, encoding, _cell_restore
-        )
-        if shape:
-            # pandas usecols (reference utils.py:32-34) never infers an
-            # implicit index AND silently truncates rows wider than the
-            # header (probed: 'a,b\n1,2,3' + usecols=['a','b'] -> a=1,b=2;
-            # a 4-field row later still loads) — no shift, no bad lines.
-            n_index = 0
         # A4: pandas treats a row with more fields than the FIRST DATA ROW
         # as a bad line — an error, or dropped under --skip-errors
         # (reference utils.py:42, cli.py:34-38). A first data row k fields
@@ -901,16 +960,21 @@ def _load_python_engine(
     columns = _pandas_header_names(header)
 
     _pysplit = split_lines_udf(separator)
-    raw = (
-        spark.read.option("header", True)
-        .option("sep", chr(0))
-        .option("quote", chr(0))
-        .option("encoding", encoding)
-        .option("inferSchema", False)
-        .schema(T.StructType([T.StructField(columns[0], T.StringType())]))
-        .option("enforceSchema", True)
-        .csv(local_path)
-    )
+    try:
+        raw = (
+            spark.read.option("header", True)
+            .option("sep", chr(0))
+            .option("quote", chr(0))
+            .option("encoding", encoding)
+            .option("inferSchema", False)
+            .schema(T.StructType([T.StructField(columns[0], T.StringType())]))
+            .option("enforceSchema", True)
+            .csv(local_path)
+        )
+    except Exception as e:  # pragma: no cover - spark analysis errors
+        # A13 parity with the C path (review drift finding): Spark
+        # analysis errors stay inside the per-file isolation boundary
+        raise LoadCsvError(str(e)) from e
     # pandas' blank skip is POST-split: a row is skipped iff
     # re.split(sep, line.strip()) == [''] (probed: under an EMPTY-
     # MATCHING regex sep like '|~|' a blank line splits to ['',''] and

@@ -332,6 +332,16 @@ SCENARIOS = [
         [],
         dict(),
     ),
+    # stray literal inch-mark quotes in unquoted fields must NOT mask a
+    # genuine quoted multi-line field (r9 review finding: the naive
+    # quote-parity probe under-flagged this exact shape; the probe is
+    # now an exact field-start-anchored tokenizer walk)
+    (
+        "inchmarks.csv",
+        'a,b,c\n5" pipe,"joint\nweld",6" rod\nplain,x,y\n',
+        [],
+        dict(),
+    ),
     # --- round 9: multi-char separators (pandas PYTHON engine — regex
     # split, quotes literal, line-strip, its own ladder quirks; see
     # _load_python_engine). Typed inference + ws line + quoted junk
