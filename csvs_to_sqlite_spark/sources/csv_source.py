@@ -274,15 +274,21 @@ def _scan_rewrite_triggers(
     multi-char routes to _load_python_engine). Returns (quoted_newlines,
     blankish_lines, trailing_empty, uint64_empties):
 
-    - quoted_newlines: EXACT tokenizer emulation — a quote OPENS a field
-      only where the preceding byte is the separator or a newline (or
-      BOF), doubled quotes inside a quoted field are escapes, and the
-      flag fires iff a newline falls inside an open field (pandas' C
-      tokenizer model; a stray literal inch-mark in an unquoted field
-      no longer masks a genuine multi-line field — r9 review finding).
-      The state machine walks QUOTE POSITIONS, not bytes: numpy finds
-      them, Python visits only those. Quote/newline bytes are ASCII and
-      cannot appear inside UTF-8 multi-byte sequences.
+    - quoted_newlines, three tiers, all vectorized on the hot path:
+      (1) quotes are CLASSIFIED (numpy gathers of each quote's
+      neighbors): opener (prev is sep/newline), closer (next is
+      sep/newline/EOF) or doubled. (2) If every quote classifies, naive
+      quote parity at newlines is EXACT — openers/closers pair up and
+      doubles are even, so an odd count at a newline is precisely an
+      open field (proof: a still-open field contributes its opener plus
+      doubles = odd; everything closed = even). A parity hit over-flags
+      at worst (a rule-closer the tokenizer treats as literal), and the
+      rewrite's field-start-anchored regex is the authority anyway.
+      (3) Only files with an UNCLASSIFIABLE quote (a stray mid-field
+      inch-mark — the r9 review finding) fall back to one C-speed
+      csv.reader scan, which is exact. A pure-Python per-quote walk was
+      tried first and cost 24 s on a 47 MB QUOTE_ALL export — the tiers
+      keep that file fully vectorized.
     - blankish_lines: a physical line of only <=0x20 bytes exists —
       pandas either skips it (space/tab only) or keeps it as a data row;
       Spark's scan does neither consistently, so the rewrite resolves
@@ -308,20 +314,21 @@ def _scan_rewrite_triggers(
     blank_body = _re.compile(rb"[" + _re.escape(_BLANKISH) + rb"]+")
     sep_byte = separator.encode()[0]
     check_quotes = quoting != _QUOTE_NONE
-    q_flag = blank_flag = simple_trail = refined_trail = empty_flag = False
-    in_quote = False  # tokenizer state across chunks
-    prev_byte = 10  # virtual newline before file start (BOF counts as BOL)
+    blank_flag = simple_trail = refined_trail = empty_flag = False
+    parity_hit = suspicious = False
+    carry = 0  # quote-count parity across chunks
     sep_carry = 0  # separators on the current (chunk-spanning) line
+    # two carried bytes: index 1 is the previous chunk's FINAL byte,
+    # whose quote classification needs both neighbors (deferred to here);
+    # index 0 exists so that byte's own predecessor is available
+    prev2 = b"\n\n"  # virtual newlines before file start (BOF = BOL)
     eof_tail = b""
     with open(local_path, "rb") as f:
         while True:
             chunk = f.read(1 << 22)
             if not chunk:
                 break
-            # ONE numpy view drives every per-chunk check; index 0 is the
-            # carried-over last byte of the PREVIOUS chunk (its sep/quote
-            # effects were already accounted there)
-            buf = bytes([prev_byte]) + chunk
+            buf = prev2 + chunk
             a = np.frombuffer(buf, dtype=np.uint8)
             is_nl = (a == 10) | (a == 13)
             nl_all = is_nl.nonzero()[0]
@@ -338,9 +345,10 @@ def _scan_rewrite_triggers(
                 else:
                     if cand.size > 64:
                         blank_flag = True  # over-flag; rewrite re-checks
-            nl_pos = nl_all[nl_all > 0]
+            # this chunk's OWN bytes start at index 2
+            nl_pos = nl_all[nl_all > 1]
             s_pos = (a == sep_byte).nonzero()[0]
-            s_pos = s_pos[s_pos > 0]
+            s_pos = s_pos[s_pos > 1]
             if nl_pos.size:
                 if not simple_trail and bool(
                     (a[nl_pos - 1] == sep_byte).any()
@@ -373,19 +381,53 @@ def _scan_rewrite_triggers(
                 if not empty_flag and bool((is_sep[:-1] & is_sep[1:]).any()):
                     empty_flag = True
                 sep_carry += int(s_pos.size)
-            if check_quotes and not q_flag:
-                q_pos = (a == 34).nonzero()[0]
-                q_pos = q_pos[q_pos > 0]
-                if q_pos.size or in_quote:
-                    q_flag, in_quote = _quote_walk(
-                        a, q_pos, nl_pos, sep_byte, in_quote
-                    )
-            prev_byte = chunk[-1]
+            if check_quotes and not parity_hit:
+                if b'"' not in buf:
+                    if carry and nl_pos.size:
+                        parity_hit = True
+                else:
+                    q_all = (a == 34).nonzero()[0]
+                    q_own = q_all[q_all > 1]
+                    if not suspicious:
+                        # classify every quote whose BOTH neighbors are
+                        # in view (position 1 = prev chunk's final byte;
+                        # the current final byte defers to next chunk or
+                        # the EOF rule below)
+                        cls = q_all[(q_all >= 1) & (q_all < len(buf) - 1)]
+                        if cls.size:
+                            prevs = a[cls - 1]
+                            nxts = a[cls + 1]
+                            ok = (
+                                (prevs == sep_byte)
+                                | (prevs == 10)
+                                | (prevs == 13)
+                                | (prevs == 34)
+                                | (nxts == sep_byte)
+                                | (nxts == 10)
+                                | (nxts == 13)
+                                | (nxts == 34)
+                            )
+                            if not bool(ok.all()):
+                                suspicious = True
+                    if nl_pos.size and bool(
+                        (
+                            (np.searchsorted(q_own, nl_pos) + carry) & 1
+                        ).any()
+                    ):
+                        parity_hit = True
+                    carry = (carry + int(q_own.size)) & 1
+            prev2 = buf[-2:]
             eof_tail = (eof_tail + chunk)[-1:]
     if eof_tail and eof_tail[0] == sep_byte:
         simple_trail = True
         if sep_carry + 1 > width:
             refined_trail = True
+    if parity_hit:
+        q_flag = True  # over-flag at worst; the rewrite is the authority
+    elif suspicious and check_quotes:
+        q_flag = _csv_scan_quoted_newlines(local_path, separator)
+    else:
+        q_flag = False
     uint64_empties = False
     if empty_flag or simple_trail:
         uint64_empties = _has_19_digit_run(local_path)
@@ -393,43 +435,26 @@ def _scan_rewrite_triggers(
     return q_flag, blank_flag, trail_flag, uint64_empties
 
 
-def _quote_walk(a, q_pos, nl_pos, sep_byte, in_quote):
-    """Exact pandas-tokenizer quote walk over one chunk's quote
-    positions: outside a field, a quote OPENS only when the preceding
-    byte is the separator or a newline (index 0 of ``a`` is the previous
-    chunk's carried last byte, so it is always available); inside a
-    field, a doubled quote is an escape, any other quote closes it.
-    Returns (newline_inside_an_open_field, state_at_chunk_end). Cost:
-    Python iterations = number of quotes, not bytes; the newline-inside
-    check is a searchsorted per open-close span."""
-    import numpy as np
+def _csv_scan_quoted_newlines(local_path: str, separator: str) -> bool:
+    """Tier-3 exact check for files with unclassifiable (stray mid-field)
+    quotes: one C-speed csv.reader pass — does any parsed field contain a
+    newline? latin-1 decode preserves every byte, and newline bytes
+    decode identically under every supported encoding."""
+    import csv as _csv
 
-    n = len(a)
-    q_list = q_pos.tolist()
-    spans = []  # (open_pos, close_pos) quoted-field extents in this chunk
-    open_pos = 0 if in_quote else None  # carried-over open field
-    i = 0
-    while i < len(q_list):
-        p = q_list[i]
-        if open_pos is None:
-            prev = a[p - 1]
-            if prev == sep_byte or prev == 10 or prev == 13:
-                open_pos = p
-            i += 1
-        else:
-            if i + 1 < len(q_list) and q_list[i + 1] == p + 1:
-                i += 2  # escaped "" stays inside the field
-                continue
-            spans.append((open_pos, p))
-            open_pos = None
-            i += 1
-    if open_pos is not None:
-        spans.append((open_pos, n))  # still open at chunk end
-    for lo, hi in spans:
-        j = int(np.searchsorted(nl_pos, lo))
-        if j < nl_pos.size and nl_pos[j] < hi:
-            return True, open_pos is not None
-    return False, open_pos is not None
+    limit = _csv.field_size_limit()
+    _csv.field_size_limit(1 << 30)
+    try:
+        with open(local_path, newline="", encoding="latin-1") as f:
+            for row in _csv.reader(f, delimiter=separator):
+                for field in row:
+                    if "\n" in field or "\r" in field:
+                        return True
+        return False
+    except _csv.Error:
+        return True  # over-flag; the rewrite re-checks
+    finally:
+        _csv.field_size_limit(limit)
 
 
 def _has_19_digit_run(local_path: str) -> bool:
