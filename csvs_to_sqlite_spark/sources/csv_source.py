@@ -268,11 +268,13 @@ _EMPTY_SENT = "\x05"
 
 def _scan_rewrite_triggers(
     local_path: str, separator: str, quoting: int, width: int
-) -> tuple[bool, bool, bool, bool]:
+) -> tuple[bool, bool, bool, bool, int | None]:
     """One chunked driver-side pass over the raw bytes deciding whether
     the file needs the pre-scan rewrite (single-char separators only —
     multi-char routes to _load_python_engine). Returns (quoted_newlines,
-    blankish_lines, trailing_empty, uint64_empties):
+    blankish_lines, trailing_empty, uint64_empties, eof_open_row —
+    non-None means pandas refuses the file with 'EOF inside string
+    starting at row N' and load_csv must raise the same LoadCsvError):
 
     - quoted_newlines, three tiers, all vectorized on the hot path:
       (1) quotes are CLASSIFIED (numpy gathers of each quote's
@@ -285,27 +287,28 @@ def _scan_rewrite_triggers(
       at worst (a rule-closer the tokenizer treats as literal), and the
       rewrite's field-start-anchored regex is the authority anyway.
       (3) Only files with an UNCLASSIFIABLE quote (a stray mid-field
-      inch-mark — the r9 review finding) fall back to one C-speed
-      csv.reader scan, which is exact. A pure-Python per-quote walk was
-      tried first and cost 24 s on a 47 MB QUOTE_ALL export — the tiers
-      keep that file fully vectorized.
+      inch-mark — the r9 review finding), a >=3 quote run (an odd run
+      can hide an opener at even total count) or an odd total quote
+      count fall back to _exact_quote_scan. A pure-Python per-quote walk on
+      the hot path was tried first and cost 24 s on a 47 MB QUOTE_ALL
+      export — the tiers keep that file fully vectorized.
     - blankish_lines: a physical line of only <=0x20 bytes exists —
       pandas either skips it (space/tab only) or keeps it as a data row;
       Spark's scan does neither consistently, so the rewrite resolves
       each. Chunk boundaries can over-flag, never under-flag.
-    - trailing_empty: a separator immediately before a newline/EOF whose
-      line would exceed ``width`` fields — only then does the invisible
-      univocity null diverge from pandas' counted empty field (a file
-      whose EVERY line ends with a sep has the empty field INSIDE the
-      header width and needs no rewrite). Per-line field counts are sep
-      counts, so quoted separators over-count → over-flag only; when
-      in-quote newlines exist the count is unreliable and any trailing
-      sep flags (the file is being rewritten anyway).
-    - uint64_empties: an empty unquoted field ANYWHERE (incl. any
-      trailing sep) coexists with a 19+-digit run (a uint64-tier literal
-      needs 19-20 digits): only then can the no-NA-mask rawtext quirk
-      make a '' cell visible, so only then does the rewrite sentinel
-      EVERY empty field.
+    - trailing_empty: set only when in-quote newlines make per-line
+      field counts unreliable — then ANY trailing separator gets the
+      (cheap) trailing-only sentinel, since the file is being rewritten
+      for the quotes anyway.
+    - need_empties (the all-empties sentinel rewrite) fires when EITHER
+      (a) some line exceeds ``width`` fields by the vectorized sep
+      count — a pandas BAD LINE even when the overflow fields are empty
+      (univocity nulls them invisibly; quoted separators over-count →
+      over-flag only, univocity's own counting stays the authority), or
+      (b) an empty field coexists with a 19+-digit run (a uint64-tier
+      literal), where the no-NA-mask rawtext quirk makes '' cells
+      visible. A file whose EVERY line ends with a sep has the empty
+      field INSIDE the header width and needs no rewrite at all.
     """
     import re as _re
 
@@ -314,8 +317,8 @@ def _scan_rewrite_triggers(
     blank_body = _re.compile(rb"[" + _re.escape(_BLANKISH) + rb"]+")
     sep_byte = separator.encode()[0]
     check_quotes = quoting != _QUOTE_NONE
-    blank_flag = simple_trail = refined_trail = empty_flag = False
-    parity_hit = suspicious = False
+    blank_flag = simple_trail = overwide = empty_flag = False
+    parity_hit = suspicious = run3 = False
     carry = 0  # quote-count parity across chunks
     sep_carry = 0  # separators on the current (chunk-spanning) line
     # two carried bytes: index 1 is the previous chunk's FINAL byte,
@@ -363,14 +366,20 @@ def _scan_rewrite_triggers(
                         or (is_nl[:-1] & is_sep[1:]).any()
                     ):
                         empty_flag = True
-                if not refined_trail:
+                if not overwide:
                     cnt_before = np.searchsorted(s_pos, nl_pos)
                     line_seps = np.diff(np.concatenate(([0], cnt_before)))
                     if line_seps.size:
                         line_seps[0] += sep_carry
-                    ends = a[nl_pos - 1] == sep_byte
-                    if bool((ends & (line_seps + 1 > width)).any()):
-                        refined_trail = True
+                    if bool((line_seps + 1 > width).any()):
+                        # a line with more fields than header+index: a
+                        # pandas BAD LINE even when the overflow fields
+                        # are EMPTY (univocity nulls those invisibly, so
+                        # the rewrite must sentinel every empty field to
+                        # keep the _EXTRA bad-line counting exact).
+                        # Quoted separators over-count -> over-flag only
+                        # (univocity still counts the real fields).
+                        overwide = True
                     sep_carry = int(s_pos.size - cnt_before[-1])
                 else:
                     sep_carry = int(
@@ -388,6 +397,13 @@ def _scan_rewrite_triggers(
                 else:
                     q_all = (a == 34).nonzero()[0]
                     q_own = q_all[q_all > 1]
+                    if not run3 and q_all.size >= 3:
+                        # a run of >=3 quotes can hide an opener while
+                        # keeping totals even ('"""' = open+escape) —
+                        # the parity proof needs runs of length <= 2
+                        d = np.diff(q_all)
+                        if bool(((d[:-1] == 1) & (d[1:] == 1)).any()):
+                            run3 = True
                     if not suspicious:
                         # classify every quote whose BOTH neighbors are
                         # in view (position 1 = prev chunk's final byte;
@@ -420,41 +436,86 @@ def _scan_rewrite_triggers(
             eof_tail = (eof_tail + chunk)[-1:]
     if eof_tail and eof_tail[0] == sep_byte:
         simple_trail = True
-        if sep_carry + 1 > width:
-            refined_trail = True
-    if parity_hit:
-        q_flag = True  # over-flag at worst; the rewrite is the authority
-    elif suspicious and check_quotes:
-        q_flag = _csv_scan_quoted_newlines(local_path, separator)
+    if sep_carry + 1 > width:
+        overwide = True  # unterminated final line, too many fields
+    eof_open_row = None
+    if check_quotes and (suspicious or run3 or (carry & 1)):
+        # the vectorized tiers cannot prove this file clean: a stray
+        # mid-field quote or an odd total quote count — run the exact
+        # tokenizer-model scan, which also detects pandas' EOF-inside-
+        # string refusal (an unterminated quoted field)
+        q_flag, eof_open_row = _exact_quote_scan(local_path, sep_byte)
     else:
-        q_flag = False
-    uint64_empties = False
-    if empty_flag or simple_trail:
-        uint64_empties = _has_19_digit_run(local_path)
-    trail_flag = refined_trail or (q_flag and simple_trail)
-    return q_flag, blank_flag, trail_flag, uint64_empties
+        # non-suspicious + even quote count: parity at newlines is exact
+        # and the final state is provably closed
+        q_flag = parity_hit
+    need_empties = overwide
+    if not need_empties and (empty_flag or simple_trail):
+        # rawtext '' visibility needs the sentinel only when a
+        # uint64-tier literal can exist
+        need_empties = _has_19_digit_run(local_path)
+    # with in-quote newlines the per-line counts are unreliable: any
+    # trailing sep flags the (cheaper) trailing-only sentinel
+    trail_flag = q_flag and simple_trail
+    return q_flag, blank_flag, trail_flag, need_empties, eof_open_row
 
 
-def _csv_scan_quoted_newlines(local_path: str, separator: str) -> bool:
-    """Tier-3 exact check for files with unclassifiable (stray mid-field)
-    quotes: one C-speed csv.reader pass — does any parsed field contain a
-    newline? latin-1 decode preserves every byte, and newline bytes
-    decode identically under every supported encoding."""
-    import csv as _csv
+def _exact_quote_scan(local_path: str, sep_byte: int):
+    """Exact pandas-C-tokenizer quote scan for files the vectorized tiers
+    cannot prove clean (a stray mid-field quote, or odd total quote
+    count). Walks quote-state EVENTS via C-speed bytes.find/count — a
+    quote opens a field only after sep/newline/BOF, doubled quotes
+    escape, everything else is literal. Returns (in_quote_newline_seen,
+    eof_open_row): eof_open_row is the pandas row index (newlines
+    OUTSIDE quotes before the opener — blank lines count, quoted
+    newlines don't) of a field still open at EOF, i.e. pandas' 'EOF
+    inside string starting at row N' refusal; None when every field
+    closes. Rare path: reads the file driver-side like pandas itself
+    does."""
+    with open(local_path, "rb") as f:
+        data = f.read()
+    n = len(data)
+    has_nl = False
+    row = 0
+    i = 0
+    in_quote = False
+    open_row = None
+    def _rows(lo, hi):
+        # pandas' row counter: '\n', '\r\n' and a LONE '\r' each end a
+        # record (a pair split at hi is impossible — hi is a quote/EOF)
+        return (
+            data.count(b"\n", lo, hi)
+            + data.count(b"\r", lo, hi)
+            - data.count(b"\r\n", lo, hi)
+        )
 
-    limit = _csv.field_size_limit()
-    _csv.field_size_limit(1 << 30)
-    try:
-        with open(local_path, newline="", encoding="latin-1") as f:
-            for row in _csv.reader(f, delimiter=separator):
-                for field in row:
-                    if "\n" in field or "\r" in field:
-                        return True
-        return False
-    except _csv.Error:
-        return True  # over-flag; the rewrite re-checks
-    finally:
-        _csv.field_size_limit(limit)
+    while True:
+        j = data.find(b'"', i)
+        if not in_quote:
+            end = n if j < 0 else j
+            row += _rows(i, end)
+            if j < 0:
+                return has_nl, None
+            prevb = data[j - 1] if j > 0 else 0x0A
+            if prevb == sep_byte or prevb == 0x0A or prevb == 0x0D:
+                in_quote = True
+                open_row = row
+            i = j + 1
+        else:
+            if j < 0:
+                if data.find(b"\n", i) >= 0 or data.find(b"\r", i) >= 0:
+                    has_nl = True
+                return has_nl, open_row  # EOF inside string
+            if (
+                data.find(b"\n", i, j) >= 0
+                or data.find(b"\r", i, j) >= 0
+            ):
+                has_nl = True
+            if j + 1 < n and data[j + 1] == 34:
+                i = j + 2  # escaped "" stays inside the field
+            else:
+                in_quote = False
+                i = j + 1
 
 
 def _has_19_digit_run(local_path: str) -> bool:
@@ -760,9 +821,20 @@ def load_csv(
         # a 4-field row later still loads) — no shift, no bad lines.
         n_index = 0
     restore_nl = restore_protect = restore_empty = False
-    q_flag, blank_flag, trail_flag, empties_flag = _scan_rewrite_triggers(
-        local_path, separator, quoting, n_index + len(columns)
+    q_flag, blank_flag, trail_flag, empties_flag, eof_open_row = (
+        _scan_rewrite_triggers(
+            local_path, separator, quoting, n_index + len(columns)
+        )
     )
+    if eof_open_row is not None:
+        # pandas refuses a quoted field still open at EOF — even under
+        # on_bad_lines='skip' (probed); the reference wraps the
+        # ParserError in LoadCsvError (utils.py:50-51) so the file is
+        # isolated, not the run
+        raise LoadCsvError(
+            "Error tokenizing data. C error: EOF inside string "
+            f"starting at row {eof_open_row}"
+        )
     if q_flag or blank_flag or trail_flag or empties_flag:
         try:
             rewritten, restore_nl, restore_protect, restore_empty = (
