@@ -92,6 +92,44 @@ def _single_core_probe() -> float:
 STEAL_PCT_GATE = 2.0
 PROBE_S_GATE = 0.15
 
+# Second trigger (VERDICT_r09 #5 — the r9 artifact passed the steal gate
+# at 0.59% while every entry ran ~15-30% above its r8 figure, the exact
+# uniform-inflation steal signature BASELINE.md documents): a pass where
+# >= UNIFORM_MIN_HITS of the entries exceed their last-settled-round
+# figures by > UNIFORM_PCT is treated as contended and re-measured.
+# LAST_SETTLED = BENCH_r08.json (steal 0.01%, probe 0.121 s — the most
+# recent artifact with clean contention fields); re-freeze it alongside
+# BASELINE.md whenever a deliberate perf change moves the floors.
+UNIFORM_PCT = 15.0
+# 10 of 20, not the 15 VERDICT_r09 sketched: a same-session probe showed
+# a sample with steal 0.62% / probe 0.146 s / TWELVE entries >15% over
+# floor (ingest +70%) — still inside the old gates. Uniform inflation on
+# half the entries has never been a plan regression in 10 rounds of
+# artifacts; re-measuring costs one bounded retry.
+UNIFORM_MIN_HITS = 10
+LAST_SETTLED = {
+    "scan_filter_project": 0.227,
+    "dim_extract_first_appearance": 1.007,
+    "fk_rewrite_broadcast": 1.111,
+    "denormalize_star": 0.987,
+    "semi_join_urgent": 0.313,
+    "agg_pricing_summary": 0.64,
+    "rollup_returnflag": 0.326,
+    "topk_per_group": 0.336,
+    "running_revenue": 0.394,
+    "sessionize_events": 0.395,
+    "windowed_event_counts": 1.211,
+    "dedup_exact": 0.199,
+    "dedup_jaccard_pairs": 2.258,
+    "minhash_lsh_pairs": 0.633,
+    "simhash_fingerprints": 1.232,
+    "knn_bruteforce": 0.766,
+    "knn_lsh": 1.047,
+    "text_token_stats": 0.398,
+    "text_fingerprints": 0.553,
+    "ingest_sqlite": 6.785,
+}
+
 
 def _measure(spark, qs, sf_dir: str, sf: float, runs_per_query: int) -> dict:
     """One full bench pass. Returns the result record including its own
@@ -142,11 +180,29 @@ def _measure(spark, qs, sf_dir: str, sf: float, runs_per_query: int) -> dict:
     }
 
 
-def _contended(rec: dict) -> bool:
+def _contended(rec: dict) -> list[str]:
+    """Which contention rules fire on this sample (empty = settled).
+    The fired rules are recorded in the artifact so the judge can see
+    WHY a re-measure happened."""
+    fired = []
     steal = rec["steal_pct"]
-    return (steal is not None and steal >= STEAL_PCT_GATE) or rec[
-        "probe_s"
-    ] >= PROBE_S_GATE
+    if steal is not None and steal >= STEAL_PCT_GATE:
+        fired.append("steal_pct")
+    if rec["probe_s"] >= PROBE_S_GATE:
+        fired.append("probe_s")
+    sf_is_default = rec["sf"] == 0.1
+    if sf_is_default:
+        hits = sum(
+            1
+            for name, floor in LAST_SETTLED.items()
+            if name in rec["queries"]
+            and rec["queries"][name] > floor * (1 + UNIFORM_PCT / 100.0)
+        )
+        rec["uniform_inflation_hits"] = hits
+        if hits >= UNIFORM_MIN_HITS:
+            fired.append("uniform_inflation")
+    rec["contention_rules_fired"] = fired
+    return fired
 
 
 def main() -> None:
@@ -192,19 +248,26 @@ def main() -> None:
     best = None
     for attempt in range(max_attempts):
         rec = _measure(spark, qs, sf_dir, sf, runs_per_query)
+        fired = _contended(rec)
         history.append(
-            {"value": rec["value"], "steal_pct": rec["steal_pct"], "probe_s": rec["probe_s"]}
+            {
+                "value": rec["value"],
+                "steal_pct": rec["steal_pct"],
+                "probe_s": rec["probe_s"],
+                "rules_fired": fired,
+            }
         )
         if best is None or rec["value"] < best["value"]:
             best = rec
-        if not _contended(rec):
+        if not fired:
             best = rec
             break
         if attempt < max_attempts - 1:
             print(
                 f"bench: attempt {attempt + 1} contended "
-                f"(steal {rec['steal_pct']}%, probe {rec['probe_s']}s) — "
-                f"settling {settle_s:.0f}s then re-running",
+                f"({'+'.join(fired)}: steal {rec['steal_pct']}%, probe "
+                f"{rec['probe_s']}s) — settling {settle_s:.0f}s then "
+                f"re-running",
                 file=sys.stderr,
             )
             time.sleep(settle_s)

@@ -44,6 +44,26 @@ def _is_url(value: str) -> bool:
     return value.lower().startswith(("http://", "https://"))
 
 
+def _encoding_probe_window(filepath: str) -> int | None:
+    """How many bytes _detect_encoding validates by default: None means
+    the whole file; an int means a sampled prefix (files over 256 MB,
+    overridable via SPARK_GRAFT_ENCODING_PROBE_BYTES; 0 = always full).
+    load_csv uses this to decide whether the trigger probe must finish
+    the UTF-8 validation past the sampled window (VERDICT_r09 #6: a
+    latin-1 byte past the prefix must flip the whole scan to latin-1
+    like the reference's whole-file pandas retry, never silently decode
+    to U+FFFD)."""
+    env = os.environ.get("SPARK_GRAFT_ENCODING_PROBE_BYTES")
+    if env is not None:
+        return int(env) or None  # 0 = full validation
+    cap = 256 << 20
+    try:
+        size = os.path.getsize(filepath)
+    except OSError:
+        size = 0
+    return cap if size > cap else None
+
+
 def _detect_encoding(
     filepath: str,
     encodings_to_try=("utf-8", "latin-1"),
@@ -54,29 +74,22 @@ def _detect_encoding(
     We instead validate the byte stream incrementally on the driver
     (chunked, constant memory). ``probe_bytes`` caps how much of the file
     is validated: files up to 256 MB get the faithful full check; larger
-    files AUTO-SAMPLE a 256 MB prefix (logged) so a multi-GB input never
-    costs O(file) driver IO by default. Override either way with
-    SPARK_GRAFT_ENCODING_PROBE_BYTES (0 = always validate everything).
+    files AUTO-SAMPLE a 256 MB prefix (logged) and the trigger probe —
+    which streams every byte anyway — finishes the UTF-8 validation for
+    the rest (see _scan_rewrite_triggers validate_utf8 / load_csv).
+    Override with SPARK_GRAFT_ENCODING_PROBE_BYTES (0 = validate
+    everything here).
     """
     if probe_bytes is None:
-        env = os.environ.get("SPARK_GRAFT_ENCODING_PROBE_BYTES")
-        if env is not None:
-            probe_bytes = int(env) or None  # 0 = full validation
-        else:
-            cap = 256 << 20
-            try:
-                size = os.path.getsize(filepath)
-            except OSError:
-                size = 0
-            if size > cap:
-                probe_bytes = cap
-                logger.warning(
-                    "encoding probe: sampling first %d of %d bytes of %s "
-                    "(set SPARK_GRAFT_ENCODING_PROBE_BYTES=0 to validate all)",
-                    cap,
-                    size,
-                    filepath,
-                )
+        probe_bytes = _encoding_probe_window(filepath)
+        if probe_bytes is not None:
+            logger.warning(
+                "encoding probe: sampling first %d bytes of %s (the "
+                "trigger probe validates the rest; set "
+                "SPARK_GRAFT_ENCODING_PROBE_BYTES=0 to validate all here)",
+                probe_bytes,
+                filepath,
+            )
     last_err: Exception | None = None
     for enc in encodings_to_try:
         decoder = codecs.getincrementaldecoder(enc)()
@@ -142,7 +155,11 @@ def _pandas_header_names(fields: list[str]) -> list[str]:
 
 
 def _read_header(
-    local_path: str, separator: str, quoting: int, encoding: str
+    local_path: str,
+    separator: str,
+    quoting: int,
+    encoding: str,
+    sentinel_restore: dict[str, str] | None = None,
 ) -> tuple[list[str], int]:
     """(header fields mangled pandas-style, n_index) via the csv module
     (same dialect the data read uses). ``n_index`` is pandas' implicit-
@@ -154,7 +171,13 @@ def _read_header(
     errors). Single-char separators only — load_csv dispatches multi-char
     ones to _load_python_engine before calling this. Runs on the ORIGINAL
     file: the csv module parses quoted newlines and counts trailing
-    empties natively, so no rewrite sentinels ever reach header names."""
+    empties natively, so no rewrite sentinels ever reach header names.
+    EXCEPT when the lone-'\\r' pass swallowed a separator (the swallow
+    changes what pandas' inference sees): load_csv then re-reads the
+    REWRITTEN file with ``sentinel_restore`` set to the per-file
+    sentinel assignment, which undoes the rewrite sentinels on the
+    header fields (same mapping as the scan projection) before the
+    pandas-style name mangling."""
     import csv as _csv
 
     py_enc = {"ISO-8859-1": "latin-1"}.get(encoding, "utf-8-sig")
@@ -187,6 +210,16 @@ def _read_header(
         while data is not None and _blankish(data):
             data = next(r, None)
     n_index = max(0, len(data) - len(first)) if data else 0
+    if sentinel_restore:
+        s = sentinel_restore
+        restored = []
+        for j, f_ in enumerate(first):
+            if j == 0 and f_.startswith(s["protect"]):
+                f_ = f_[1:]
+            for orig, key in (("\r\n", "crlf"), ("\r", "cr"), ("\n", "lf")):
+                f_ = f_.replace(s[key], orig)
+            restored.append(f_.replace(s["empty"], ""))
+        first = restored
     return _pandas_header_names(first), n_index
 
 # pandas read_csv's default na_values (keep_default_na=True): all of these
@@ -217,9 +250,11 @@ _PANDAS_NA_TOKENS = (
 # sentinel (probed to survive univocity's quoted-field path — NUL does
 # NOT), the scan stays line-based and SPLITTABLE, and the scan
 # projection restores the original bytes. Order matters: \r\n must be
-# replaced before \r / \n. Documented limitation: GENUINE \x01-\x03
-# bytes inside a file that ALSO has in-quote newlines would be
-# rewritten on restore.
+# replaced before \r / \n. These are the DEFAULT byte assignments:
+# _choose_sentinels picks different (file-absent) bytes whenever a
+# default actually occurs in a file being rewritten, so genuine control
+# bytes survive the restore (VERDICT_r09 #4 closed the old
+# fixed-sentinel corruption class).
 _NL_SENTINELS = (
     ("\r\n", "\x01"),
     ("\r", "\x03"),
@@ -235,9 +270,20 @@ _NL_SENTINELS = (
 _PROTECT = "\x7f"
 
 
-def _restore_newlines_col(col):
-    """Undo _NL_SENTINELS on a scan column (no-op on clean files)."""
-    for orig, sent in _NL_SENTINELS:
+def _restore_newlines_col(col, sentinels: dict[str, str] | None = None):
+    """Undo the newline sentinels on a scan column (no-op on clean
+    files). ``sentinels`` is the per-file assignment from _rewrite_file;
+    None means the defaults."""
+    pairs = (
+        _NL_SENTINELS
+        if sentinels is None
+        else (
+            ("\r\n", sentinels["crlf"]),
+            ("\r", sentinels["cr"]),
+            ("\n", sentinels["lf"]),
+        )
+    )
+    for orig, sent in pairs:
         col = F.replace(col, F.lit(sent), F.lit(orig))
     return col
 
@@ -265,16 +311,88 @@ _BLANKISH = bytes(b for b in range(0x21) if b not in (0x0A, 0x0D))
 # was '' becomes '' once more, but now it was COUNTED).
 _EMPTY_SENT = "\x05"
 
+# keys of a sentinel assignment, the default bytes, and the candidate
+# pools _choose_sentinels draws from when a default occurs in the file.
+# Control-pool bytes sit below 0x20 (excluding NUL — univocity strips it
+# inside quoted fields — tab/space — whitespace semantics — and the
+# \r/\n terminators); the protect byte must be > 0x20 so Spark's
+# trim-empty line drop keeps the protected line.
+_SENT_KEYS = ("crlf", "cr", "lf", "empty", "protect")
+_SENT_DEFAULTS = ("\x01", "\x03", "\x02", "\x05", "\x7f")
+_CTRL_POOL = tuple(
+    chr(c) for c in (*range(1, 9), 0x0B, 0x0C, *range(0x0E, 0x20))
+)
+_PROTECT_POOL = tuple(
+    chr(c)
+    for c in (0x7F, 0x60, 0x7E, 0x5E, 0x40, 0x23, 0x24, 0x25, 0x26, 0x2A,
+              0x3B, 0x3F, 0x21, 0x7C, 0x5C, 0x5D, 0x5B, 0x7B, 0x7D)
+)
+
+
+def _choose_sentinels(
+    present: frozenset[int] | None, separator: str
+) -> dict[str, str]:
+    """Per-file sentinel assignment (VERDICT_r09 #4): if any DEFAULT
+    sentinel byte genuinely occurs in a file about to be rewritten, pick
+    replacement bytes that are ABSENT from the file. ``present`` is the
+    byte-presence set the trigger probe accumulates while it streams the
+    file anyway (for the ASCII pool bytes, byte presence == character
+    presence in both UTF-8 and latin-1 — a <0x80 byte never occurs
+    inside a multi-byte UTF-8 sequence). Only a file containing every
+    pool byte keeps a colliding default (logged; the documented residual
+    class shrinks to 'uses all 27 control bytes AND needs the
+    rewrite')."""
+    chosen = dict(zip(_SENT_KEYS, _SENT_DEFAULTS))
+    if present is None or not any(ord(d) in present for d in _SENT_DEFAULTS):
+        return chosen
+    taken = {separator, '"', "\x00", "\t", " ", "\r", "\n"}
+    for key in _SENT_KEYS:
+        d = chosen[key]
+        if d not in taken and ord(d) not in present:
+            taken.add(d)
+            continue
+        pool = _PROTECT_POOL if key == "protect" else _CTRL_POOL
+        for c in pool:
+            if c not in taken and ord(c) not in present:
+                chosen[key] = c
+                taken.add(c)
+                break
+        else:
+            logger.warning(
+                "sentinel pool exhausted for %r — file uses every "
+                "candidate byte; genuine %r bytes may be altered by the "
+                "restore projection",
+                key,
+                d,
+            )
+            taken.add(d)
+    return chosen
+
 
 def _scan_rewrite_triggers(
-    local_path: str, separator: str, quoting: int, width: int
-) -> tuple[bool, bool, bool, bool, int | None]:
+    local_path: str,
+    separator: str,
+    quoting: int,
+    width: int,
+    validate_utf8: bool = False,
+) -> tuple[bool, bool, bool, bool, bool, int | None, frozenset[int]]:
     """One chunked driver-side pass over the raw bytes deciding whether
     the file needs the pre-scan rewrite (single-char separators only —
     multi-char routes to _load_python_engine). Returns (quoted_newlines,
-    blankish_lines, trailing_empty, uint64_empties, eof_open_row —
-    non-None means pandas refuses the file with 'EOF inside string
-    starting at row N' and load_csv must raise the same LoadCsvError):
+    blankish_lines, trailing_empty, uint64_empties, lone_cr_adjacency,
+    eof_open_row — non-None means pandas refuses the file with 'EOF
+    inside string starting at row N' and load_csv must raise the same
+    LoadCsvError — and byte_presence, the set of byte values occurring
+    in the file, from which _choose_sentinels picks collision-free
+    sentinel bytes):
+
+    - lone_cr_adjacency: a '\\r' NOT followed by '\\n' is immediately
+      followed by the separator or by space/tab. pandas' C tokenizer
+      treats these adjacencies specially (delimiter swallowed after a
+      skipped line) or CORRUPTS its buffer on them (see _lone_cr_pass) —
+      the rewrite resolves each with exact quote context. In-quote
+      occurrences over-flag here (the rewrite sees them sealed and does
+      nothing).
 
     - quoted_newlines, three tiers, all vectorized on the hot path:
       (1) quotes are CLASSIFIED (numpy gathers of each quote's
@@ -300,6 +418,12 @@ def _scan_rewrite_triggers(
       field counts unreliable — then ANY trailing separator gets the
       (cheap) trailing-only sentinel, since the file is being rewritten
       for the quotes anyway.
+    - validate_utf8 (files whose encoding probe sampled a prefix): the
+      probe already streams every byte, so the UTF-8 validation of the
+      un-sampled tail rides along here for free — an invalid byte raises
+      UnicodeDecodeError and load_csv flips the whole scan to latin-1,
+      exactly what the reference's whole-file pandas retry does
+      (utils.py:36-49). Closes the silent-U+FFFD class (VERDICT_r09 #6).
     - need_empties (the all-empties sentinel rewrite) fires when EITHER
       (a) some line exceeds ``width`` fields by the vectorized sep
       count — a pandas BAD LINE even when the overflow fields are empty
@@ -317,7 +441,7 @@ def _scan_rewrite_triggers(
     blank_body = _re.compile(rb"[" + _re.escape(_BLANKISH) + rb"]+")
     sep_byte = separator.encode()[0]
     check_quotes = quoting != _QUOTE_NONE
-    blank_flag = simple_trail = overwide = empty_flag = False
+    blank_flag = simple_trail = overwide = empty_flag = cr_flag = False
     parity_hit = suspicious = run3 = False
     carry = 0  # quote-count parity across chunks
     sep_carry = 0  # separators on the current (chunk-spanning) line
@@ -326,15 +450,40 @@ def _scan_rewrite_triggers(
     # index 0 exists so that byte's own predecessor is available
     prev2 = b"\n\n"  # virtual newlines before file start (BOF = BOL)
     eof_tail = b""
+    seen = np.zeros(256, dtype=bool)
+    utf8_dec = (
+        codecs.getincrementaldecoder("utf-8")() if validate_utf8 else None
+    )
     with open(local_path, "rb") as f:
         while True:
             chunk = f.read(1 << 22)
             if not chunk:
+                if utf8_dec is not None:
+                    utf8_dec.decode(b"", final=True)
                 break
+            if utf8_dec is not None:
+                # raises UnicodeDecodeError -> load_csv retries latin-1
+                utf8_dec.decode(chunk)
             buf = prev2 + chunk
             a = np.frombuffer(buf, dtype=np.uint8)
+            seen |= np.bincount(a, minlength=256).astype(bool)
             is_nl = (a == 10) | (a == 13)
             nl_all = is_nl.nonzero()[0]
+            if not cr_flag and b"\r" in buf:
+                # lone '\r' (no '\n' after) adjacent to sep/space/tab —
+                # indices >=1 so every byte pairs with its successor
+                # exactly once across chunks (prev2 carries the tail).
+                # Gated on a memchr so \n-only files pay nothing.
+                nxt = a[2:]
+                cr = a[1:-1] == 13
+                if bool(
+                    (
+                        cr
+                        & (nxt != 10)
+                        & ((nxt == sep_byte) | (nxt == 32) | (nxt == 9))
+                    ).any()
+                ):
+                    cr_flag = True
             if not blank_flag and nl_all.size:
                 # byte AFTER a newline is blank-ish -> verify that line
                 after = nl_all + 1
@@ -387,7 +536,12 @@ def _scan_rewrite_triggers(
                     )
             else:
                 is_sep = a == sep_byte
-                if not empty_flag and bool((is_sep[:-1] & is_sep[1:]).any()):
+                if not empty_flag and bool(
+                    (is_sep[:-1] & is_sep[1:]).any()
+                    # a line-leading empty field whose newline is the
+                    # PREVIOUS chunk's last byte (prev2-prefixed here)
+                    or (is_nl[:-1] & is_sep[1:]).any()
+                ):
                     empty_flag = True
                 sep_carry += int(s_pos.size)
             if check_quotes and not parity_hit:
@@ -457,7 +611,11 @@ def _scan_rewrite_triggers(
     # with in-quote newlines the per-line counts are unreliable: any
     # trailing sep flags the (cheaper) trailing-only sentinel
     trail_flag = q_flag and simple_trail
-    return q_flag, blank_flag, trail_flag, need_empties, eof_open_row
+    present = frozenset(np.flatnonzero(seen).tolist())
+    return (
+        q_flag, blank_flag, trail_flag, need_empties, cr_flag,
+        eof_open_row, present,
+    )
 
 
 def _exact_quote_scan(local_path: str, sep_byte: int):
@@ -470,52 +628,71 @@ def _exact_quote_scan(local_path: str, sep_byte: int):
     OUTSIDE quotes before the opener — blank lines count, quoted
     newlines don't) of a field still open at EOF, i.e. pandas' 'EOF
     inside string starting at row N' refusal; None when every field
-    closes. Rare path: reads the file driver-side like pandas itself
-    does."""
-    with open(local_path, "rb") as f:
-        data = f.read()
-    n = len(data)
+    closes. Rare path, CHUNKED since round 10 (constant driver memory —
+    one byte held back per chunk so a '\"\"' escape pair or a '\\r\\n'
+    pair never splits an examined position)."""
     has_nl = False
     row = 0
-    i = 0
     in_quote = False
     open_row = None
-    def _rows(lo, hi):
-        # pandas' row counter: '\n', '\r\n' and a LONE '\r' each end a
-        # record (a pair split at hi is impossible — hi is a quote/EOF)
-        return (
-            data.count(b"\n", lo, hi)
-            + data.count(b"\r", lo, hi)
-            - data.count(b"\r\n", lo, hi)
-        )
-
-    while True:
-        j = data.find(b'"', i)
-        if not in_quote:
-            end = n if j < 0 else j
-            row += _rows(i, end)
-            if j < 0:
-                return has_nl, None
-            prevb = data[j - 1] if j > 0 else 0x0A
-            if prevb == sep_byte or prevb == 0x0A or prevb == 0x0D:
-                in_quote = True
-                open_row = row
-            i = j + 1
-        else:
-            if j < 0:
-                if data.find(b"\n", i) >= 0 or data.find(b"\r", i) >= 0:
-                    has_nl = True
-                return has_nl, open_row  # EOF inside string
-            if (
-                data.find(b"\n", i, j) >= 0
-                or data.find(b"\r", i, j) >= 0
-            ):
-                has_nl = True
-            if j + 1 < n and data[j + 1] == 34:
-                i = j + 2  # escaped "" stays inside the field
-            else:
-                in_quote = False
-                i = j + 1
+    prev_last = b"\n"  # BOF = BOL
+    pending_cr = False  # processed region ended with an out-of-quote \r
+    carry = b""
+    with open(local_path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 22)
+            at_eof = not chunk
+            data = carry + chunk
+            limit = len(data) if at_eof else len(data) - 1
+            i = 0
+            while i < limit:
+                j = data.find(b'"', i, limit)
+                if not in_quote:
+                    end = limit if j < 0 else j
+                    seg = (
+                        data.count(b"\n", i, end)
+                        + data.count(b"\r", i, end)
+                        - data.count(b"\r\n", i, end)
+                    )
+                    if i == 0 and pending_cr and data[:1] == b"\n":
+                        seg -= 1  # the \n completes an already-counted \r\n
+                    row += seg
+                    if j < 0:
+                        i = limit
+                        break
+                    pb = data[j - 1] if j > 0 else prev_last[0]
+                    if pb == sep_byte or pb == 0x0A or pb == 0x0D:
+                        in_quote = True
+                        open_row = row
+                    i = j + 1
+                else:
+                    end = limit if j < 0 else j
+                    if (
+                        data.find(b"\n", i, end) >= 0
+                        or data.find(b"\r", i, end) >= 0
+                    ):
+                        has_nl = True
+                    if j < 0:
+                        i = limit
+                        break
+                    if data[j + 1 : j + 2] == b'"':
+                        # escaped "" stays inside the field (j+1 may be
+                        # the held-back byte — consuming it empties the
+                        # carry below)
+                        i = j + 2
+                    else:
+                        in_quote = False
+                        i = j + 1
+            consumed = max(limit, min(i, len(data)))
+            pending_cr = (
+                not in_quote and data[consumed - 1 : consumed] == b"\r"
+            )
+            if consumed:
+                prev_last = data[consumed - 1 : consumed]
+            carry = data[consumed:]
+            if at_eof:
+                break
+    return has_nl, (open_row if in_quote else None)
 
 
 def _has_19_digit_run(local_path: str) -> bool:
@@ -550,6 +727,131 @@ def _has_19_digit_run(local_path: str) -> bool:
 
 
 
+def _lone_cr_pass(text: str, separator: str) -> tuple[str, int]:
+    """pandas C-tokenizer semantics for a LONE '\\r' line terminator
+    (one not followed by '\\n') adjacent to the separator or to blank
+    characters — probed exhaustively on pandas 2.2.2:
+
+    1. When the '\\r' terminates a SKIPPED line (empty, or space/tab-only
+       — the skip_blank_lines class) and the next character is the
+       separator, pandas SWALLOWS that separator: 'a,b\\n\\r,1\\n' parses
+       to the single-field row ['1'] and ' \\r,,\\n' to the two-field row
+       ['', '']. Spark's scan has no such state — the rewrite deletes the
+       swallowed byte here. A swallow can change the first data row's
+       width, so load_csv re-derives the implicit-index inference from
+       the rewritten file whenever this pass swallowed anything.
+    2. A lone '\\r' followed by space/tab whose run reaches CONTENT
+       (not a terminator/EOF) CORRUPTS pandas' tokenizer buffer: probed
+       outputs include 262,146 phantom all-NaN rows ('a,b\\n1,2\\n\\r x
+       \\n3,4'), 'Buffer overflow caught' refusals ('a,b\\n1,2\\nx,y\\r
+       z,w\\n3,4'), refusals with miscounted field bars ('a,b\\n\\r 1,,
+       \\x0c\\t' → 'Expected 2 fields in line 4, saw 3') and
+       window-dependent phantom rows near the header — the artifacts
+       depend on the parse buffer position, not the data. The reference
+       cannot meaningfully ingest this class, so we REFUSE loudly
+       (LoadCsvError) instead of replicating buffer corruption;
+       tools/structure_fuzz.py classifies the signature as a documented
+       pandas-bug divergence. Same rule when the blank run follows a
+       would-be-swallowed separator ('\\r, 9' — probed: phantom row +
+       the separator comes back).
+    3. A lone '\\r' + space/tab run that ends at a terminator/EOF is a
+       plain whitespace-only line — pandas skips it cleanly (probed),
+       and the blank-line strip in _rewrite_file already handles it.
+
+    Runs on SEALED text (in-quote newlines already sentinelized), so
+    every '\\r' seen here is a real out-of-quote terminator. Only
+    '\\r' positions are visited (C-speed str.find); returns
+    (new_text, n_swallowed).
+    """
+    blanks = {" ", "\t"} - set(separator)
+    strip_cls = set(_strip_line_class(separator))
+    n = len(text)
+    out: list[str] = []
+    emitted = 0  # text consumed into out
+    swallowed = 0
+    deleted_at = -1  # position of the last swallowed separator
+    p = text.find("\r")
+    while p != -1:
+        nxt = text[p + 1 : p + 2]
+        if nxt == "\n":
+            p = text.find("\r", p + 2)
+            continue
+        if nxt == separator:
+            ls = max(text.rfind("\n", 0, p), text.rfind("\r", 0, p)) + 1
+            body = text[ls:p]
+            if ls == deleted_at:
+                body = body[1:]
+            if body == "" or (strip_cls and set(body) <= strip_cls):
+                # skipped line: scan the blank run after the separator
+                j = p + 2
+                while j < n and text[j] in blanks:
+                    j += 1
+                if j > p + 2 and text[j : j + 1] not in ("", "\r", "\n"):
+                    raise LoadCsvError(
+                        "Error tokenizing data. C error: lone '\\r' "
+                        "followed by whitespace corrupts the pandas "
+                        "tokenizer buffer (refusing instead of "
+                        "replicating corrupt output)"
+                    )
+                # swallow the separator
+                out.append(text[emitted : p + 1])
+                emitted = p + 2
+                deleted_at = p + 1
+                swallowed += 1
+        elif nxt in blanks:
+            j = p + 2
+            while j < n and text[j] in blanks:
+                j += 1
+            if text[j : j + 1] not in ("", "\r", "\n"):
+                raise LoadCsvError(
+                    "Error tokenizing data. C error: lone '\\r' followed "
+                    "by whitespace corrupts the pandas tokenizer buffer "
+                    "(refusing instead of replicating corrupt output)"
+                )
+        p = text.find("\r", p + 1)
+    if not swallowed:
+        return text, 0
+    out.append(text[emitted:])
+    return "".join(out), swallowed
+
+
+def _last_closed_newline(buf: str, separator: str, check_quotes: bool):
+    """Latest position in ``buf`` just AFTER an out-of-quote '\\n', or
+    None. ``buf`` always starts at a line start in out-of-quote state,
+    so the pandas open/close walk (open only after sep/newline/BOF,
+    doubled quotes escape) is exact. Cutting only after '\\n' (never a
+    lone '\\r') keeps every lone-'\\r' successor visible to
+    _lone_cr_pass within one processing window."""
+    if not check_quotes or '"' not in buf:
+        i = buf.rfind("\n")
+        return None if i < 0 else i + 1
+    last = -1
+    pos = 0
+    in_q = False
+    n = len(buf)
+    while True:
+        j = buf.find('"', pos)
+        if not in_q:
+            k = buf.rfind("\n", pos, n if j < 0 else j)
+            if k >= 0:
+                last = k
+            if j < 0:
+                break
+            prev = buf[j - 1] if j > 0 else "\n"  # BOF = BOL
+            if prev == separator or prev in "\r\n":
+                in_q = True
+            pos = j + 1
+        else:
+            if j < 0:
+                break
+            if buf[j + 1 : j + 2] == '"':
+                pos = j + 2
+            else:
+                in_q = False
+                pos = j + 1
+    return None if last < 0 else last + 1
+
+
 def _rewrite_file(
     local_path: str,
     separator: str,
@@ -558,118 +860,173 @@ def _rewrite_file(
     do_blank: bool,
     do_trailing: bool = False,
     do_empties: bool = False,
-) -> tuple[str | None, bool, bool, bool]:
+    do_cr: bool = False,
+    sentinels: dict[str, str] | None = None,
+    present: frozenset[int] | None = None,
+) -> tuple[str | None, bool, bool, bool, int, dict[str, str]]:
     """Driver-side pre-scan rewrite for the line classes Spark's
     distributed scan cannot express (pandas handles all of them in its
     C parser):
 
-    1. in-quote newlines -> _NL_SENTINELS (restored in the scan
+    1. in-quote newlines -> newline sentinels (restored in the scan
        projection, byte-faithful including \\r\\n inside quotes);
     2. physical lines of only <=0x20 bytes, which Spark's scan silently
        drops: the ones pandas skips (a single field of space/tab only)
        are stripped, every other one (formfeed/vtab/control lines —
-       pandas data rows) gets a _PROTECT prefix stripped at scan time.
+       pandas data rows) gets a protect prefix stripped at scan time.
        Runs AFTER 1 so a blank-looking line INSIDE a quoted field
        survives as field content.
+
+    Sentinel bytes are chosen PER FILE from bytes absent in the file
+    (_choose_sentinels over ``present``, the trigger probe's byte-
+    presence set; defaults = the r9 constants). A second rewrite pass
+    (the post-swallow width correction in load_csv) must pass the first
+    pass's ``sentinels`` back in so both passes share one assignment.
+
+    STREAMING since round 10 (VERDICT_r09 #3): the file is processed in
+    8 MiB windows cut at out-of-quote '\\n' boundaries (exact quote walk,
+    _last_closed_newline) and written incrementally, so driver memory is
+    bounded by the window plus the longest quoted field / lone-'\\r' line
+    run — not the file size. Every pass is line-local: windows start at
+    line starts (the patterns' \\A alternative stands in for the
+    preceding newline) and end right after '\\n', so no pattern can span
+    a window boundary. A window with no provable cut (one giant quoted
+    field or a '\\n'-free line run) grows until its newline arrives —
+    bounded by that field/run, the same memory pandas needs for the
+    field itself.
 
     A quoted field starts only where the preceding character is a
     separator or newline (or at file start) — same model as the pandas
     tokenizer, which treats a mid-field quote as a literal character.
     Returns (temp path or None if nothing changed, quoted_rewrites_made,
-    lines_protected). The temp file is tracked in _DECOMPRESSED_TEMPS
+    lines_protected, empties_inserted, separators_swallowed — from the
+    lone-'\\r' pass, see _lone_cr_pass — and the sentinel assignment
+    used). The temp file is tracked in _DECOMPRESSED_TEMPS
     (engine frees it after the typed spill; atexit backstop otherwise).
-    Cost note (SCALE.md): O(file) driver memory/IO, paid ONLY by
-    affected files — the same files pandas itself can only read
+    Cost note (SCALE.md): O(file) driver IO at constant memory, paid
+    ONLY by affected files — the same files pandas itself can only read
     single-process.
     """
+    import contextlib
     import re as _re
 
     py_enc = "latin-1" if encoding == "ISO-8859-1" else "utf-8"
-    try:
-        size = os.path.getsize(local_path)
-    except OSError:
-        size = 0
-    if size > (1 << 30):
-        logger.warning(
-            "%s: embedded-newline/blank-line rewrite reads the whole file "
-            "driver-side (%d bytes)",
-            local_path,
-            size,
-        )
-    with open(local_path, encoding=py_enc, newline="") as f:
-        text = f.read()
-    n_quoted = 0
-    if do_quotes:
-        sep_last = _re.escape((separator or ",")[-1])
-        field_pat = _re.compile(
-            r'(?<![^' + sep_last + r'\n\r])"[^"]*(?:""[^"]*)*"'
-        )
+    if sentinels is None:
+        sentinels = _choose_sentinels(present, separator)
+    nl_sentinels = (
+        ("\r\n", sentinels["crlf"]),
+        ("\r", sentinels["cr"]),
+        ("\n", sentinels["lf"]),
+    )
+    counts = {"quoted": 0, "cr": 0, "empty": 0, "blank": 0, "protect": 0}
 
-        def _seal(m):
-            nonlocal n_quoted
-            s = m.group(0)
-            if "\n" in s or "\r" in s:
-                n_quoted += 1
-                for orig, sent in _NL_SENTINELS:
-                    s = s.replace(orig, sent)
-            return s
+    sep_last = _re.escape((separator or ",")[-1])
+    field_pat = _re.compile(r'(?<![^' + sep_last + r'\n\r])"[^"]*(?:""[^"]*)*"')
 
-        text = field_pat.sub(_seal, text)
-    n_empty = 0
-    if do_trailing or do_empties:
-        # pandas' tokenizer COUNTS empty unquoted fields (bad-line bar;
-        # literal '' in the no-NA-mask rawtext quirk); univocity nulls
-        # them before any option applies. Insert _EMPTY_SENT so they
-        # tokenize as fields; the scan projection deletes the byte
-        # again. Runs after the quote pass, so [\r\n] can no longer
-        # occur inside quoted fields, and a sep-adjacent position
-        # INSIDE quotes only gains a transient byte the restore strips
-        # from the value.
-        S = _re.escape(separator)
-        if do_empties:
-            # every empty field adjacent to a separator (incl. mid-row
-            # and leading) — the uint64/rawtext-candidate class
-            pats = [
-                r"(?<=" + S + r")(?=" + S + r"|\r|\n|\Z)",
-                r"(?:\A|(?<=[\r\n]))(?=" + S + r")",
-            ]
-        else:
-            # trailing empties only: enough for the bad-line bar. Every
-            # sep in a trailing RUN gets one ('3,4,,' -> 2 counted
-            # fields, else the nulled middle '' would fill the _EXTRA
-            # slot invisibly while the sentinel falls off the schema)
-            pats = [r"(?<=" + S + r")(?=(?:" + S + r")*(?:[\r\n]|\Z))"]
-        for p in pats:
-            text, k = _re.subn(p, _EMPTY_SENT, text)
-            n_empty += k
-    n_blank = n_protect = 0
-    if do_blank:
-        strip_cls = set(_strip_line_class(separator))
-        blank_chars = set(_BLANKISH.decode("latin-1"))
+    def _seal(m):
+        s = m.group(0)
+        if "\n" in s or "\r" in s:
+            counts["quoted"] += 1
+            for orig, sent in nl_sentinels:
+                s = s.replace(orig, sent)
+        return s
 
-        def _resolve(m):
-            nonlocal n_blank, n_protect
-            body = m.group(1)
-            if strip_cls and set(body) <= strip_cls:
-                n_blank += 1
-                return ""  # pandas skips the whole line, terminator too
-            n_protect += 1
-            return _PROTECT + body + m.group(2)
+    S = _re.escape(separator)
+    if do_empties:
+        # every empty field adjacent to a separator (incl. mid-row and
+        # leading) — the uint64/rawtext-candidate class. pandas'
+        # tokenizer COUNTS empty unquoted fields (bad-line bar; literal
+        # '' in the no-NA-mask rawtext quirk); univocity nulls them
+        # before any option applies. The sentinel makes them tokenize as
+        # fields; the scan projection deletes the byte again. Runs after
+        # the quote pass, so [\r\n] can no longer occur inside quoted
+        # fields, and a sep-adjacent position INSIDE quotes only gains a
+        # transient byte the restore strips from the value.
+        empty_pats = [
+            _re.compile(r"(?<=" + S + r")(?=" + S + r"|\r|\n|\Z)"),
+            _re.compile(r"(?:\A|(?<=[\r\n]))(?=" + S + r")"),
+        ]
+    elif do_trailing:
+        # trailing empties only: enough for the bad-line bar. Every sep
+        # in a trailing RUN gets one ('3,4,,' -> 2 counted fields, else
+        # the nulled middle '' would fill the _EXTRA slot invisibly
+        # while the sentinel falls off the schema)
+        empty_pats = [
+            _re.compile(r"(?<=" + S + r")(?=(?:" + S + r")*(?:[\r\n]|\Z))")
+        ]
+    else:
+        empty_pats = []
 
-        text = _re.sub(
-            r"(?:\A|(?<=[\r\n]))(["
-            + _re.escape("".join(sorted(blank_chars)))
-            + r"]+)(\r\n|\r|\n|\Z)",
-            _resolve,
-            text,
-        )
-    if not n_quoted and not n_blank and not n_protect and not n_empty:
-        return None, False, False, False
+    strip_cls = set(_strip_line_class(separator))
+    blank_chars = set(_BLANKISH.decode("latin-1"))
+    blank_pat = _re.compile(
+        r"(?:\A|(?<=[\r\n]))(["
+        + _re.escape("".join(sorted(blank_chars)))
+        + r"]+)(\r\n|\r|\n|\Z)"
+    )
+
+    def _resolve(m):
+        body = m.group(1)
+        if strip_cls and set(body) <= strip_cls:
+            counts["blank"] += 1
+            return ""  # pandas skips the whole line, terminator too
+        counts["protect"] += 1
+        return sentinels["protect"] + body + m.group(2)
+
+    def _process(proc: str) -> str:
+        if do_quotes:
+            proc = field_pat.sub(_seal, proc)
+        if do_cr:
+            # lone-'\r' adjacency semantics (swallow/refuse — see
+            # _lone_cr_pass). Runs after the quote pass so every
+            # remaining '\r' is a real out-of-quote terminator, and
+            # before the empties pass so a swallowed separator never
+            # gains an empty-field sentinel.
+            proc, k = _lone_cr_pass(proc, separator)
+            counts["cr"] += k
+        for pat in empty_pats:
+            proc, k = pat.subn(sentinels["empty"], proc)
+            counts["empty"] += k
+        if do_blank:
+            proc = blank_pat.sub(_resolve, proc)
+        return proc
+
+    window = 8 << 20
     fd, plain = tempfile.mkstemp(suffix=".csv")
-    with os.fdopen(fd, "w", encoding=py_enc, newline="") as f:
-        f.write(text)
+    try:
+        with open(local_path, encoding=py_enc, newline="") as src, os.fdopen(
+            fd, "w", encoding=py_enc, newline=""
+        ) as out:
+            carry = ""
+            while True:
+                chunk = src.read(window)
+                if not chunk:
+                    if carry:
+                        out.write(_process(carry))
+                    break
+                buf = carry + chunk
+                cut = _last_closed_newline(buf, separator, do_quotes)
+                if cut is None:
+                    carry = buf  # grows at most to one field/line run
+                    continue
+                out.write(_process(buf[:cut]))
+                carry = buf[cut:]
+    except Exception:
+        with contextlib.suppress(OSError):
+            os.unlink(plain)
+        raise
+    if not any(counts.values()):
+        os.unlink(plain)
+        return None, False, False, False, 0, sentinels
     _DECOMPRESSED_TEMPS.append(plain)
-    return plain, bool(n_quoted), bool(n_protect), bool(n_empty)
+    return (
+        plain,
+        bool(counts["quoted"]),
+        bool(counts["protect"]),
+        bool(counts["empty"]),
+        counts["cr"],
+        sentinels,
+    )
 
 
 # full-size plaintext copies of compressed inputs; the engine releases
@@ -813,7 +1170,14 @@ def load_csv(
     # POSITION via the enforced schema, so only the NAMES come from
     # this parse. Single-char separator guaranteed here (multi-char
     # dispatched to _load_python_engine above).
-    columns, n_index = _read_header(local_path, separator, quoting, encoding)
+    try:
+        columns, n_index = _read_header(local_path, separator, quoting, encoding)
+    except UnicodeDecodeError:
+        # a sampled encoding probe can leave a latin-1 byte inside the
+        # header/first-rows window undetected — fall back like the
+        # reference's whole-file retry
+        encoding = "ISO-8859-1"
+        columns, n_index = _read_header(local_path, separator, quoting, encoding)
     if shape:
         # pandas usecols (reference utils.py:32-34) never infers an
         # implicit index AND silently truncates rows wider than the
@@ -821,23 +1185,56 @@ def load_csv(
         # a 4-field row later still loads) — no shift, no bad lines.
         n_index = 0
     restore_nl = restore_protect = restore_empty = False
-    q_flag, blank_flag, trail_flag, empties_flag, eof_open_row = (
-        _scan_rewrite_triggers(
-            local_path, separator, quoting, n_index + len(columns)
-        )
+    sentinels: dict[str, str] | None = None
+    cr_done = False
+    # the encoding probe sampled a prefix on big files — the trigger
+    # probe (which streams every byte anyway) validates the UTF-8 tail;
+    # an invalid byte flips the whole scan to latin-1 like the
+    # reference's whole-file pandas retry (VERDICT_r09 #6)
+    tail_check = (
+        encoding == "UTF-8" and _encoding_probe_window(local_path) is not None
     )
-    if eof_open_row is not None:
-        # pandas refuses a quoted field still open at EOF — even under
-        # on_bad_lines='skip' (probed); the reference wraps the
-        # ParserError in LoadCsvError (utils.py:50-51) so the file is
-        # isolated, not the run
-        raise LoadCsvError(
-            "Error tokenizing data. C error: EOF inside string "
-            f"starting at row {eof_open_row}"
-        )
-    if q_flag or blank_flag or trail_flag or empties_flag:
+    for _ in range(2):
         try:
-            rewritten, restore_nl, restore_protect, restore_empty = (
+            (q_flag, blank_flag, trail_flag, empties_flag, cr_flag,
+             eof_open_row, present) = _scan_rewrite_triggers(
+                local_path,
+                separator,
+                quoting,
+                n_index + len(columns),
+                validate_utf8=tail_check,
+            )
+        except UnicodeDecodeError:
+            # pandas' retry re-decodes the WHOLE file as latin-1, header
+            # included — re-derive the names under the new encoding too
+            encoding = "ISO-8859-1"
+            columns, n_index = _read_header(
+                local_path, separator, quoting, encoding
+            )
+            if shape:
+                n_index = 0
+            (q_flag, blank_flag, trail_flag, empties_flag, cr_flag,
+             eof_open_row, present) = _scan_rewrite_triggers(
+                local_path, separator, quoting, n_index + len(columns)
+            )
+        tail_check = False  # a second loop pass reads the rewritten temp
+        if eof_open_row is not None:
+            # pandas refuses a quoted field still open at EOF — even under
+            # on_bad_lines='skip' (probed); the reference wraps the
+            # ParserError in LoadCsvError (utils.py:50-51) so the file is
+            # isolated, not the run
+            raise LoadCsvError(
+                "Error tokenizing data. C error: EOF inside string "
+                f"starting at row {eof_open_row}"
+            )
+        # the lone-'\r' pass is once-only: a swallow consumes exactly one
+        # separator per '\r' (pandas semantics) — a '\r,' leftover in the
+        # rewritten file is ordinary line content, not a new swallow
+        do_cr = cr_flag and not cr_done
+        if not (q_flag or blank_flag or trail_flag or empties_flag or do_cr):
+            break
+        try:
+            rewritten, r_nl, r_protect, r_empty, n_swallowed, sentinels = (
                 _rewrite_file(
                     local_path,
                     separator,
@@ -846,6 +1243,9 @@ def load_csv(
                     blank_flag,
                     trail_flag,
                     empties_flag,
+                    do_cr,
+                    sentinels,
+                    present,
                 )
             )
         except UnicodeDecodeError:
@@ -854,7 +1254,7 @@ def load_csv(
             # would hit the same error and retry latin-1 (which decodes
             # any byte stream) — do the same for rewrite AND scan
             encoding = "ISO-8859-1"
-            rewritten, restore_nl, restore_protect, restore_empty = (
+            rewritten, r_nl, r_protect, r_empty, n_swallowed, sentinels = (
                 _rewrite_file(
                     local_path,
                     separator,
@@ -863,14 +1263,36 @@ def load_csv(
                     blank_flag,
                     trail_flag,
                     empties_flag,
+                    do_cr,
+                    sentinels,
+                    present,
                 )
             )
         except MemoryError as e:
             raise LoadCsvError(
                 f"file too large for the driver-side rewrite: {e}"
             ) from e
+        cr_done = True
+        restore_nl |= r_nl
+        restore_protect |= r_protect
+        restore_empty |= r_empty
         if rewritten is not None:
             local_path = rewritten
+        if n_swallowed:
+            # a swallowed separator changes the header/implicit-index
+            # widths pandas infers — re-derive them from the rewritten
+            # file (sentinels undone on the names) and re-run the
+            # trigger probe once with the corrected width
+            new_cols, new_idx = _read_header(
+                local_path, separator, quoting, encoding,
+                sentinel_restore=sentinels,
+            )
+            if shape:
+                new_idx = 0
+            if new_cols != columns or new_idx != n_index:
+                columns, n_index = new_cols, new_idx
+                continue
+        break
 
     reader = (
         spark.read.option("header", True)
@@ -920,11 +1342,17 @@ def load_csv(
             for j, c in enumerate(df.columns):
                 col = qcol(c)
                 if restore_protect and j == 0:
-                    col = F.regexp_replace(col, "^\x7f", "")
+                    # \Q..\E literal-quotes the per-file protect byte for
+                    # the Java regex engine
+                    col = F.regexp_replace(
+                        col, "^\\Q" + sentinels["protect"] + "\\E", ""
+                    )
                 if restore_nl:
-                    col = _restore_newlines_col(col)
+                    col = _restore_newlines_col(col, sentinels)
                 if restore_empty:
-                    col = F.replace(col, F.lit(_EMPTY_SENT), F.lit(""))
+                    col = F.replace(
+                        col, F.lit(sentinels["empty"]), F.lit("")
+                    )
                 cols.append(col.alias(c))
             df = df.select(*cols)
         if idx_cols:
@@ -1038,6 +1466,21 @@ def _load_python_engine(
     from csvs_to_sqlite_spark.operators.shapes import parse_shape
 
     rx = _re.compile(separator)  # re.error propagates: reference parity
+    if encoding == "UTF-8" and _encoding_probe_window(local_path) is not None:
+        # this path never runs the trigger probe, so validate the tail
+        # here (VERDICT_r09 #6); an invalid byte -> whole-file latin-1,
+        # the reference's retry semantics
+        dec = codecs.getincrementaldecoder("utf-8")()
+        try:
+            with open(local_path, "rb") as fb:
+                while True:
+                    chunk = fb.read(1 << 22)
+                    if not chunk:
+                        dec.decode(b"", final=True)
+                        break
+                    dec.decode(chunk)
+        except UnicodeDecodeError:
+            encoding = "ISO-8859-1"
     py_enc = {"ISO-8859-1": "latin-1"}.get(encoding, "utf-8-sig")
     header = data = None
     with open(local_path, encoding=py_enc, newline=None) as f:

@@ -32,6 +32,10 @@ from csvs_to_sqlite_spark.sources.csv_source import LoadCsvError, load_csv
 ALPHABET = [
     "a", "b", "1", "2", '"', ",", "\n", "\r", "\r\n", " ", "\t",
     "\x0c", ".", '""', ",,", "NA", "-",
+    # r10: the former fixed-sentinel bytes — _choose_sentinels must pick
+    # non-colliding bytes when these occur in a file that needs the
+    # rewrite (VERDICT_r09 #4)
+    "\x01", "\x02", "\x03", "\x05", "\x7f",
 ]
 
 
@@ -92,6 +96,7 @@ def snapshot_pandas(text):
 
 
 def snapshot_ours(spark, text):
+    """Returns (snapshot, refusal_message_or_None)."""
     fd, p = tempfile.mkstemp(suffix=".csv")
     with os.fdopen(fd, "w", newline="") as f:
         f.write(text)
@@ -100,9 +105,9 @@ def snapshot_ours(spark, text):
         return (
             [str(c) for c in df.columns],
             [[norm(v) for v in r] for r in df.collect()],
-        )
-    except LoadCsvError:
-        return "REFUSED"
+        ), None
+    except LoadCsvError as e:
+        return "REFUSED", str(e)
     finally:
         os.unlink(p)
 
@@ -133,13 +138,21 @@ def main():
             except Exception as e:
                 ref = "REFUSED"
                 ref_err = str(e)
-            ours = snapshot_ours(spark, text)
+            ours, our_err = snapshot_ours(spark, text)
             tried += 1
             if ours == ref:
                 continue
             if ref == "REFUSED" and ref_err and "Buffer overflow" in ref_err:
                 # pandas C-parser buffer quirk around lone-\r streams —
                 # documented divergence (we parse; pandas aborts)
+                known += 1
+                continue
+            if our_err and "corrupts the pandas tokenizer buffer" in our_err:
+                # lone '\r' + whitespace + content: pandas' outputs here
+                # are buffer-position-dependent corruption (262k phantom
+                # NaN rows, 'Buffer overflow caught', window-dependent
+                # phantom rows — probed, NOTES round-10); we refuse loudly
+                # instead of replicating corrupt output
                 known += 1
                 continue
             if pandas_tokenizer_malformed(text):
