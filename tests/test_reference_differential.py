@@ -457,6 +457,14 @@ SCENARIOS = [
         [],
         dict(),
     ),
+    # lone-CR swallow under sep='\t' (the blank class excludes the
+    # separator: ' ' is the only blank, '\t' is the swallowed byte)
+    (
+        "crswallowtab.csv",
+        "a\tb\n1\t2\n\r\t9\n3\t4\n",
+        ["-s", "\t"],
+        dict(separator="\t"),
+    ),
     # --- round 10 (VERDICT_r09 #4): genuine former-sentinel bytes in
     # files that ALSO trigger the rewrite — _choose_sentinels must pick
     # file-absent bytes so the restore projection leaves the data intact

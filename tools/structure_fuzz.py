@@ -84,9 +84,9 @@ def norm(v):
     return s
 
 
-def snapshot_pandas(text):
+def snapshot_pandas(text, sep=","):
     try:
-        df = pd.read_csv(io.StringIO(text))
+        df = pd.read_csv(io.StringIO(text), sep=sep)
         return (
             [str(c) for c in df.columns],
             [[norm(v) for v in r] for r in df.values.tolist()],
@@ -95,13 +95,13 @@ def snapshot_pandas(text):
         return "REFUSED"
 
 
-def snapshot_ours(spark, text):
+def snapshot_ours(spark, text, sep=","):
     """Returns (snapshot, refusal_message_or_None)."""
     fd, p = tempfile.mkstemp(suffix=".csv")
     with os.fdopen(fd, "w", newline="") as f:
         f.write(text)
     try:
-        df = load_csv(spark, p)
+        df = load_csv(spark, p, separator=sep)
         return (
             [str(c) for c in df.columns],
             [[norm(v) for v in r] for r in df.collect()],
@@ -121,24 +121,29 @@ def main():
         rng = random.Random(seed)
         for trial in range(150):
             # sane-ish header, adversarial body (a fully random header
-            # mostly just refuses on both sides — lower signal)
+            # mostly just refuses on both sides — lower signal). Every
+            # 4th trial runs under sep='\t' (the lone-CR rules and the
+            # blank-line skip class are separator-dependent).
+            sep = "\t" if trial % 4 == 3 else ","
             body = "".join(
                 rng.choice(ALPHABET) for _ in range(rng.randint(3, 60))
             )
-            text = "a,b\n" + body
+            text = ("a\tb\n" if sep == "\t" else "a,b\n") + body
             try:
                 ref = (
-                    [str(c) for c in pd.read_csv(io.StringIO(text)).columns],
+                    [str(c) for c in pd.read_csv(io.StringIO(text), sep=sep).columns],
                     [
                         [norm(v) for v in r]
-                        for r in pd.read_csv(io.StringIO(text)).values.tolist()
+                        for r in pd.read_csv(
+                            io.StringIO(text), sep=sep
+                        ).values.tolist()
                     ],
                 )
                 ref_err = None
             except Exception as e:
                 ref = "REFUSED"
                 ref_err = str(e)
-            ours, our_err = snapshot_ours(spark, text)
+            ours, our_err = snapshot_ours(spark, text, sep)
             tried += 1
             if ours == ref:
                 continue
@@ -155,7 +160,7 @@ def main():
                 # instead of replicating corrupt output
                 known += 1
                 continue
-            if pandas_tokenizer_malformed(text):
+            if pandas_tokenizer_malformed(text, sep):
                 # malformed quoting: recovery bytes/field counts diverge
                 # between the C tokenizer and univocity — documented
                 known += 1
