@@ -301,6 +301,17 @@ def _strip_line_class(separator: str) -> str:
 # minus the \r/\n line terminators themselves)
 _BLANKISH = bytes(b for b in range(0x21) if b not in (0x0A, 0x0D))
 
+# control bytes Spark's toDouble trims but pandas' number parsers REJECT
+# (pandas skips only C isspace: \t \n \v \f \r and space) — a numeric
+# cell carrying one of these must stay TEXT (probed: '1\x01' is object
+# in pandas, 1.0 to Spark's cast). The per-cell guard costs ~2 s per
+# sf0.1 inference pass, so load_csv enables it ONLY when the trigger
+# probe's byte-presence set shows such a byte exists in the file — clean
+# files pay nothing (the r10 structure-fuzz soak found this class).
+_NONSPACE_CTRL = "".join(chr(b) for b in range(0x21) if b not in
+                         (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20))
+_NONSPACE_CTRL_BYTES = frozenset(ord(c) for c in _NONSPACE_CTRL)
+
 # Empty-field sentinel: univocity nulls an UNQUOTED empty field inside
 # the tokenizer, before any reader option applies — so Spark cannot see
 # an absent trailing field ('1,2' in a 3-col file → NULL) apart from an
@@ -693,6 +704,24 @@ def _exact_quote_scan(local_path: str, sep_byte: int):
             if at_eof:
                 break
     return has_nl, (open_row if in_quote else None)
+
+
+def _has_nonspace_ctrl(local_path: str) -> bool:
+    """Chunked driver-side check: does the file contain any control byte
+    Spark's numeric casts trim but pandas rejects (_NONSPACE_CTRL)? The
+    C-engine path gets this from the trigger probe's presence set; the
+    python-engine path (multi-char separators, no trigger probe) runs
+    this one numpy pass instead."""
+    import numpy as np
+
+    with open(local_path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 22)
+            if not chunk:
+                return False
+            a = np.frombuffer(chunk, dtype=np.uint8)
+            if bool(((a < 9) | ((a > 13) & (a < 32))).any()):
+                return True
 
 
 def _has_19_digit_run(local_path: str) -> bool:
@@ -1417,6 +1446,7 @@ def load_csv(
         quoting=quoting,
         na_masked=False,
         float_parity=float_parity,
+        ctrl_risk=bool(present & _NONSPACE_CTRL_BYTES),
     )
 
 
@@ -1590,6 +1620,7 @@ def _load_python_engine(
         na_masked=False,
         float_parity=float_parity,
         py_engine=True,
+        ctrl_risk=_has_nonspace_ctrl(local_path),
     )
 
 
@@ -1732,6 +1763,7 @@ def infer_reference_types(
     na_masked: bool = True,
     float_parity: bool | None = None,
     py_engine: bool = False,
+    ctrl_risk: bool = False,
 ):
     """Reproduce pandas read_csv dtype inference over an all-string frame.
 
@@ -1829,7 +1861,24 @@ def infer_reference_types(
         proj.append(F.col(_EXTRA))
     for i, c in enumerate(data_cols):
         q = F.col(f"__m{i}")
-        d = q.try_cast("double")
+        # Spark's toDouble trims EVERY char <= 0x20 off both ends; pandas'
+        # number parsers skip only C isspace ('\t\n\v\f\r '). A cell like
+        # '1\x01' is numeric to Spark but object to pandas (probed) — when
+        # the file is known to CONTAIN such bytes (ctrl_risk, from the
+        # trigger probe's byte-presence set), the acceptance gate rejects
+        # cells carrying them; clean files skip the guard entirely.
+        d0 = q.try_cast("double")
+        if ctrl_risk:
+            d = F.when(
+                d0.isNotNull()
+                & (
+                    F.length(F.translate(q, _NONSPACE_CTRL, ""))
+                    == F.length(q)
+                ),
+                d0,
+            )
+        else:
+            d = d0
         # the int regex only ever matches double-castable strings (digits,
         # optional sign/whitespace — Spark's toDouble trims and accepts all
         # of them, saturating huge ones to ±inf), so gating on d short-

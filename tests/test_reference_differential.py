@@ -486,6 +486,16 @@ SCENARIOS = [
         [],
         dict(),
     ),
+    # numeric cells carrying NON-isspace control bytes stay TEXT: pandas'
+    # parsers skip only '\t\n\v\f\r ' while Spark's cast trims every byte
+    # <= 0x20 ('1\x01' would silently become REAL 1.0 — r10 soak find).
+    # isspace padding ('1\f', '\t1') stays numeric on both sides.
+    (
+        "ctrlnum.csv",
+        "a,b,c\n1\x01,1\x0c,3\n2,\t2,4\n",
+        [],
+        dict(),
+    ),
     # kitchen sink: extract + shape rename/cast + fuzzy dates + FTS +
     # compound index + filename/fixed columns in ONE run — feature
     # interplay, not just isolated flags
