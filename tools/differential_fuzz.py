@@ -58,6 +58,12 @@ tricky = [
     # uint64-conflict rawtext class — both closed by the r9 _EMPTY_SENT
     # rewrite
     "",
+    # fifth vocabulary wave (round 10): non-isspace control bytes around
+    # numerics (Spark's cast trims them, pandas' parsers reject — the
+    # ctrl_risk acceptance guard), isspace-class padding pandas ACCEPTS
+    # ('1\x0c' is int64), former sentinel bytes as data, and a value that
+    # is ONLY a control byte
+    "1\x01", "\x051", "1\x0c", "2\x0b", "\x1f", "7\x01 ", "\x7f9",
 ]
 
 # date-column vocabulary: every fuzzy class the vendored parser supports,
