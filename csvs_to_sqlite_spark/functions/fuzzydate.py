@@ -272,9 +272,37 @@ _CJK_PM = {"午後", "下午", "오후"}
 _CJK_AM = {"午前", "上午", "오전"}
 
 
-def _parse_cjk(s: str):
+# which locales each positional-form marker belongs to: hangul markers
+# are ko-only, 時/午前/午後 ja-only, 时/点/點/上午/下午 zh-only, the bare
+# kanji 年/月/日/分/秒 are shared by ja and zh (ko never uses them —
+# review finding: the old single ja∪zh∪ko gate accepted '2017년 5월 3일'
+# under languages=['ja'] where dateparser refuses)
+_CJK_MARKER_LANGS = (
+    (re.compile(r"[년월일시분초]|오전|오후"), frozenset({"ko"})),
+    (re.compile(r"時|午前|午後"), frozenset({"ja"})),
+    (re.compile(r"[时点點]|上午|下午"), frozenset({"zh"})),
+    (re.compile(r"[年月日]"), frozenset({"ja", "zh"})),
+)
+
+
+def _cjk_langs(s: str) -> frozenset[str]:
+    """Locales consistent with every positional marker in the string;
+    empty = a mixed form no single locale writes (refused)."""
+    langs = frozenset({"ja", "zh", "ko"})
+    seen = False
+    for pat, who in _CJK_MARKER_LANGS:
+        if pat.search(s):
+            langs &= who
+            seen = True
+    return langs if seen else frozenset()
+
+
+def _parse_cjk(s: str, allowed: frozenset[str] | None = None):
     m = _CJK_DATE_RE.match(s)
     if not m:
+        return None
+    langs = _cjk_langs(s)
+    if not langs or (allowed is not None and not (langs & allowed)):
         return None
     yr, mo, day = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if m.group(8) is not None:  # ASCII time tail: 2017年5月3日 15:30
@@ -443,9 +471,20 @@ _MARKER_LANGS: dict[str, frozenset[str]] = {
 }
 
 # numeric date order per vendored locale (dateparser's per-language
-# date_order): every vendored locale is day-first except en (m/d/y) and
-# the positional CJK forms (y-m-d by construction)
+# date_order): en is m/d/y, the CJK locales are y/m/d, everything else
+# vendored is day-first
 _MDY_LOCALES = frozenset({"en"})
+_YMD_LOCALES = frozenset({"ja", "zh", "ko"})
+
+
+def _order_for(langs: frozenset[str]) -> str:
+    """dateparser's per-language date_order for an unambiguous locale
+    set; MDY (the en default) whenever the set is empty or mixed-order."""
+    if langs and langs <= _YMD_LOCALES:
+        return "YMD"
+    if langs and not (langs & (_MDY_LOCALES | _YMD_LOCALES)):
+        return "DMY"
+    return "MDY"
 
 _ORDINAL_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b", re.I)
 _TIME_RE = re.compile(
@@ -623,8 +662,8 @@ def parse_datetime(
         rel = _parse_relative(value, relative_base or datetime.now())
         if rel is not None:
             return rel
-    if date_order is None and languages and not (set(languages) & _MDY_LOCALES):
-        date_order = "DMY"
+    if date_order is None and languages:
+        date_order = _order_for(frozenset(languages))
     # date_order None reaching _parse_fuzzy = derive from the per-value
     # language evidence ('03.05.2017 г.' -> ru -> day-first), MDY default
     return _parse_fuzzy(value, date_order=date_order, languages=languages)
@@ -642,13 +681,7 @@ def detect_languages(value: str) -> list[str]:
         if compound in s:
             s = s.replace(compound, canon)
     if _CJK_DATE_RE.match(s):
-        if re.search(r"[년월일시분초]|오전|오후", s):
-            return ["ko"]
-        if re.search(r"[时点點]|上午|下午", s):
-            return ["zh"]
-        if re.search(r"[時]|午前|午後", s):
-            return ["ja"]
-        return ["ja", "ko", "zh"]
+        return sorted(_cjk_langs(s))
     if _VI_DATE_RE.match(s):
         return ["vi"]
     evidence = []
@@ -686,7 +719,7 @@ def _parse_fuzzy(
         pass
 
     if langs is None or langs & {"ja", "zh", "ko"}:
-        cjk = _parse_cjk(s)
+        cjk = _parse_cjk(s, allowed=langs)
         if cjk is not None:
             return cjk
     if langs is None or "vi" in langs:
@@ -786,13 +819,12 @@ def _parse_fuzzy(
         # locale evidence follows THAT locale's order ('03.05.2017 г.' →
         # ru → day-first), exactly dateparser's per-language date_order;
         # evidence-free numerics keep the en MDY default
-        inter = (
+        date_order = _order_for(
             frozenset.intersection(*evidence) if evidence else frozenset()
         )
-        date_order = "DMY" if inter and not (inter & _MDY_LOCALES) else "MDY"
     if numeric_date is not None:
         a, b, c = numeric_date
-        if a > 31:  # y-m-d
+        if a > 31 or date_order.upper() == "YMD":  # y-m-d
             yr, month, day = a, b, c
         elif date_order.upper() == "DMY":  # locale-driven day-first
             day, month, yr = a, b, c

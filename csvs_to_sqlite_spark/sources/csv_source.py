@@ -231,7 +231,7 @@ _PANDAS_NA_TOKENS = (
     # uint64-conflict rawtext path keeps them literal like pandas, and
     # every other column masks them to NULL here. (Unquoted empty fields
     # are nulled inside Spark's univocity tokenizer before any option
-    # applies; since r9 the _EMPTY_SENT rewrite makes them COUNT like
+    # applies; since r9 the empty-field sentinel rewrite makes them COUNT like
     # pandas fields — trailing empties reach the bad-line bar, and on
     # uint64-candidate files a mid-row '' survives into rawtext columns.)
     "",
@@ -250,40 +250,29 @@ _PANDAS_NA_TOKENS = (
 # sentinel (probed to survive univocity's quoted-field path — NUL does
 # NOT), the scan stays line-based and SPLITTABLE, and the scan
 # projection restores the original bytes. Order matters: \r\n must be
-# replaced before \r / \n. These are the DEFAULT byte assignments:
+# replaced before \r / \n. The DEFAULT byte assignment is
+# _SENT_DEFAULTS below (crlf \x01, cr \x03, lf \x02, empty-field \x05,
+# line-protect \x7f — the protect byte is the one sentinel that must be
+# > 0x20, so Spark's trim-empty line drop keeps the protected line);
 # _choose_sentinels picks different (file-absent) bytes whenever a
 # default actually occurs in a file being rewritten, so genuine control
 # bytes survive the restore (VERDICT_r09 #4 closed the old
 # fixed-sentinel corruption class).
-_NL_SENTINELS = (
-    ("\r\n", "\x01"),
-    ("\r", "\x03"),
-    ("\n", "\x02"),
-)
-# Line-protect sentinel: Spark's CSV reader DROPS any physical line
-# whose characters are all <= 0x20 (String.trim-empty — probed: \x0b,
-# \x0c, \x1c, \x04... lines all vanish), while pandas keeps every such
-# line as a data row unless it is a single field of only space/tab.
-# Kept lines get this prefix (0x7f > 0x20, so Spark keeps the row and
-# field counting is unchanged); the scan projection strips it from the
-# first field.
-_PROTECT = "\x7f"
-
-
-def _restore_newlines_col(col, sentinels: dict[str, str] | None = None):
-    """Undo the newline sentinels on a scan column (no-op on clean
-    files). ``sentinels`` is the per-file assignment from _rewrite_file;
-    None means the defaults."""
-    pairs = (
-        _NL_SENTINELS
-        if sentinels is None
-        else (
-            ("\r\n", sentinels["crlf"]),
-            ("\r", sentinels["cr"]),
-            ("\n", sentinels["lf"]),
-        )
+def _nl_pairs(sentinels: dict[str, str]) -> tuple[tuple[str, str], ...]:
+    """(original, sentinel) pairs for the in-quote newline rewrite, in
+    replacement order (\\r\\n before its constituent bytes)."""
+    return (
+        ("\r\n", sentinels["crlf"]),
+        ("\r", sentinels["cr"]),
+        ("\n", sentinels["lf"]),
     )
-    for orig, sent in pairs:
+
+
+def _restore_newlines_col(col, sentinels: dict[str, str]):
+    """Undo the newline sentinels on a scan column (no-op on clean
+    files). ``sentinels`` is the per-file assignment from
+    _rewrite_file."""
+    for orig, sent in _nl_pairs(sentinels):
         col = F.replace(col, F.lit(sent), F.lit(orig))
     return col
 
@@ -312,15 +301,20 @@ _NONSPACE_CTRL = "".join(chr(b) for b in range(0x21) if b not in
                          (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20))
 _NONSPACE_CTRL_BYTES = frozenset(ord(c) for c in _NONSPACE_CTRL)
 
-# Empty-field sentinel: univocity nulls an UNQUOTED empty field inside
-# the tokenizer, before any reader option applies — so Spark cannot see
-# an absent trailing field ('1,2' in a 3-col file → NULL) apart from an
-# empty one ('1,2,' → pandas: a third '' field that COUNTS toward the
-# bad-line bar and stays a literal '' in no-NA-mask object columns).
-# The rewrite inserts this byte into empty unquoted fields so they
-# tokenize as fields; the scan projection deletes it again (a cell that
-# was '' becomes '' once more, but now it was COUNTED).
-_EMPTY_SENT = "\x05"
+# The empty-field sentinel ('empty' key): univocity nulls an UNQUOTED
+# empty field inside the tokenizer, before any reader option applies —
+# so Spark cannot see an absent trailing field ('1,2' in a 3-col file →
+# NULL) apart from an empty one ('1,2,' → pandas: a third '' field that
+# COUNTS toward the bad-line bar and stays a literal '' in no-NA-mask
+# object columns). The rewrite inserts the byte into empty unquoted
+# fields so they tokenize as fields; the scan projection deletes it
+# again (a cell that was '' becomes '' once more, but now it was
+# COUNTED). The line-protect sentinel ('protect' key): Spark's CSV
+# reader DROPS any physical line whose characters are all <= 0x20
+# (String.trim-empty — probed: \x0b, \x0c, \x1c, \x04... lines all
+# vanish) while pandas keeps every such line as a data row unless it is
+# a single field of only space/tab — kept lines get the prefix, and the
+# scan projection strips it from the first field.
 
 # keys of a sentinel assignment, the default bytes, and the candidate
 # pools _choose_sentinels draws from when a default occurs in the file.
@@ -844,20 +838,31 @@ def _lone_cr_pass(text: str, separator: str) -> tuple[str, int]:
     return "".join(out), swallowed
 
 
-def _last_closed_newline(buf: str, separator: str, check_quotes: bool):
-    """Latest position in ``buf`` just AFTER an out-of-quote '\\n', or
-    None. ``buf`` always starts at a line start in out-of-quote state,
-    so the pandas open/close walk (open only after sep/newline/BOF,
-    doubled quotes escape) is exact. Cutting only after '\\n' (never a
-    lone '\\r') keeps every lone-'\\r' successor visible to
-    _lone_cr_pass within one processing window."""
-    if not check_quotes or '"' not in buf:
-        i = buf.rfind("\n")
-        return None if i < 0 else i + 1
-    last = -1
-    pos = 0
-    in_q = False
+def _advance_cut_scan(
+    buf: str, start: int, in_q: bool, separator: str, check_quotes: bool
+) -> tuple[int | None, int, bool]:
+    """Resumable scan for safe window cuts: walks ``buf[start:]`` with
+    entry quote-state ``in_q`` and returns (latest position just AFTER an
+    out-of-quote '\\n' in the walked region or None, resume position,
+    exit quote-state). ``buf`` always starts at a line start in
+    out-of-quote state, so the pandas open/close walk (open only after
+    sep/newline/BOF, doubled quotes escape) is exact. Cutting only after
+    '\\n' (never a lone '\\r') keeps every lone-'\\r' successor visible
+    to _lone_cr_pass within one processing window.
+
+    Resumability (r10 review finding: re-walking the whole carry per
+    8 MiB read made a cut-less GiB-scale quoted field or '\\n'-free line
+    run quadratic): the caller threads (resume position, quote-state)
+    through reads so each byte is walked once. A final '\"' reached
+    while IN a quoted field is NOT consumed (its escaped-pair lookahead
+    needs the next chunk's first byte) — the resume position stops just
+    before it."""
     n = len(buf)
+    if not check_quotes:
+        k = buf.rfind("\n", start)
+        return (None if k < 0 else k + 1), n, False
+    last = -1
+    pos = start
     while True:
         j = buf.find('"', pos)
         if not in_q:
@@ -865,6 +870,7 @@ def _last_closed_newline(buf: str, separator: str, check_quotes: bool):
             if k >= 0:
                 last = k
             if j < 0:
+                pos = n
                 break
             prev = buf[j - 1] if j > 0 else "\n"  # BOF = BOL
             if prev == separator or prev in "\r\n":
@@ -872,13 +878,19 @@ def _last_closed_newline(buf: str, separator: str, check_quotes: bool):
             pos = j + 1
         else:
             if j < 0:
+                pos = n
                 break
-            if buf[j + 1 : j + 2] == '"':
+            if j == n - 1:
+                # escaped-pair lookahead would need the next chunk —
+                # leave this quote unconsumed for the next resume
+                pos = j
+                break
+            if buf[j + 1] == '"':
                 pos = j + 2
             else:
                 in_q = False
                 pos = j + 1
-    return None if last < 0 else last + 1
+    return (None if last < 0 else last + 1), pos, in_q
 
 
 def _rewrite_file(
@@ -892,6 +904,7 @@ def _rewrite_file(
     do_cr: bool = False,
     sentinels: dict[str, str] | None = None,
     present: frozenset[int] | None = None,
+    _window: int = 8 << 20,
 ) -> tuple[str | None, bool, bool, bool, int, dict[str, str]]:
     """Driver-side pre-scan rewrite for the line classes Spark's
     distributed scan cannot express (pandas handles all of them in its
@@ -942,11 +955,7 @@ def _rewrite_file(
     py_enc = "latin-1" if encoding == "ISO-8859-1" else "utf-8"
     if sentinels is None:
         sentinels = _choose_sentinels(present, separator)
-    nl_sentinels = (
-        ("\r\n", sentinels["crlf"]),
-        ("\r", sentinels["cr"]),
-        ("\n", sentinels["lf"]),
-    )
+    nl_sentinels = _nl_pairs(sentinels)
     counts = {"quoted": 0, "cr": 0, "empty": 0, "blank": 0, "protect": 0}
 
     sep_last = _re.escape((separator or ",")[-1])
@@ -1020,13 +1029,15 @@ def _rewrite_file(
             proc = blank_pat.sub(_resolve, proc)
         return proc
 
-    window = 8 << 20
+    window = _window
     fd, plain = tempfile.mkstemp(suffix=".csv")
     try:
         with open(local_path, encoding=py_enc, newline="") as src, os.fdopen(
             fd, "w", encoding=py_enc, newline=""
         ) as out:
             carry = ""
+            scan_pos = 0  # how far the cut scan has walked into carry
+            scan_in_q = False
             while True:
                 chunk = src.read(window)
                 if not chunk:
@@ -1034,12 +1045,15 @@ def _rewrite_file(
                         out.write(_process(carry))
                     break
                 buf = carry + chunk
-                cut = _last_closed_newline(buf, separator, do_quotes)
+                cut, scan_pos, scan_in_q = _advance_cut_scan(
+                    buf, scan_pos, scan_in_q, separator, do_quotes
+                )
                 if cut is None:
                     carry = buf  # grows at most to one field/line run
                     continue
                 out.write(_process(buf[:cut]))
                 carry = buf[cut:]
+                scan_pos -= cut
     except Exception:
         with contextlib.suppress(OSError):
             os.unlink(plain)
@@ -1215,6 +1229,7 @@ def load_csv(
         n_index = 0
     restore_nl = restore_protect = restore_empty = False
     sentinels: dict[str, str] | None = None
+    orig_present: frozenset[int] | None = None
     cr_done = False
     # the encoding probe sampled a prefix on big files — the trigger
     # probe (which streams every byte anyway) validates the UTF-8 tail;
@@ -1247,6 +1262,11 @@ def load_csv(
                 local_path, separator, quoting, n_index + len(columns)
             )
         tail_check = False  # a second loop pass reads the rewritten temp
+        if orig_present is None:
+            # the ORIGINAL file's byte presence: a second loop pass scans
+            # the rewritten temp, whose inserted sentinel bytes would
+            # spuriously enable the ctrl-byte acceptance guard
+            orig_present = present
         if eof_open_row is not None:
             # pandas refuses a quoted field still open at EOF — even under
             # on_bad_lines='skip' (probed); the reference wraps the
@@ -1446,7 +1466,7 @@ def load_csv(
         quoting=quoting,
         na_masked=False,
         float_parity=float_parity,
-        ctrl_risk=bool(present & _NONSPACE_CTRL_BYTES),
+        ctrl_risk=bool(orig_present & _NONSPACE_CTRL_BYTES),
     )
 
 

@@ -428,6 +428,23 @@ def test_language_autodetection_and_restriction():
         parse_datetime("2017-05-03", ["%Y-%m-%d"], languages=["ru"]).isoformat()
         == "2017-05-03T00:00:00"
     )
+    # CJK locales are YEAR-first for ambiguous numerics (review finding:
+    # the DMY flip would have silently misparsed under languages=['ja'])
+    assert (
+        parse_datetime("03/05/06", [], languages=["ja"]).isoformat()
+        == "2003-05-06T00:00:00"
+    )
+    # positional forms are per-locale: hangul markers are ko-only, bare
+    # kanji ja/zh — a restriction to the wrong locale refuses
+    assert detect_languages("2017年5月3日") == ["ja", "zh"]
+    with pytest.raises(UnparseableDate):
+        parse_datetime("2017년 5월 3일", [], languages=["ja"])
+    with pytest.raises(UnparseableDate):
+        parse_datetime("2017年5月3日", [], languages=["ko"])
+    assert (
+        parse_datetime("2017年5月3日", [], languages=["zh"]).isoformat()
+        == "2017-05-03T00:00:00"
+    )
 
 
 def test_month_table_registry_is_conflict_free():

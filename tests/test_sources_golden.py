@@ -416,3 +416,41 @@ print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
     # window 8 MiB + interpreter + pattern machinery; the old path held
     # the whole 1 GiB text plus regex output copies
     assert peak_kb * 1024 < 512 << 20, f"peak RSS {peak_kb} KiB"
+
+
+def test_rewrite_window_boundaries_equivalent(tmp_path):
+    """The streaming rewrite must be byte-identical at ANY window size:
+    window cuts at out-of-quote newlines + the resumable quote-state scan
+    (r10 review fix: no re-walk of the carry) cannot change semantics.
+    Randomized dirty texts (quotes spanning windows, lone CRs, blank
+    lines, empties) processed with tiny vs large windows."""
+    import random
+
+    from csvs_to_sqlite_spark.sources.csv_source import (
+        LoadCsvError,
+        _rewrite_file,
+    )
+
+    rng = random.Random(777)
+    alpha = ['a', '1', ',', '\n', '\r\n', ' ', '\t', '"ws\nx"', '",\r,"',
+             '""', '\x0c', ',,', '"q""z"', '\r']
+    for trial in range(40):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(5, 80)))
+        text = "a,b\n" + body
+        p = tmp_path / f"w{trial}.csv"
+        p.write_text(text, newline="")
+        outs = []
+        for w in (7, 1 << 20):
+            try:
+                out, *_rest = _rewrite_file(
+                    str(p), ",", "UTF-8", True, True, True, True, True,
+                    None, frozenset(text.encode("utf-8", "ignore")),
+                    _window=w,
+                )
+                outs.append(
+                    open(out, encoding="utf-8", newline="").read()
+                    if out else text
+                )
+            except LoadCsvError as e:
+                outs.append(("REFUSED", "pandas tokenizer buffer" in str(e)))
+        assert outs[0] == outs[1], (trial, repr(text), outs)

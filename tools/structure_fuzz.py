@@ -85,14 +85,15 @@ def norm(v):
 
 
 def snapshot_pandas(text, sep=","):
+    """Returns (snapshot, refusal_message_or_None)."""
     try:
         df = pd.read_csv(io.StringIO(text), sep=sep)
         return (
             [str(c) for c in df.columns],
             [[norm(v) for v in r] for r in df.values.tolist()],
-        )
-    except Exception:
-        return "REFUSED"
+        ), None
+    except Exception as e:
+        return "REFUSED", str(e)
 
 
 def snapshot_ours(spark, text, sep=","):
@@ -129,20 +130,7 @@ def main():
                 rng.choice(ALPHABET) for _ in range(rng.randint(3, 60))
             )
             text = ("a\tb\n" if sep == "\t" else "a,b\n") + body
-            try:
-                ref = (
-                    [str(c) for c in pd.read_csv(io.StringIO(text), sep=sep).columns],
-                    [
-                        [norm(v) for v in r]
-                        for r in pd.read_csv(
-                            io.StringIO(text), sep=sep
-                        ).values.tolist()
-                    ],
-                )
-                ref_err = None
-            except Exception as e:
-                ref = "REFUSED"
-                ref_err = str(e)
+            ref, ref_err = snapshot_pandas(text, sep)
             ours, our_err = snapshot_ours(spark, text, sep)
             tried += 1
             if ours == ref:
