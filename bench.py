@@ -97,8 +97,9 @@ PROBE_S_GATE = 0.15
 # uniform-inflation steal signature BASELINE.md documents): a pass where
 # >= UNIFORM_MIN_HITS of the entries exceed their last-settled-round
 # figures by > UNIFORM_PCT is treated as contended and re-measured.
-# LAST_SETTLED = BENCH_r08.json (steal 0.01%, probe 0.121 s — the most
-# recent artifact with clean contention fields); re-freeze it alongside
+# LAST_SETTLED = BENCH_r10.json (steal 0.0%, probe 0.118 s — settled;
+# re-frozen round 11 per VERDICT_r10 "what's wrong" #1 after the r10
+# scan-path work moved most floors down 10-30%); re-freeze it alongside
 # BASELINE.md whenever a deliberate perf change moves the floors.
 UNIFORM_PCT = 15.0
 # 10 of 20, not the 15 VERDICT_r09 sketched: a same-session probe showed
@@ -108,26 +109,26 @@ UNIFORM_PCT = 15.0
 # artifacts; re-measuring costs one bounded retry.
 UNIFORM_MIN_HITS = 10
 LAST_SETTLED = {
-    "scan_filter_project": 0.227,
-    "dim_extract_first_appearance": 1.007,
-    "fk_rewrite_broadcast": 1.111,
-    "denormalize_star": 0.987,
-    "semi_join_urgent": 0.313,
-    "agg_pricing_summary": 0.64,
-    "rollup_returnflag": 0.326,
-    "topk_per_group": 0.336,
-    "running_revenue": 0.394,
-    "sessionize_events": 0.395,
-    "windowed_event_counts": 1.211,
-    "dedup_exact": 0.199,
-    "dedup_jaccard_pairs": 2.258,
-    "minhash_lsh_pairs": 0.633,
-    "simhash_fingerprints": 1.232,
-    "knn_bruteforce": 0.766,
-    "knn_lsh": 1.047,
-    "text_token_stats": 0.398,
-    "text_fingerprints": 0.553,
-    "ingest_sqlite": 6.785,
+    "scan_filter_project": 0.29,
+    "dim_extract_first_appearance": 1.013,
+    "fk_rewrite_broadcast": 1.18,
+    "denormalize_star": 0.878,
+    "semi_join_urgent": 0.311,
+    "agg_pricing_summary": 0.694,
+    "rollup_returnflag": 0.347,
+    "topk_per_group": 0.316,
+    "running_revenue": 0.392,
+    "sessionize_events": 0.385,
+    "windowed_event_counts": 1.059,
+    "dedup_exact": 0.163,
+    "dedup_jaccard_pairs": 1.933,
+    "minhash_lsh_pairs": 0.544,
+    "simhash_fingerprints": 0.916,
+    "knn_bruteforce": 0.704,
+    "knn_lsh": 0.784,
+    "text_token_stats": 0.396,
+    "text_fingerprints": 0.658,
+    "ingest_sqlite": 6.895,
 }
 
 

@@ -70,7 +70,7 @@ class PathOrURL(click.Path):
 @click.option("--no-index-fks", "no_index_fks", is_flag=True, help="Skip adding index to foreign key columns created using --extract-column (default is to add them)")
 @click.option("--no-fulltext-fks", "no_fulltext_fks", is_flag=True, help="Skip adding full-text index on values extracted using --extract-column (default is to add them)")
 @click.option("--just-strings", is_flag=True, help="Import all columns as text strings by default (and, if specified, still obey --shape, --date/datetime, and --datetime-format)")
-@click.version_option(version=__version__)
+@click.version_option(version=__version__, prog_name="csvs-to-sqlite")
 def cli(
     paths,
     dbname,

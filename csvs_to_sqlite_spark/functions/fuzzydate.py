@@ -809,6 +809,14 @@ def _parse_fuzzy(
         for ev in evidence:
             if not ev & langs:
                 raise UnparseableDate(value)
+        # ADVICE_r10: the mixed-evidence guard applies under a
+        # restriction too — some single ALLOWED locale must claim every
+        # marking token, else '3 enero 2017 roku' with languages=
+        # ['es','pl'] would parse while the unrestricted path (and
+        # dateparser's per-language trials, which fail both es and pl)
+        # refuse it.
+        if evidence and not (frozenset.intersection(*evidence) & langs):
+            raise UnparseableDate(value)
     elif evidence and not frozenset.intersection(*evidence):
         # mixed-locale string ('3 enero 2017 roku'): no single language
         # claims every marking token — refuse, never misparse

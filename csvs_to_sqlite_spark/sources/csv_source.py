@@ -215,11 +215,15 @@ def _read_header(
         restored = []
         for j, f_ in enumerate(first):
             if j == 0 and f_.startswith(s["protect"]):
-                f_ = f_[1:]
+                f_ = f_[len(s["protect"]):]
             for orig, key in (("\r\n", "crlf"), ("\r", "cr"), ("\n", "lf")):
                 f_ = f_.replace(s[key], orig)
             restored.append(f_.replace(s["empty"], ""))
         first = restored
+    # pandas' C tokenizer truncates every cell at the first NUL byte
+    # (probed: header 'a\x00c' names the column 'a'); tokenization
+    # itself is unaffected, so widths stay pre-truncation
+    first = [f_.split("\x00", 1)[0] for f_ in first]
     return _pandas_header_names(first), n_index
 
 # pandas read_csv's default na_values (keep_default_na=True): all of these
@@ -334,8 +338,103 @@ _PROTECT_POOL = tuple(
 )
 
 
+def _ngram_present(local_path: str, k: int):
+    """Boolean bitmap over all 256**k byte k-grams: which ones occur in
+    the file. One streaming pass, numpy-vectorized; k<=3 keeps the
+    bitmap <=16 MiB. Only runs for the (rare) sentinel-pool-exhaustion
+    fallback below."""
+    import numpy as np
+
+    seen = np.zeros(256**k, dtype=bool)
+    carry = b""
+    with open(local_path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 22)
+            if not chunk:
+                break
+            buf = carry + chunk
+            a = np.frombuffer(buf, dtype=np.uint8)
+            n = len(a) - k + 1
+            if n > 0:
+                idx = a[:n].astype(np.int64)
+                for j in range(1, k):
+                    idx = idx * 256 + a[j : n + j]
+                seen[idx] = True
+            carry = buf[-(k - 1) :] if k > 1 else b""
+    return seen
+
+
+def _multibyte_sentinels(
+    local_path: str, separator: str
+) -> dict[str, str]:
+    """Pool-exhaustion fallback (VERDICT_r10 #2): when a rewrite-needing
+    file contains every single-byte sentinel candidate, pick MULTI-byte
+    sentinels — five equal-length strings sharing one lead char E, with
+    every non-lead char != E, each absent from the file as a byte
+    substring. The shared-lead/no-E-tail shape makes false matches
+    impossible in the rewritten text: a match must start at an E, a
+    genuine E is never followed by the (file-absent) tail, and an
+    inserted sentinel's own chars can never line up as a different
+    sentinel (position >=1 is never E). Candidate chars are ASCII
+    (<0x80), so byte absence == char absence in both utf-8 and latin-1.
+    The protect sentinel keeps >=1 char > 0x20 so Spark's trim-empty
+    line drop still keeps protected lines. Raises LoadCsvError (loud,
+    per-file isolated) if even no 3-byte assignment exists — a crafted
+    file containing all ~40k candidate 3-grams; silent byte alteration
+    is never possible."""
+    base_taken = {separator, '"', "\x00", "\t", " ", "\r", "\n"}
+    pool = [
+        c for c in _CTRL_POOL + _PROTECT_POOL if c not in base_taken
+    ]
+    for k in (2, 3):
+        seen = _ngram_present(local_path, k)
+        for lead in pool:
+            tails = [c for c in pool if c != lead]
+            absent: list[str] = []
+            if k == 2:
+                combos = ((t,) for t in tails)
+            else:
+                import itertools
+
+                combos = itertools.product(tails, repeat=2)
+            for tail in combos:
+                s = lead + "".join(tail)
+                code = 0
+                for ch in s:
+                    code = code * 256 + ord(ch)
+                if not seen[code]:
+                    absent.append(s)
+                if len(absent) >= 16:
+                    break
+            protect = next(
+                (s for s in absent if any(ord(ch) > 0x20 for ch in s)), None
+            )
+            if protect is None:
+                continue
+            others = [s for s in absent if s != protect][:4]
+            if len(others) < 4:
+                continue
+            logger.info(
+                "sentinel pool exhausted — using %d-byte sentinels "
+                "absent from the file",
+                k,
+            )
+            return {
+                "crlf": others[0],
+                "cr": others[1],
+                "lf": others[2],
+                "empty": others[3],
+                "protect": protect,
+            }
+    raise LoadCsvError(
+        "cannot choose rewrite sentinels: file contains every candidate "
+        "byte sequence up to 3 bytes"
+    )
+
+
 def _choose_sentinels(
-    present: frozenset[int] | None, separator: str
+    present: frozenset[int] | None, separator: str,
+    local_path: str | None = None,
 ) -> dict[str, str]:
     """Per-file sentinel assignment (VERDICT_r09 #4): if any DEFAULT
     sentinel byte genuinely occurs in a file about to be rewritten, pick
@@ -343,10 +442,10 @@ def _choose_sentinels(
     byte-presence set the trigger probe accumulates while it streams the
     file anyway (for the ASCII pool bytes, byte presence == character
     presence in both UTF-8 and latin-1 — a <0x80 byte never occurs
-    inside a multi-byte UTF-8 sequence). Only a file containing every
-    pool byte keeps a colliding default (logged; the documented residual
-    class shrinks to 'uses all 27 control bytes AND needs the
-    rewrite')."""
+    inside a multi-byte UTF-8 sequence). A file containing every pool
+    byte falls back to equal-length MULTI-byte sentinels proven absent
+    from the file (_multibyte_sentinels; VERDICT_r10 #2) — no input is
+    ever silently altered."""
     chosen = dict(zip(_SENT_KEYS, _SENT_DEFAULTS))
     if present is None or not any(ord(d) in present for d in _SENT_DEFAULTS):
         return chosen
@@ -363,6 +462,13 @@ def _choose_sentinels(
                 taken.add(c)
                 break
         else:
+            if local_path is not None:
+                # VERDICT_r10 #2: no single absent byte left — switch
+                # the WHOLE assignment to equal-length multi-byte
+                # sentinels proven absent from the file (loud
+                # LoadCsvError if even that fails; never silent
+                # alteration of genuine bytes)
+                return _multibyte_sentinels(local_path, separator)
             logger.warning(
                 "sentinel pool exhausted for %r — file uses every "
                 "candidate byte; genuine %r bytes may be altered by the "
@@ -471,7 +577,10 @@ def _scan_rewrite_triggers(
                 utf8_dec.decode(chunk)
             buf = prev2 + chunk
             a = np.frombuffer(buf, dtype=np.uint8)
-            seen |= np.bincount(a, minlength=256).astype(bool)
+            # presence from the chunk bytes only (a[2:] == chunk):
+            # prev2 starts as VIRTUAL b'\n\n', which would mark 0x0A
+            # present even for newline-free files (ADVICE_r10)
+            seen |= np.bincount(a[2:], minlength=256).astype(bool)
             is_nl = (a == 10) | (a == 13)
             nl_all = is_nl.nonzero()[0]
             if not cr_flag and b"\r" in buf:
@@ -954,7 +1063,7 @@ def _rewrite_file(
 
     py_enc = "latin-1" if encoding == "ISO-8859-1" else "utf-8"
     if sentinels is None:
-        sentinels = _choose_sentinels(present, separator)
+        sentinels = _choose_sentinels(present, separator, local_path)
     nl_sentinels = _nl_pairs(sentinels)
     counts = {"quoted": 0, "cr": 0, "empty": 0, "blank": 0, "protect": 0}
 
@@ -1358,9 +1467,31 @@ def load_csv(
         # tokenizer itself regardless of options.
         .option("nullValue", "\u0000")
     )
+    has_nul = bool(orig_present) and 0 in orig_present
     if quoting == _QUOTE_NONE:
-        # csv.QUOTE_NONE: quotes are ordinary characters.
-        reader = reader.option("quote", "\u0000")
+        # csv.QUOTE_NONE: quotes are ordinary characters. NUL works as
+        # the disabling quote char only while the file provably contains
+        # no NUL byte -- otherwise a genuine NUL would act as a quote
+        # char, so pick a file-absent ASCII byte instead (ASCII byte
+        # absence == char absence in both utf-8 and latin-1).
+        qchar = "\u0000"
+        if has_nul:
+            cand = next(
+                (
+                    b
+                    for b in range(1, 0x80)
+                    if b not in orig_present
+                    and chr(b) not in (separator[:1], "\r", "\n")
+                ),
+                None,
+            )
+            if cand is None:
+                raise LoadCsvError(
+                    "cannot disable quoting: file contains a NUL and "
+                    "every other ASCII byte"
+                )
+            qchar = chr(cand)
+        reader = reader.option("quote", qchar)
     try:
         # A4: pandas treats a row with more fields than the FIRST DATA ROW
         # as a bad line — an error, or dropped under --skip-errors
@@ -1383,7 +1514,7 @@ def load_csv(
         # Spark-side filter cannot distinguish a lone ' ' line (pandas
         # skips) from a ' ,,' row (pandas KEEPS as [' ', NaN, NaN]) once
         # univocity nulls unquoted-empty trailing fields.
-        if restore_nl or restore_protect or restore_empty:
+        if restore_nl or restore_protect or restore_empty or has_nul:
             # undo the rewrite sentinels (narrow projection; affected
             # files only): in-quote newlines + empty-field byte on every
             # column, the line-protect prefix on the first physical field
@@ -1402,6 +1533,13 @@ def load_csv(
                     col = F.replace(
                         col, F.lit(sentinels["empty"]), F.lit("")
                     )
+                if has_nul:
+                    # pandas' C tokenizer truncates every cell VALUE at
+                    # the first NUL byte (probed: quoted, unquoted and
+                    # numeric cells alike; tokenization is unaffected).
+                    # Gated on the trigger probe's byte-presence set, so
+                    # NUL-free files skip the projection entirely.
+                    col = F.substring_index(col, "\u0000", 1)
                 cols.append(col.alias(c))
             df = df.select(*cols)
         if idx_cols:

@@ -5,6 +5,7 @@ engine produces — same schemas, rows, types, lookup-table id order,
 index/FTS inventory as the reference's goldens.
 """
 
+import pathlib
 import sqlite3
 
 import pytest
@@ -539,3 +540,70 @@ def test_rewrite_fk_nonbroadcast_is_shuffle_join_for_big_dim(spark):
     out = rewrite_fk(fact, "label", dim, value_column="value", broadcast=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+
+
+def test_tree_union_flat_plan_50_parts(spark):
+    """VERDICT_r10 #7: the dim-prefetch union is a balanced tree, not a
+    left-deep unionAll chain — at 50 parts the optimized plan is ONE
+    n-ary Union (CombineUnions collapses the tree) and analysis stays
+    fast."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.engine import tree_union
+
+    parts = [
+        spark.range(1).select(
+            F.lit(f"dim{i}").alias("__dim__"),
+            F.lit(i).alias("id"),
+            F.lit(f"v{i}").alias("__v__"),
+        )
+        for i in range(50)
+    ]
+    t0 = time.time()
+    tagged = tree_union(parts)
+    plan = tagged._jdf.queryExecution().optimizedPlan().toString()
+    elapsed = time.time() - t0
+    # one flat n-ary Union node, not 49 nested binary ones
+    assert plan.count("Union") == 1
+    # analysis of the 50-part tree is O(n log n)-cheap; a pathological
+    # chain blowup would push this far beyond the bound
+    assert elapsed < 20.0
+    rows = tagged.collect()
+    assert len(rows) == 50
+    assert {r["__dim__"] for r in rows} == {f"dim{i}" for i in range(50)}
+    # single-part and empty-edge behavior
+    assert tree_union([parts[0]]) is parts[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tree_union([])
+
+
+def test_fifty_dim_prefetch_end_to_end(spark, tmp_path):
+    """50 extracted dims flow through the single prefetch job (tagged
+    tree union) with correct per-dim first-appearance ids."""
+    cols = [f"c{i:02d}" for i in range(50)]
+    lines = [",".join(cols)]
+    # two rows; every column has two distinct values in first-appearance
+    # order ("b" then "a") so id assignment is observable
+    lines.append(",".join(f"b{i}" for i in range(50)))
+    lines.append(",".join(f"a{i}" for i in range(50)))
+    csv = tmp_path / "wide.csv"
+    csv.write_text("\n".join(lines) + "\n")
+    db = str(tmp_path / "wide.db")
+    import_csvs(spark, [str(csv)], db, extract_column=cols)
+    conn = sqlite3.connect(db)
+    try:
+        for i, c in enumerate(cols):
+            got = conn.execute(f"select id, value from {c} order by id").fetchall()
+            assert got == [(1, f"b{i}"), (2, f"a{i}")], c
+        # fact table carries ids 1,2 in row order for every fk column
+        first, second = conn.execute(
+            "select * from wide order by rowid"
+        ).fetchall()
+        assert first == tuple([1] * 50)
+        assert second == tuple([2] * 50)
+    finally:
+        conn.close()

@@ -398,6 +398,19 @@ def test_language_autodetection_and_restriction():
         parse_datetime("3 enero 2017 roku", [])
     with pytest.raises(UnparseableDate):
         parse_datetime("5 juin 2017 г.", [])
+    # ADVICE_r10: the mixed-evidence refusal holds under an explicit
+    # multi-language restriction too — 'enero' is es-only, 'roku' is
+    # pl-only, so NO single allowed locale claims every marking token
+    # (dateparser's per-language trials fail both es and pl)
+    with pytest.raises(UnparseableDate):
+        parse_datetime("3 enero 2017 roku", [], languages=["es", "pl"])
+    with pytest.raises(UnparseableDate):
+        parse_datetime("5 juin 2017 г.", [], languages=["fr", "ru"])
+    # but a restriction covering a SINGLE consistent locale still parses
+    assert (
+        parse_datetime("3 maja 2017 roku", [], languages=["es", "pl"]).isoformat()
+        == "2017-05-03T00:00:00"
+    )
 
     # languages= restricts recognition (dateparser.parse surface)
     assert (

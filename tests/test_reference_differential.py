@@ -1091,8 +1091,10 @@ def test_help_and_version_cosmetics_match_reference():
 
     r = CliRunner().invoke(our_cli, ["--version"])
     assert r.exit_code == 0
-    assert r.output == f"cli, version {__version__}\n"
-    assert re.fullmatch(r"cli, version \d+[.\w]*\n", r.output)
+    # round 11: prog_name pinned to the installed-tool name (the
+    # reference's bare version_option reads it from package metadata)
+    assert r.output == f"csvs-to-sqlite, version {__version__}\n"
+    assert re.fullmatch(r"csvs-to-sqlite, version \d+[.\w]*\n", r.output)
 
 
 def test_non_latin_dateparser_locales_identical(spark, tmp_path):
@@ -1286,3 +1288,65 @@ def test_uk_bn_fa_dateparser_locales_identical(spark, tmp_path):
     assert rows[2] == "1999-01-01T00:00:00"
     assert rows[4] == "2017-05-03T00:00:00"
     assert rows[8] == "2017-05-03T00:00:00"
+
+
+def test_all256_pool_exhaustion_identical(spark, tmp_path):
+    """VERDICT_r10 #2: a file containing EVERY byte value 0-255 (all
+    sentinel-pool candidates exhausted) that ALSO needs the in-quote
+    newline rewrite. _choose_sentinels falls back to multi-byte
+    sentinels proven absent from the file — no genuine byte is ever
+    silently altered. Also locks pandas' NUL-truncation semantics
+    (every cell value truncates at the first NUL; tokenization
+    unaffected) on the latin-1 path."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    ctrl = bytes([*range(1, 9), 0x0B, 0x0C, *range(0x0E, 0x20)])
+    prot = bytes(
+        [0x7F, 0x60, 0x7E, 0x5E, 0x40, 0x23, 0x24, 0x25, 0x26, 0x2A,
+         0x3B, 0x3F, 0x21, 0x7C, 0x5C, 0x5D, 0x5B, 0x7B, 0x7D]
+    )
+    high = bytes(range(0x80, 0x100))
+    rest = bytes(
+        sorted(set(range(0x20, 0x7F)) - set(prot) - {0x22, 0x2C})
+    )
+    content = (
+        b'a,b\n'
+        b'"x\ny",1\n'
+        b'"' + ctrl + b'",2\n'
+        b'"' + prot + b'",3\n'
+        b'"' + high + b'",4\n'
+        b'"n\x00l\tm",5\n'
+        b'"' + rest + b'",6\n'
+        b'"q""t,\r\nu",7\n'
+    )
+    assert set(content) == set(range(256))  # truly all 256 byte values
+    (tmp_path / "t.csv").write_bytes(content)
+    run_reference(str(tmp_path), "t.csv", "ref.db", [])
+    import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+@pytest.mark.parametrize(
+    "name,raw",
+    [
+        ("quoted_mid", b'a,b\n"n\x00l",1\n'),
+        ("unquoted_mid", b"a,b\nn\x00l,1\n"),
+        ("leading", b"a,b\n\x00nl,1\n"),
+        ("numeric", b"a,b\n1\x002,1\n"),
+        ("header", b"a\x00c,b\n1,2\n"),
+        ("two_nuls", b'a,b\n"x\x00y\x00z",1\n'),
+        ("nul_plus_rewrite", b'a,b\n"q\nr\x00s",1\nn\x00l,2\n'),
+    ],
+)
+def test_nul_truncation_identical(spark, tmp_path, name, raw):
+    """pandas' C tokenizer truncates every cell VALUE (and header name)
+    at the first NUL byte while tokenization continues to the true
+    delimiter (probed on pandas 2.x: quoted, unquoted, numeric and
+    header cells alike; the python engine KEEPS NULs — covered by the
+    multi-char-sep path, which never applies the truncation)."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_bytes(raw)
+    run_reference(str(tmp_path), "t.csv", "ref.db", [])
+    import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))

@@ -454,3 +454,64 @@ def test_rewrite_window_boundaries_equivalent(tmp_path):
             except LoadCsvError as e:
                 outs.append(("REFUSED", "pandas tokenizer buffer" in str(e)))
         assert outs[0] == outs[1], (trial, repr(text), outs)
+
+
+def test_byte_presence_reflects_only_real_file_bytes(tmp_path):
+    """ADVICE_r10: the trigger probe's byte-presence set must come from
+    the file's actual bytes — the virtual b'\\n\\n' BOF carry used for
+    boundary classification must not mark 0x0A present in newline-free
+    files (any future consumer of `present` would otherwise see a
+    phantom newline)."""
+    from csvs_to_sqlite_spark.sources.csv_source import _scan_rewrite_triggers
+
+    # newline-free single-line file: no 0x0A, no 0x0D anywhere
+    f = tmp_path / "oneline.csv"
+    f.write_bytes(b"a,b")
+    *_, present = _scan_rewrite_triggers(str(f), ",", 0, 2)
+    assert 0x0A not in present and 0x0D not in present
+    assert present == frozenset(b"a,b")
+
+    # multi-chunk boundary: carried prev2 bytes are real file bytes and
+    # must be counted exactly once (presence, not counts — but the set
+    # must still be exactly the file's byte set)
+    f2 = tmp_path / "real.csv"
+    f2.write_bytes(b"a,b\n1,2\n")
+    *_, present2 = _scan_rewrite_triggers(str(f2), ",", 0, 2)
+    assert present2 == frozenset(b"a,b\n1,2")
+
+
+def test_multibyte_sentinel_fallback_properties(tmp_path):
+    """VERDICT_r10 #2 unit: when every single-byte candidate occurs in
+    the file, _choose_sentinels returns equal-length multi-byte
+    sentinels that (a) are absent from the file, (b) share one lead char
+    with no lead char in any tail position (the no-false-match shape),
+    (c) give the protect sentinel a >0x20 char, and (d) never contain
+    separator/quote/CR/LF/NUL."""
+    from csvs_to_sqlite_spark.sources.csv_source import (
+        _CTRL_POOL,
+        _PROTECT_POOL,
+        _SENT_KEYS,
+        _choose_sentinels,
+    )
+
+    pool_bytes = "".join(_CTRL_POOL + _PROTECT_POOL).encode("latin-1")
+    f = tmp_path / "x.csv"
+    f.write_bytes(b'a,b\n"' + pool_bytes + b'",1\n"p\nq",2\n')
+    present = frozenset(f.read_bytes())
+    chosen = _choose_sentinels(present, ",", str(f))
+    vals = [chosen[k] for k in _SENT_KEYS]
+    assert len(set(vals)) == 5
+    lengths = {len(v) for v in vals}
+    assert lengths == {2} or lengths == {3}
+    raw = f.read_bytes()
+    leads = {v[0] for v in vals}
+    assert len(leads) == 1  # shared lead
+    lead = leads.pop()
+    for v in vals:
+        assert v.encode("latin-1") not in raw  # absent as a substring
+        assert all(ch != lead for ch in v[1:])  # no lead in tails
+        assert not (set(v) & {",", '"', "\r", "\n", "\x00", "\t", " "})
+    assert any(ord(ch) > 0x20 for ch in chosen["protect"])
+    # a clean file keeps the single-byte defaults (fast path untouched)
+    clean = _choose_sentinels(frozenset(b"ab,1\n"), ",", str(f))
+    assert all(len(v) == 1 for v in clean.values())

@@ -130,9 +130,21 @@ def stage_bench() -> dict:
                 rec = json.loads(ln)
             except ValueError:
                 pass
+    # Promote the settled-ness evidence to the stage level (VERDICT_r10
+    # #8) so CERTIFY.json itself shows WHY the bench sample is trusted,
+    # without digging into the nested result record.
+    settled = {}
+    if rec is not None:
+        settled = {
+            "steal_pct": rec.get("steal_pct"),
+            "probe_s": rec.get("probe_s"),
+            "uniform_inflation_hits": rec.get("uniform_inflation_hits"),
+            "contention_rules_fired": rec.get("contention_rules_fired"),
+        }
     return {
         "ok": rc == 0 and rec is not None,
         "result": rec,
+        **settled,
         "wall_s": round(time.time() - t0, 1),
     }
 

@@ -36,7 +36,25 @@ ALPHABET = [
     # non-colliding bytes when these occur in a file that needs the
     # rewrite (VERDICT_r09 #4)
     "\x01", "\x02", "\x03", "\x05", "\x7f",
+    # r11 (VERDICT_r10 #1): NUL (pandas truncates cells at it), NEL,
+    # NBSP, multi-byte UTF-8 (2-, 3- and 4-byte sequences adjacent to
+    # quotes/CRs), and a mid-file BOM. In latin-1 trials the non-ASCII
+    # entries are written as SINGLE high bytes, attacking the
+    # rewrite/probe bytes-vs-str boundary where encodings disagree.
+    "\x00", "\x85", "\xa0", "\xe9", "\xff",
+    "\u20ac", "\U0001f600", "\ufeff",
 ]
+
+# tokens representable as single latin-1 bytes (the rest are skipped in
+# latin-1 mode; \xe9/\xff/\x85/\xa0 become raw high bytes there, NOT
+# valid UTF-8 — both readers must take the same fallback path)
+def _encode(tok: str, latin1: bool) -> bytes:
+    if latin1:
+        try:
+            return tok.encode("latin-1")
+        except UnicodeEncodeError:
+            return b""
+    return tok.encode("utf-8")
 
 
 def pandas_tokenizer_malformed(text, sep=","):
@@ -84,10 +102,15 @@ def norm(v):
     return s
 
 
-def snapshot_pandas(text, sep=","):
-    """Returns (snapshot, refusal_message_or_None)."""
+def snapshot_pandas(raw, sep=","):
+    """Returns (snapshot, refusal_message_or_None). ``raw`` is BYTES;
+    the utf-8 -> latin-1 retry mirrors the reference's whole-file
+    fallback (reference utils.py:38-47)."""
     try:
-        df = pd.read_csv(io.StringIO(text), sep=sep)
+        try:
+            df = pd.read_csv(io.BytesIO(raw), sep=sep, encoding="utf-8")
+        except UnicodeDecodeError:
+            df = pd.read_csv(io.BytesIO(raw), sep=sep, encoding="ISO-8859-1")
         return (
             [str(c) for c in df.columns],
             [[norm(v) for v in r] for r in df.values.tolist()],
@@ -96,11 +119,11 @@ def snapshot_pandas(text, sep=","):
         return "REFUSED", str(e)
 
 
-def snapshot_ours(spark, text, sep=","):
-    """Returns (snapshot, refusal_message_or_None)."""
+def snapshot_ours(spark, raw, sep=","):
+    """Returns (snapshot, refusal_message_or_None). ``raw`` is BYTES."""
     fd, p = tempfile.mkstemp(suffix=".csv")
-    with os.fdopen(fd, "w", newline="") as f:
-        f.write(text)
+    with os.fdopen(fd, "wb") as f:
+        f.write(raw)
     try:
         df = load_csv(spark, p, separator=sep)
         return (
@@ -126,12 +149,17 @@ def main():
             # 4th trial runs under sep='\t' (the lone-CR rules and the
             # blank-line skip class are separator-dependent).
             sep = "\t" if trial % 4 == 3 else ","
-            body = "".join(
-                rng.choice(ALPHABET) for _ in range(rng.randint(3, 60))
+            # r11 axis: every 3rd trial writes latin-1 bytes (high bytes
+            # are then NOT valid UTF-8 — both readers must agree on the
+            # fallback path and on every restored byte)
+            latin1 = trial % 3 == 2
+            body = b"".join(
+                _encode(rng.choice(ALPHABET), latin1)
+                for _ in range(rng.randint(3, 60))
             )
-            text = ("a\tb\n" if sep == "\t" else "a,b\n") + body
-            ref, ref_err = snapshot_pandas(text, sep)
-            ours, our_err = snapshot_ours(spark, text, sep)
+            raw = (b"a\tb\n" if sep == "\t" else b"a,b\n") + body
+            ref, ref_err = snapshot_pandas(raw, sep)
+            ours, our_err = snapshot_ours(spark, raw, sep)
             tried += 1
             if ours == ref:
                 continue
@@ -148,13 +176,18 @@ def main():
                 # instead of replicating corrupt output
                 known += 1
                 continue
-            if pandas_tokenizer_malformed(text, sep):
+            if pandas_tokenizer_malformed(
+                raw.decode("utf-8", errors="ignore")
+                if not latin1
+                else raw.decode("latin-1"),
+                sep,
+            ):
                 # malformed quoting: recovery bytes/field counts diverge
                 # between the C tokenizer and univocity — documented
                 known += 1
                 continue
             fails += 1
-            print("MISMATCH", seed, trial, repr(text))
+            print("MISMATCH", seed, trial, latin1, repr(raw))
             print("  ours:", ours)
             print("  ref :", ref, "" if ref != "REFUSED" else repr(ref_err)[:80])
     print(f"{tried} trials, fails= {fails}, known_divergences= {known}")
