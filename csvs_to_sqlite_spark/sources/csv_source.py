@@ -1013,6 +1013,7 @@ def _rewrite_file(
     do_cr: bool = False,
     sentinels: dict[str, str] | None = None,
     present: frozenset[int] | None = None,
+    do_nul: bool = False,
     _window: int = 8 << 20,
 ) -> tuple[str | None, bool, bool, bool, int, dict[str, str]]:
     """Driver-side pre-scan rewrite for the line classes Spark's
@@ -1065,13 +1066,24 @@ def _rewrite_file(
     if sentinels is None:
         sentinels = _choose_sentinels(present, separator, local_path)
     nl_sentinels = _nl_pairs(sentinels)
-    counts = {"quoted": 0, "cr": 0, "empty": 0, "blank": 0, "protect": 0}
+    counts = {"quoted": 0, "cr": 0, "empty": 0, "blank": 0, "protect": 0,
+              "nul": 0}
 
     sep_last = _re.escape((separator or ",")[-1])
     field_pat = _re.compile(r'(?<![^' + sep_last + r'\n\r])"[^"]*(?:""[^"]*)*"')
 
     def _seal(m):
         s = m.group(0)
+        if do_nul and "\x00" in s:
+            # pandas truncates the field VALUE at the first NUL while the
+            # tokenizer keeps scanning to the closing quote (probed) —
+            # and univocity SILENTLY DROPS NULs from quoted fields that
+            # contain escaped quotes, so the truncation cannot be left to
+            # the scan projection. Raw-position truncation is safe: the
+            # kept prefix has balanced ""-pairs (a NUL between an escaped
+            # pair's two quotes is the malformed-quoting class).
+            counts["nul"] += 1
+            s = s[: s.index("\x00")] + '"'
         if "\n" in s or "\r" in s:
             counts["quoted"] += 1
             for orig, sent in nl_sentinels:
@@ -1120,9 +1132,36 @@ def _rewrite_file(
         counts["protect"] += 1
         return sentinels["protect"] + body + m.group(2)
 
+    if do_nul:
+        # out-of-quote NUL: pandas truncates the value at the NUL but
+        # still tokenizes to the true delimiter — delete from the NUL to
+        # the field end (runs AFTER the quote pass, which has already
+        # truncated every well-formed quoted field, so any remaining NUL
+        # is outside quotes). LINE-AWARE: a line containing a NUL is
+        # never pandas-blank-skipped (the skip class is space/tab only),
+        # but the deletion can leave an empty or all-<=0x20 line that
+        # Spark's trim-empty drop would silently remove — those lines
+        # get the protect prefix so the row survives and restores to the
+        # truncated value (r11 structure-fuzz find, seeds 160811-160813).
+        nul_line_pat = _re.compile(
+            r"(?:\A|(?<=[\r\n]))([^\r\n]*\x00[^\r\n]*)"
+        )
+        nul_span = _re.compile("\x00[^" + S + "\r\n]*")
+        low_chars = set(_BLANKISH.decode("latin-1"))
+
+        def _nul_resolve(m):
+            out, k = nul_span.subn("", m.group(1))
+            counts["nul"] += k
+            if not out or set(out) <= low_chars:
+                counts["protect"] += 1
+                out = sentinels["protect"] + out
+            return out
+
     def _process(proc: str) -> str:
-        if do_quotes:
+        if do_quotes or do_nul:
             proc = field_pat.sub(_seal, proc)
+        if do_nul:
+            proc = nul_line_pat.sub(_nul_resolve, proc)
         if do_cr:
             # lone-'\r' adjacency semantics (swallow/refuse — see
             # _lone_cr_pass). Runs after the quote pass so every
@@ -1389,7 +1428,16 @@ def load_csv(
         # separator per '\r' (pandas semantics) — a '\r,' leftover in the
         # rewritten file is ordinary line content, not a new swallow
         do_cr = cr_flag and not cr_done
-        if not (q_flag or blank_flag or trail_flag or empties_flag or do_cr):
+        # NUL cells need the driver-side rewrite whenever a quote char is
+        # active: univocity drops NULs from quoted fields with escaped
+        # quotes, so the scan projection alone cannot reproduce pandas'
+        # truncate-at-NUL. Under QUOTE_NONE no quoted fields exist and
+        # the projection suffices. Per-pass from `present`, so the
+        # second (post-swallow) pass over the already-NUL-free rewritten
+        # file never re-triggers.
+        do_nul = 0 in present and quoting != _QUOTE_NONE
+        if not (q_flag or blank_flag or trail_flag or empties_flag
+                or do_cr or do_nul):
             break
         try:
             rewritten, r_nl, r_protect, r_empty, n_swallowed, sentinels = (
@@ -1404,6 +1452,7 @@ def load_csv(
                     do_cr,
                     sentinels,
                     present,
+                    do_nul=do_nul,
                 )
             )
         except UnicodeDecodeError:
@@ -1424,6 +1473,7 @@ def load_csv(
                     do_cr,
                     sentinels,
                     present,
+                    do_nul=do_nul,
                 )
             )
         except MemoryError as e:

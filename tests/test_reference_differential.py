@@ -1329,6 +1329,37 @@ def test_all256_pool_exhaustion_identical(spark, tmp_path):
 @pytest.mark.parametrize(
     "name,raw",
     [
+        # NEL (U+0085) and NBSP (U+00A0): ordinary data chars to the
+        # pandas C tokenizer in both utf-8 (2-byte seq) and latin-1
+        # (single high byte) encodings — never line terminators, never
+        # blank-skip class
+        ("nel_utf8", "a,b\nx\u0085y,1\n\u0085,2\n".encode("utf-8")),
+        ("nel_latin1", b"a,b\nx\x85y,1\n\x85,2\n"),
+        ("nbsp_line_utf8", "a,b\n\u00a0,1\nx,2\n".encode("utf-8")),
+        ("nbsp_latin1", b"a,b\n\xa0 ,1\nx,2\n"),
+        # multi-byte UTF-8 adjacent to quotes / inside rewritten quoted
+        # fields (2-, 3- and 4-byte sequences touching the quote chars
+        # and the in-quote newline the rewrite machinery handles)
+        ("mb_quote_adj", "a,b\n\"\u00e9\n\u20ac\",1\n\"\U0001f600\"\"x\",2\n".encode("utf-8")),
+        ("mb_crlf_quote", "a,b\n\"x\u00e9\r\n\u20acy\",1\n".encode("utf-8")),
+        ("midfile_bom", "a,b\nx\ufeffy,1\n\ufeff,2\n".encode("utf-8")),
+    ],
+)
+def test_exotic_bytes_identical(spark, tmp_path, name, raw):
+    """r11 (VERDICT_r10 #1): NEL / NBSP / mid-file BOM / multi-byte
+    UTF-8 adjacent to quote machinery, against the real reference tool
+    in both encodings."""
+    from csvs_to_sqlite_spark.engine import import_csvs
+
+    (tmp_path / "t.csv").write_bytes(raw)
+    run_reference(str(tmp_path), "t.csv", "ref.db", [])
+    import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
+    assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
+
+
+@pytest.mark.parametrize(
+    "name,raw",
+    [
         ("quoted_mid", b'a,b\n"n\x00l",1\n'),
         ("unquoted_mid", b"a,b\nn\x00l,1\n"),
         ("leading", b"a,b\n\x00nl,1\n"),
@@ -1336,6 +1367,20 @@ def test_all256_pool_exhaustion_identical(spark, tmp_path):
         ("header", b"a\x00c,b\n1,2\n"),
         ("two_nuls", b'a,b\n"x\x00y\x00z",1\n'),
         ("nul_plus_rewrite", b'a,b\n"q\nr\x00s",1\nn\x00l,2\n'),
+        # escaped quote + NUL in one quoted field: univocity silently
+        # DROPS the NUL there (r11 structure-fuzz find, seed 160812
+        # trial 131) — the driver-side rewrite truncates instead
+        ("escq_nul", b'a,b\n"x""y\x00z",1\n'),
+        ("escq_nul_nl", b'a,b\n"x""y\x00z\nw",1\n'),
+        ("nul_before_escq", b'a,b\n"x\x00y""z",1\n'),
+        ("escq_nul_tab", b'a\tb\n"x""y\x00z"\t1\n'),
+        ("oq_nul_lead", b"a,b\n\x00xyz,1\n"),
+        # NUL-deletion leaving an empty / all-<=0x20 line: pandas keeps
+        # the row (blank-skip is decided PRE-truncation), Spark's
+        # trim-empty drop needs the protect prefix (r11 fuzz finds)
+        ("nul_only_line", b"a,b\n\x00\x0c2 b"),
+        ("nul_space_line", b"a,b\n \x00\r\nx,1\n"),
+        ("nul_blank_tab", b"a\tb\n\x00x\t\x00y\nz\t2\n"),
     ],
 )
 def test_nul_truncation_identical(spark, tmp_path, name, raw):
@@ -1346,7 +1391,12 @@ def test_nul_truncation_identical(spark, tmp_path, name, raw):
     multi-char-sep path, which never applies the truncation)."""
     from csvs_to_sqlite_spark.engine import import_csvs
 
+    sep = "\t" if b"\t1" in raw else ","
+    args = [] if sep == "," else ["-s", "\t"]
     (tmp_path / "t.csv").write_bytes(raw)
-    run_reference(str(tmp_path), "t.csv", "ref.db", [])
-    import_csvs(spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"))
+    run_reference(str(tmp_path), "t.csv", "ref.db", args)
+    import_csvs(
+        spark, [str(tmp_path / "t.csv")], str(tmp_path / "ours.db"),
+        separator=sep,
+    )
     assert snapshot(str(tmp_path / "ref.db")) == snapshot(str(tmp_path / "ours.db"))
