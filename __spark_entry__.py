@@ -7896,6 +7896,62 @@ FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b
 """
 
 
+def q_image_ahash_exact_dedup(spark, sf_dir):
+    """LINEAR destructive perceptual dedup (r11): group by the FULL
+    aHash (all 8 bands == hamming 0) with min-id representative +
+    group size — multimodal.band_hash_exact_groups. One constant-width
+    shuffle on the hash key, output exactly corpus-sized. Exists because
+    pair output is |matching pairs|-sized and near-dup-DENSE corpora
+    make that quadratic (the r11 sf10 probe: 6,400 synthetic gradient
+    images → 15.2M of 32M possible pairs): at 100 TB destructive image
+    dedup routes HERE, with image_ahash_pairs kept for threshold
+    calibration — the same pairs/edges split as the text MinHash family.
+    Planted exact copies (every 4th image at media_id+1000) must map to
+    their original's rep with group_size ≥ 2."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        image_ahash_exact_groups,
+        synth_ppm_media,
+    )
+
+    m = synth_ppm_media(spark, 64)
+    aug = m.unionByName(
+        m.where(F.col("media_id") % 4 == 0).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
+    out = image_ahash_exact_groups(aug)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+def _sql_image_ahash_exact_dedup() -> str:
+    """Twin of q_image_ahash_exact_dedup: reuses the pair twin's
+    closed-form hash CTE chain verbatim (split before its pairs CTE),
+    then groups by the full band list via the same string key Spark's
+    concat_ws builds."""
+    pair_sql = _sql_image_phash_dedup()
+    prefix = pair_sql.split(",\npairs AS (")[0]
+    return (
+        prefix
+        + """,
+keyed AS (
+  SELECT i, array_to_string(bands, ',') AS hkey FROM hashes),
+groups AS (
+  SELECT hkey, min(i) AS rep_id, count(*) AS group_size
+  FROM keyed GROUP BY hkey)
+SELECT CAST(k.i AS BIGINT) AS media_id,
+       CAST(g.rep_id AS BIGINT) AS rep_id,
+       CAST(g.group_size AS BIGINT) AS group_size
+FROM keyed k JOIN groups g ON k.hkey = g.hkey
+ORDER BY media_id
+"""
+    )
+
+
 def q_audio_fingerprint_dedup(spark, sf_dir):
     """Audio near-dup pairs over a 64-bit windowed-energy fingerprint —
     the second modality of the perceptual-dedup family (multimodal.py
@@ -9366,6 +9422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_mi": q_source_lang_mi,
         "totalprice_conformance": q_totalprice_conformance,
         "image_phash_dedup": q_image_phash_dedup,
+        "image_ahash_exact_dedup": q_image_ahash_exact_dedup,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
         "video_fingerprint_dedup": q_video_fingerprint_dedup,
@@ -9595,6 +9652,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_mi": SQL_SOURCE_LANG_MI,
         "totalprice_conformance": SQL_TOTALPRICE_CONFORMANCE,
         "image_phash_dedup": _sql_image_phash_dedup(),
+        "image_ahash_exact_dedup": _sql_image_ahash_exact_dedup(),
         "audio_fingerprint_dedup": _sql_audio_fingerprint_dedup(),
         "bpe_roundtrip": _sql_bpe_roundtrip(),
         "video_fingerprint_dedup": _sql_video_fingerprint_dedup(),

@@ -806,15 +806,13 @@ def _parse_fuzzy(
             else:
                 raise UnparseableDate(value)
     if langs is not None:
-        for ev in evidence:
-            if not ev & langs:
-                raise UnparseableDate(value)
-        # ADVICE_r10: the mixed-evidence guard applies under a
-        # restriction too — some single ALLOWED locale must claim every
-        # marking token, else '3 enero 2017 roku' with languages=
-        # ['es','pl'] would parse while the unrestricted path (and
-        # dateparser's per-language trials, which fail both es and pl)
-        # refuse it.
+        # ADVICE_r10: some single ALLOWED locale must claim every
+        # marking token — this subsumes any per-token check (the joint
+        # intersection is a subset of each token's set), so '3 enero
+        # 2017 roku' with languages=['es','pl'] refuses like the
+        # unrestricted path and dateparser's per-language trials (which
+        # fail both es and pl), and an out-of-set single-locale token
+        # refuses too.
         if evidence and not (frozenset.intersection(*evidence) & langs):
             raise UnparseableDate(value)
     elif evidence and not frozenset.intersection(*evidence):

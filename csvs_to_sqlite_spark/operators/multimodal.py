@@ -710,6 +710,60 @@ def image_ahash(df: DataFrame) -> DataFrame:
     )
 
 
+def band_hash_exact_groups(
+    hashes: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """LINEAR destructive dedup for perceptual hashes: group by the FULL
+    hash (all bands equal == hamming 0) and map every member to its
+    group's min-id representative — the multimodal analogue of the text
+    path's dedup_exact / minhash_lsh_edges star form. Returns
+    (id, rep_id, group_size); a row is a duplicate iff id != rep_id.
+
+    Why this exists (r11 sf10 probe): pair-complete perceptual output is
+    |matching pairs|-sized, and near-dup-DENSE corpora make that
+    quadratic regardless of join strategy — 6,400 synthetic gradient
+    images produced 15.2M of 32M possible pairs through the (band, val)
+    posting-list join. At 100 TB, destructive dedup must route through
+    this hash-keyed form: one constant-width shuffle on the hash key,
+    output exactly corpus-sized, no pair materialization anywhere.
+    ``image_ahash_pairs`` / ``band_hash_pairs`` stay for CALIBRATION
+    (hamming thresholds need actual pairs), like minhash_lsh_pairs.
+
+    Representative via groupBy + equi-join back, deliberately NOT a
+    window: a 10^8-copy boilerplate image family would be one
+    unsplittable window partition, while AQE's skew handling splits the
+    hot join partition (same design note as dedup.minhash_lsh_edges).
+    """
+    keyed = hashes.select(
+        F.col(id_col),
+        F.concat_ws(
+            ",", F.transform("bands", lambda x: x.cast("string"))
+        ).alias("__hkey__"),
+    )
+    keyed = keyed.persist()  # agg + join sides share the decode stage
+    try:
+        groups = keyed.groupBy("__hkey__").agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        # scoped like _pairs_with_scoped_persist: eager checkpoint of the
+        # (id, rep, size)-wide result, then release the decode-stage cache
+        return (
+            keyed.join(groups, "__hkey__")
+            .select(id_col, "rep_id", "group_size")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        keyed.unpersist()
+
+
+def image_ahash_exact_groups(df: DataFrame) -> DataFrame:
+    """aHash exact-duplicate groups over raw media rows (decode →
+    band_hash_exact_groups). The destructive-dedup scale path for
+    images; see band_hash_exact_groups."""
+    return band_hash_exact_groups(image_ahash(df))
+
+
 def image_ahash_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Perceptual near-duplicate image pairs: candidates from a
     (band_idx, band_value) self-equi-join over the 8 byte-bands —

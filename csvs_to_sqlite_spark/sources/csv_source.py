@@ -386,33 +386,41 @@ def _multibyte_sentinels(
     pool = [
         c for c in _CTRL_POOL + _PROTECT_POOL if c not in base_taken
     ]
+    # helpers: a candidate can serve the protect slot iff it carries a
+    # char > 0x20 (Spark's trim-empty line drop must keep the line)
+    def _protectable(s: str) -> bool:
+        return any(ord(ch) > 0x20 for ch in s)
+
     for k in (2, 3):
         seen = _ngram_present(local_path, k)
         for lead in pool:
             tails = [c for c in pool if c != lead]
-            absent: list[str] = []
+            others: list[str] = []
+            protect: str | None = None
             if k == 2:
                 combos = ((t,) for t in tails)
             else:
                 import itertools
 
                 combos = itertools.product(tails, repeat=2)
+            # collect the protect slot and the four others SEPARATELY —
+            # a flat early-capped list can fill with all-ctrl grams
+            # before any >0x20 tail is reached, spuriously refusing a
+            # file that has a valid assignment (r11 review finding #4)
             for tail in combos:
                 s = lead + "".join(tail)
                 code = 0
                 for ch in s:
                     code = code * 256 + ord(ch)
-                if not seen[code]:
-                    absent.append(s)
-                if len(absent) >= 16:
+                if seen[code]:
+                    continue
+                if protect is None and _protectable(s):
+                    protect = s
+                elif len(others) < 4:
+                    others.append(s)
+                if protect is not None and len(others) >= 4:
                     break
-            protect = next(
-                (s for s in absent if any(ord(ch) > 0x20 for ch in s)), None
-            )
-            if protect is None:
-                continue
-            others = [s for s in absent if s != protect][:4]
-            if len(others) < 4:
+            if protect is None or len(others) < 4:
                 continue
             logger.info(
                 "sentinel pool exhausted — using %d-byte sentinels "
@@ -1160,8 +1168,6 @@ def _rewrite_file(
     def _process(proc: str) -> str:
         if do_quotes or do_nul:
             proc = field_pat.sub(_seal, proc)
-        if do_nul:
-            proc = nul_line_pat.sub(_nul_resolve, proc)
         if do_cr:
             # lone-'\r' adjacency semantics (swallow/refuse — see
             # _lone_cr_pass). Runs after the quote pass so every
@@ -1170,6 +1176,14 @@ def _rewrite_file(
             # gains an empty-field sentinel.
             proc, k = _lone_cr_pass(proc, separator)
             counts["cr"] += k
+        if do_nul:
+            # AFTER the lone-CR pass: pandas' tokenizer sees the raw
+            # byte order, so a NUL sitting between a lone '\r' and the
+            # separator BLOCKS the swallow ('\r\x00,' is an ordinary
+            # line break + a truncated field, not a swallow) — deleting
+            # the NUL first would fabricate adjacency pandas never saw
+            # (r11 review finding, diff-locked crnulblock scenarios)
+            proc = nul_line_pat.sub(_nul_resolve, proc)
         for pat in empty_pats:
             proc, k = pat.subn(sentinels["empty"], proc)
             counts["empty"] += k
@@ -1436,6 +1450,13 @@ def load_csv(
         # second (post-swallow) pass over the already-NUL-free rewritten
         # file never re-triggers.
         do_nul = 0 in present and quoting != _QUOTE_NONE
+        if do_nul and not empties_flag:
+            # NUL deletion can CREATE empty unquoted fields
+            # ('y,\x00z' -> 'y,'); their literal-'' visibility matters
+            # exactly when a uint64-tier literal exists (the rawtext
+            # quirk class) — same 19-digit gate the probe applies to
+            # pre-existing empties (r11 review finding #2)
+            empties_flag = _has_19_digit_run(local_path)
         if not (q_flag or blank_flag or trail_flag or empties_flag
                 or do_cr or do_nul):
             break
@@ -1526,12 +1547,19 @@ def load_csv(
         # absence == char absence in both utf-8 and latin-1).
         qchar = "\u0000"
         if has_nul:
+            # exclude every char of the chosen sentinel assignment too:
+            # sentinels are picked from file-ABSENT bytes, exactly the
+            # pool this scan draws from — a collision would make the
+            # rewritten file's sentinel bytes act as quote chars
+            # (r11 review finding #3)
+            sent_chars = set("".join(sentinels.values())) if sentinels else set()
             cand = next(
                 (
                     b
                     for b in range(1, 0x80)
                     if b not in orig_present
                     and chr(b) not in (separator[:1], "\r", "\n")
+                    and chr(b) not in sent_chars
                 ),
                 None,
             )

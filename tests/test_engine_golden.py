@@ -5,7 +5,6 @@ engine produces — same schemas, rows, types, lookup-table id order,
 index/FTS inventory as the reference's goldens.
 """
 
-import pathlib
 import sqlite3
 
 import pytest

@@ -1381,6 +1381,16 @@ def test_exotic_bytes_identical(spark, tmp_path, name, raw):
         ("nul_only_line", b"a,b\n\x00\x0c2 b"),
         ("nul_space_line", b"a,b\n \x00\r\nx,1\n"),
         ("nul_blank_tab", b"a\tb\n\x00x\t\x00y\nz\t2\n"),
+        # r11 review finding #1: a NUL between a lone '\r' and the
+        # separator BLOCKS the swallow (pandas sees the raw byte order);
+        # deleting the NUL before the CR pass fabricated one
+        ("crnulblock", b"a,b\n\r,1\n\r\x00,2\n"),
+        ("crnulblock_ws", b"a,b\n\r,1\n\r\x00,  x\n"),
+        # r11 review finding #2: NUL deletion CREATES an empty unquoted
+        # field — its literal-'' must stay visible in the uint64-conflict
+        # rawtext column ('' vs NULL)
+        ("nul_makes_rawtext_empty", b"a,b\nx,12345678901234567890\ny,\x00z\n"),
+        ("nul_leading_rawtext", b"a,b\n12345678901234567890,x\n\x00q,y\n"),
     ],
 )
 def test_nul_truncation_identical(spark, tmp_path, name, raw):

@@ -898,6 +898,10 @@ def run_sf10() -> None:
       10M-event directory;
     - knn over 500k vectors where every vector has 100 exact copies
       (top-5 all cos=1);
+    - r11 (VERDICT_r10 #6): knn_lsh + a PERSISTED IVF index built from
+      the 500k-vector corpus (cell-partitioned on disk) under the same
+      exact-copy recall law, and perceptual-hash image dedup at 100x
+      images with planted-copy completeness at hamming 0;
     - ingest wall at 60M rows (CSV materialized by Spark, not pandas —
       a 60M-row toPandas would OOM the driver, which is itself the
       scale lesson).
@@ -1000,10 +1004,121 @@ def run_sf10() -> None:
     print(f"knn sf10: {len(knn)} rows, min top-5 cos {worst}, {time.time()-t0:.1f}s", flush=True)
     assert worst >= 0.999999, f"exact-copy neighbors missing: min cos {worst}"
 
-    # --- ingest wall at 60M rows (Spark-materialized CSV) ---
+    # --- ANN decade (VERDICT_r10 #6): knn_lsh + persisted IVF over the
+    # 500k-vector corpus, 100 exact copies per vector. Identical vectors
+    # share LSH buckets and IVF cells, so every query's top-5 must be
+    # exact copies (cos 1) — a recall law that binds the bucketing, not
+    # just the scorer. Walls print next to the 1x equivalents.
+    from csvs_to_sqlite_spark.operators import similarity
+
+    t0 = time.time()
+    l1 = qs["knn_lsh"](spark, base_dir).collect()
+    t_lsh1 = time.time() - t0
+    t0 = time.time()
+    ln = qs["knn_lsh"](spark, out_dir).collect()
+    t_lshn = time.time() - t0
+    worst_lsh = min(r["cos_sim"] for r in ln)
+    assert worst_lsh >= 0.999999, f"lsh exact-copy recall broke: {worst_lsh}"
+    print(
+        f"knn_lsh sf10: {len(ln)} rows (1x {len(l1)}), min top-5 cos "
+        f"{worst_lsh}, {t_lshn:.1f}s (1x {t_lsh1:.1f}s)",
+        flush=True,
+    )
+
     import glob as _glob
+    import shutil as _shutil
     import tempfile as _tempfile
 
+    emb_n = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+    queries10 = emb_n.where(F.col("vec_id") < 10)
+    ivf_path = _tempfile.mkdtemp(prefix="sf10_ivf_")
+    try:
+        t0 = time.time()
+        similarity.ivf_index_write(emb_n, ivf_path)
+        t_build = time.time() - t0
+        cell_dirs = _glob.glob(os.path.join(ivf_path, "cells", "cell=*"))
+        assert cell_dirs, "IVF on-disk layout missing cell= partitions"
+        t0 = time.time()
+        ivf = similarity.ivf_index_topk(
+            spark, ivf_path, queries10, k=5, n_probe=2
+        ).collect()
+        t_query = time.time() - t0
+        worst_ivf = min(r["cos_sim"] for r in ivf)
+        assert worst_ivf >= 0.999999, f"ivf exact-copy recall broke: {worst_ivf}"
+        print(
+            f"ivf sf10: built 500k-vector index in {t_build:.1f}s "
+            f"({len(cell_dirs)} cells on disk), top-5 query {t_query:.1f}s, "
+            f"min cos {worst_ivf}",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(ivf_path, ignore_errors=True)
+
+    # --- multimodal decade: perceptual dedup at 100x images. The 1x
+    # PAIR path proves banded completeness (every planted copy at
+    # hamming 0); the 100x DESTRUCTIVE path routes through the LINEAR
+    # exact-groups form — the first 100x probe showed why: the synthetic
+    # gradient corpus is near-dup-dense and pair output hit 15.2M of 32M
+    # possible pairs (inherently |matching pairs|-sized, quadratic on
+    # dense corpora regardless of join strategy), while exact-groups
+    # output is corpus-sized by construction.
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        image_ahash_exact_groups,
+        image_ahash_pairs,
+        synth_ppm_media,
+    )
+
+    def planted_media(n_imgs, offset):
+        m = synth_ppm_media(spark, n_imgs)
+        return m.unionByName(
+            m.where(F.col("media_id") % 4 == 0).withColumn(
+                "media_id", F.col("media_id") + offset
+            )
+        )
+
+    t0 = time.time()
+    p1 = image_ahash_pairs(planted_media(64, 1000), max_hamming=7)
+    planted1 = p1.where(
+        (F.col("hamming") == 0)
+        & (F.abs(F.col("id_a") - F.col("id_b")) == 1000)
+        & (F.least("id_a", "id_b") % 4 == 0)
+    ).count()
+    n1_pairs = p1.count()
+    t_img1 = time.time() - t0
+    assert planted1 == 16, planted1
+
+    n_imgs, offset = 6400, 1_000_000
+    t0 = time.time()
+    g = image_ahash_exact_groups(planted_media(n_imgs, offset)).localCheckpoint()
+    n_rows = g.count()
+    t_imgn = time.time() - t0
+    n_aug = n_imgs + n_imgs // 4
+    assert n_rows == n_aug, (n_rows, n_aug)  # output corpus-sized
+    # every planted copy shares its original's representative
+    orig = g.where(F.col("media_id") < offset).select(
+        F.col("media_id").alias("o_id"), F.col("rep_id").alias("o_rep")
+    )
+    copies = g.where(F.col("media_id") >= offset).select(
+        (F.col("media_id") - offset).alias("o_id"),
+        F.col("rep_id").alias("c_rep"),
+        "group_size",
+    )
+    joined = copies.join(orig, "o_id")
+    n_copies = joined.count()
+    n_same = joined.where(
+        (F.col("c_rep") == F.col("o_rep")) & (F.col("group_size") >= 2)
+    ).count()
+    assert n_copies == n_imgs // 4 and n_same == n_copies, (n_copies, n_same)
+    print(
+        f"image_ahash sf10: exact-groups over {n_aug} images in "
+        f"{t_imgn:.1f}s (output {n_rows} rows, corpus-sized; 1x pair path "
+        f"{n1_pairs} pairs incl. all 16 planted at hamming 0, "
+        f"{t_img1:.1f}s); all {n_same} planted copies share their "
+        f"original's representative",
+        flush=True,
+    )
+
+    # --- ingest wall at 60M rows (Spark-materialized CSV) ---
     from csvs_to_sqlite_spark.engine import import_csvs
 
     tmp = _tempfile.mkdtemp(prefix="sf10_ingest_")

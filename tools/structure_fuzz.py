@@ -176,12 +176,14 @@ def main():
                 # instead of replicating corrupt output
                 known += 1
                 continue
-            if pandas_tokenizer_malformed(
-                raw.decode("utf-8", errors="ignore")
-                if not latin1
-                else raw.decode("latin-1"),
-                sep,
-            ):
+            try:
+                # mirror the readers' utf-8-first fallback: latin-1
+                # trials can emit byte runs that happen to be valid
+                # UTF-8, and both readers then took the utf-8 path
+                classifier_text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                classifier_text = raw.decode("latin-1")
+            if pandas_tokenizer_malformed(classifier_text, sep):
                 # malformed quoting: recovery bytes/field counts diverge
                 # between the C tokenizer and univocity — documented
                 known += 1
