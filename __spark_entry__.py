@@ -7896,6 +7896,63 @@ FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b
 """
 
 
+def q_audio_fingerprint_exact_dedup(spark, sf_dir):
+    """Audio member of the r11 linear exact-dedup family (full
+    fingerprint == hamming 0; see q_image_ahash_exact_dedup for why the
+    destructive path must be groups, not pairs)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        audio_fingerprint_exact_groups,
+        synth_wav_media,
+    )
+
+    m = synth_wav_media(spark, 64)
+    aug = m.unionByName(
+        m.where(F.col("media_id") % 4 == 0).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
+    out = audio_fingerprint_exact_groups(aug)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+def _sql_audio_fingerprint_exact_dedup() -> str:
+    """Twin of q_audio_fingerprint_exact_dedup."""
+    return _sql_exact_groups_tail(_sql_audio_fingerprint_dedup())
+
+
+def q_video_fingerprint_exact_dedup(spark, sf_dir):
+    """Video member of the r11 linear exact-dedup family (full
+    majority-vote fingerprint == hamming 0)."""
+    prep_session(spark)
+    from csvs_to_sqlite_spark.operators.multimodal import (
+        synth_ppm_video_media,
+        video_fingerprint_exact_groups,
+    )
+
+    m = synth_ppm_video_media(spark, 24)
+    aug = m.unionByName(
+        m.where(F.col("media_id") % 4 == 0).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
+    out = video_fingerprint_exact_groups(aug)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+def _sql_video_fingerprint_exact_dedup() -> str:
+    """Twin of q_video_fingerprint_exact_dedup."""
+    return _sql_exact_groups_tail(_sql_video_fingerprint_dedup())
+
+
 def q_image_ahash_exact_dedup(spark, sf_dir):
     """LINEAR destructive perceptual dedup (r11): group by the FULL
     aHash (all 8 bands == hamming 0) with min-id representative +
@@ -7928,12 +7985,11 @@ def q_image_ahash_exact_dedup(spark, sf_dir):
     )
 
 
-def _sql_image_ahash_exact_dedup() -> str:
-    """Twin of q_image_ahash_exact_dedup: reuses the pair twin's
-    closed-form hash CTE chain verbatim (split before its pairs CTE),
-    then groups by the full band list via the same string key Spark's
+def _sql_exact_groups_tail(pair_sql: str) -> str:
+    """Generic twin tail for the r11 linear exact-dedup family: reuse a
+    pair twin's closed-form hash CTE chain (split before its pairs CTE)
+    and group by the full band list via the same string key Spark's
     concat_ws builds."""
-    pair_sql = _sql_image_phash_dedup()
     prefix = pair_sql.split(",\npairs AS (")[0]
     return (
         prefix
@@ -7950,6 +8006,11 @@ FROM keyed k JOIN groups g ON k.hkey = g.hkey
 ORDER BY media_id
 """
     )
+
+
+def _sql_image_ahash_exact_dedup() -> str:
+    """Twin of q_image_ahash_exact_dedup (see _sql_exact_groups_tail)."""
+    return _sql_exact_groups_tail(_sql_image_phash_dedup())
 
 
 def q_audio_fingerprint_dedup(spark, sf_dir):
@@ -9423,6 +9484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "totalprice_conformance": q_totalprice_conformance,
         "image_phash_dedup": q_image_phash_dedup,
         "image_ahash_exact_dedup": q_image_ahash_exact_dedup,
+        "audio_fingerprint_exact_dedup": q_audio_fingerprint_exact_dedup,
+        "video_fingerprint_exact_dedup": q_video_fingerprint_exact_dedup,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
         "video_fingerprint_dedup": q_video_fingerprint_dedup,
@@ -9653,6 +9716,8 @@ def oracle_sql() -> dict[str, str]:
         "totalprice_conformance": SQL_TOTALPRICE_CONFORMANCE,
         "image_phash_dedup": _sql_image_phash_dedup(),
         "image_ahash_exact_dedup": _sql_image_ahash_exact_dedup(),
+        "audio_fingerprint_exact_dedup": _sql_audio_fingerprint_exact_dedup(),
+        "video_fingerprint_exact_dedup": _sql_video_fingerprint_exact_dedup(),
         "audio_fingerprint_dedup": _sql_audio_fingerprint_dedup(),
         "bpe_roundtrip": _sql_bpe_roundtrip(),
         "video_fingerprint_dedup": _sql_video_fingerprint_dedup(),

@@ -975,3 +975,16 @@ def video_fingerprint_pairs(df: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Video near-duplicate pairs — same banded posting-list join as the
     image/audio paths (band_hash_pairs)."""
     return _pairs_with_scoped_persist(video_fingerprint(df), max_hamming)
+
+
+def audio_fingerprint_exact_groups(df: DataFrame) -> DataFrame:
+    """Audio exact-duplicate groups (full fingerprint == hamming 0) —
+    the linear destructive path; see band_hash_exact_groups."""
+    return band_hash_exact_groups(audio_fingerprint(df))
+
+
+def video_fingerprint_exact_groups(df: DataFrame) -> DataFrame:
+    """Video exact-duplicate groups (full majority-vote fingerprint ==
+    hamming 0) — the linear destructive path; see
+    band_hash_exact_groups."""
+    return band_hash_exact_groups(video_fingerprint(df))
