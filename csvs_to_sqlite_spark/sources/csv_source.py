@@ -1766,11 +1766,87 @@ def _load_python_engine(
     columns = _pandas_header_names(header)
 
     _pysplit = split_lines_udf(separator)
+    # r11 NUL/ctrl parity for the python-engine path. The text-shaped
+    # scan uses NUL as the disabling sep/quote char — valid only while
+    # the file provably contains no NUL (a genuine NUL would split the
+    # line / act as a quote, silently truncating values: r11
+    # differential-fuzz find, seed 881101). And pandas' python engine
+    # keeps a line of control bytes as a DATA row whenever line.strip()
+    # is non-empty (Python whitespace among <=0x20 is only
+    # \t\n\v\f\r \x1c-\x1f and space), while Spark's scan drops every
+    # all-<=0x20 line — those lines get a driver-side protect prefix
+    # (stripped again below), the same rescue the C path's rewrite does.
+    seen1 = _ngram_present(local_path, 1)
+    sep0 = quote0 = "\u0000"
+    protect0 = None
+    if seen1[0]:
+        absent = [
+            b for b in range(1, 0x80)
+            if not seen1[b] and chr(b) not in ("\r", "\n")
+        ]
+        if len(absent) < 2:
+            raise LoadCsvError(
+                "cannot read file: contains a NUL and every other ASCII byte"
+            )
+        sep0, quote0 = chr(absent[0]), chr(absent[1])
+    # line body class = <=0x20 minus the \r\n terminators (a class
+    # including them would greedily span lines); keep-class = controls
+    # that are NOT Python whitespace (\x1c-\x1f ARE)
+    keepctrl = _re.compile(
+        rb"(?:\A|(?<=[\r\n]))[\x00-\x09\x0b\x0c\x0e-\x20]*"
+        rb"[\x00-\x08\x0e-\x1b][\x00-\x09\x0b\x0c\x0e-\x20]*"
+        rb"(?=[\r\n]|\Z)"
+    )
+    # gate on the presence bitmap first: only files carrying a
+    # keep-class byte at all scan for protect-class lines
+    if any(seen1[b] for b in (*range(0x00, 0x09), *range(0x0E, 0x1C))):
+        cand = next(
+            (
+                chr(b)
+                for b in range(0x21, 0x80)
+                if not seen1[b] and chr(b) not in (sep0, quote0)
+            ),
+            None,
+        )
+        if cand is None:
+            raise LoadCsvError(
+                "cannot protect control-only lines: file uses every "
+                "printable ASCII byte"
+            )
+        pb = cand.encode()
+        n_protected = 0
+        fd, tmp = tempfile.mkstemp(suffix=".csv")
+
+        def _sub(m):
+            nonlocal n_protected
+            n_protected += 1
+            return pb + m.group(0)
+
+        with open(local_path, "rb") as fsrc, os.fdopen(fd, "wb") as out:
+            carry = b""
+            while True:
+                chunk = fsrc.read(1 << 22)
+                if not chunk:
+                    out.write(keepctrl.sub(_sub, carry))
+                    break
+                buf = carry + chunk
+                cut = max(buf.rfind(b"\n"), buf.rfind(b"\r"))
+                if cut < 0:
+                    carry = buf
+                    continue
+                out.write(keepctrl.sub(_sub, buf[: cut + 1]))
+                carry = buf[cut + 1 :]
+        if n_protected:
+            _DECOMPRESSED_TEMPS.append(tmp)
+            local_path = tmp
+            protect0 = cand
+        else:
+            os.unlink(tmp)
     try:
         raw = (
             spark.read.option("header", True)
-            .option("sep", chr(0))
-            .option("quote", chr(0))
+            .option("sep", sep0)
+            .option("quote", quote0)
             .option("encoding", encoding)
             .option("inferSchema", False)
             .schema(T.StructType([T.StructField(columns[0], T.StringType())]))
@@ -1781,6 +1857,7 @@ def _load_python_engine(
         # A13 parity with the C path (review drift finding): Spark
         # analysis errors stay inside the per-file isolation boundary
         raise LoadCsvError(str(e)) from e
+
     # pandas' blank skip is POST-split: a row is skipped iff
     # re.split(sep, line.strip()) == [''] (probed: under an EMPTY-
     # MATCHING regex sep like '|~|' a blank line splits to ['',''] and
@@ -1789,16 +1866,24 @@ def _load_python_engine(
     # the raw line so the split UDF is evaluated exactly once (Catalyst
     # would duplicate a post-split filter into a second Arrow stage —
     # plan-asserted). Class ~ Python str.strip()'s whitespace; the
-    # <=0x20-only lines are already invisible to Spark's scan, this
-    # catches NBSP-class lines and mixes. Documented cosmic-class
-    # divergences: blank lines under an empty-matching sep (pandas: NaN
-    # rows; the scan dropped them) and lines of only non-isspace
-    # controls like \x01 (pandas: a data row; the scan dropped them).
+    # <=0x20-only lines Spark's scan would drop are rescued above when
+    # pandas KEEPS them (protect prefix for lines carrying a
+    # non-Python-whitespace control — r11; \x1c-\x1f ARE Python
+    # whitespace, so those lines skip on both sides). Remaining
+    # documented cosmic-class divergence: blank lines under an
+    # empty-matching sep (pandas: NaN rows; the scan dropped them).
     if _re.search(separator, "") is None:
         raw = raw.where(
             ~qcol(columns[0]).rlike(r"^[\s\x00-\x20\p{IsWhite_Space}]*$")
         )
-    arr = raw.select(_pysplit(qcol(columns[0])).alias("__arr__"))
+    line_col = qcol(columns[0])
+    if protect0 is not None:
+        # strip the protect prefix AFTER the blank filter above (the
+        # protected line must not look blank to it) and before the split
+        line_col = F.regexp_replace(
+            line_col, "^\\Q" + protect0 + "\\E", ""
+        )
+    arr = raw.select(_pysplit(line_col).alias("__arr__"))
     idx_cols = [f"__pdindex_{j}__" for j in range(n_index)]
     width = len(idx_cols) + len(columns)
     sel = [
@@ -1972,10 +2057,26 @@ def _decide_types(
                 # pandas falls back to plain (masked) object
                 kinds[c] = "text"
         elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
-            if py_engine and ((row[f"c{i}_bits"] or 0) & 16):
+            bits_i = row[f"c{i}_bits"] or 0
+            neg_present = bool(bits_i & 2) or (
+                row[f"c{i}_firstnegf"] is not None
+            )
+            float_escape = row[f"c{i}_firstposf"] is not None or (
+                row[f"c{i}_firstnegf"] is not None
+                and row[f"c{i}_firstu64"] is not None
+                and row[f"c{i}_firstnegf"] < row[f"c{i}_firstu64"]
+            )
+            if py_engine and (bits_i & 16):
                 # a negative-overflow int among floats: the python
                 # engine objects the column (no float-mode escape)
                 kinds[c] = "text"
+            elif (not py_engine) and (bits_i & 1) and neg_present \
+                    and not float_escape:
+                # C-engine uint64-negative conflict in FLOAT territory
+                # (r11; probed rule above): object without NA masking,
+                # exactly like the all-int uint64 conflict. The python
+                # engine converts these to float (probed) — no gate.
+                kinds[c] = "rawtext"
             else:
                 kinds[c] = "pdouble" if _parity_col(i) else "double"
                 if row[f"c{i}_nonint"] == 0:
@@ -2213,6 +2314,15 @@ def infer_reference_types(
                 f" and not {sql_long} then 16 else 0 end)"
             )
         proj.append(F.expr(sql_bits).alias(f"p{i}_bits"))
+        # sign of float-NOTATION cells by their raw text ('-0.0'/'-0e5'
+        # cast to -0.0 which is not < 0.0d, yet pandas' ladder treats
+        # them as negative) — null for non-floatish cells
+        proj.append(
+            F.expr(
+                f"case when {sql_d} is not null and not {sql_re}"
+                f" then startswith(ltrim({mc}), '-') else null end"
+            ).alias(f"p{i}_negf")
+        )
         # overflow-notation floats ('1e309'): pandas' C parser sets ERANGE
         # and falls back to object (TEXT column), while Spark's cast
         # saturates to ±Infinity. Digit-bearing strings that cast to inf
@@ -2264,6 +2374,19 @@ def infer_reference_types(
         is_floatish = d.isNotNull() & ~re_b
         aggs.append(F.min(F.when(F.col(f"p{i}_big"), mid)).alias(f"c{i}_firstbig"))
         aggs.append(F.min(F.when(is_floatish, mid)).alias(f"c{i}_firstfloat"))
+        # r11 uint64-negative ladder (probed, 70-sequence table in
+        # test_uint64_quirks): the column stays float ONLY if a POSITIVE
+        # float-notation value exists anywhere, or a NEGATIVE one occurs
+        # before the first uint64-tier int; otherwise uint64 + any
+        # negative (int or float, by NOTATION) -> object without NA mask
+        negf = F.col(f"p{i}_negf")
+        aggs.append(F.min(F.when(negf, mid)).alias(f"c{i}_firstnegf"))
+        aggs.append(F.min(F.when(~negf, mid)).alias(f"c{i}_firstposf"))
+        aggs.append(
+            F.min(
+                F.when(F.col(f"p{i}_bits").bitwiseAND(1) == 1, mid)
+            ).alias(f"c{i}_firstu64")
+        )
         # presence bits: 1 = uint64-tier int, 2 = negative int,
         # 4 = zero-valued exponent-bearing cell (the uint64-conflict and
         # '0e309' phase-2 inputs)
@@ -2309,7 +2432,10 @@ def infer_reference_types(
 
         def _combine(name):
             vals = [r[name] for r in prows]
-            if name.endswith(("_firstbig", "_firstfloat")):
+            if name.endswith(
+                ("_firstbig", "_firstfloat", "_firstnegf", "_firstposf",
+                 "_firstu64")
+            ):
                 nn = [v for v in vals if v is not None]
                 return min(nn) if nn else None
             if name.endswith("_bits"):

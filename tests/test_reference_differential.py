@@ -351,6 +351,23 @@ SCENARIOS = [
         ["-s", "::"],
         dict(separator="::"),
     ),
+    # r11: the python engine KEEPS NULs in values (no C-tokenizer
+    # truncation), and a line of non-Python-whitespace control bytes is
+    # a KEPT data row ('\x1c'-'\x1f' ARE Python whitespace → skipped).
+    # Exercises the absent sep/quote chars + the ctrl-line protect
+    # rewrite on the multi-char-sep path (differential-fuzz 881101 find)
+    (
+        "pyengnul.csv",
+        'c0::c1\nn\x00l::1\nq"t\x00u::2\n\x00::3\n',
+        ["-s", "::"],
+        dict(separator="::"),
+    ),
+    (
+        "pyengctrl.csv",
+        "c0\na\n\x01\n\x00\x1f\n\x1c\x1d\n \t\nb\n",
+        ["-s", "::"],
+        dict(separator="::"),
+    ),
     # python engine: negative-overflow int objects the column even among
     # floats (no C float-mode escape); int64-with-NULL parses to float
     # FROM the strings (precise_xstrtod values)

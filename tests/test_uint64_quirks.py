@@ -63,6 +63,21 @@ QUIRK_SCENARIOS = [
     # zero value, out-of-range exponent
     ("zero_e309", ["0e309", "1.5"]),
     ("zero_e308_ok", ["0e308", "1.5"]),
+    # r11: the uint64-NEGATIVE ladder in FLOAT territory (70-sequence
+    # probe table): float ONLY if a positive float-notation value exists
+    # anywhere, or a negative one occurs BEFORE the first uint64-tier
+    # int; otherwise u64 + any negative (by NOTATION — '-0.0' counts) →
+    # object without NA masking
+    ("u64_negfloat", [U64, "-.5"]),
+    ("u64_negfloat_posfloat", [U64, "-0.5", "0.5"]),
+    ("u64_posfloat_negint", [U64, "0.5", "-7"]),
+    ("negfloat_then_u64", ["-.5", U64]),
+    ("u64_negfloat_negint", [U64, "-0.5", "-7"]),
+    ("u64_negint_posfloat", [U64, "-7", "0.5"]),
+    ("u64_negzero", [U64, "-0.0"]),
+    ("u64_negfloat_null", [U64, "-.5", "NA"]),
+    ("u64_int_negfloat", [U64, "7", "-0.5"]),
+    ("spaced_negfloat_u64", [" -0.5", U64]),
 ]
 
 

@@ -64,6 +64,12 @@ tricky = [
     # ('1\x0c' is int64), former sentinel bytes as data, and a value that
     # is ONLY a control byte
     "1\x01", "\x051", "1\x0c", "2\x0b", "\x1f", "7\x01 ", "\x7f9",
+    # sixth vocabulary wave (round 11): NUL truncation (pandas cuts every
+    # cell VALUE at the first NUL while tokenizing to the true delimiter;
+    # the do_nul rewrite replicates it) — mid-cell, leading (truncates to
+    # '' -> NA / rawtext ''), inside a quoted+escaped context (csv.writer
+    # quotes these), after a numeric, and NUL-only
+    "n\x00l", "\x00xy", "1\x002", "\x00", "q\"t\x00u", "x\x00",
 ]
 
 # date-column vocabulary: every fuzzy class the vendored parser supports,
