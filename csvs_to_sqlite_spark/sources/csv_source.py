@@ -2058,25 +2058,39 @@ def _decide_types(
                 kinds[c] = "text"
         elif row[f"c{i}_dbl"] == n and row[f"c{i}_ovf"] == 0:
             bits_i = row[f"c{i}_bits"] or 0
-            neg_present = bool(bits_i & 2) or (
-                row[f"c{i}_firstnegf"] is not None
-            )
-            float_escape = row[f"c{i}_firstposf"] is not None or (
-                row[f"c{i}_firstnegf"] is not None
-                and row[f"c{i}_firstu64"] is not None
-                and row[f"c{i}_firstnegf"] < row[f"c{i}_firstu64"]
+            triggers = [
+                x
+                for x in (
+                    row[f"c{i}_firstu64"], row[f"c{i}_firstnegovf"]
+                )
+                if x is not None
+            ]
+            first_trigger = min(triggers) if triggers else None
+            first_negf = row[f"c{i}_firstnegf"]
+            # C-engine ladder conflict in FLOAT territory (r11; probed
+            # over every length-2/3 sequence of {u64-tier,
+            # negative-overflow/beyond int, +int, -int, +float, -float}
+            # + NULL variants): with a trigger int present (u64 tier OR
+            # an int-notation negative overflowing int64), the column
+            # converts to float ONLY if a POSITIVE float-notation value
+            # exists anywhere or a NEGATIVE one occurs before the first
+            # trigger. Otherwise object — NA tokens stay LITERAL iff a
+            # u64-tier value is involved (rawtext), and are masked for
+            # the pure negative-overflow family (text). The python
+            # engine converts all of these to float (probed) except its
+            # own bit-16 class below.
+            conflict = (
+                first_trigger is not None
+                and first_negf is not None
+                and row[f"c{i}_firstposf"] is None
+                and not first_negf < first_trigger
             )
             if py_engine and (bits_i & 16):
                 # a negative-overflow int among floats: the python
                 # engine objects the column (no float-mode escape)
                 kinds[c] = "text"
-            elif (not py_engine) and (bits_i & 1) and neg_present \
-                    and not float_escape:
-                # C-engine uint64-negative conflict in FLOAT territory
-                # (r11; probed rule above): object without NA masking,
-                # exactly like the all-int uint64 conflict. The python
-                # engine converts these to float (probed) — no gate.
-                kinds[c] = "rawtext"
+            elif (not py_engine) and conflict:
+                kinds[c] = "rawtext" if (bits_i & 1) else "text"
             else:
                 kinds[c] = "pdouble" if _parity_col(i) else "double"
                 if row[f"c{i}_nonint"] == 0:
@@ -2387,6 +2401,13 @@ def infer_reference_types(
                 F.when(F.col(f"p{i}_bits").bitwiseAND(1) == 1, mid)
             ).alias(f"c{i}_firstu64")
         )
+        aggs.append(
+            F.min(
+                F.when(
+                    re_b & (d < 0) & ~F.col(f"p{i}_long"), mid
+                )
+            ).alias(f"c{i}_firstnegovf")
+        )
         # presence bits: 1 = uint64-tier int, 2 = negative int,
         # 4 = zero-valued exponent-bearing cell (the uint64-conflict and
         # '0e309' phase-2 inputs)
@@ -2434,7 +2455,7 @@ def infer_reference_types(
             vals = [r[name] for r in prows]
             if name.endswith(
                 ("_firstbig", "_firstfloat", "_firstnegf", "_firstposf",
-                 "_firstu64")
+                 "_firstu64", "_firstnegovf")
             ):
                 nn = [v for v in vals if v is not None]
                 return min(nn) if nn else None

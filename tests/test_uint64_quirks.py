@@ -78,6 +78,19 @@ QUIRK_SCENARIOS = [
     ("u64_negfloat_null", [U64, "-.5", "NA"]),
     ("u64_int_negfloat", [U64, "7", "-0.5"]),
     ("spaced_negfloat_u64", [" -0.5", U64]),
+    # r11b: the same conflict for the NEGATIVE-overflow family (probed
+    # 168-sequence table): trigger = int-notation negative below int64
+    # min; NA tokens are MASKED here (text), unlike the u64 conflict
+    # (rawtext) — and a u64 value anywhere flips the column to rawtext
+    ("negovf_negfloat", [NEG_OVF, "-.5"]),
+    ("negovf_negfloat_posfloat", [NEG_OVF, "-.5", "0.5"]),
+    ("negfloat_then_negovf", ["-.5", NEG_OVF]),
+    ("negovf_na_negfloat", [NEG_OVF, "NA", "-.5"]),
+    ("negbeyond_negfloat", [NEG_BEYOND, "-.5"]),
+    ("negbeyond_na_negfloat", [NEG_BEYOND, "-.5", "nan"]),
+    ("u64_negovf_negfloat_na", [U64, NEG_OVF, "-.5", "NA"]),
+    ("negovf_u64_negfloat_na", [NEG_OVF, U64, "-.5", "NA"]),
+    ("posbeyond_negfloat_posfloat", [BEYOND20, "-.5", "0.5"]),
 ]
 
 

@@ -32,6 +32,10 @@ ALPHabet = [
     "-5", "0", "7", "9223372036854775807",  # plain ints
     "NA", "None", "nan",          # NA tokens
     "0.5", "1e5",                 # floats (order rule interplay)
+    # r11: negative-NOTATION floats — the uint64-negative ladder rule
+    # (float only if a positive float exists anywhere or a negative one
+    # precedes the first u64; '-0.0' counts as negative by notation)
+    "-.5", "-0.5", "-0.0", "-1e-5",
 ]
 rng = random.Random(int(sys.argv[1]) if len(sys.argv) > 1 else 424242)
 n_trials = int(sys.argv[2]) if len(sys.argv) > 2 else 120
