@@ -33,6 +33,7 @@ from csvs_to_sqlite_spark.operators import (
     text,
 )
 from csvs_to_sqlite_spark.operators.dims import build_dims, fmt_g
+from csvs_to_sqlite_spark.operators.partitioning import scan_fanout
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 from csvs_to_sqlite_spark.session import prep_session
@@ -56,8 +57,31 @@ _SHINGLE_TOK_CTE = (
 )
 
 
+# tables whose scan-stage work is expensive per byte — see _t's docstring
+_FANOUT_TABLES = {"documents"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader for every queries() entry, wrapped in scan_fanout:
+    single-row-group parquet files scan as ONE task no matter the split
+    configs, serializing every scan-stage expression (tokenize, md5,
+    cosine, regex) on one core. The fan-out is size/structure-gated and
+    vanishes on inputs with real scan parallelism — see
+    partitioning.scan_fanout. Safe here because every query is order-free
+    by the oracle-hash contract (sorted collect_lists, keyed windows,
+    explicit rank keys).
+
+    Gated to the tables whose scan stage is CPU-heavy per byte (measured
+    A/B, median of 3, paired in one session): documents (tokenize /
+    shingle / md5 / regex chains) ran 0.44-0.73x with the fan-out, while
+    lineitem/orders/events queries ran 1.7-2.5x SLOWER — for plain
+    columnar scans feeding aggregates/joins, round-robin-shuffling the
+    raw rows costs more than the single-core parse it parallelizes."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name in _FANOUT_TABLES:
+        df = scan_fanout(df, path)
+    return df
 
 
 # ---------------------------------------------------------------------------

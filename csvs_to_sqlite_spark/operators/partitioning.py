@@ -11,8 +11,81 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# scan_fanout floor: below this input size a fan-out shuffle's fixed cost
+# (one extra stage + round-robin exchange of the rows) exceeds what
+# parallelizing the scan stage can recover. Env-overridable for cluster
+# profiles with different task-launch latencies.
+_FANOUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(512 * 1024)))
+
+
+def effective_scan_parallelism(paths: list[str], max_partition_bytes: int) -> int:
+    """How many tasks can actually produce rows when scanning these
+    parquet files: Spark assigns a parquet ROW GROUP to the split that
+    contains its starting byte, so a file's scan parallelism is capped by
+    its row-group count no matter how small ``maxPartitionBytes`` is.
+    The effective bound is min(splits, row groups) summed over files."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        size = os.path.getsize(p)
+        splits = max(1, (size + max_partition_bytes - 1) // max_partition_bytes)
+        groups = pq.ParquetFile(p).metadata.num_row_groups
+        total += min(splits, groups)
+    return total
+
+
+def scan_fanout(df: DataFrame, *paths: str) -> DataFrame:
+    """Guide §2.2/§6: spread a row-group-bound scan across the cluster.
+
+    A parquet file written as ONE row group scans as ONE task regardless
+    of split configs, so every scan-stage expression over it (tokenize,
+    md5, cosine math, regex filters) runs on a single core — locally AND
+    on a 1000-executor cluster. When the input's effective scan
+    parallelism is well below the session's, ONE round-robin repartition
+    of the (small, by the row-group-count precondition) input buys full
+    parallelism for everything downstream of the scan.
+
+    Scale-adaptive by construction, not a local[32] tune:
+    - inputs under ``SPARK_GRAFT_FANOUT_MIN_BYTES`` (default 512 KiB) are
+      left alone — the shuffle's fixed latency beats any win;
+    - inputs whose row-group/split structure already yields at least half
+      the session's default parallelism are left alone — at real scale
+      (many files / many row groups) this is always true, so the
+      repartition vanishes exactly where it would be a scale-killer.
+
+    Only order-free consumers may sit downstream (every queries() entry
+    is, by the oracle-hash contract); ROW_ID/scan-order machinery (the
+    CSV ingest path) must never pass through this."""
+    sizes = [os.path.getsize(p) for p in paths if os.path.isfile(p)]
+    if len(sizes) != len(paths) or sum(sizes) < _FANOUT_MIN_BYTES:
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        mpb_bytes = _parse_bytes(mpb)
+    except Exception:
+        mpb_bytes = 128 * 1024 * 1024
+    if effective_scan_parallelism(list(paths), mpb_bytes) >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            v = v[: -len(suffix)]
+            mult = m
+            break
+    return int(float(v) * mult)
 
 
 def bucketed_write(

@@ -135,3 +135,42 @@ def test_zorder_pruning_beats_lexicographic_on_nonleading_key(spark):
     assert lex["touched_partkey_strip"] <= lex["n_files"] // 8
     assert z["touched_partkey_strip"] <= z["n_files"] // 8
     assert z["touched_suppkey_strip"] <= z["n_files"] // 8
+
+
+def test_scan_fanout_fires_only_on_rowgroup_bound_scans(spark, tmp_path, monkeypatch):
+    """scan_fanout (optimization r11): a single-row-group parquet file
+    above the size floor gains a round-robin repartition to session
+    parallelism; below the floor, or when the file structure already
+    yields enough scan tasks, the frame passes through untouched."""
+    from csvs_to_sqlite_spark.operators import partitioning as P
+
+    df = spark.range(20_000).withColumn("pad", F.lit("x" * 64))
+    single = str(tmp_path / "single")
+    df.coalesce(1).write.mode("overwrite").parquet(single)
+    import glob
+
+    [f_single] = glob.glob(f"{single}/part-*.parquet")
+
+    # above the floor + one row group -> fan-out to defaultParallelism
+    monkeypatch.setattr(P, "_FANOUT_MIN_BYTES", 1024)
+    out = P.scan_fanout(spark.read.parquet(f_single), f_single)
+    assert (
+        out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    assert "partial_repartition" not in out.columns  # frame contents intact
+    assert out.count() == 20_000
+
+    # same file below the floor -> untouched
+    monkeypatch.setattr(P, "_FANOUT_MIN_BYTES", 1 << 60)
+    out2 = P.scan_fanout(spark.read.parquet(f_single), f_single)
+    assert "Exchange" not in explain_str(out2)
+
+    # many-file input (real scan parallelism) -> untouched
+    monkeypatch.setattr(P, "_FANOUT_MIN_BYTES", 1024)
+    many = str(tmp_path / "many")
+    df.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(many)
+    files = glob.glob(f"{many}/part-*.parquet")
+    out3 = P.scan_fanout(spark.read.parquet(many), *files)
+    assert "Exchange" not in explain_str(out3)
