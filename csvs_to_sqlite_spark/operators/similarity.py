@@ -157,7 +157,15 @@ def kmeans_centroids(
     never collected, so the loop scales to any corpus size; n_iters is
     a small constant, not data-dependent (no convergence probe needed
     for an ANN coarse quantizer — cell QUALITY, not optimality, is what
-    multi-probe recall rests on)."""
+    multi-probe recall rests on).
+
+    Optimization-r11 note (measured, REJECTED): materializing each
+    round's centroids through the driver (collect → local relation) to
+    "truncate lineage" ran 20-60% SLOWER across the family in paired
+    A/B — Spark's exchange/subquery reuse already executes the Lloyd
+    lineage once per action, so the lazy plan pays nothing, while the
+    per-round collects added 3-5 serial driver round-trip jobs. The
+    lazy chain stays."""
     cents = base.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
     )
@@ -799,22 +807,38 @@ def _pq_l2(a: F.Column, b: F.Column) -> F.Column:
 
 def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
     """Nearest-codebook-centroid assignment per (vid, subspace): one
-    broadcast join + a (vid, s)-keyed top-1 window."""
+    broadcast join + a (vid, s)-keyed ARGMIN aggregate.
+
+    Optimization r11 (guide §2.3 — shuffle fewer bytes): the former
+    top-1 window shuffled every (vid, s, sv, cid, d2) row ×k codewords
+    through the window exchange. min(struct(d2, cid)) is the same
+    (d2 asc, cid asc) order, computed with map-side partial aggregation
+    — the ×k candidate rows collapse inside the scan stage (the explode
+    that built ``subs`` left all of a vid's rows co-located), so the
+    exchange carries one row per (vid, s). ``sv`` is functionally
+    determined by the group key (every candidate row carries the same
+    subvector), so first() is value-deterministic."""
     j = subs.join(F.broadcast(books), "s").select(
         "vid", "s", "sv", "cid", _pq_l2(F.col("sv"), F.col("cv")).alias("d2")
     )
-    w = Window.partitionBy("vid", "s").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "s", "sv", F.col("cid").alias("cell"), "d2")
+    agg = j.groupBy("vid", "s").agg(
+        F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"),
+        F.first("sv").alias("sv"),
+    )
+    return agg.select(
+        "vid", "s", "sv", F.col("m.cid").alias("cell"), F.col("m.d2").alias("d2")
     )
 
 
 def _pq_codebooks(subs: DataFrame, k: int, iters: int) -> DataFrame:
     """Learn the per-subspace codebooks: seed with the first ``k`` ids,
     run ``iters`` quantized Lloyd rounds (L2 assignment, EMB_Q-exact
-    integer mean sums, 6-dp rounded components). Returns (s, cid, cv)."""
+    integer mean sums, 6-dp rounded components). Returns (s, cid, cv).
+
+    Lazy like kmeans_centroids, and for the same measured reason (see
+    its optimization-r11 note): exchange reuse already runs the Lloyd
+    lineage once per action, so driver materialization only adds serial
+    job latency."""
     cents = subs.where(F.col("vid") < k).select(
         "s", F.col("vid").alias("cid"), F.col("sv").alias("cv")
     )
