@@ -9,7 +9,12 @@ round: one adjacent-pair aggregate over the vocab (weighted by word
 count), a TakeOrdered argmax for the winning pair, and a scan-stage fold
 that applies the merge to each word's symbol array (leftmost-first,
 non-overlapping — the fold's accumulator semantics). ``localCheckpoint``
-cuts lineage per round like every other iterative operator here.
+cuts lineage per round like every other iterative operator here — LAZY
+(eager=False, optimization r11): the round's own top-pair collect is the
+first action over the new symbol table, so it materializes the blocks as
+part of that job instead of paying a separate eager-checkpoint job per
+round (halves the learning loop's job count; blocks are still written
+once and reused by every later round).
 
 Cross-engine determinism: pair counts are exact integers; ties break on
 (count desc, lhs asc, rhs asc). The DuckDB twin unrolls the rounds as
@@ -60,7 +65,7 @@ def _learn_core(
         "w",
         "cnt",
         F.filter(F.split(F.col("w"), ""), lambda c: c != "").alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
         top = (
@@ -97,7 +102,9 @@ def _learn_core(
             F.expr("array()").cast("array<string>"),
             merge_step(s_, t_, merged),
         )
-        syms = syms.select("w", "cnt", apply_merge.alias("syms")).localCheckpoint()
+        syms = syms.select("w", "cnt", apply_merge.alias("syms")).localCheckpoint(
+            eager=False
+        )
     return merges, syms
 
 

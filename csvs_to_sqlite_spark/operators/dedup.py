@@ -636,7 +636,7 @@ def dedup_clusters(
     takes the min label over {self, neighbors} (one hop) and then follows
     the own label one step (pointer doubling, L(v) ← min(L(v), L(L(v)))),
     so a component of diameter d converges in O(log d) rounds, and a
-    cheap limit(1) probe detects the round where nothing changed. At the
+    cheap full-count probe detects the round where nothing changed. At the
     one-hop fixpoint every edge (u,v) has L(u) = L(v) (edges are
     symmetric), so labels are constant per component and equal the
     component minimum — exact for any diameter, unlike bounded unrolling.
@@ -648,10 +648,16 @@ def dedup_clusters(
     ).unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
     # materialize edges once and cut label lineage every round — otherwise
     # the plan (and the pair-generation upstream of it) doubles per
-    # iteration and later rounds recompute the LSH/Jaccard pipeline 2^k times
-    edges = edges.localCheckpoint(eager=True)
+    # iteration and later rounds recompute the LSH/Jaccard pipeline 2^k
+    # times. LAZY checkpoints (optimization r11): each round's changed-
+    # probe is the first action over the new label table, so it
+    # materializes the blocks inside that job instead of paying a
+    # separate eager-checkpoint job per round (was 2 jobs/round, now 1;
+    # values are deterministic joins/mins, so a partition computed later
+    # from the cut lineage is bit-identical).
+    edges = edges.localCheckpoint(eager=False)
     labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id")).localCheckpoint(
-        eager=True
+        eager=False
     )
     for _ in range(max_rounds):
         neighbor_min = (
@@ -681,13 +687,18 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce(F.col("pl"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # FULL count, not limit(1): this job is also what materializes the
+        # lazy checkpoint above — a partial (limit-scaled) probe would
+        # leave some partitions uncomputed, and their lineage would chain
+        # back through every prior round (the 2^k recompute this
+        # checkpoint exists to prevent). One full id-keyed join count per
+        # round replaces the old eager-checkpoint job + limit probe pair.
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), id_col)
             .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
             .count()
         )
         labels = new_labels
