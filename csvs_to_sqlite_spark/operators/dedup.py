@@ -641,7 +641,10 @@ def dedup_clusters(
     symmetric), so labels are constant per component and equal the
     component minimum — exact for any diameter, unlike bounded unrolling.
     Near-dup graphs are sparse, so each round's joins stay
-    shuffle-partition-sized at corpus scale.
+    shuffle-partition-sized at corpus scale. The iteration runs over
+    edge-touched nodes only (singletons can never change label and are
+    attached by a final left join), so round cost tracks the duplicate-
+    family mass, not the corpus.
     """
     edges = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
@@ -656,8 +659,17 @@ def dedup_clusters(
     # values are deterministic joins/mins, so a partition computed later
     # from the cut lineage is bit-identical).
     edges = edges.localCheckpoint(eager=False)
-    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id")).localCheckpoint(
-        eager=False
+    # Fixpoint over EDGE-TOUCHED nodes only (optimization r11): a doc
+    # with no near-dup edge keeps cluster_id = id forever, so the corpus
+    # never needs to enter the per-round joins — at web scale the label
+    # table is duplicate-family-sized, not corpus-sized. Singletons are
+    # attached by one left join after convergence. Every node here has
+    # >= 1 neighbor (edges are symmetrized), so the hop join is inner.
+    labels = (
+        edges.select(F.col("a").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_rounds):
         neighbor_min = (
@@ -668,11 +680,13 @@ def dedup_clusters(
             .groupBy(F.col("a").alias(id_col))
             .agg(F.min("nl").alias("nmin"))
         )
-        hop = labels.join(neighbor_min, id_col, "left").select(
+        # carry the incoming label as __prev__ so the convergence probe is
+        # a join-free filter+count instead of an id-keyed join of the old
+        # and new label tables (one fewer shuffle per round)
+        hop = labels.join(neighbor_min, id_col).select(
             F.col(id_col),
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-            ).alias("cluster_id"),
+            F.col("cluster_id").alias("__prev__"),
+            F.least(F.col("cluster_id"), F.col("nmin")).alias("cluster_id"),
         )
         # pointer doubling: treat labels as parent pointers and jump one
         # step through the just-computed mapping, halving path lengths
@@ -683,6 +697,7 @@ def dedup_clusters(
             hop.join(jump, "cluster_id", "left")
             .select(
                 F.col(id_col),
+                F.col("__prev__"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("pl"), F.col("cluster_id"))
                 ).alias("cluster_id"),
@@ -693,18 +708,17 @@ def dedup_clusters(
         # lazy checkpoint above — a partial (limit-scaled) probe would
         # leave some partitions uncomputed, and their lineage would chain
         # back through every prior round (the 2^k recompute this
-        # checkpoint exists to prevent). One full id-keyed join count per
-        # round replaces the old eager-checkpoint job + limit probe pair.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # checkpoint exists to prevent).
+        changed = new_labels.where(
+            F.col("cluster_id") != F.col("__prev__")
+        ).count()
+        labels = new_labels.select(id_col, "cluster_id")
         if changed == 0:
             break
-    return labels
+    return df.select(id_col).join(labels, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
 
 
 def simhash(
