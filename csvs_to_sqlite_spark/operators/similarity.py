@@ -67,15 +67,17 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank); deterministic tie-break
     on (rounded sim desc, neighbor id asc).
     """
+    # per-row norms computed once per query/corpus row, not per pair
+    # (bit-identical: same values, same division/round — optimization r11)
     q = query.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn__", _norm(F.col("qv")))
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn__", _norm(F.col("cv")))
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
     sim = F.round(
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        _dot(F.col("qv"), F.col("cv")) / (F.col("__qn__") * F.col("__cn__")), 6
     )
     scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
@@ -117,22 +119,52 @@ def assign_cells(
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid(s) by (rounded) cosine, ties
     to the lower centroid id. Centroids are broadcast; assignment is one
-    map-side |vecs|×|centroids| sweep + a per-vector top-``n_probe``
-    window. ``n_probe > 1`` (multi-probe) is for the QUERY side — the
-    corpus keeps exactly one home cell."""
+    map-side |vecs|×|centroids| sweep + an argmax AGGREGATE (n_probe=1,
+    the corpus path) or a per-vector top-``n_probe`` window
+    (``n_probe > 1`` — the QUERY side; the corpus keeps exactly one
+    home cell)."""
+    # norms precomputed per ROW (once per vector / once per centroid)
+    # instead of inside the pair expression, where they would be folded
+    # again for every (vector, centroid) combination. Same expression
+    # values feed the same division and round, so results are
+    # bit-identical (optimization r11, guide §1.2 per-task work).
     c = centroids.select(
-        F.col("centroid_id"), F.col("cv").alias("centroid_v")
+        F.col("centroid_id"),
+        F.col("cv").alias("centroid_v"),
+        _norm(F.col("cv")).alias("__cn__"),
     )
-    pairs = vecs.crossJoin(F.broadcast(c))
+    pairs = vecs.withColumn("__vn__", _norm(F.col(vec_alias))).crossJoin(
+        F.broadcast(c)
+    )
     sim = F.round(
         _dot(F.col(vec_alias), F.col("centroid_v"))
-        / (_norm(F.col(vec_alias)) * _norm(F.col("centroid_v"))),
+        / (F.col("__vn__") * F.col("__cn__")),
         6,
     )
+    scored = pairs.select(
+        F.col(id_col), F.col(vec_alias), F.col("centroid_id"), sim.alias("csim")
+    )
+    if n_probe == 1:
+        # ARGMAX aggregate instead of a top-1 window (optimization r11,
+        # same rewrite as _pq_assign, guide §2.3): the ×k candidate rows
+        # collapse map-side inside the scan stage, so the exchange
+        # carries one row per vector and no sort. max(struct(csim,
+        # -centroid_id)) is exactly the window's (csim desc, id asc)
+        # order INCLUDING NaN placement (NaN sorts largest both in desc
+        # ordering and under max); the vector column is functionally
+        # determined by the group key, so first() is value-deterministic.
+        agg = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(F.col("csim"), (-F.col("centroid_id")).alias("__negid__"))
+            ).alias("__m__"),
+            F.first(vec_alias).alias(vec_alias),
+        )
+        return agg.select(
+            id_col, vec_alias, (-F.col("__m__.__negid__")).alias("cell")
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     return (
-        pairs.select(F.col(id_col), F.col(vec_alias), F.col("centroid_id"), sim.alias("csim"))
-        .withColumn("__rn__", F.row_number().over(w))
+        scored.withColumn("__rn__", F.row_number().over(w))
         .where(F.col("__rn__") <= n_probe)
         .select(id_col, vec_alias, F.col("centroid_id").alias("cell"))
     )
@@ -227,11 +259,11 @@ def ivf_topk(
         "qv",
         n_probe=n_probe,
     )
-    cand = corpus.join(F.broadcast(q), "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    cand = corpus.withColumn("__cn__", _norm(F.col("cv2"))).join(
+        F.broadcast(q.withColumn("__qn__", _norm(F.col("qv")))), "cell"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     sim = F.round(
-        _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2"))), 6
+        _dot(F.col("qv"), F.col("cv2")) / (F.col("__qn__") * F.col("__cn__")), 6
     )
     scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
@@ -272,11 +304,11 @@ def lsh_topk(
     q = query.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", bucket_expr(F.col("qv"), planes))
-    pairs = c.join(F.broadcast(q), "bucket").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    pairs = c.withColumn("__cn__", _norm(F.col("cv"))).join(
+        F.broadcast(q.withColumn("__qn__", _norm(F.col("qv")))), "bucket"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     sim = F.round(
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        _dot(F.col("qv"), F.col("cv")) / (F.col("__qn__") * F.col("__cn__")), 6
     )
     scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
@@ -346,12 +378,15 @@ def lsh_candidate_pairs(
         planes_per_band = derive_planes_per_band(emb.count())
     base = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nrm", _norm(F.col("v")))  # once per vector, rides the join
     coded = base.select(
         "vid",
         "v",
+        "nrm",
         F.explode(F.array(*band_code_cols(F.col("v"), n_bands, planes_per_band, dim))).alias("bc"),
-    ).select("vid", "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    ).select(
+        "vid", "v", "nrm", F.col("bc.band").alias("band"), F.col("bc.code").alias("code")
+    )
     if bucket_cap is not None:
         if log_drops:
             sizes = coded.groupBy("band", "code").count()
@@ -385,7 +420,12 @@ def lsh_candidate_pairs(
         .groupBy(
             F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b")
         )  # dedupe multi-band hits; map-side partial agg keeps it cheap
-        .agg(F.first("a.v").alias("va"), F.first("b.v").alias("vb"))
+        .agg(
+            F.first("a.v").alias("va"),
+            F.first("b.v").alias("vb"),
+            F.first("a.nrm").alias("na"),
+            F.first("b.nrm").alias("nb"),
+        )
     )
 
 
@@ -407,7 +447,7 @@ def lsh_near_dup_pairs(
         emb, id_col, vec_col, n_bands, planes_per_band, dim, bucket_cap, log_drops
     )
     sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return cand.select("id_a", "id_b", sim.alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
@@ -478,10 +518,13 @@ def semdedup_prune(
             .where(F.col("__rn__") <= cell_cap)
             .drop("__rn__")
         )
+    # per-row norm computed once before the within-cell pair join instead
+    # of twice per candidate pair (bit-identical values — optimization r11)
+    pair_side = pair_side.withColumn("__n__", _norm(F.col("av")))
     a, b = pair_side.alias("a"), pair_side.alias("b")
     sim = F.round(
         _dot(F.col("a.av"), F.col("b.av"))
-        / (_norm(F.col("a.av")) * _norm(F.col("b.av"))),
+        / (F.col("a.__n__") * F.col("b.__n__")),
         6,
     )
     drops = (
@@ -653,9 +696,11 @@ def mmr_rerank(
     base = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
-    q = base.where(F.col("vid") == query_id).select(F.col("v").alias("qv"))
+    q = base.where(F.col("vid") == query_id).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("__qn__")
+    )
     rel = F.round(
-        _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6
+        _dot(F.col("qv"), F.col("v")) / (F.col("__qn__") * _norm(F.col("v"))), 6
     )
     cand = (
         base.where(F.col("vid") != query_id)
@@ -665,10 +710,14 @@ def mmr_rerank(
         .limit(n_candidates)
         .persist()
     )
-    a = cand.select(F.col("vid").alias("ia"), F.col("v").alias("va"))
-    b = cand.select(F.col("vid").alias("ib"), F.col("v").alias("vb"))
+    a = cand.select(
+        F.col("vid").alias("ia"), F.col("v").alias("va"), _norm(F.col("v")).alias("na")
+    )
+    b = cand.select(
+        F.col("vid").alias("ib"), F.col("v").alias("vb"), _norm(F.col("v")).alias("nb")
+    )
     s = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     sims = {
         (r.ia, r.ib): r.s
@@ -1342,6 +1391,13 @@ def ivf_index_write(
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     cents = kmeans_centroids(base, id_col, n_centroids, kmeans_iters)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # read the just-written centroids back for the assignment pass
+    # (optimization r11): the centroids write and the cells write are two
+    # separate ACTIONS, and exchange reuse only spans one action — using
+    # the in-memory lineage here re-ran the whole Lloyd loop a second
+    # time during the cells write. The parquet round-trip is exact
+    # (doubles are stored bit-identically), so assignments are unchanged.
+    cents = emb.sparkSession.read.parquet(f"{path}/centroids")
     assigned = assign_cells(
         base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2")),
         cents,
@@ -1561,11 +1617,11 @@ def ivf_index_topk(
         q = q.select("cell", "query_id", "qv").unionByName(expanded).dropDuplicates(
             ["cell", "query_id"]
         )
-    cand = corpus.join(F.broadcast(q), "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    cand = corpus.withColumn("__cn__", _norm(F.col("cv2"))).join(
+        F.broadcast(q.withColumn("__qn__", _norm(F.col("qv")))), "cell"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     sim = F.round(
-        _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2"))),
+        _dot(F.col("qv"), F.col("cv2")) / (F.col("__qn__") * F.col("__cn__")),
         6,
     )
     scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))

@@ -55,8 +55,12 @@ def prep_session(spark: SparkSession) -> SparkSession:
         # permissive arithmetic to match the reference's pandas semantics
         ("spark.sql.ansi.enabled", "false"),
         # the host session may default to 200 shuffle partitions — wrong for
-        # the sf0.01/sf0.1 scales these queries run at
-        ("spark.sql.shuffle.partitions", "32"),
+        # the sf0.01/sf0.1 scales these queries run at. Scale-adaptive
+        # (optimization r11): derive from the session's actual core count
+        # instead of a constant, so a 4-core bench run gets 4 partitions
+        # and a cluster session keeps its own sizing; AQE coalescing owns
+        # the per-query right-sizing above this floor.
+        ("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)),
     ):
         try:
             spark.conf.set(k, v)

@@ -45,32 +45,37 @@ def _update(
 def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     """Drive the stateful operator over the events file stream to
     completion; returns the final per-user totals."""
-    from csvs_to_sqlite_spark.streaming.windows import _read_stream, _counter
+    from csvs_to_sqlite_spark.streaming.windows import (
+        _counter,
+        _no_idle_batches,
+        _read_stream,
+    )
 
     stream = _read_stream(spark, events_path)
     name = f"user_totals_{next(_counter)}"
-    q = (
-        stream.groupBy("user_id")
-        # NoTimeout: with ProcessingTimeTimeout every micro-batch re-arms
-        # timers, so the query never quiesces and processAllAvailable hangs.
-        # A long-running production stream would use ProcessingTimeTimeout
-        # with a hasTimedOut→remove branch to evict idle users.
-        .applyInPandasWithState(
-            _update,
-            OUTPUT_SCHEMA,
-            STATE_SCHEMA,
-            "update",
-            GroupStateTimeout.NoTimeout,
+    with _no_idle_batches(spark):
+        q = (
+            stream.groupBy("user_id")
+            # NoTimeout: with ProcessingTimeTimeout every micro-batch re-arms
+            # timers, so the query never quiesces and processAllAvailable hangs.
+            # A long-running production stream would use ProcessingTimeTimeout
+            # with a hasTimedOut→remove branch to evict idle users.
+            .applyInPandasWithState(
+                _update,
+                OUTPUT_SCHEMA,
+                STATE_SCHEMA,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
         )
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # "update" mode may emit a user several times across batches; the last
     # emission per user is the final total
     df = spark.table(name)
