@@ -6325,9 +6325,14 @@ def q_daily_dense_rollup(spark, sf_dir):
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count("*").alias("n"), qsum(F.col("value"), 100, 4).alias("v"))
+    # broadcast the RIGHT side: a left-outer join can only broadcast-build
+    # its right side, so the former F.broadcast(spine) hint was silently
+    # ignored (HintErrorLogger) and the join ran as sort-merge. `daily`
+    # is aggregate-bounded to |days|x|types| — same broadcast class as
+    # the spine — and the join output is identical (optimization r11).
     return (
-        F.broadcast(spine)
-        .join(daily, ["day", "event_type"], "left")
+        spine
+        .join(F.broadcast(daily), ["day", "event_type"], "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "event_type",
