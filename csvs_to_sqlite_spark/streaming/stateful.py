@@ -23,6 +23,16 @@ OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, s_cents long"
 
 
+# one-row output template, copied per key: applyInPandasWithState calls
+# _update once PER GROUP, and a fresh pd.DataFrame(dict) construction is
+# ~4x the cost of a copy+scalar-store — at high user cardinality the
+# constructor dominates the Python side of the stateful stage
+# (optimization r11, guide §4.2: keep per-call Python work minimal)
+_OUT_TEMPLATE = pd.DataFrame(
+    {"user_id": [0], "n_events": [0], "sum_value": [0.0]}
+)
+
+
 def _update(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
@@ -33,13 +43,11 @@ def _update(
             (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
         )
     state.update((n, s_cents))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "sum_value": [round(s_cents / 100.0, 4)],
-        }
-    )
+    out = _OUT_TEMPLATE.copy()
+    out.iat[0, 0] = key[0]
+    out.iat[0, 1] = n
+    out.iat[0, 2] = round(s_cents / 100.0, 4)
+    yield out
 
 
 def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:

@@ -328,3 +328,34 @@ def test_rocksdb_state_store_matches_default_provider(spark):
     assert any("rocksdb" in k.lower() for k in metrics), (
         f"RocksDB provider did not engage: {sorted(metrics)[:8]}"
     )
+
+
+def test_stateful_update_template_yields_declared_dtypes():
+    """The r11 template-copy fast path in stateful._update must keep the
+    OUTPUT_SCHEMA dtypes (long, long, double) and exact values — an
+    iat-store into a copied template silently upcasting or truncating
+    would corrupt every user's totals at the Arrow boundary."""
+    import pandas as pd
+
+    from csvs_to_sqlite_spark.streaming import stateful
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.updated = v
+
+    st = _FakeState()
+    batches = [
+        pd.DataFrame({"value": [1.25, 2.50, None]}),
+        pd.DataFrame({"value": [0.25]}),
+    ]
+    (out,) = list(stateful._update((42,), iter(batches), st))
+    assert list(out.columns) == ["user_id", "n_events", "sum_value"]
+    assert out["user_id"].dtype == "int64"
+    assert out["n_events"].dtype == "int64"
+    assert out["sum_value"].dtype == "float64"
+    assert out.iloc[0].tolist() == [42, 4, 4.0]
+    assert st.updated == (4, 400)
+    # the module-level template itself must stay pristine for the next key
+    assert stateful._OUT_TEMPLATE.iloc[0].tolist() == [0, 0, 0.0]
