@@ -1281,12 +1281,22 @@ def ivf_rebalance_plan(
 
 
 def _rebalance_plan_from_assigned(
-    assigned: DataFrame, n_centroids: int, cap_num: int, cap_den: int
+    assigned: DataFrame,
+    n_centroids: int,
+    cap_num: int,
+    cap_den: int,
+    with_total: bool = False,
 ) -> DataFrame:
     """Split-plan core over an existing (cell, vid, av) assignment —
     shared by ``ivf_rebalance_plan`` (inline k-means) and
     ``ivf_index_rebalance_apply`` (a PERSISTED index's frozen layout,
-    where re-running k-means would defeat the point of maintenance)."""
+    where re-running k-means would defeat the point of maintenance).
+
+    ``with_total`` (optimization r11) appends the corpus row count the
+    plan already aggregates internally as ``__n_total__`` — the apply
+    path's before/after fail-loud guard reads it from the plan collect
+    instead of paying a separate corpus.count() job. The public plan
+    QUERY keeps the frozen schema (with_total=False)."""
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
     total = sizes.agg(F.sum("n_vectors").alias("n_total"))
     hot = (
@@ -1359,7 +1369,7 @@ def _rebalance_plan_from_assigned(
             F.sum((F.col("q") <= F.col("split_q")).cast("long")).alias("n_left"),
         )
     )
-    return (
+    plan = (
         split_dims.join(counts, "cell")
         .select(
             "cell",
@@ -1370,6 +1380,11 @@ def _rebalance_plan_from_assigned(
             (F.col("n_vectors") - F.col("n_left")).cast("long").alias("n_right"),
         )
     )
+    if with_total:
+        plan = plan.crossJoin(
+            F.broadcast(total.select(F.col("n_total").alias("__n_total__")))
+        )
+    return plan
 
 
 def ivf_index_write(
@@ -1477,17 +1492,21 @@ def ivf_index_rebalance_apply(
     cent_rows = cents.collect()  # dimension-bounded by construction
     n_centroids = len(cent_rows)
     corpus = spark.read.parquet(f"{path}/cells")
-    n_before = corpus.count()
     assigned = corpus.select(
         F.col("cell").cast("long").alias("cell"),
         F.col("neighbor_id").alias("vid"),
         F.col("cv2").alias("av"),
     )
+    # with_total: the plan aggregate already sums per-cell counts over
+    # the whole corpus, so the fail-loud before-count rides the plan
+    # collect instead of a separate corpus.count() job (optimization
+    # r11). An empty plan returns before the guard is ever needed.
     plan_rows = _rebalance_plan_from_assigned(
-        assigned, n_centroids, cap_num, cap_den
+        assigned, n_centroids, cap_num, cap_den, with_total=True
     ).collect()
     if not plan_rows:
         return []
+    n_before = int(plan_rows[0]["__n_total__"])
     plan_rows.sort(key=lambda r: r["cell"])
     max_id = max(int(r["centroid_id"]) for r in cent_rows)
     plan_df = spark.createDataFrame(
