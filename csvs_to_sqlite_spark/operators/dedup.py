@@ -739,16 +739,22 @@ def simhash(
     tok = token_posting(df, text_col, id_col, shingle_n).withColumn(
         "h", md5_long(F.col("token"), seed="simhash")
     )
+    # branch-free votes (optimization r11): sum_j(2*bit_j - 1) > 0 is
+    # exactly 2*sum_j(bit_j) > n, so each of the `bits` aggregates is a
+    # plain bit-extract sum instead of a CASE WHEN — same integers, same
+    # fingerprints, no per-row branching in the aggregate buffers.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"v{j}")
         for j in range(bits)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"), *votes)
     fingerprint = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
+        bit = (
+            F.when(F.col(f"v{j}") * 2 > F.col("__n__"), F.lit(2 ** j))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
