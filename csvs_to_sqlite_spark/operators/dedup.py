@@ -143,16 +143,31 @@ def ngram_jaccard_pairs(
     # tok feeds several consumers (df-cap aggregate, sizes, both join
     # sides): persist so the tokenize/shingle stage runs once
     tok = tok.persist()
-    if max_df == "auto":
-        max_df = max(1000, int(0.01 * df.count()))
     if max_df is not None:
         dfreq = tok.groupBy("token").count()
-        drop = dfreq.where(F.col("count") > max_df).select("token")
+        if max_df == "auto":
+            # the auto cap max(1000, int(0.01*n)) used to pay a dedicated
+            # df.count() driver round-trip; the count now rides the drop
+            # set's own job as a broadcast 1-row scalar (optimization
+            # r11). double*0.01 + cast(long) truncates exactly like
+            # Python's int(0.01*n) — same drop set.
+            ndocs = df.agg(F.count(F.lit(1)).alias("__ndocs__"))
+            cap = F.greatest(
+                F.lit(1000).cast("long"),
+                (F.col("__ndocs__") * F.lit(0.01)).cast("long"),
+            )
+            drop = (
+                dfreq.crossJoin(F.broadcast(ndocs))
+                .where(F.col("count") > cap)
+                .select("token")
+            )
+        else:
+            drop = dfreq.where(F.col("count") > max_df).select("token")
         if log_drops:
             n_dropped = drop.count()
             if n_dropped:
                 logger.warning(
-                    "ngram_jaccard_pairs: max_df=%d dropped %d hyper-frequent units",
+                    "ngram_jaccard_pairs: max_df=%s dropped %d hyper-frequent units",
                     max_df,
                     n_dropped,
                 )
