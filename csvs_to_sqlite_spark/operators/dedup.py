@@ -243,12 +243,25 @@ def fuzzy_link(
         # constant), so the same blocking tokens survive at any N; a
         # token hyper-frequent on either side is dropped — it isn't a
         # discriminative blocker and it alone drives the join fan-out.
-        cap_l = max(1000, int(0.2 * left.count()))
-        cap_r = max(1000, int(0.2 * right.count()))
+        # the per-side caps ride the drop set's own job as broadcast
+        # 1-row scalars instead of two dedicated .count() driver
+        # round-trips (optimization r11, same fold as the Jaccard auto
+        # cap); double*0.2 + cast(long) truncates exactly like the old
+        # Python int(0.2*n), so the drop set is unchanged.
+        ndl = left.agg(F.count(F.lit(1)).alias("__nl__"))
+        ndr = right.agg(F.count(F.lit(1)).alias("__nr__"))
+        cap_l = F.greatest(
+            F.lit(1000).cast("long"), (F.col("__nl__") * F.lit(0.2)).cast("long")
+        )
+        cap_r = F.greatest(
+            F.lit(1000).cast("long"), (F.col("__nr__") * F.lit(0.2)).cast("long")
+        )
         df_l = lt.groupBy("token").agg(F.count("*").alias("c_l"))
         df_r = rt.groupBy("token").agg(F.count("*").alias("c_r"))
         drop = (
             df_l.join(df_r, "token", "full_outer")
+            .crossJoin(F.broadcast(ndl))
+            .crossJoin(F.broadcast(ndr))
             .where(
                 (F.coalesce(F.col("c_l"), F.lit(0)) > cap_l)
                 | (F.coalesce(F.col("c_r"), F.lit(0)) > cap_r)
