@@ -111,15 +111,21 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count("*").alias("n")
     )
-    total = df.count()
+    # the total really is the broadcast one-row cross join the docstring
+    # promises — it previously paid a dedicated df.count() driver
+    # round-trip and shipped the number back as a literal
+    # (optimization r11); sum over the count table == corpus rows, and
+    # exchange reuse computes `counts` once for both consumers.
+    total = counts.agg(F.sum("n").alias("__total__"))
     return (
         counts.orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(top_k)
+        .crossJoin(F.broadcast(total))
         .select(
             "key",
             "n",
             qmath.qdiv_count(
-                F.col("n") * F.lit(1_000_000), F.lit(int(total)).cast("long"), 1, 6
+                F.col("n") * F.lit(1_000_000), F.col("__total__"), 1, 6
             ).alias("share"),
         )
     )

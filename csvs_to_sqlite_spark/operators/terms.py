@@ -176,12 +176,26 @@ def tfidf_unit_vectors(
     fraction-based). 20% is scale-free — the same stop-word-like band is
     dropped at every corpus size — and tokens under it keep meaningful
     idf anyway."""
-    n_docs = df.count()
-    if max_df == "auto":
-        max_df = max(1000, n_docs // 5)
+    # n_docs as a broadcast 1-row aggregate instead of a dedicated
+    # .count() driver round-trip (optimization r11): the auto cap
+    # max(1000, n div 5) and the idf numerator both read the scalar
+    # column; `div` matches Python's positive floor division and a long
+    # cast to double is bit-identical to the old float(n_docs) literal.
+    nd = df.agg(F.count(F.lit(1)).alias("__ndocs__"))
     tf = term_frequencies(df, text_col, id_col)
     doc_freq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    if max_df is not None:
+    if max_df == "auto":
+        doc_freq = (
+            doc_freq.crossJoin(F.broadcast(nd))
+            .where(
+                F.col("df")
+                <= F.greatest(
+                    F.lit(1000).cast("long"), F.expr("__ndocs__ div 5")
+                )
+            )
+            .drop("__ndocs__")
+        )
+    elif max_df is not None:
         doc_freq = doc_freq.where(F.col("df") <= max_df)
     w_doc = Window.partitionBy(id_col)
     # token-keyed equi-join, no broadcast hint: the df cap bounds each
@@ -189,11 +203,12 @@ def tfidf_unit_vectors(
     # AQE broadcasts the table when it is actually small
     weighted = (
         tf.join(doc_freq, "token")
+        .crossJoin(F.broadcast(nd))
         .withColumn("doc_len", F.sum("tf").over(w_doc))
         .withColumn(
             "w",
             (F.col("tf") / F.col("doc_len"))
-            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            * F.log(F.col("__ndocs__").cast("double") / F.col("df")),
         )
     )
     # quantized norm: the per-doc Σw² runs over unordered partition rows, so
@@ -359,20 +374,29 @@ def collocations(
     uni = base.select(F.explode("__toks__").alias("w")).groupBy("w").agg(
         F.count("*").alias("c")
     )
-    n1 = base.select(F.explode("__toks__").alias("w")).count()
-    n2 = pairs.count()
+    # N1/N2 as broadcast 1-row aggregates OVER THE COUNT TABLES instead
+    # of two dedicated .count() jobs that each re-tokenized the whole
+    # corpus (optimization r11): sum(c) == total tokens and sum(c12) ==
+    # total bigrams by construction, exchange reuse computes uni/c12
+    # once, and a long summed then cast to double is bit-identical to
+    # the old float(count) literals (integers < 2^53).
+    totals = uni.agg(F.sum("c").alias("__n1__")).crossJoin(
+        c12.agg(F.sum("c12").alias("__n2__"))
+    )
     uni = uni.where(F.col("c") >= min_count)
+    n1d = F.col("__n1__").cast("double")
     scored = (
         c12.where(F.col("c12") >= min_count)
         .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
         .select(
             F.concat_ws(" ", "w1", "w2").alias("bigram"),
             F.col("c12").alias("n"),
             F.round(
                 F.log(
-                    (F.col("c12") / F.lit(float(n2)))
-                    / ((F.col("c1") / F.lit(float(n1))) * (F.col("c2") / F.lit(float(n1))))
+                    (F.col("c12") / F.col("__n2__").cast("double"))
+                    / ((F.col("c1") / n1d) * (F.col("c2") / n1d))
                 ),
                 6,
             ).alias("pmi"),
