@@ -8739,17 +8739,29 @@ def q_dup_matrix(spark, sf_dir):
     both classes deterministically (mirrored in the oracle): every 5th
     doc is re-attributed to a 'mirror-crawl' source (cross-source
     copies) and every 11th doc is duplicated in place (within-source
-    diagonal copies)."""
+    diagonal copies).
+
+    The planted multiplicity is ONE scan + explode (optimization r11):
+    the obvious 3-branch union scanned documents three times and
+    md5-hashed text in every branch (the before-plan held NINE scans —
+    the union was also inlined once per `per` consumer); now md5 runs
+    once per doc and each doc emits its 1-3 (source) copies from an
+    array — the same (source, h) multiset by construction."""
     prep_session(spark)
     base = _t(spark, sf_dir, "documents")
-    d = base.unionByName(
-        base.where(F.col("doc_id") % 5 == 0).withColumn(
-            "source", F.lit("mirror-crawl")
-        )
-    ).unionByName(base.where(F.col("doc_id") % 11 == 0))
+    no_src = F.array().cast("array<string>")
+    srcs = F.concat(
+        F.array(F.col("source")),
+        F.when(F.col("doc_id") % 5 == 0, F.array(F.lit("mirror-crawl"))).otherwise(
+            no_src
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.array(F.col("source"))).otherwise(no_src),
+    )
+    d = base.select(srcs.alias("__srcs__"), F.md5("text").alias("h")).select(
+        F.explode("__srcs__").alias("source"), "h"
+    )
     per = (
-        d.select("source", F.md5("text").alias("h"))
-        .groupBy("source", "h")
+        d.groupBy("source", "h")
         .agg(F.count("*").cast("long").alias("c"))
     )
     a = per.select(F.col("source").alias("source_a"), "h", F.col("c").alias("ca"))
