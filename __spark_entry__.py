@@ -2019,19 +2019,27 @@ def q_dedup_ensemble(spark, sf_dir):
     cheap methods vote, disagreement triggers review — and the report
     itself measures each index's recall against the others. One
     pair-keyed aggregate over the tagged union; every family is
-    bucketed/banded (no all-pairs anywhere)."""
+    bucketed/banded (no all-pairs anywhere).
+
+    One tokenize/shingle stage (optimization r11): minhash, simhash and
+    jaccard all consume the SAME persisted (doc_id, 3-gram) postings
+    frame via each operator's ``postings`` parameter instead of each
+    shingling the corpus independently (3 tokenize passes -> 1)."""
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
+    tok = dedup.token_posting(d, "text", "doc_id", 3).persist()
     hx = d.select("doc_id", F.md5("text").alias("h"))
     a, b = hx.alias("a"), hx.alias("b")
     exact = a.join(
         b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    mm = dedup.minhash_lsh_pairs(d, "text", "doc_id").select("id_a", "id_b")
-    ms = dedup.simhash_pairs(d, "text", "doc_id").select("id_a", "id_b")
-    mj = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8).select(
+    mm = dedup.minhash_lsh_pairs(d, "text", "doc_id", postings=tok).select(
         "id_a", "id_b"
     )
+    ms = dedup.simhash_pairs(d, "text", "doc_id", postings=tok).select("id_a", "id_b")
+    mj = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.8, postings=tok
+    ).select("id_a", "id_b")
     tagged = (
         exact.withColumn("m", F.lit("exact"))
         .unionByName(mm.withColumn("m", F.lit("minhash")))

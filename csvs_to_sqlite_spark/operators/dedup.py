@@ -124,6 +124,7 @@ def ngram_jaccard_pairs(
     max_df: int | str | None = "auto",
     shingle_n: int | None = 3,
     log_drops: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index join over shingles.
 
@@ -138,11 +139,16 @@ def ngram_jaccard_pairs(
     small by construction, so it is applied as a broadcast ANTI-join
     (broadcasting the keep-side vocabulary would not scale).
     ``log_drops=True`` additionally counts and logs the dropped units.
+    ``postings`` shares a precomputed (typically persisted) tokenize/
+    shingle stage with other consumers (see minhash_signatures) — the
+    caller owns its persistence.
     """
-    tok = token_posting(df, text_col, id_col, shingle_n)
-    # tok feeds several consumers (df-cap aggregate, sizes, both join
-    # sides): persist so the tokenize/shingle stage runs once
-    tok = tok.persist()
+    if postings is not None:
+        tok = postings
+    else:
+        # tok feeds several consumers (df-cap aggregate, sizes, both join
+        # sides): persist so the tokenize/shingle stage runs once
+        tok = token_posting(df, text_col, id_col, shingle_n).persist()
     if max_df is not None:
         dfreq = tok.groupBy("token").count()
         if max_df == "auto":
@@ -341,13 +347,23 @@ def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K, shingle_n: int | None = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    shingle_n: int | None = 3,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(id, s0..s{k-1}) — one explode + one groupBy with k min() aggregates
-    (map-side partial aggregation keeps shuffle rows = |docs|)."""
-    tok = token_posting(df, text_col, id_col, shingle_n).select(
-        F.col(id_col), md5_long(F.col("token")).alias("__h__")
-    )
+    (map-side partial aggregation keeps shuffle rows = |docs|).
+
+    Pass a precomputed (id, token) ``postings`` frame (token_posting
+    output, typically persisted) to share ONE tokenize/shingle stage
+    with other consumers — the same sharing contract minhash_bands'
+    ``sig`` offers one level up."""
+    tok = (
+        postings if postings is not None else token_posting(df, text_col, id_col, shingle_n)
+    ).select(F.col(id_col), md5_long(F.col("token")).alias("__h__"))
     aggs = [
         F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_params(k))
@@ -363,14 +379,16 @@ def minhash_bands(
     bands: int = MINHASH_BANDS,
     shingle_n: int | None = 3,
     sig: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, key) LSH band rows of the MinHash signature — the unit
     every banded join (self-join pairs, incremental new-vs-old filter)
     builds on. Pass a precomputed ``sig`` to share one signature stage
-    across consumers (calibration does)."""
+    across consumers (calibration does), or ``postings`` to share just
+    the tokenize/shingle stage."""
     rows = k // bands
     if sig is None:
-        sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+        sig = minhash_signatures(df, text_col, id_col, k, shingle_n, postings)
     band_cols = []
     for bi in range(bands):
         parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
@@ -389,13 +407,15 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     shingle_n: int | None = 3,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: band the signature, self-join per band.
 
     One equi-join keyed by (band_idx, band_key) — the LSH trick that
-    replaces the O(n²) comparison at 100 TB.
+    replaces the O(n²) comparison at 100 TB. ``postings`` shares a
+    precomputed tokenize/shingle stage (see minhash_signatures).
     """
-    banded = minhash_bands(df, text_col, id_col, k, bands, shingle_n)
+    banded = minhash_bands(df, text_col, id_col, k, bands, shingle_n, postings=postings)
     banded = banded.persist()  # both self-join sides reuse the signature stage
     a = banded.alias("a")
     b = banded.alias("b")
@@ -479,8 +499,15 @@ def minhash_calibration(
     Scale: candidate pairs are LSH-bounded (never all-pairs); the exact
     side restricts postings to candidate ids via (id, token)-keyed
     equi-joins. Floats: exactly two int/int divisions, mirrored 1:1 in
-    the oracle."""
-    sig = minhash_signatures(df, text_col, id_col, k, shingle_n).persist()
+    the oracle.
+
+    One tokenize/shingle stage (optimization r11): the signature stage
+    and the exact-Jaccard stage both consume the SAME persisted
+    (id, token) postings frame instead of each shingling the corpus."""
+    tok = token_posting(df, text_col, id_col, shingle_n).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, k, shingle_n, postings=tok
+    ).persist()
     banded = minhash_bands(
         df, text_col, id_col, k, bands, shingle_n, sig=sig
     )
@@ -510,7 +537,6 @@ def minhash_calibration(
         .join(sb, "id_b")
         .select("id_a", "id_b", match_sum.cast("long").alias("n_match"))
     )
-    tok = token_posting(df, text_col, id_col, shingle_n).persist()
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("sz"))
     ta = tok.select(F.col(id_col).alias("id_a"), "token")
     tb = tok.select(F.col(id_col).alias("id_b"), "token")
@@ -755,6 +781,7 @@ def simhash(
     id_col: str,
     bits: int = SIMHASH_BITS,
     shingle_n: int | None = 3,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(id, simhash) — 32-bit fingerprint. Bit j is the sign of the sum of
     (2·bit_j(md5(unit)) − 1) over the doc's distinct shingles; one groupBy
@@ -762,11 +789,12 @@ def simhash(
 
     Shingles, not unigrams: on a shared-vocabulary corpus unigram bit
     votes converge to the same fingerprint for every document, making the
-    pair stage O(n²). Shingle votes are document-specific.
+    pair stage O(n²). Shingle votes are document-specific. ``postings``
+    shares a precomputed tokenize/shingle stage (see minhash_signatures).
     """
-    tok = token_posting(df, text_col, id_col, shingle_n).withColumn(
-        "h", md5_long(F.col("token"), seed="simhash")
-    )
+    tok = (
+        postings if postings is not None else token_posting(df, text_col, id_col, shingle_n)
+    ).withColumn("h", md5_long(F.col("token"), seed="simhash"))
     # branch-free votes (optimization r11): sum_j(2*bit_j - 1) > 0 is
     # exactly 2*sum_j(bit_j) > n, so each of the `bits` aggregates is a
     # plain bit-extract sum instead of a CASE WHEN — same integers, same
@@ -793,12 +821,13 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     shingle_n: int | None = 3,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; docs
     within Hamming ≤ 3 MUST share an identical byte (pigeonhole over 4
     bands), so one band-equi-join finds all such pairs, then exact Hamming
     filters. max_hamming above bands−1 loses that recall guarantee."""
-    sh = simhash(df, text_col, id_col, shingle_n=shingle_n)
+    sh = simhash(df, text_col, id_col, shingle_n=shingle_n, postings=postings)
     bands = [
         F.struct(
             F.lit(bi).alias("band"),
