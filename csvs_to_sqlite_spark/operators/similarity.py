@@ -1540,7 +1540,7 @@ def ivf_index_rebalance_apply(
     # recomputed centroids for both split sides (same quantized-mean math
     # as kmeans_centroids, so the result stays oracle-expressible)
     qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
-    new_cents = (
+    new_cents_df = (
         rebal.select("cell", F.posexplode("cv2").alias("pos", "x"))
         .groupBy("cell", "pos")
         .agg(F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), 6).alias("m"))
@@ -1550,22 +1550,7 @@ def ivf_index_rebalance_apply(
             F.col("cell").alias("centroid_id"),
             F.transform("pm", lambda s: s["m"]).alias("cv"),
         )
-        .collect()
     )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        rebal.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    kept = [
-        (int(r["centroid_id"]), list(r["cv"]))
-        for r in cent_rows
-        if int(r["centroid_id"]) not in set(hot_cells)
-    ] + [(int(r["centroid_id"]), list(r["cv"])) for r in new_cents]
-    spark.createDataFrame(
-        sorted(kept), "centroid_id long, cv array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
     # sibling map (both directions) for query-side probe expansion: a
     # fixed n_probe scans fewer vectors after a split (smaller lists);
     # ivf_index_topk(expand_siblings=True) adds the probed cell's split
@@ -1576,9 +1561,43 @@ def ivf_index_rebalance_apply(
         (int(r["cell"]), max_id + 1 + i)
         for i, r in enumerate(plan_rows)
     ]
-    spark.createDataFrame(
-        sorted(sibs + [(b, a) for a, b in sibs]), "cell long, sibling long"
-    ).write.mode("overwrite").parquet(f"{path}/siblings")
+    # the four maintenance commits after the eager checkpoint are
+    # independent of each other (new_cents and the cells rewrite both
+    # read the CHECKPOINT, not the files being replaced; centroids/
+    # siblings land in their own directories), so the cells rewrite
+    # overlaps the centroid recompute + small writes on a second driver
+    # thread (guide §2.6 — actions are only sequential because the
+    # driver calls them sequentially) instead of four serial jobs. The
+    # dynamic-overwrite conf is session-wide but only affects
+    # PARTITIONED writes, and the only partitioned write in flight is
+    # the cells rewrite itself; it is restored after both threads join.
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            cells_fut = pool.submit(
+                lambda: rebal.write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{path}/cells")
+            )
+            new_cents = new_cents_df.collect()
+            kept = [
+                (int(r["centroid_id"]), list(r["cv"]))
+                for r in cent_rows
+                if int(r["centroid_id"]) not in set(hot_cells)
+            ] + [(int(r["centroid_id"]), list(r["cv"])) for r in new_cents]
+            spark.createDataFrame(
+                sorted(kept), "centroid_id long, cv array<double>"
+            ).write.mode("overwrite").parquet(f"{path}/centroids")
+            spark.createDataFrame(
+                sorted(sibs + [(b, a) for a, b in sibs]),
+                "cell long, sibling long",
+            ).write.mode("overwrite").parquet(f"{path}/siblings")
+            cells_fut.result()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     n_after = spark.read.parquet(f"{path}/cells").count()
     if n_after != n_before:
         raise RuntimeError(
