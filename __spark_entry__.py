@@ -1977,13 +1977,15 @@ def q_dedup_index_recall(spark, sf_dir):
     text-dedup analog of ann_recall_eval. Truth and candidates are both
     index-bounded (inverted-index join / banded equi-join — no
     all-pairs anywhere); the final fold is one pair-keyed left join over
-    the threshold-bounded truth set."""
+    the threshold-bounded truth set. Truth and candidates share ONE
+    persisted tokenize/shingle stage via postings= (optimization r11)."""
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
-    truth = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8).select(
-        "id_a", "id_b"
-    )
-    cand = dedup.minhash_lsh_pairs(d, "text", "doc_id").withColumn(
+    tok = dedup.token_posting(d, "text", "doc_id", 3).persist()
+    truth = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.8, postings=tok
+    ).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_pairs(d, "text", "doc_id", postings=tok).withColumn(
         "__c__", F.lit(1).cast("long")
     )
     j = truth.join(cand, ["id_a", "id_b"], "left")

@@ -43,13 +43,19 @@ def cms_heavy_hitters(
     """Top-k tokens by exact count, with their Count-Min estimate and
     the sketch's overestimate (always ≥ 0 — asserted by a unit test).
 
-    Plan shape: the sketch is ONE (row, cell)-keyed aggregate over the
-    exploded token stream (d·w cells total); exact top-k is a
-    map-side-combined count + TakeOrdered; the estimate joins the k
-    tokens' d cells against the broadcastable sketch. Returns
+    Plan shape (optimization r11): ONE map-side-combined vocab count
+    feeds BOTH the sketch and the exact top-k — the sketch cell (i, c)
+    holds sum over tokens hashing there of the token's count, which is
+    BY DEFINITION the same integer as counting the exploded occurrence
+    stream per cell, so the corpus is tokenized once and md5 runs d
+    times per DISTINCT token instead of d times per occurrence (the
+    former second explode pass). Exact top-k is TakeOrdered over the
+    same vocab aggregate (exchange-reused); the estimate joins the k
+    tokens' d cells against the broadcastable d·w-row sketch. Returns
     (token, exact_n, cms_estimate, overestimate)."""
     tok = df.select(F.explode(tokens_expr(F.col(text_col), distinct=False)).alias("t"))
-    cells = tok.select(
+    vocab = tok.groupBy("t").agg(F.count("*").alias("exact_n"))
+    cells = vocab.select(
         F.explode(
             F.array(
                 *[
@@ -59,17 +65,13 @@ def cms_heavy_hitters(
                     for i in range(d)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
+        F.col("exact_n"),
     )
     sketch = cells.groupBy(F.col("c.i").alias("i"), F.col("c.cell").alias("cell")).agg(
-        F.count("*").alias("n")
+        F.sum("exact_n").alias("n")
     )
-    top = (
-        tok.groupBy("t")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("t").asc())
-        .limit(k)
-    )
+    top = vocab.orderBy(F.col("exact_n").desc(), F.col("t").asc()).limit(k)
     probes = top.select(
         "t",
         "exact_n",
