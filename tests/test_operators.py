@@ -59,6 +59,40 @@ def test_minhash_lsh_candidates(docs):
     assert not any({a, b} == {3, 4} for a, b in pairs)
 
 
+def test_shared_postings_identical_results(docs):
+    """The postings= sharing contract (optimization r11): handing
+    minhash / simhash / jaccard ONE precomputed token_posting frame must
+    return row-identical results to each operator's private stage —
+    the sharing changes evaluation count, never values."""
+    tok = dedup.token_posting(docs, "text", "doc_id", 3).persist()
+    try:
+        for private, shared in (
+            (
+                dedup.minhash_lsh_pairs(docs, "text", "doc_id"),
+                dedup.minhash_lsh_pairs(docs, "text", "doc_id", postings=tok),
+            ),
+            (
+                dedup.simhash_pairs(docs, "text", "doc_id"),
+                dedup.simhash_pairs(docs, "text", "doc_id", postings=tok),
+            ),
+            (
+                dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5),
+                dedup.ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=0.5, postings=tok
+                ),
+            ),
+            (
+                dedup.minhash_signatures(docs, "text", "doc_id"),
+                dedup.minhash_signatures(docs, "text", "doc_id", postings=tok),
+            ),
+        ):
+            a = sorted(map(tuple, private.collect()))
+            b = sorted(map(tuple, shared.collect()))
+            assert a == b and a  # identical and non-empty
+    finally:
+        tok.unpersist()
+
+
 def test_dedup_clusters(docs, spark):
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
     labels = {
