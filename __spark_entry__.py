@@ -8335,22 +8335,28 @@ def q_source_lang_mi(spark, sf_dir):
     """Mutual information between source and lang — the metadata-
     dependence audit (MI ≈ 0 means language is balanced across sources;
     high MI flags sources that are single-language silos, which breaks
-    language-stratified splits). One (source, lang) count aggregate +
-    two marginal rollups broadcast back; each cell's
-    p_ij·ln(p_ij·N²/(n_i·n_j)) term is quantized to 1e-9-unit longs and
-    summed order-free (the PSI/entropy precedent). All counts exact."""
+    language-stratified splits). One (source, lang) count aggregate;
+    marginals and totals ride window sums OVER THE AGGREGATE (cells is
+    #sources × #langs — dimension-sized — so the single-partition
+    windows are free, unlike the corpus-sized window the quantile_sketch
+    rejection measured), which keeps the plan at ONE corpus scan where
+    the join/crossJoin form re-derived the cells subtree 16x (r11 plan
+    diff). Each cell's p_ij·ln(p_ij·N²/(n_i·n_j)) term is quantized to
+    1e-9-unit longs and summed order-free (the PSI/entropy precedent).
+    All counts exact; the window sums are the same order-free long sums
+    the rollups computed."""
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
     cells = d.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("nij")
     )
-    mi_src = cells.groupBy("source").agg(F.sum("nij").cast("long").alias("ni"))
-    mi_lang = cells.groupBy("lang").agg(F.sum("nij").cast("long").alias("nj"))
-    total = cells.agg(F.sum("nij").cast("long").alias("n"))
-    j = (
-        cells.join(F.broadcast(mi_src), "source")
-        .join(F.broadcast(mi_lang), "lang")
-        .crossJoin(F.broadcast(total))
+    j = cells.select(
+        "source",
+        "lang",
+        "nij",
+        F.sum("nij").over(Window.partitionBy("source")).cast("long").alias("ni"),
+        F.sum("nij").over(Window.partitionBy("lang")).cast("long").alias("nj"),
+        F.sum("nij").over(Window.partitionBy()).cast("long").alias("n"),
     )
     pij = F.col("nij").cast("double") / F.col("n").cast("double")
     ratio = (
@@ -8360,9 +8366,10 @@ def q_source_lang_mi(spark, sf_dir):
     rows = j.select(
         "source", "lang", "nij", "ni", "nj", term_q.alias("mi_term_nano")
     )
-    tot_mi = rows.agg(F.sum("mi_term_nano").cast("long").alias("t"))
     return (
-        rows.crossJoin(F.broadcast(tot_mi))
+        rows.withColumn(
+            "t", F.sum("mi_term_nano").over(Window.partitionBy()).cast("long")
+        )
         .select(
             "source",
             "lang",
@@ -8516,8 +8523,8 @@ def q_corpus_drift_psi(spark, sf_dir):
     (pa−pb)·ln(pa/pb) term is quantized to 1e-9 units and summed as
     longs (order-free; integer rounding absorbs last-ulp libm ln
     differences — the corpus_stats entropy precedent). Plan: two scans,
-    two ~12-row bucket aggregates, 1-row totals broadcast — trivially
-    100 TB-shaped."""
+    two ~12-row bucket aggregates, totals as window sums over those
+    aggregates — trivially 100 TB-shaped."""
     prep_session(spark)
     base = _t(spark, sf_dir, "documents")
     snap_b = base.where(F.col("doc_id") % 3 != 0).withColumn(
@@ -8533,13 +8540,18 @@ def q_corpus_drift_psi(spark, sf_dir):
             F.count("*").cast("long").alias(cname)
         )
 
-    a = buckets(base, "n_a")
-    bb = buckets(snap_b, "n_b")
-    tot = (
-        a.agg(F.sum("n_a").cast("long").alias("na"))
-        .crossJoin(bb.agg(F.sum("n_b").cast("long").alias("nb")))
+    # totals ride window sums over the ~12-row bucket aggregates (BEFORE
+    # the inner join, so a bucket present on only one side still counts
+    # toward its total — same semantics as the old crossJoin'd tot,
+    # without re-deriving both corpus scans for it; r11 plan diff
+    # 8 scans -> 2)
+    a = buckets(base, "n_a").withColumn(
+        "na", F.sum("n_a").over(Window.partitionBy()).cast("long")
     )
-    j = a.join(bb, "bucket").crossJoin(F.broadcast(tot))
+    bb = buckets(snap_b, "n_b").withColumn(
+        "nb", F.sum("n_b").over(Window.partitionBy()).cast("long")
+    )
+    j = a.join(bb, "bucket")
     pa = F.col("n_a").cast("double") / F.col("na").cast("double")
     pb = F.col("n_b").cast("double") / F.col("nb").cast("double")
     term_q = F.round((pa - pb) * F.log(pa / pb) * 1e9).cast("long")
@@ -8555,9 +8567,10 @@ def q_corpus_drift_psi(spark, sf_dir):
         ),
         term_q.alias("psi_term_nano"),
     )
-    total = rows.agg(F.sum("psi_term_nano").cast("long").alias("t"))
     return (
-        rows.crossJoin(F.broadcast(total))
+        rows.withColumn(
+            "t", F.sum("psi_term_nano").over(Window.partitionBy()).cast("long")
+        )
         .select(
             "bucket",
             "n_a",

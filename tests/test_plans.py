@@ -646,3 +646,20 @@ def test_python_engine_scan_is_narrow(spark, tmp_path):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     assert "FileScan csv" in plan
+
+
+def test_mi_and_psi_totals_ride_windows_not_plan_copies(spark):
+    """r11: source_lang_mi / corpus_drift_psi marginals+totals are window
+    sums over the (dimension-sized) aggregates. The old join/crossJoin
+    form re-derived the aggregate subtree per marginal and doubled the
+    whole plan under the final crossJoin(total) — 16 corpus scans each
+    (plans/r11/*_before.txt). The scan count IS the 100 TB property."""
+    mi = explain_str(E.q_source_lang_mi(spark, SF), "simple")
+    assert mi.count("Scan parquet") == 1
+    assert "Window" in mi
+
+    psi = explain_str(E.q_corpus_drift_psi(spark, SF), "simple")
+    # snapshot A and mutated snapshot B: exactly the two corpus scans
+    # the docstring promises
+    assert psi.count("Scan parquet") == 2
+    assert "Window" in psi
