@@ -33,7 +33,10 @@ from csvs_to_sqlite_spark.operators import (
     text,
 )
 from csvs_to_sqlite_spark.operators.dims import build_dims, fmt_g
-from csvs_to_sqlite_spark.operators.partitioning import scan_fanout
+from csvs_to_sqlite_spark.operators.partitioning import (
+    assert_dimension_sized,
+    scan_fanout,
+)
 from csvs_to_sqlite_spark.operators.rowid import ROW_ID
 from csvs_to_sqlite_spark.plans.specs import DimSpec, Table
 from csvs_to_sqlite_spark.session import prep_session
@@ -6340,6 +6343,9 @@ def q_daily_dense_rollup(spark, sf_dir):
     # ignored (HintErrorLogger) and the join ran as sort-merge. `daily`
     # is aggregate-bounded to |days|x|types| — same broadcast class as
     # the spine — and the join output is identical (optimization r11).
+    # assert_dimension_sized (r12): that bound is now ENFORCED fail-loud
+    # before the rows feed the broadcast build.
+    daily = assert_dimension_sized(daily, "daily_dense_rollup.daily (|days| x |types|)")
     return (
         spine
         .join(F.broadcast(daily), ["day", "event_type"], "left")
@@ -8336,28 +8342,35 @@ def q_source_lang_mi(spark, sf_dir):
     dependence audit (MI ≈ 0 means language is balanced across sources;
     high MI flags sources that are single-language silos, which breaks
     language-stratified splits). One (source, lang) count aggregate;
-    marginals and totals ride window sums OVER THE AGGREGATE (cells is
-    #sources × #langs — dimension-sized — so the single-partition
-    windows are free, unlike the corpus-sized window the quantile_sketch
-    rejection measured), which keeps the plan at ONE corpus scan where
-    the join/crossJoin form re-derived the cells subtree 16x (r11 plan
-    diff). Each cell's p_ij·ln(p_ij·N²/(n_i·n_j)) term is quantized to
+    the ni/nj marginals ride PARTITIONED window sums over the aggregate
+    (keyed by source / lang — never a single-partition WindowExec, the
+    suite-wide 100 TB guard), and the two grand totals are broadcast
+    1-row aggregates crossJoined back on. The totals' subtrees are
+    plan-copies of the probe side with NO extra predicates (crossJoin
+    inserts none), so AQE stage reuse dedups them at runtime: the
+    executed plan carries ONE corpus scan (ReusedExchange on the cells
+    exchange — tests/test_plans.py pins this on the final adaptive
+    plan), where the r10 join form re-derived the cells subtree 16x.
+    Each cell's p_ij·ln(p_ij·N²/(n_i·n_j)) term is quantized to
     1e-9-unit longs and summed order-free (the PSI/entropy precedent).
-    All counts exact; the window sums are the same order-free long sums
-    the rollups computed."""
+    All counts exact; the window/aggregate sums are the same order-free
+    long sums the rollups computed."""
     prep_session(spark)
     d = _t(spark, sf_dir, "documents")
-    cells = d.groupBy("source", "lang").agg(
-        F.count("*").cast("long").alias("nij")
+    cells = assert_dimension_sized(
+        d.groupBy("source", "lang").agg(
+            F.count("*").cast("long").alias("nij")
+        ),
+        "source_lang_mi.cells (#sources x #langs)",
     )
+    tot = cells.agg(F.sum("nij").cast("long").alias("n"))
     j = cells.select(
         "source",
         "lang",
         "nij",
         F.sum("nij").over(Window.partitionBy("source")).cast("long").alias("ni"),
         F.sum("nij").over(Window.partitionBy("lang")).cast("long").alias("nj"),
-        F.sum("nij").over(Window.partitionBy()).cast("long").alias("n"),
-    )
+    ).crossJoin(F.broadcast(tot))
     pij = F.col("nij").cast("double") / F.col("n").cast("double")
     ratio = (
         F.col("nij").cast("double") * F.col("n").cast("double")
@@ -8366,10 +8379,9 @@ def q_source_lang_mi(spark, sf_dir):
     rows = j.select(
         "source", "lang", "nij", "ni", "nj", term_q.alias("mi_term_nano")
     )
+    t = rows.agg(F.sum("mi_term_nano").cast("long").alias("t"))
     return (
-        rows.withColumn(
-            "t", F.sum("mi_term_nano").over(Window.partitionBy()).cast("long")
-        )
+        rows.crossJoin(F.broadcast(t))
         .select(
             "source",
             "lang",
@@ -8522,9 +8534,22 @@ def q_corpus_drift_psi(spark, sf_dir):
     integers; shares go through qmath; each bucket's
     (pa−pb)·ln(pa/pb) term is quantized to 1e-9 units and summed as
     longs (order-free; integer rounding absorbs last-ulp libm ln
-    differences — the corpus_stats entropy precedent). Plan: two scans,
-    two ~12-row bucket aggregates, totals as window sums over those
-    aggregates — trivially 100 TB-shaped."""
+    differences — the corpus_stats entropy precedent).
+
+    Plan: the two per-snapshot bucket counts ride ONE aggregate over a
+    side-tagged unionAll (count(CASE side) pivots — identical counts to
+    the two separate groupBys), because the inner-join form pushes
+    isnotnull(bucket) into only the join-side copy of each aggregate,
+    which blocks AQE stage reuse and doubles the corpus scans (measured:
+    4 scans vs 2). The inner-join semantics (keep buckets present in
+    BOTH snapshots; totals still count one-sided buckets) survive as the
+    post-aggregate n_a>0 AND n_b>0 filter — on aggregate OUTPUTS, so
+    nothing pushes below the shared subtree. Totals (na, nb, t) are
+    broadcast 1-row aggregates crossJoined back on; their plan-copies
+    carry no extra predicates, so AQE stage reuse keeps the executed
+    plan at exactly TWO corpus scans (tests/test_plans.py pins this on
+    the final adaptive plan). No single-partition WindowExec anywhere —
+    the suite-wide 100 TB guard holds."""
     prep_session(spark)
     base = _t(spark, sf_dir, "documents")
     snap_b = base.where(F.col("doc_id") % 3 != 0).withColumn(
@@ -8534,24 +8559,24 @@ def q_corpus_drift_psi(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
 
-    def buckets(df, cname):
-        b = (F.length(F.bin(F.length("text"))) - 1).cast("long")
-        return df.groupBy(b.alias("bucket")).agg(
-            F.count("*").cast("long").alias(cname)
-        )
-
-    # totals ride window sums over the ~12-row bucket aggregates (BEFORE
-    # the inner join, so a bucket present on only one side still counts
-    # toward its total — same semantics as the old crossJoin'd tot,
-    # without re-deriving both corpus scans for it; r11 plan diff
-    # 8 scans -> 2)
-    a = buckets(base, "n_a").withColumn(
-        "na", F.sum("n_a").over(Window.partitionBy()).cast("long")
+    b_expr = (F.length(F.bin(F.length("text"))) - 1).cast("long")
+    tagged = base.select(b_expr.alias("bucket"), F.lit(0).alias("side")).unionAll(
+        snap_b.select(b_expr.alias("bucket"), F.lit(1).alias("side"))
     )
-    bb = buckets(snap_b, "n_b").withColumn(
-        "nb", F.sum("n_b").over(Window.partitionBy()).cast("long")
+    agg = assert_dimension_sized(
+        tagged.groupBy("bucket").agg(
+            F.count(F.when(F.col("side") == 0, 1)).cast("long").alias("n_a"),
+            F.count(F.when(F.col("side") == 1, 1)).cast("long").alias("n_b"),
+        ),
+        "corpus_drift_psi.buckets (log2 length buckets)",
     )
-    j = a.join(bb, "bucket")
+    tot = agg.agg(
+        F.sum("n_a").cast("long").alias("na"),
+        F.sum("n_b").cast("long").alias("nb"),
+    )
+    j = agg.crossJoin(F.broadcast(tot)).where(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    )
     pa = F.col("n_a").cast("double") / F.col("na").cast("double")
     pb = F.col("n_b").cast("double") / F.col("nb").cast("double")
     term_q = F.round((pa - pb) * F.log(pa / pb) * 1e9).cast("long")
@@ -8567,10 +8592,9 @@ def q_corpus_drift_psi(spark, sf_dir):
         ),
         term_q.alias("psi_term_nano"),
     )
+    t = rows.agg(F.sum("psi_term_nano").cast("long").alias("t"))
     return (
-        rows.withColumn(
-            "t", F.sum("psi_term_nano").over(Window.partitionBy()).cast("long")
-        )
+        rows.crossJoin(F.broadcast(t))
         .select(
             "bucket",
             "n_a",

@@ -226,3 +226,47 @@ def salted_distinct_count(
         )
         .orderBy(key)
     )
+
+
+# assert_dimension_sized default: per-partition row cap for frames the
+# caller is about to broadcast or funnel through a 1-row/tiny aggregate.
+# 2^21 (~2M) rows is far above any real dimension (dates x types, sources
+# x langs, log2-length buckets) and far below anything corpus-shaped.
+_DIM_SIZED_CAP = int(os.environ.get("SPARK_GRAFT_DIM_SIZED_CAP", str(1 << 21)))
+
+
+def assert_dimension_sized(
+    df: DataFrame, what: str, cap: int | None = None
+) -> DataFrame:
+    """Fail-loud precondition for 'this frame is dimension-sized' — wire
+    it onto any frame about to be BROADCAST or crossJoined as a tiny
+    aggregate (VERDICT r11 item 6: the precondition used to be a
+    docstring claim with nothing enforcing it).
+
+    Rides the consumer's own job — no extra action, no shuffle, no plan
+    re-derivation: ``monotonically_increasing_id()``'s low 33 bits are
+    the row's index WITHIN its partition, so ``assert_true(idx < cap)``
+    evaluated per row bounds every partition at ``cap`` rows. The guard
+    is attached as a row-preserving Filter (``assert_true`` returns NULL
+    on success, so ``isNull`` keeps every row; on violation the task
+    fails loudly with ``what`` in the message instead of feeding an
+    oversized broadcast/OOM). It is a best-effort EARLY trip: a frame
+    spread over many partitions can stay under the per-partition cap yet
+    exceed cap in total — Spark's own 512M-row/8GB broadcast hard cap
+    remains the backstop; this guard converts the common failure (an
+    aggregate that silently stopped being dimension-sized) into a named
+    error at the first oversized partition.
+
+    The added Filter is identical in every plan-copy of the guarded
+    frame, so AQE stage reuse (the MI/PSI total-dedup machinery) is
+    unaffected."""
+    limit = _DIM_SIZED_CAP if cap is None else cap
+    idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    chk = F.assert_true(
+        idx < F.lit(limit),
+        F.lit(
+            f"{what}: dimension-sized precondition violated "
+            f"(>= {limit} rows in one partition)"
+        ),
+    )
+    return df.where(chk.isNull())

