@@ -170,6 +170,48 @@ def assign_cells(
     )
 
 
+def _mean_arrays(
+    assigned: DataFrame,
+    keys: list[str],
+    vec_col: str,
+    dim: int,
+    round_dp: int,
+) -> DataFrame:
+    """Element-wise quantized mean of ``vec_col`` arrays per ``keys`` in
+    ONE aggregate: dim fixed-position sums of round(x·EMB_Q) longs plus
+    one count, reassembled with F.array in pos order.
+
+    Optimization r12 (guide §2.3/§2.4): the posexplode form generated
+    dim× the corpus rows into a (keys, pos)-keyed aggregate and then
+    needed a SECOND (keys)-keyed exchange to collect_list the components
+    back into an array — per Lloyd round that was 2 exchanges and a dim×
+    row blowup. Fixed-position sums aggregate the SAME addends (same
+    round(x·Q) longs, order-free exact), divide by the same per-key row
+    count (arrays are fixed-length, so count(*) per key equals the old
+    per-(key,pos) count("x")), and round with the same expression — the
+    centroids are bit-identical, in one exchange carrying one wide row
+    per key.
+
+    SMALL dim only (the d_sub=8 PQ codebooks): the same fusion at dim=64
+    (kmeans_centroids) measured 3x SLOWER in interleaved A/B — the
+    64-buffer wide aggregate loses to posexplode there, so
+    kmeans_centroids keeps its (cell, pos) form; see its in-loop
+    comment."""
+    qsum = lambda i: F.sum(
+        F.round(F.col(vec_col)[i] * F.lit(EMB_Q)).cast("long")
+    )
+    agg = assigned.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *[qsum(i).alias(f"__s{i}__") for i in range(dim)],
+    )
+    comp = lambda i: F.round(
+        (F.col(f"__s{i}__") / F.lit(float(EMB_Q))) / F.col("__n__"), round_dp
+    )
+    return agg.select(
+        *keys, F.array(*[comp(i) for i in range(dim)]).alias("__cv__")
+    )
+
+
 def kmeans_centroids(
     base: DataFrame,
     id_col: str,
@@ -207,7 +249,12 @@ def kmeans_centroids(
         )
         exploded = assigned.select("cell", F.posexplode("av").alias("pos", "x"))
         # quantized mean: exact integer sum (order-free) + one mirrored
-        # double division — see EMB_Q
+        # double division — see EMB_Q.
+        # r12 measured-and-REJECTED: fusing this into one cell-keyed
+        # aggregate of 64 fixed-position sums (_mean_arrays, the form the
+        # d_sub=8 PQ codebooks DID keep) ran 3x SLOWER for knn_ivf /
+        # knn_ivfpq_residual in interleaved A/B — at dim=64 the wide
+        # aggregate loses to the posexplode + re-collect pair.
         qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
         means = exploded.groupBy("cell", "pos").agg(
             F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), round_dp).alias("m")
@@ -879,7 +926,9 @@ def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codebooks(subs: DataFrame, k: int, iters: int) -> DataFrame:
+def _pq_codebooks(
+    subs: DataFrame, k: int, iters: int, d_sub: int = PQ_DSUB
+) -> DataFrame:
     """Learn the per-subspace codebooks: seed with the first ``k`` ids,
     run ``iters`` quantized Lloyd rounds (L2 assignment, EMB_Q-exact
     integer mean sums, 6-dp rounded components). Returns (s, cid, cv).
@@ -893,19 +942,10 @@ def _pq_codebooks(subs: DataFrame, k: int, iters: int) -> DataFrame:
     )
     for _ in range(iters):
         assigned = _pq_assign(subs, cents)
-        expl = assigned.select("s", "cell", F.posexplode("sv").alias("pos", "x"))
-        qsum = F.sum(F.round(F.col("x") * F.lit(EMB_Q)).cast("long"))
-        means = expl.groupBy("s", "cell", "pos").agg(
-            F.round((qsum / F.lit(float(EMB_Q))) / F.count("x"), 6).alias("mu")
-        )
-        cents = (
-            means.groupBy("s", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
-            .select(
-                "s",
-                F.col("cell").alias("cid"),
-                F.transform("pm", lambda t: t["mu"]).alias("cv"),
-            )
+        # one (s, cell)-keyed exchange per round (_mean_arrays, r12)
+        # instead of the (s, cell, pos) posexplode + re-collect pair
+        cents = _mean_arrays(assigned, ["s", "cell"], "sv", d_sub, 6).select(
+            "s", F.col("cell").alias("cid"), F.col("__cv__").alias("cv")
         )
     return cents
 
@@ -939,7 +979,7 @@ def pq_encode(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
     subs = _pq_subspaces(base, m, d_sub).persist()
-    cents = _pq_codebooks(subs, k, iters)
+    cents = _pq_codebooks(subs, k, iters, d_sub)
     final = _pq_assign(subs, cents).select(
         "vid", "s", F.col("cell").alias("code"), F.round(F.col("d2"), 6).alias("err")
     )
@@ -1099,7 +1139,7 @@ def ivfpq_topk(
     ).select("neighbor_id", "cell")
 
     subs = _pq_subspaces(base, m, d_sub).persist()
-    books = _pq_codebooks(subs, pq_k, pq_iters)
+    books = _pq_codebooks(subs, pq_k, pq_iters, d_sub)
     codes = _pq_assign(subs, books).select("vid", "s", F.col("cell").alias("code"))
 
     q = query.select(
@@ -1183,7 +1223,7 @@ def ivfpq_residual_topk(
         F.zip_with("nv", "ctr", lambda x, y: x - y).alias("v"),
     )
     subs = _pq_subspaces(res.select("vid", "v"), m, d_sub).persist()
-    books = _pq_codebooks(subs, pq_k, pq_iters)
+    books = _pq_codebooks(subs, pq_k, pq_iters, d_sub)
     codes = _pq_assign(subs, books).select("vid", "s", F.col("cell").alias("code"))
     corpus = res.select(F.col("vid").alias("neighbor_id"), "cell")
 
