@@ -455,17 +455,15 @@ def test_jaccard_df_cap_drops_boilerplate(spark):
     assert (0, 1) in capped  # true duplicates survive the cap
 
 
-def test_jaccard_pins_exactly_one_frame(spark):
-    """r12 (VERDICT r11 item 5): the postings=None path persists exactly
-    ONE frame — the pre-cap postings every consumer shares. The old
-    double persist left the pre-cap frame pinned with no remaining
-    consumer: a per-call leak in a long-lived host session. Zero pinned
-    frames is not reachable from a lazy-return API (the returned plan
-    reads the cache; only the caller could unpersist), so the contract
-    is exactly-one, asserted here, and the new frames are dropped at
-    test end. A test-LOCAL frame, not the module fixture: CacheManager
-    dedupes persists of an already-cached plan (an earlier test's
-    lingering cache would make this call pin zero NEW frames)."""
+def test_jaccard_pins_no_frames(spark):
+    """r12 (VERDICT r11 item 5): the postings=None path pins NOTHING —
+    the tokenize/shingle stage is shared through one token-keyed
+    exchange that AQE stage reuse executes once (ReusedExchange for
+    every other consumer), so there is no persist for a lazy-return API
+    to leak. The r11 form pinned TWO frames per call (pre-cap + capped
+    postings), never unpersisted — a leak in a long-lived host session.
+    A test-LOCAL frame, not the module fixture, so an earlier test's
+    lingering cache cannot mask a new pin via CacheManager dedupe."""
     rows = [(i, f"pin check document number {i} with words {i % 3}") for i in range(8)]
     local_docs = spark.createDataFrame(rows, "doc_id long, text string")
     sc = spark.sparkContext._jsc.sc()
@@ -477,16 +475,14 @@ def test_jaccard_pins_exactly_one_frame(spark):
         return ids
 
     before = pinned_ids()
-    dedup.ngram_jaccard_pairs(local_docs, "text", "doc_id", threshold=0.5).collect()
+    df = dedup.ngram_jaccard_pairs(local_docs, "text", "doc_id", threshold=0.5)
+    df.collect()
     new = pinned_ids() - before
-    try:
-        assert len(new) == 1, f"expected exactly 1 pinned frame, got {len(new)}"
-    finally:
-        it = sc.getPersistentRDDs().iterator()
-        while it.hasNext():
-            e = it.next()
-            if e._1() in new:
-                e._2().unpersist(True)
+    assert not new, f"expected no pinned frames, got {len(new)}"
+    # and the sharing actually happened: the executed plan reuses the
+    # token exchange instead of re-running tokenize per consumer
+    fin = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in fin
 
 
 # --- training-pipeline curation ops (decontaminate / splits / scrub) -------
