@@ -433,7 +433,13 @@ def minhash_lsh_pairs(
     precomputed tokenize/shingle stage (see minhash_signatures).
     """
     banded = minhash_bands(df, text_col, id_col, k, bands, shingle_n, postings=postings)
-    banded = banded.persist()  # both self-join sides reuse the signature stage
+    # both self-join sides reuse the signature stage. r12
+    # measured-and-kept: dropping the persist in favor of AQE exchange
+    # reuse (the ngram_jaccard_pairs rewrite) DOES execute the stage
+    # once with nothing pinned, but ran ~8% slower settled (1.23s vs
+    # 1.14s interleaved) — here there is no redundant-subtree win to
+    # offset the cache→shuffle-read swap, so the persist stays.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
