@@ -35,10 +35,42 @@ def get_spark(app_name: str = "csvs-to-sqlite-spark", cpus: int | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # PySpark's DataFrame-debugging call-site capture (default ON)
+        # taxes EVERY DataFrame/functions call with getActiveSession + a
+        # conf.get py4j round trip + PySparkCurrentOrigin.set + a Python
+        # stack walk (pyspark/errors/utils.py _with_origin) — pure
+        # driver-side plan-construction latency, no effect on plans or
+        # results, only on error-message call-site enrichment. Measured
+        # interleaved at sf0.1: ingest 12.2→10.0 s, six heavy bench
+        # entries end-to-end 9.8→8.0 s (tools/ab_dataframe_debugging.py).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _disable_dataframe_debugging(spark)
     return spark
+
+
+def _disable_dataframe_debugging(spark: SparkSession) -> None:
+    """Make the dataFrameDebugging=false conf actually stick.
+
+    pyspark caches the gate in a module global at the FIRST decorated
+    call (pyspark/errors/utils.py:is_debugging_enabled) — under a
+    host-provided session that call has usually happened long before
+    prep_session runs, so setting the conf alone would be a no-op. Align
+    the cache with the conf we just set; wrapped defensively because the
+    cache is a pyspark-internal attribute (absent = nothing to fix)."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
+    try:
+        import pyspark.errors.utils as _perr
+
+        if getattr(_perr, "_enable_debugging_cache", None) is not False:
+            _perr._enable_debugging_cache = False
+    except Exception:
+        pass
 
 
 def prep_session(spark: SparkSession) -> SparkSession:
@@ -66,6 +98,8 @@ def prep_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # driver-side plan-construction latency (see _disable_dataframe_debugging)
+    _disable_dataframe_debugging(spark)
     return spark
 
 
