@@ -2106,107 +2106,24 @@ def _decide_types(
     return kinds, overrides
 
 
-def infer_reference_types(
-    df: DataFrame,
-    check_bad_lines: bool = False,
-    return_partition_counts: bool = False,
-    quoting: int = 0,
-    na_masked: bool = True,
-    float_parity: bool | None = None,
-    py_engine: bool = False,
-    ctrl_risk: bool = False,
+def _infer_flag_agg_columns(
+    mask_stage,
+    data_cols,
+    check_bad_lines: bool,
+    float_parity,
+    py_engine: bool,
+    ctrl_risk: bool,
 ):
-    """Reproduce pandas read_csv dtype inference over an all-string frame.
-
-    pandas outcome per column: int64 if every non-null parses as int,
-    float64 if every non-null parses as float, bool if every non-null is
-    True/False, else object. One aggregate job computes all columns'
-    verdicts at once (scales: single scan, partial aggregation map-side).
-
-    ``quoting=2`` (csv.QUOTE_NONNUMERIC, reference utils.py:41 passing it
-    to pandas): the C parser converts numeric fields to float at parse
-    time, so every column that would infer int64 — including all-quoted
-    digit strings and ints beyond int64/uint64, probed on pandas 2.2 —
-    lands as float64 instead; bool and object inference are unchanged,
-    and the order-dependent big-int overflow rule never applies.
-    ``quoting=1`` (QUOTE_ALL) changes nothing on the read side — the csv
-    module only distinguishes it when WRITING — so it takes the default
-    path (differential-tested).
-
-    With ``return_partition_counts`` the same pass also yields per-scan-
-    partition row counts (grouped by spark_partition_id) for row-id
-    assignment, and the return value is ``(typed_df, {pid: rows})``.
-
-    ``na_masked=False`` means ``df`` still holds the RAW cell strings and
-    the pandas NA-token mask is applied here, per column — required for the
-    uint64-conflict quirk (kind ``rawtext``), where pandas keeps NA tokens
-    as literal text. ``float_parity`` (default: the tri-state
-    SPARK_GRAFT_PANDAS_FLOAT_PARITY env toggle — unset means AUTO) parses
-    float-column VALUES with the pandas precise_xstrtod port instead of
-    Spark's correctly rounded cast: every float column when True, only
-    risk-flagged columns under AUTO, never when False — see
-    functions/pandasfloat.py.
+    """Column-op constructor for the inference flag projection and
+    aggregates — the certified general path (ctrl_risk guard,
+    parity_double pandas UDF). The common case goes through the
+    SQL-string twins below (_infer_flag_exprs/_infer_agg_exprs),
+    which must stay expression-for-expression in lockstep — locked by
+    tests/test_sources_golden.py::test_infer_sql_fast_path_equivalence.
     """
-    from csvs_to_sqlite_spark.functions.pandasfloat import (
-        parity_double,
-        parity_enabled,
-    )
+    from csvs_to_sqlite_spark.functions.pandasfloat import parity_double
 
-    if float_parity is None:
-        float_parity = parity_enabled()
-    data_cols = [c for c in df.columns if c != _EXTRA]
-    if not data_cols:
-        return (df, {}, {}, {}, set()) if return_partition_counts else df
-
-    if na_masked:
-        def m(c):
-            return qcol(c)
-    else:
-        def m(c):
-            return (
-                F.when(qcol(c).isin(*_PANDAS_NA_TOKENS), None)
-                .otherwise(qcol(c))
-            )
-    # integer-ness via regex, not try_cast("long"): Spark's string→long cast
-    # rejects non-integers through an exception path (~5× slower on columns
-    # with decimal values). The regex matches exactly what pandas parses as
-    # int64 (optional sign/whitespace, digits only).
     int_re = r"^\s*[+-]?[0-9]+\s*$"
-    # scan-order position for order-sensitive rules (pandas' conversion
-    # state machine); mid = pid<<33|seq is globally ordered for file scans.
-    # Materialized as a column first: Spark rejects nondeterministic
-    # expressions inside aggregate functions.
-    df = df.withColumn("__pos__", F.monotonically_increasing_id())
-    # Stage 0: evaluate the NA mask ONCE per cell. The p-flag expressions
-    # below reference each cell ~8 times; inlining the 18-token isin CASE
-    # into every use doubled the sf0.1 ingest wall (13.3s vs 6.7s) —
-    # Catalyst's CollapseProject keeps a non-cheap alias shared instead of
-    # re-inlining it, so a separate narrow select restores the floor.
-    # Partition ids and scan order are unchanged (narrow transform).
-    mask_stage = df.select(
-        F.col("__pos__"),
-        *([F.col(_EXTRA)] if check_bad_lines else []),
-        *[m(c).alias(f"__m{i}") for i, c in enumerate(data_cols)],
-    )
-    source_cache = None
-    if return_partition_counts:
-        # engine fast path: the same parse feeds the inference aggregate AND
-        # the engine's canonical spill write — cache the MASKED strings so
-        # the CSV is tokenized and na-masked exactly once (MEMORY_AND_DISK:
-        # spills, never fails). The engine unpersists via the
-        # __source_cache__ handle after its spill write. The raw frame `df`
-        # stays uncached: only the uint64-conflict rawtext path reads it,
-        # and that re-parse is paid solely when such a column exists.
-        from pyspark import StorageLevel
-
-        source_cache = mask_stage.persist(StorageLevel.MEMORY_AND_DISK)
-        mask_stage = source_cache
-    # Pre-project every shared per-row expression ONCE (regex matches and
-    # numeric casts are the expensive ops; referenced directly inside ~9
-    # aggregate expressions per column Spark re-evaluates them per
-    # aggregate — measured 3.0s vs 1.1s for the whole pass at sf0.1).
-    # The projection is a narrow transform, so partition ids and scan
-    # order are unchanged.
     proj = [F.col("__pos__")]
     if check_bad_lines:
         proj.append(F.col(_EXTRA))
@@ -2445,6 +2362,278 @@ def infer_reference_types(
         )
     if check_bad_lines:
         aggs.append(F.count(F.col(_EXTRA)).alias("__n_bad__"))
+    return base, aggs
+
+
+def _infer_flag_exprs(
+    data_cols,
+    check_bad_lines: bool,
+    float_parity,
+    py_engine: bool,
+) -> list[str]:
+    """SQL-string twin of the flag projection in _infer_flag_agg_columns
+    (optimization r12): the whole per-column expression set ships through
+    ONE selectExpr py4j call instead of ~40 Column ops per column. Only
+    for the common case (no ctrl_risk guard, float_parity is not True) —
+    expression-for-expression lockstep with the Column constructor is
+    locked by test_infer_sql_fast_path_equivalence."""
+    proj = ["`__pos__`"]
+    if check_bad_lines:
+        proj.append(f"`{_EXTRA}`")
+    for i, _c in enumerate(data_cols):
+        mc = f"`__m{i}`"
+        sql_d = f"try_cast({mc} as double)"
+        sql_re = (
+            f"({sql_d} is not null and"
+            f" {mc} rlike '^\\\\s*[+-]?[0-9]+\\\\s*$')"
+        )
+        sql_dec = f"try_cast({mc} as decimal(20,0))"
+        sql_beyond = (
+            f"case when {sql_re} and {sql_d} > 0.0d"
+            f" and length(trim({mc})) > 19"
+            f" then ({sql_dec} is null or {sql_dec} > 18446744073709551615bd)"
+            f" else false end"
+        )
+        sql_long = (
+            f"case when {sql_re} then (length(trim({mc})) <= 18"
+            f" or try_cast({mc} as bigint) is not null) else false end"
+        )
+        sql_bits = (
+            f"case when {sql_re} and {sql_d} < 0.0d then 2"
+            f" when {sql_d} = 0.0d and"
+            f" (contains({mc}, 'e') or contains({mc}, 'E')) then 4"
+            f" when {sql_re} and {sql_d} > 0.0d"
+            f" and not {sql_long} and not {sql_beyond} then 1"
+            f" else 0 end"
+        )
+        if float_parity is None:
+            sql_bits = (
+                f"({sql_bits}) | (case when {sql_d} is not null and"
+                f" (length(trim({mc})) > 15 or (not {sql_re} and"
+                f" (contains({mc}, 'e') or contains({mc}, 'E'))))"
+                f" then 8 else 0 end)"
+            )
+        if py_engine:
+            sql_bits = (
+                f"({sql_bits}) | (case when {sql_re} and {sql_d} < 0.0d"
+                f" and not {sql_long} then 16 else 0 end)"
+            )
+        proj.append(f"{mc} is not null as `p{i}_nn`")
+        # F.when(d.isNotNull(), rlike).otherwise(false): null d -> false
+        proj.append(
+            f"case when {sql_d} is not null then"
+            f" {mc} rlike '^\\\\s*[+-]?[0-9]+\\\\s*$'"
+            f" else false end as `p{i}_re`"
+        )
+        proj.append(f"{sql_d} as `p{i}_d`")
+        proj.append(f"{sql_long} as `p{i}_long`")
+        proj.append(f"{sql_beyond} as `p{i}_big`")
+        proj.append(f"{sql_bits} as `p{i}_bits`")
+        proj.append(
+            f"case when {sql_d} is not null and not {sql_re}"
+            f" then startswith(ltrim({mc}), '-') else null end"
+            f" as `p{i}_negf`"
+        )
+        proj.append(
+            f"case when abs({sql_d}) = cast('Infinity' as double) then"
+            f" ({mc} rlike '[0-9]' or"
+            f" not {mc} rlike '^[+-]?(?i)(inf|infinity)$')"
+            f" else false end as `p{i}_ovf`"
+        )
+        proj.append(f"lower({mc}) in ('true', 'false') as `p{i}_bool`")
+    return proj
+
+
+def _infer_agg_exprs(data_cols, check_bad_lines: bool) -> list[str]:
+    """SQL-string twin of the aggregate list in _infer_flag_agg_columns —
+    see _infer_flag_exprs for the contract."""
+    aggs = ["count(1) as `__rows__`"]
+    for i, _c in enumerate(data_cols):
+        aggs.append(f"count(case when `p{i}_nn` then 1 end) as `c{i}_n`")
+        aggs.append(
+            f"count(case when `p{i}_bool` then 1 end) as `c{i}_bool`"
+        )
+        aggs.append(f"count(case when `p{i}_re` then 1 end) as `c{i}_re`")
+        aggs.append(
+            f"count(case when `p{i}_long` then 1 end) as `c{i}_long`"
+        )
+        aggs.append(
+            f"min(case when `p{i}_big` then `__pos__` end)"
+            f" as `c{i}_firstbig`"
+        )
+        aggs.append(
+            f"min(case when `p{i}_d` is not null and not `p{i}_re`"
+            f" then `__pos__` end) as `c{i}_firstfloat`"
+        )
+        aggs.append(
+            f"min(case when `p{i}_negf` then `__pos__` end)"
+            f" as `c{i}_firstnegf`"
+        )
+        aggs.append(
+            f"min(case when not `p{i}_negf` then `__pos__` end)"
+            f" as `c{i}_firstposf`"
+        )
+        aggs.append(
+            f"min(case when (`p{i}_bits` & 1) = 1 then `__pos__` end)"
+            f" as `c{i}_firstu64`"
+        )
+        aggs.append(
+            f"min(case when `p{i}_re` and `p{i}_d` < 0 and not `p{i}_long`"
+            f" then `__pos__` end) as `c{i}_firstnegovf`"
+        )
+        aggs.append(f"bit_or(`p{i}_bits`) as `c{i}_bits`")
+        aggs.append(f"count(`p{i}_d`) as `c{i}_dbl`")
+        aggs.append(f"count(case when `p{i}_ovf` then 1 end) as `c{i}_ovf`")
+        # the fast path never runs under float_parity=True, so the C1
+        # decisions read the plain cast column like the Column twin's
+        # dv = d branch
+        aggs.append(
+            f"count(case when abs(`p{i}_d`) < 2.2250738585072014E-308D"
+            f" and `p{i}_d` != 0.0D then 1 end) as `c{i}_subn`"
+        )
+        aggs.append(
+            f"count(case when `p{i}_d` is not null and not isnan(`p{i}_d`)"
+            f" and ((`p{i}_d` % 1.0D) != 0.0D or"
+            f" abs(`p{i}_d`) = double('Infinity')) then 1 end)"
+            f" as `c{i}_nonint`"
+        )
+    if check_bad_lines:
+        aggs.append(f"count(`{_EXTRA}`) as `__n_bad__`")
+    return aggs
+
+
+def infer_reference_types(
+    df: DataFrame,
+    check_bad_lines: bool = False,
+    return_partition_counts: bool = False,
+    quoting: int = 0,
+    na_masked: bool = True,
+    float_parity: bool | None = None,
+    py_engine: bool = False,
+    ctrl_risk: bool = False,
+):
+    """Reproduce pandas read_csv dtype inference over an all-string frame.
+
+    pandas outcome per column: int64 if every non-null parses as int,
+    float64 if every non-null parses as float, bool if every non-null is
+    True/False, else object. One aggregate job computes all columns'
+    verdicts at once (scales: single scan, partial aggregation map-side).
+
+    ``quoting=2`` (csv.QUOTE_NONNUMERIC, reference utils.py:41 passing it
+    to pandas): the C parser converts numeric fields to float at parse
+    time, so every column that would infer int64 — including all-quoted
+    digit strings and ints beyond int64/uint64, probed on pandas 2.2 —
+    lands as float64 instead; bool and object inference are unchanged,
+    and the order-dependent big-int overflow rule never applies.
+    ``quoting=1`` (QUOTE_ALL) changes nothing on the read side — the csv
+    module only distinguishes it when WRITING — so it takes the default
+    path (differential-tested).
+
+    With ``return_partition_counts`` the same pass also yields per-scan-
+    partition row counts (grouped by spark_partition_id) for row-id
+    assignment, and the return value is ``(typed_df, {pid: rows})``.
+
+    ``na_masked=False`` means ``df`` still holds the RAW cell strings and
+    the pandas NA-token mask is applied here, per column — required for the
+    uint64-conflict quirk (kind ``rawtext``), where pandas keeps NA tokens
+    as literal text. ``float_parity`` (default: the tri-state
+    SPARK_GRAFT_PANDAS_FLOAT_PARITY env toggle — unset means AUTO) parses
+    float-column VALUES with the pandas precise_xstrtod port instead of
+    Spark's correctly rounded cast: every float column when True, only
+    risk-flagged columns under AUTO, never when False — see
+    functions/pandasfloat.py.
+    """
+    from csvs_to_sqlite_spark.functions.pandasfloat import (
+        parity_double,
+        parity_enabled,
+    )
+
+    if float_parity is None:
+        float_parity = parity_enabled()
+    data_cols = [c for c in df.columns if c != _EXTRA]
+    if not data_cols:
+        return (df, {}, {}, {}, set()) if return_partition_counts else df
+
+    if na_masked:
+        def m(c):
+            return qcol(c)
+    else:
+        def m(c):
+            return (
+                F.when(qcol(c).isin(*_PANDAS_NA_TOKENS), None)
+                .otherwise(qcol(c))
+            )
+    # integer-ness via regex, not try_cast("long"): Spark's string→long cast
+    # rejects non-integers through an exception path (~5× slower on columns
+    # with decimal values). The regex matches exactly what pandas parses as
+    # int64 (optional sign/whitespace, digits only).
+    # scan-order position for order-sensitive rules (pandas' conversion
+    # state machine); mid = pid<<33|seq is globally ordered for file scans.
+    # Materialized as a column first: Spark rejects nondeterministic
+    # expressions inside aggregate functions.
+    df = df.withColumn("__pos__", F.monotonically_increasing_id())
+    # Stage 0: evaluate the NA mask ONCE per cell. The p-flag expressions
+    # below reference each cell ~8 times; inlining the 18-token isin CASE
+    # into every use doubled the sf0.1 ingest wall (13.3s vs 6.7s) —
+    # Catalyst's CollapseProject keeps a non-cheap alias shared instead of
+    # re-inlining it, so a separate narrow select restores the floor.
+    # Partition ids and scan order are unchanged (narrow transform).
+    mask_stage = df.select(
+        F.col("__pos__"),
+        *([F.col(_EXTRA)] if check_bad_lines else []),
+        *[m(c).alias(f"__m{i}") for i, c in enumerate(data_cols)],
+    )
+    source_cache = None
+    if return_partition_counts:
+        # engine fast path: the same parse feeds the inference aggregate AND
+        # the engine's canonical spill write — cache the MASKED strings so
+        # the CSV is tokenized and na-masked exactly once (MEMORY_AND_DISK:
+        # spills, never fails). The engine unpersists via the
+        # __source_cache__ handle after its spill write. The raw frame `df`
+        # stays uncached: only the uint64-conflict rawtext path reads it,
+        # and that re-parse is paid solely when such a column exists.
+        from pyspark import StorageLevel
+
+        source_cache = mask_stage.persist(StorageLevel.MEMORY_AND_DISK)
+        mask_stage = source_cache
+    # Pre-project every shared per-row expression ONCE (regex matches and
+    # numeric casts are the expensive ops; referenced directly inside ~9
+    # aggregate expressions per column Spark re-evaluates them per
+    # aggregate — measured 3.0s vs 1.1s for the whole pass at sf0.1).
+    # The projection is a narrow transform, so partition ids and scan
+    # order are unchanged.
+    #
+    # sql_fast (optimization r12): the flag projection and the ~13
+    # aggregates per column are built as SQL STRINGS shipped through ONE
+    # selectExpr + per-aggregate F.expr instead of ~80 Column-op py4j
+    # round trips per column — same expressions, same plan, construction
+    # 0.96s -> 0.38s per 17-column import (tools/ab_infer_construction.py;
+    # value parity asserted there and locked by
+    # tests/test_sources_golden.py::test_infer_sql_fast_path_equivalence).
+    # The ctrl-guard translate() over raw control chars and the
+    # parity_double pandas UDF stay Column-built, so those rare paths
+    # keep the certified constructor.
+    # SPARK_GRAFT_INFER_SQL=0 is the rollback/A-B switch to the Column
+    # constructor (tools/ab_infer_sql_fast.py flips it interleaved)
+    sql_fast = (
+        not ctrl_risk
+        and float_parity is not True
+        and os.environ.get("SPARK_GRAFT_INFER_SQL", "1") != "0"
+    )
+    if sql_fast:
+        base = mask_stage.selectExpr(
+            *_infer_flag_exprs(data_cols, check_bad_lines, float_parity,
+                               py_engine)
+        )
+        aggs = [
+            F.expr(s)
+            for s in _infer_agg_exprs(data_cols, check_bad_lines)
+        ]
+    else:
+        base, aggs = _infer_flag_agg_columns(
+            mask_stage, data_cols, check_bad_lines, float_parity,
+            py_engine, ctrl_risk,
+        )
     if return_partition_counts:
         prows = (
             base.groupBy(F.spark_partition_id().alias("__pid__")).agg(*aggs).collect()

@@ -515,3 +515,63 @@ def test_multibyte_sentinel_fallback_properties(tmp_path):
     # a clean file keeps the single-byte defaults (fast path untouched)
     clean = _choose_sentinels(frozenset(b"ab,1\n"), ",", str(f))
     assert all(len(v) == 1 for v in clean.values())
+
+
+def test_infer_sql_fast_path_equivalence(spark):
+    """The SQL-string constructors (_infer_flag_exprs/_infer_agg_exprs,
+    optimization r12) must stay expression-for-expression in lockstep
+    with the Column constructor (_infer_flag_agg_columns): same flag
+    projection rows, same aggregate row, on a quirk-dense value mix
+    (uint64 tier, beyond-uint64, negative overflow, '0e309', '1e309',
+    inf keywords vs padded inf, '-0.0', subnormal, non-integral, bools,
+    NA-adjacent text), under every (float_parity, py_engine) combination
+    the fast path serves."""
+    from pyspark.sql import functions as F
+
+    from csvs_to_sqlite_spark.sources.csv_source import (
+        _infer_agg_exprs,
+        _infer_flag_agg_columns,
+        _infer_flag_exprs,
+    )
+
+    vals = [
+        "1", "-1", " 42 ", "1.5", "-0.0", "0.000001", "2.5e-3",
+        "9223372036854775807", "9223372036854775808",
+        "18446744073709551615", "18446744073709551616",
+        "-9223372036854775809", "0e309", "1e309", "-1e309",
+        "inf", "-infinity", " inf", "inf ", "1e-310",
+        "true", "False", "abc", "nan", None, "0.3", "123456789012345678",
+    ]
+    n = 3  # three columns with rotated value orders (order-dependent mins)
+    rows = []
+    for j, v in enumerate(vals):
+        rows.append(tuple(vals[(j + k) % len(vals)] for k in range(n)))
+    df = spark.createDataFrame(
+        rows, ", ".join(f"__m{i} string" for i in range(n))
+    )
+    mask = df.select(
+        F.monotonically_increasing_id().alias("__pos__"),
+        F.lit(None).cast("string").alias("__extra_fields__"),
+        *[F.col(f"__m{i}") for i in range(n)],
+    )
+    cols = [f"c{i}" for i in range(n)]  # names are only used for count
+    for float_parity, py_engine in ((None, False), (False, False),
+                                    (None, True), (False, True)):
+        fast_base = mask.selectExpr(
+            *_infer_flag_exprs(cols, True, float_parity, py_engine)
+        )
+        slow_base, slow_aggs = _infer_flag_agg_columns(
+            mask, cols, True, float_parity, py_engine, ctrl_risk=False
+        )
+        def norm(rows):
+            # repr-normalize so NaN == NaN and -0.0 != 0.0 stay visible
+            return sorted(tuple(repr(v) for v in r) for r in rows)
+
+        f_rows = norm(fast_base.drop("__extra_fields__").collect())
+        s_rows = norm(slow_base.drop("__extra_fields__").collect())
+        assert f_rows == s_rows, (float_parity, py_engine)
+        fast_agg = fast_base.agg(
+            *[F.expr(s) for s in _infer_agg_exprs(cols, True)]
+        ).collect()[0].asDict()
+        slow_agg = slow_base.agg(*slow_aggs).collect()[0].asDict()
+        assert fast_agg == slow_agg, (float_parity, py_engine)
