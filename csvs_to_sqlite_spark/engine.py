@@ -245,6 +245,38 @@ def import_csvs(
             except Exception:
                 pass
 
+    # one spill write in flight at a time (guide §2.6: enough to fill the
+    # tail, not enough to fight the foreground jobs for executors)
+    from concurrent.futures import ThreadPoolExecutor
+
+    spill_pool = ThreadPoolExecutor(max_workers=1)
+    spill_futures: list = []
+    _spills_joined = [False]
+
+    def _join_spills(swallow: bool = False):
+        """Wait for every in-flight typed-spill write and release the
+        string-parse caches (the dim build reads them until here).
+        Idempotent; ``swallow`` is for cleanup paths already unwinding."""
+        if _spills_joined[0]:
+            return
+        _spills_joined[0] = True
+        err = None
+        for fut, c in spill_futures:
+            try:
+                fut.result()
+            except BaseException as e:  # keep joining; re-raise after
+                if err is None:
+                    err = e
+            finally:
+                if c is not None:
+                    try:
+                        c.unpersist()
+                    except Exception:
+                        pass
+        spill_pool.shutdown(wait=True)
+        if err is not None and not swallow:
+            raise err
+
     try:
         csvs = csvs_from_paths(paths)
         result.n_csvs = len(csvs)
@@ -356,13 +388,33 @@ def import_csvs(
                 proj = [
                     _canon(c) if c in extract_cols else qcol(c) for c in df.columns
                 ]
+                pre = df.select(*proj)
                 spill = tempfile.mkdtemp(prefix="engine_spill_")
-                df.select(*proj).write.mode("overwrite").parquet(spill)
-                if src_cache is not None:
-                    src_cache.unpersist()
-                cached = spark.read.parquet(spill)
+                # §2.6 overlap (optimization r12): the typed-spill write
+                # runs on a second driver thread while the main thread
+                # loads the next file and builds the dims — both consume
+                # the SAME persisted string cache (materialized by the
+                # inference aggregate inside load_csv), so nothing is
+                # recomputed, and the dim build no longer waits for the
+                # spill. Table.df is the PRE-SPILL frame (same schema,
+                # same values — narrow transforms over the cache); only
+                # the row landing and the big-dim fk re-spill read the
+                # parquet files, and both run after _join_spills(). The
+                # ROW_ID recomputation this adds is the documented
+                # guarded with_row_id boundary (NONDETERMINISM.md): the
+                # id projection raises on any partition-layout drift.
+                spill_futures.append(
+                    (
+                        spill_pool.submit(
+                            lambda p=pre, s=spill: p.write.mode(
+                                "overwrite"
+                            ).parquet(s)
+                        ),
+                        src_cache,
+                    )
+                )
                 spill_dirs.append(spill)
-                tables.append(Table(table or name, cached, overrides=inferred_overrides))
+                tables.append(Table(table or name, pre, overrides=inferred_overrides))
                 table_nonnulls.append(nonnull_counts)
                 table_rowcounts.append(sum(partition_counts.values()))
             except LoadCsvError as e:
@@ -371,7 +423,9 @@ def import_csvs(
 
     except BaseException:
         # a non-LoadCsvError failure mid-load (Py4J/IO) must not
-        # leave the host session at 2m scan splits or leak spills/temps
+        # leave the host session at 2m scan splits or leak spills/temps;
+        # in-flight spill writes are joined BEFORE their dirs are removed
+        _join_spills(swallow=True)
         cleanup_decompressed_temps()
         for d in spill_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -453,6 +507,11 @@ def import_csvs(
                     collect_max=dim_collect_max,
                     prefetched_rows=prefetched.get(dim_name),
                 )
+
+        # the landing (and the big-dim fk re-spill) reads the typed spill
+        # files — wait for the overlapped writes here, after the dim
+        # build/prefetch they were overlapping with
+        _join_spills()
 
         created_tables: list[str] = []
         seen_created: set[str] = set()
@@ -586,6 +645,7 @@ def import_csvs(
                         raise BadParameter(f'FTS column "{fts_column}" does not exist')
             sink.create_fact_fts(created_tables, list(fts), foreign_keys)
     finally:
+        _join_spills(swallow=True)  # idempotent; real errors already raised
         sink.close()
         cleanup_decompressed_temps()
         for d in spill_dirs:

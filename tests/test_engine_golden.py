@@ -606,3 +606,47 @@ def test_fifty_dim_prefetch_end_to_end(spark, tmp_path):
         assert second == tuple([2] * 50)
     finally:
         conn.close()
+
+
+def test_import_leaves_no_pinned_caches_and_joins_spills(spark, tmp_path):
+    """The r12 spill/dims overlap defers the string-cache unpersist to
+    _join_spills: after import_csvs returns there must be NO newly
+    pinned blocks (the bench host session is long-lived), and the
+    overlapped spill write must be fully landed — the db's facts and
+    dims agree with a multi-file import's first-appearance contract."""
+    sc = spark.sparkContext._jsc.sc()
+
+    def pinned_ids():
+        ids, it = set(), sc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    a = tmp_path / "a.csv"
+    a.write_text("k,v\nx,1\ny,2\n")
+    b = tmp_path / "b.csv"
+    b.write_text("k,v\nz,3\nx,4\n")
+    db = str(tmp_path / "out.db")
+    # zero-pin check on a dim-free import: the only persisted frames on
+    # that path are the two string caches, which _join_spills must
+    # release. (A dim import also leaves its build_dims localCheckpoints
+    # registered until the JVM-side ContextCleaner runs — pre-existing
+    # lifecycle, released on JVM GC, not assertable in a fast test.)
+    before = pinned_ids()
+    import_csvs(spark, [str(a)], str(tmp_path / "nodim.db"))
+    import_csvs(spark, [str(b)], str(tmp_path / "nodim2.db"))
+    assert pinned_ids() - before == set()
+    import_csvs(spark, [str(a), str(b)], db, extract_column=["k"])
+    conn = sqlite3.connect(db)
+    try:
+        assert conn.execute("select id, value from k order by id").fetchall() == [
+            (1, "x"), (2, "y"), (3, "z"),
+        ]
+        assert conn.execute("select * from a order by rowid").fetchall() == [
+            (1, 1), (2, 2),
+        ]
+        assert conn.execute("select * from b order by rowid").fetchall() == [
+            (3, 3), (1, 4),
+        ]
+    finally:
+        conn.close()
